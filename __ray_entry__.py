@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The flagship surface is the Ray-Data-native inverted-index + BM25 engine
+(``miru_ray``): the transcripts input (BASELINE.json input_hint shape) is
+derived deterministically from the ``documents`` testdata table with an
+exactly-equivalent SQL mapping, so every index/query pipeline here has a
+DuckDB oracle over the pre-registered views.  See SURVEY.md §2 for the
+operator inventory each entry maps to.
 """
 
 from __future__ import annotations
@@ -18,27 +16,100 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+QUERY_TERMS = ["spark", "merge"]          # hot terms of the documents vocab
+OR_TERMS = ["spark", "merge", "dup"]      # includes the rare term 'dup'
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: derive transcripts → build inverted
+    index (map_batches tokenize → salted groupby(term-shard) → segment
+    encode) → BM25 top-10 with gathered display columns."""
+    from miru_ray.pipelines import flagship as F
+    sf = "/root/testdata/sf0.001"
+    res = F.q_bm25(sf, QUERY_TERMS, k=10, mode="and")
+    s = F.searcher_for(sf)
+    gathered = s.gather(res["doc_id"].to_pylist(),
+                        ["conv_id", "turn_idx", "text"]).to_pandas()
+    out = res.to_pandas().merge(gathered, on="doc_id", how="left")
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from miru_ray.pipelines import flagship as F
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ---- full-text index + scoring (SURVEY.md §2.12, §2.7) ----
+        "fulltext_bm25_and": lambda sf: F.q_bm25(sf, QUERY_TERMS, 10, "and"),
+        "fulltext_bm25_or": lambda sf: F.q_bm25(sf, OR_TERMS, 10, "or"),
+        "fulltext_bm25_wand": lambda sf: F.q_bm25_wand(sf, OR_TERMS, 10),
+        "fulltext_reftfidf_and": lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
+        "fulltext_time_top10": lambda sf: F.q_time(sf, QUERY_TERMS, 10),
+        # ---- filter AST (§2.3) ----
+        "fulltext_and_count": lambda sf: F.q_count_and(sf, QUERY_TERMS),
+        "fulltext_or_not_docs": lambda sf: F.q_or_not_docs(sf, "spark", "merge", "dup"),
+        "fulltext_prefix_count": lambda sf: F.q_prefix_count(sf, "s"),
+        "keyword_and_term_count": lambda sf: F.q_keyword_and_term(sf, "user", "spark"),
+        # ---- index-side stats (§2.6 global tf/df) ----
+        "term_stats_top20": lambda sf: F.q_term_stats(sf, 20),
+        "collection_stats": F.q_collection_stats,
+        "doc_lengths": F.q_doc_lengths,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from miru_ray.pipelines import flagship as F
+
+    P = F.SQL_PROLOGUE
+    return {
+        "fulltext_bm25_and": F.bm25_sql(QUERY_TERMS, 10, mode="and"),
+        "fulltext_bm25_or": F.bm25_sql(OR_TERMS, 10, mode="or"),
+        "fulltext_bm25_wand": F.bm25_sql(OR_TERMS, 10, mode="or"),
+        "fulltext_reftfidf_and": F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"),
+        "fulltext_time_top10": f"""
+{P}
+SELECT d.doc_id, d.ts FROM docs d
+JOIN tf a ON a.doc_id = d.doc_id AND a.term = 'merge'
+JOIN tf b ON b.doc_id = d.doc_id AND b.term = 'spark'
+ORDER BY d.ts DESC, d.doc_id DESC LIMIT 10
+""".strip(),
+        "fulltext_and_count": f"""
+{P}
+SELECT count(*)::BIGINT AS n_matched FROM (
+  SELECT doc_id FROM tf WHERE term IN ('merge', 'spark')
+  GROUP BY doc_id HAVING count(*) = 2)
+""".strip(),
+        "fulltext_or_not_docs": f"""
+{P}
+SELECT DISTINCT doc_id FROM tf
+WHERE term IN ('spark', 'merge')
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY doc_id
+""".strip(),
+        "fulltext_prefix_count": f"""
+{P}
+SELECT count(DISTINCT doc_id)::BIGINT AS n_matched FROM tf
+WHERE term LIKE 's%'
+""".strip(),
+        "keyword_and_term_count": f"""
+{P}
+SELECT count(*)::BIGINT AS n_matched
+FROM docs d JOIN tf ON tf.doc_id = d.doc_id
+WHERE tf.term = 'spark' AND d.role = 'user'
+""".strip(),
+        "term_stats_top20": f"""
+{P}
+SELECT term, df::BIGINT AS df, cf::BIGINT AS cf FROM df
+ORDER BY cf DESC, term ASC LIMIT 20
+""".strip(),
+        "collection_stats": f"""
+{P}
+SELECT n::BIGINT AS n_docs,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_len,
+       round(avgdl, 6) AS avgdl
+FROM stats
+""".strip(),
+        "doc_lengths": f"""
+{P}
+SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
+""".strip(),
+    }

@@ -1,0 +1,153 @@
+"""Benchmark driver: index-build throughput + query latency + oracle queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = end-to-end inverted-index build (read → tokenize → doc ids →
+postings shuffle → segment encode → manifest) over the deterministic
+synthetic transcripts fixture (FIXTURES.md F1, scale `m` ≈ 750k turns,
+seed 42) — the authoritative input shape from BASELINE.json.  Also runs the
+driver-visible queries() pipelines over $GRAFT_SF_DIR and a query-latency
+loop (p50 of top-10 BM25 over the reference-style query set).
+
+`--scaling`: run the same build at two parallelism levels in fresh
+processes (sandbox substitute for N and 4N nodes — BASELINE.md) and report
+throughput at both plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_SCALE = os.environ.get("MIRU_BENCH_SCALE", "m")
+QUERY_REPS = int(os.environ.get("MIRU_BENCH_QUERY_REPS", "100"))
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    import numpy as np
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from miru_ray.config import IndexConfig
+    from miru_ray.fixtures import transcripts_path
+    from miru_ray.index.build import build_index
+    from miru_ray.query.engine import Searcher
+    from miru_ray.util import read_json
+
+    # ---- headline: cold index build over the m-scale transcripts fixture
+    src = transcripts_path(BENCH_SCALE)  # cached generation — not timed
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    from miru_ray.util import list_parquet_files
+    for p in list_parquet_files(src):
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+    idx_dir = f"/tmp/miru_bench_idx_{BENCH_SCALE}_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = IndexConfig(docs_per_partition=100_000, num_shards=8)
+    t0 = time.perf_counter()
+    manifest = build_index(src, idx_dir, cfg)
+    build_sec = time.perf_counter() - t0
+    n_turns = manifest["n_docs"]
+
+    # ---- query latency: p50 of top-10 BM25 over seeded query set
+    s = Searcher(idx_dir, num_readers=min(8, NUM_CPUS))
+    rng = np.random.default_rng(7)
+    hot = ["alpha", "beta", "gamma", "query", "search", "index", "token",
+           "merge", "shard", "actor", "batch", "stream", "score", "rank"]
+    lat = []
+    for i in range(QUERY_REPS):
+        terms = list(rng.choice(hot, size=int(rng.integers(1, 4)),
+                                replace=False))
+        q0 = time.perf_counter()
+        s.topk(terms, 10, "bm25" if i % 2 else "ref-tfidf")
+        lat.append(time.perf_counter() - q0)
+    p50_ms = statistics.median(lat) * 1000
+    s.close()
+
+    # ---- driver-visible oracle queries over $GRAFT_SF_DIR
+    queries: dict[str, float] = {}
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    if os.path.exists(os.path.join(SF_DIR, "documents.parquet")):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as E
+        for name, fn in E.queries().items():
+            q0 = time.perf_counter()
+            try:
+                fn(SF_DIR)
+                queries[name] = round(time.perf_counter() - q0, 4)
+            except Exception as ex:  # pragma: no cover
+                queries[name] = -1.0
+                print(f"# query {name} failed: {ex}", file=sys.stderr)
+
+    out = {
+        "metric": "index_build_seconds",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_tag,
+        "num_cpus": NUM_CPUS,
+        "bench_scale": BENCH_SCALE,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "query_p50_ms": round(p50_ms, 2),
+        "stage_seconds": {k: v.get("seconds") for k, v in
+                          manifest["stages"].items()},
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (BASELINE.md)."""
+    lo, hi = (int(x) for x in
+              os.environ.get("MIRU_SCALING_CPUS", "8,32").split(","))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   MIRU_BENCH_QUERY_REPS="20", MIRU_SKIP_SF_QUERIES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["turns_per_sec"]
+    tput_hi = r_hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo, hi],
+        "build_sec": [r_lo["value"], r_hi["value"]],
+        "turns_per_sec": [tput_lo, tput_hi],
+        "n_turns": r_lo["n_turns"],
+        "queries": {},
+        "sf": r_lo["sf"],
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if os.environ.get("MIRU_SKIP_SF_QUERIES"):
+        SF_DIR = "/nonexistent"
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

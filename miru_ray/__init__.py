@@ -1,0 +1,27 @@
+"""miru_ray — a Ray-Data-native full-text index + BM25 query engine.
+
+Brand-new engine (NOT a port) with the query/data-processing capabilities of
+the reference (davidbrownjive/miru, a bitmap stream engine — see SURVEY.md).
+Everything here is built on public Ray Data / PyArrow APIs:
+
+- index build = ``ray.data.Dataset`` pipeline (map_batches over zero-copy
+  Arrow → salted groupby shuffle → per-(partition, shard) segment encode)
+- query = actor-pool segment readers + driver top-k heap merge
+- broader operator surface (dedup / similarity / text analysis / analytics)
+  under :mod:`miru_ray.ops`.
+"""
+
+__version__ = "0.1.0"
+
+# Ship this package's functions/classes to Ray workers BY VALUE so pipelines
+# work regardless of the driver's cwd / the workers' sys.path (the driver
+# that imports __ray_entry__ may not run from the repo root).  Costs a few KB
+# per task submission; removes the "No module named miru_ray" failure mode.
+try:  # pragma: no cover
+    import sys as _sys
+
+    import ray.cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 — best-effort; repo-root drivers still work
+    pass

@@ -1,0 +1,55 @@
+"""Index configuration (the engine-side analogue of miru's ``MiruSchema``).
+
+The reference carries an explicit versioned schema per tenant
+(``miru-api/.../activity/schema/MiruSchema.java:21-107``) where each field is
+a feature bundle (indexed / multiValued / cardinality / stored,
+``MiruFieldDefinition.java:59-127``).  Our equivalent: the Parquet schema is
+the storage schema, and this config says which columns are indexed and how.
+It is serialized into the index manifest (versioned with the index).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # fields tokenized into bare terms with tf counts (reference: the
+    # `multiTermCardinality` feature — tf via HashMultiset in
+    # MiruIndexPrimaryFields.compose, MiruIndexPrimaryFields.java:62-74)
+    text_fields: tuple[str, ...] = ("text",)
+    # fields indexed whole as `field:value` single terms, tf=1 (reference:
+    # `singleTerm` fields, MiruFieldDefinition.java:59-78)
+    keyword_fields: tuple[str, ...] = ("role", "tool")
+    # docs per index partition (reference: partition rollover by capacity,
+    # MiruPartitioner.java:92-108; "millions of ordered documents" README:12).
+    # Tests use small values; at 100 TB size this to a few million docs so a
+    # partition's doclen/ts arrays stay ~tens of MB per reader actor.
+    docs_per_partition: int = 100_000
+    # term-hash shards per partition: the explicit skew bound for the
+    # groupby((partition, shard)) shuffle — a hot term's postings are split
+    # across partitions (doc-locality salt) and its shard-mates bounded by
+    # partition size (reference precedent: atomized posting containers,
+    # LabInvertedIndex.java:268-292)
+    num_shards: int = 4
+    remove_stopwords: bool = False
+    # BM25 constants (conventional defaults; the reference's own scorer has
+    # no k1/b — see SURVEY.md §2.12)
+    k1: float = 1.2
+    b: float = 0.75
+    ts_field: str = "ts"
+    id_fields: tuple[str, ...] = ("conv_id", "turn_idx")
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        for k in ("text_fields", "keyword_fields", "id_fields"):
+            d[k] = list(d[k])
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexConfig":
+        d = dict(d)
+        for k in ("text_fields", "keyword_fields", "id_fields"):
+            d[k] = tuple(d[k])
+        return cls(**d)

@@ -1,0 +1,355 @@
+"""Distributed index build: transcripts Parquet → segments + manifest.
+
+Ray-Data-first pipeline (SURVEY.md §7.1), four stages, all resumable:
+
+[1] conv offsets   pruned read (conv_id, turn_idx) → per-batch partial counts
+                   → small groupby → driver-streamed prefix sums
+                   (replaces the reference's timestamp-ordered id allocation,
+                   ``MiruPartitionAccessor.java:594-650``, WITHOUT a global
+                   sort: ``turn_idx`` is 0-based contiguous per conversation,
+                   so doc_id = conv_offset + turn_idx; contiguity is asserted)
+[2] doc store      map_batches(assign doc_id + doc_len) → write_parquet
+                   partitioned by doc-partition (the forward/activity index,
+                   ``miru-service/.../index/lab/LabActivityIndex.java``)
+[3] segments       map_batches(tokenize → (term, doc_id, tf) exact per-batch
+                   partials) → groupby((partition, shard)) shuffle →
+                   per-group vectorized encode → atomic segment files
+                   (skew bound: a hot term splits across partitions and its
+                   per-cell postings are capped by partition size — the
+                   analogue of atomized containers,
+                   ``LabInvertedIndex.java:268-292``)
+[4] manifest       collection stats (N, total_len, avgdl) + lineage:
+                   input fingerprint, per-stage metrics, partition ranges,
+                   segment inventory.  Atomic swap = index goes live
+                   (reference: the ready-watermark barrier,
+                   ``MiruIndexer.java:121-123``).
+
+Resume: ``build_index`` re-invoked on the same (input fingerprint, config)
+skips completed stages via their checkpoints (offsets parquet, docstore
+_SUCCESS marker, existing segment files, manifest).  All stages are
+deterministic, so retried tasks rewrite identical bytes.
+
+Scale notes (100 TB / 10^12 turns): the only all-to-all exchange is the
+(partition, shard) groupby in [3], whose input is exact per-batch-aggregated
+(term, doc, tf) partials (one row per unique term-doc pair — a turn's text
+never spans batches, so no cross-batch combining is lost).  Stage [1] moves
+one row per conversation; the prefix-sum scan is a vectorized driver stream
+over conversations (cumsum of ~1 row/conv), and the offset broadcast uses
+``ray.put`` once.  For conversation counts beyond driver memory, swap the
+broadcast dict for a bucketed hash join of the offsets table — the stage
+boundary is designed so only `_assign_doc_ids` changes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Max as RMax
+from ray.data.aggregate import Sum as RSum
+
+from ..config import IndexConfig
+from ..tokenize import EN_STOPWORDS, explode_tokens
+from ..util import (atomic_write_json, input_fingerprint, list_parquet_files,
+                    read_json, term_shard)
+from .segments import encode_segment_table, segment_rel_path, write_segment
+
+logger = logging.getLogger(__name__)
+
+MANIFEST_VERSION = 1
+
+
+def _read_input(input_path: str | list[str], columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(input_path, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# stage 1 — conversation offsets (doc-id allocation without a global sort)
+# ---------------------------------------------------------------------------
+
+def _conv_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch exact partial: one row per conv_id seen in the batch."""
+    g = batch.group_by("conv_id").aggregate(
+        [("turn_idx", "count"), ("turn_idx", "max")])
+    return g.rename_columns(["conv_id", "cnt", "max_turn"])
+
+
+def build_conv_offsets(ds: "ray.data.Dataset", offsets_path: str) -> dict:
+    """Compute (conv_id → doc_id offset) with prefix sums; write parquet.
+
+    Shuffle cost: one row per (batch, conv) partial → groupby over ~1 row per
+    conversation.  The prefix-sum is streamed on the driver in conv_id order
+    (vectorized cumsum per batch + a running base).
+    """
+    partials = ds.map_batches(_conv_count_partials, batch_format="pyarrow",
+                              batch_size=65536)
+    counts = partials.groupby("conv_id").aggregate(
+        RSum("cnt", alias_name="cnt"), RMax("max_turn", alias_name="max_turn"))
+    counts = counts.sort("conv_id")
+
+    base = 0
+    n_convs = 0
+    frames = []
+    for b in counts.iter_batches(batch_size=1_000_000, batch_format="pyarrow"):
+        cnt = b["cnt"].to_numpy()
+        max_turn = b["max_turn"].to_numpy()
+        if not (max_turn + 1 == cnt).all():
+            bad = b["conv_id"][int(np.argmax(max_turn + 1 != cnt))].as_py()
+            raise ValueError(
+                f"turn_idx not contiguous for conv {bad!r}; doc-id fast path "
+                "requires 0-based contiguous turn_idx per conversation")
+        off = np.zeros(len(cnt), np.int64)
+        np.cumsum(cnt[:-1], out=off[1:])
+        off += base
+        base += int(cnt.sum())
+        n_convs += len(cnt)
+        frames.append(pa.table({
+            "conv_id": b["conv_id"], "offset": pa.array(off),
+            "cnt": pa.array(cnt.astype(np.int64))}))
+    offsets = pa.concat_tables(frames)
+    tmp = offsets_path + ".tmp"
+    pq.write_table(offsets, tmp)
+    os.replace(tmp, offsets_path)
+    return {"n_docs": base, "n_convs": n_convs}
+
+
+# ---------------------------------------------------------------------------
+# stage 2 — doc store (doc_id + doc_len assignment, partitioned write)
+# ---------------------------------------------------------------------------
+
+class AssignDocIds:
+    """Actor-pool stage: broadcast offsets loaded once per actor.
+
+    ``ray.put`` ships the (sorted conv array, offsets array) pair to the
+    object store once; every actor reads it zero-copy in ``__init__`` instead
+    of per batch.  Lookup is a vectorized ``np.searchsorted``.
+    """
+
+    def __init__(self, offsets_ref, docs_per_partition: int,
+                 stopwords: frozenset | None):
+        convs, offs = ray.get(offsets_ref)
+        self.convs = convs
+        self.offs = offs
+        self.dpp = docs_per_partition
+        self.stopwords = stopwords
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch["conv_id"].to_pandas(), dtype=object)
+        pos = np.searchsorted(self.convs, conv)
+        if (pos >= len(self.convs)).any() or (self.convs[pos] != conv).any():
+            raise ValueError("conv_id missing from offsets table")
+        doc_id = self.offs[pos] + batch["turn_idx"].to_numpy().astype(np.int64)
+        _, _, doc_len = explode_tokens(batch["text"], self.stopwords)
+        partition = doc_id // self.dpp
+        return (batch
+                .append_column("doc_id", pa.array(doc_id))
+                .append_column("doc_len", pa.array(doc_len))
+                .append_column("partition", pa.array(partition)))
+
+
+def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
+                   cfg: IndexConfig, concurrency: int | None = None) -> None:
+    off_t = pq.read_table(offsets_path)
+    convs = np.asarray(off_t["conv_id"].to_pandas(), dtype=object)
+    offs = off_t["offset"].to_numpy().astype(np.int64)
+    ref = ray.put((convs, offs))
+    stop = EN_STOPWORDS if cfg.remove_stopwords else None
+    if concurrency is None:
+        # autoscale the tokenize/assign pool to the cluster, leaving slots
+        # for the read and write stages so the pipeline doesn't serialize
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, ncpu - 2))
+    out = ds.map_batches(
+        AssignDocIds, batch_format="pyarrow", batch_size=8192,
+        concurrency=concurrency,
+        fn_constructor_args=(ref, cfg.docs_per_partition, stop))
+    out.write_parquet(docstore_dir, partition_cols=["partition"])
+    with open(os.path.join(docstore_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+
+
+# ---------------------------------------------------------------------------
+# stage 3 — postings shuffle + segment encode
+# ---------------------------------------------------------------------------
+
+def make_postings_fn(cfg: IndexConfig):
+    stop = EN_STOPWORDS if cfg.remove_stopwords else None
+    dpp = cfg.docs_per_partition
+    nsh = cfg.num_shards
+    text_fields = cfg.text_fields
+    kw_fields = cfg.keyword_fields
+
+    def to_postings(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+        parts = []
+        for f in text_fields:
+            terms, rows, _ = explode_tokens(batch[f], stop)
+            if len(rows) == 0:
+                continue
+            t = pa.table({"term": terms, "doc_id": pa.array(doc_id[rows])})
+            # exact per-batch tf: a doc's text is contained in one batch row
+            tf = t.group_by(["term", "doc_id"]).aggregate([("doc_id", "count")])
+            parts.append(tf.rename_columns(["term", "doc_id", "tf"]))
+        for f in kw_fields:
+            vals = pc.cast(batch[f], pa.string())
+            mask = pc.and_(pc.is_valid(vals), pc.not_equal(vals, ""))
+            keep = pc.fill_null(mask, False).to_numpy(zero_copy_only=False).astype(bool)
+            if not keep.any():
+                continue
+            v = np.asarray(vals.to_pandas(), dtype=object)[keep]
+            kterm = np.array([f + ":"], dtype=object) + v
+            parts.append(pa.table({
+                "term": pa.array(kterm, type=pa.string()),
+                "doc_id": pa.array(doc_id[keep]),
+                "tf": pa.array(np.ones(int(keep.sum()), np.int64))}))
+        if not parts:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64()),
+                             "gkey": pa.array([], pa.int64())})
+        t = pa.concat_tables(parts)
+        t = t.set_column(2, "tf", pc.cast(t["tf"], pa.int64()))
+        term_np = np.asarray(t["term"].to_pandas(), dtype=object)
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        gkey = (did // dpp) * nsh + term_shard(term_np, nsh)
+        return t.append_column("gkey", pa.array(gkey))
+
+    return to_postings
+
+
+def make_segment_writer(index_dir: str, nsh: int):
+    def encode_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "shard": pa.array([], pa.int64()),
+                             "n_terms": pa.array([], pa.int64()),
+                             "n_postings": pa.array([], pa.int64())})
+        gkey = int(group["gkey"][0].as_py())
+        pid, shard = gkey // nsh, gkey % nsh
+        path = os.path.join(index_dir, segment_rel_path(pid, shard))
+        seg = encode_segment_table(group)
+        if not os.path.exists(path):  # resume: deterministic content → skip
+            write_segment(seg, path)
+        return pa.table({"pid": pa.array([pid]), "shard": pa.array([shard]),
+                         "n_terms": pa.array([seg.num_rows]),
+                         "n_postings": pa.array([group.num_rows])})
+    return encode_group
+
+
+def build_segments(docstore_dir: str, index_dir: str, cfg: IndexConfig) -> list[dict]:
+    cols = ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
+    docs = ray.data.read_parquet(docstore_dir, columns=cols,
+                                 file_extensions=["parquet"])
+    postings = docs.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
+                                batch_size=8192)
+    meta = postings.groupby("gkey").map_groups(
+        make_segment_writer(index_dir, cfg.num_shards), batch_format="pyarrow")
+    rows = meta.take_all()
+    return sorted(rows, key=lambda r: (r["pid"], r["shard"]))
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+def build_index(input_path: str | list[str], index_dir: str,
+                cfg: IndexConfig | None = None, *,
+                overwrite: bool = False,
+                stop_after_stage: str | None = None) -> dict:
+    """Build (or resume) an index at ``index_dir``. Returns the manifest.
+
+    ``stop_after_stage`` ∈ {offsets, docstore, segments} interrupts the build
+    after that stage — used by the resume tests (FIXTURES.md §F4 inv. 6).
+    """
+    cfg = cfg or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    files = list_parquet_files(input_path) if isinstance(input_path, str) else list(input_path)
+    fp = input_fingerprint(files)
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    offsets_path = os.path.join(index_dir, "conv_offsets.parquet")
+    offsets_meta_path = offsets_path + ".meta.json"
+    docstore_dir = os.path.join(index_dir, "docstore")
+
+    if os.path.exists(manifest_path) and not overwrite:
+        m = read_json(manifest_path)
+        if m.get("fingerprint") == fp and m.get("config") == cfg.to_dict():
+            logger.info("index up to date at %s", index_dir)
+            return m
+
+    stages: dict[str, dict] = {}
+
+    # [1] conv offsets
+    t0 = time.perf_counter()
+    if (os.path.exists(offsets_path) and os.path.exists(offsets_meta_path)
+            and read_json(offsets_meta_path).get("fingerprint") == fp):
+        meta1 = read_json(offsets_meta_path)
+        stages["offsets"] = {"skipped": True, **{k: meta1[k] for k in ("n_docs", "n_convs")}}
+    else:
+        ds = _read_input(files, columns=["conv_id", "turn_idx"])
+        meta1 = build_conv_offsets(ds, offsets_path)
+        atomic_write_json(offsets_meta_path, {"fingerprint": fp, **meta1})
+        stages["offsets"] = {"seconds": round(time.perf_counter() - t0, 3), **meta1}
+    n_docs = meta1["n_docs"]
+    if stop_after_stage == "offsets":
+        return {"incomplete": True, "stages": stages}
+
+    # [2] doc store
+    t0 = time.perf_counter()
+    if os.path.exists(os.path.join(docstore_dir, "_SUCCESS")) and not overwrite:
+        stages["docstore"] = {"skipped": True}
+    else:
+        import shutil
+        if os.path.exists(docstore_dir):
+            shutil.rmtree(docstore_dir)
+        ds = _read_input(files)
+        build_docstore(ds, offsets_path, docstore_dir, cfg)
+        stages["docstore"] = {"seconds": round(time.perf_counter() - t0, 3)}
+    if stop_after_stage == "docstore":
+        return {"incomplete": True, "stages": stages}
+
+    # [3] segments
+    t0 = time.perf_counter()
+    seg_rows = build_segments(docstore_dir, index_dir, cfg)
+    stages["segments"] = {"seconds": round(time.perf_counter() - t0, 3),
+                          "n_segments": len(seg_rows),
+                          "n_postings": int(sum(r["n_postings"] for r in seg_rows))}
+    if stop_after_stage == "segments":
+        return {"incomplete": True, "stages": stages}
+
+    # [4] stats + manifest
+    t0 = time.perf_counter()
+    dl = ray.data.read_parquet(docstore_dir, columns=["doc_len"],
+                               file_extensions=["parquet"])
+    total_len = dl.sum("doc_len") or 0
+    dpp = cfg.docs_per_partition
+    n_parts = (n_docs + dpp - 1) // dpp
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "fingerprint": fp,
+        "config": cfg.to_dict(),
+        "input_files": files,
+        "n_docs": int(n_docs),
+        "n_convs": int(meta1["n_convs"]),
+        "total_len": int(total_len),
+        "avgdl": (float(total_len) / n_docs) if n_docs else 0.0,
+        "partitions": [{"pid": p, "base": p * dpp,
+                        "count": min(dpp, n_docs - p * dpp)}
+                       for p in range(n_parts)],
+        "segments": [{"pid": int(r["pid"]), "shard": int(r["shard"]),
+                      "path": segment_rel_path(int(r["pid"]), int(r["shard"])),
+                      "n_terms": int(r["n_terms"]),
+                      "n_postings": int(r["n_postings"])} for r in seg_rows],
+        "stages": stages,
+    }
+    stages["manifest"] = {"seconds": round(time.perf_counter() - t0, 3)}
+    atomic_write_json(manifest_path, manifest)
+    return manifest

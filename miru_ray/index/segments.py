@@ -1,0 +1,134 @@
+"""Immutable segment files: term dictionary + compressed postings.
+
+One segment = all terms of one (doc-partition, term-shard) cell, term-sorted,
+stored as a Parquet file.  This is the Ray-Data-native analogue of the
+reference's per-partition LAB field index (term → Roaring bitmap + tf store,
+``miru-service/.../index/lab/LabFieldIndex.java`` /
+``LabInvertedIndex.java``): postings here are delta-gap varint doc-id runs
+with per-block (last_doc, max_tf) block-max metadata instead of atomized
+bitmap containers.
+
+Layout inside ``index_dir``::
+
+    segments/p{pid:05d}_s{shard:03d}.parquet
+
+Files are written atomically (tmp + rename) with deterministic content, so a
+retried/resumed task that finds the file present can skip the write — the
+checkpoint/resume unit of the postings stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codec import bulk_encode_postings, decode_doc_ids, decode_tfs
+
+SEGMENT_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("doc_bytes", pa.binary()),
+    ("tf_bytes", pa.binary()),
+    ("block_last_doc", pa.list_(pa.int64())),
+    ("block_max_tf", pa.list_(pa.int32())),
+])
+
+
+def segment_rel_path(pid: int, shard: int) -> str:
+    return f"segments/p{pid:05d}_s{shard:03d}.parquet"
+
+
+def encode_segment_table(group: pa.Table) -> pa.Table:
+    """(term, doc_id, tf) rows for ONE (partition, shard) → segment table.
+
+    Sorts by (term, doc_id); every encode step is vectorized across all terms
+    at once (:func:`miru_ray.codec.bulk_encode_postings`).
+    """
+    import pandas as pd
+
+    terms = group["term"].combine_chunks() if isinstance(group["term"], pa.ChunkedArray) else group["term"]
+    term_np = np.asarray(terms.to_pandas(), dtype=object)
+    doc_np = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tf_np = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # sort by (term, doc_id) via integer codes — lexsort over object-dtype
+    # strings is ~10× slower than factorize + int lexsort on big groups
+    codes, uniques = pd.factorize(term_np, sort=False)
+    uniq_order = np.argsort(uniques, kind="stable")  # small: one per term
+    rank = np.empty(len(uniques), np.int64)
+    rank[uniq_order] = np.arange(len(uniques))
+    order = np.lexsort((doc_np, rank[codes]))
+    doc_np, tf_np = doc_np[order], tf_np[order]
+    sorted_ranks = rank[codes][order]
+    is_start = np.empty(len(sorted_ranks), bool)
+    is_start[0] = True
+    np.not_equal(sorted_ranks[1:], sorted_ranks[:-1], out=is_start[1:])
+    starts = np.flatnonzero(is_start)
+    sorted_terms = uniques[uniq_order]  # == term at each start, ascending
+
+    enc = bulk_encode_postings(doc_np, tf_np, starts)
+    boff = enc["block_offsets"]
+    return pa.table({
+        "term": pa.array(sorted_terms, type=pa.string()),
+        "df": pa.array(enc["df"]),
+        "cf": pa.array(enc["cf"]),
+        "doc_bytes": pa.array(enc["doc_bytes"], type=pa.binary()),
+        "tf_bytes": pa.array(enc["tf_bytes"], type=pa.binary()),
+        "block_last_doc": pa.ListArray.from_arrays(
+            pa.array(boff, type=pa.int32()) if boff[-1] < 2**31 else pa.array(boff, type=pa.int64()),
+            pa.array(enc["block_last_doc"], type=pa.int64())),
+        "block_max_tf": pa.ListArray.from_arrays(
+            pa.array(boff, type=pa.int32()) if boff[-1] < 2**31 else pa.array(boff, type=pa.int64()),
+            pa.array(enc["block_max_tf"], type=pa.int32())),
+    }).cast(SEGMENT_SCHEMA)
+
+
+def write_segment(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+class SegmentReader:
+    """In-memory view of one segment file: sorted term dict + lazy postings."""
+
+    def __init__(self, path: str):
+        self.table = pq.read_table(path)
+        self.terms = np.asarray(self.table["term"].to_pandas(), dtype=object)
+        self._df = self.table["df"].to_numpy()
+        self._cf = self.table["cf"].to_numpy()
+
+    def lookup(self, term: str) -> int | None:
+        i = np.searchsorted(self.terms, term)
+        if i < len(self.terms) and self.terms[i] == term:
+            return int(i)
+        return None
+
+    def prefix_range(self, prefix: str) -> tuple[int, int]:
+        """[lo, hi) rows of terms starting with ``prefix`` (terms are sorted).
+
+        Reference: prefix wildcard expansion via term-range scan
+        (``MiruAggregateUtil.java:1154-1167``,
+        ``MiruTermComposer.prefixLowerInclusive/UpperExclusive``).
+        """
+        lo = int(np.searchsorted(self.terms, prefix))
+        hi = int(np.searchsorted(self.terms, prefix + "￿"))
+        return lo, hi
+
+    def stats(self, row: int) -> tuple[int, int]:
+        return int(self._df[row]), int(self._cf[row])
+
+    def postings(self, row: int) -> tuple[np.ndarray, np.ndarray]:
+        df = int(self._df[row])
+        docs = decode_doc_ids(self.table["doc_bytes"][row].as_py(), df)
+        tfs = decode_tfs(self.table["tf_bytes"][row].as_py(), df)
+        return docs, tfs
+
+    def block_meta(self, row: int) -> tuple[np.ndarray, np.ndarray]:
+        return (np.asarray(self.table["block_last_doc"][row].as_py(), dtype=np.int64),
+                np.asarray(self.table["block_max_tf"][row].as_py(), dtype=np.int64))

@@ -1,0 +1,240 @@
+"""Flagship pipeline over the driver testdata: documents → transcripts →
+index → queries, with per-`sf_dir` caching.
+
+The driver's correctness gate only exposes the TPC-H-ish testdata views, so
+the transcripts input (BASELINE.json ``input_hint`` shape) is derived
+deterministically from ``documents`` via :data:`miru_ray.fixtures.DERIVE_SQL`
+— the DuckDB oracle reproduces the exact same rows, and doc ids are the
+ordinal of the stable (conv_id, turn_idx) order on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import IndexConfig
+from ..fixtures import DERIVE_SQL, derive_transcripts_batch
+from ..index.build import build_index
+from ..query.engine import Searcher
+from ..util import input_fingerprint, read_json
+
+CACHE_ROOT = "/tmp/miru_ray_cache"
+_SEARCHERS: dict[str, Searcher] = {}
+
+FLAGSHIP_CFG = IndexConfig(docs_per_partition=2000, num_shards=2)
+
+
+def transcripts_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """documents.parquet → transcripts Dataset (deterministic derivation)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(derive_transcripts_batch, batch_format="pyarrow")
+
+
+def index_dir_for(sf_dir: str, cfg: IndexConfig = FLAGSHIP_CFG) -> str:
+    """Build (once) and return the index directory for a testdata sf_dir."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = input_fingerprint([src])[:16]
+    root = os.path.join(CACHE_ROOT, f"flagship_{fp}")
+    tdir = os.path.join(root, "transcripts")
+    idir = os.path.join(root, "index")
+    if not os.path.exists(os.path.join(tdir, "_DONE")):
+        transcripts_from_documents(sf_dir).repartition(4).write_parquet(tdir)
+        with open(os.path.join(tdir, "_DONE"), "w") as f:
+            f.write("ok")
+    build_index(tdir, idir, cfg)  # no-op if manifest is current
+    return idir
+
+
+def searcher_for(sf_dir: str, num_readers: int = 2) -> Searcher:
+    idir = index_dir_for(sf_dir)
+    s = _SEARCHERS.get(idir)
+    if s is None or not s.readers:
+        s = Searcher(idir, num_readers=num_readers)
+        _SEARCHERS[idir] = s
+    return s
+
+
+def manifest_for(sf_dir: str) -> dict:
+    return read_json(os.path.join(index_dir_for(sf_dir), "manifest.json"))
+
+
+# --------------------------------------------------------------------------
+# SQL oracle scaffolding (DuckDB) — shared CTE prologue
+# --------------------------------------------------------------------------
+
+#: CTE prologue: transcripts + docs-with-ordinal-ids + token/tf/df/dl/stats.
+#: Tokenization is regexp_extract_all(lower(text), '[a-z0-9]+') — identical
+#: to the engine tokenizer (miru_ray.tokenize).
+SQL_PROLOGUE = f"""
+WITH transcripts AS ({DERIVE_SQL}),
+docs AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, turn_idx, role, tool, ts, text
+  FROM transcripts
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM docs
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM docs d LEFT JOIN toks t USING (doc_id) GROUP BY 1),
+df AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM docs) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM docs) AS avgdl
+)
+""".strip()
+
+
+def bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
+             mode: str = "or") -> str:
+    qvals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    return f"""
+{SQL_PROLOGUE},
+q(term) AS (VALUES {qvals}),
+matched AS (
+  SELECT tf.doc_id FROM tf JOIN q USING (term)
+  GROUP BY tf.doc_id {having}
+),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id DESC LIMIT {k}
+""".strip()
+
+
+def ref_tfidf_sql(terms: list[str], k: int = 10, mode: str = "and") -> str:
+    qvals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    return f"""
+{SQL_PROLOGUE},
+q(term) AS (VALUES {qvals}),
+matched AS (
+  SELECT tf.doc_id FROM tf JOIN q USING (term)
+  GROUP BY tf.doc_id {having}
+),
+scores AS (
+  SELECT m.doc_id, sum(1.0 / df.cf * tf.tf) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id DESC LIMIT {k}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# engine-side query callables (each takes sf_dir, returns a table)
+# --------------------------------------------------------------------------
+
+def q_bm25(sf_dir: str, terms: list[str], k: int = 10,
+           mode: str = "and") -> pa.Table:
+    s = searcher_for(sf_dir)
+    ast = _ast(terms, mode)
+    return s.topk(ast, k, "bm25")
+
+
+def q_ref_tfidf(sf_dir: str, terms: list[str], k: int = 10,
+                mode: str = "and") -> pa.Table:
+    s = searcher_for(sf_dir)
+    return s.topk(_ast(terms, mode), k, "ref-tfidf")
+
+
+def q_bm25_wand(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+    s = searcher_for(sf_dir)
+    from ..query.filter import or_terms
+    return s.topk(or_terms(terms), k, "bm25", use_wand=True)
+
+
+def q_time(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+    s = searcher_for(sf_dir)
+    return s.topk(_ast(terms, "and"), k, "time")
+
+
+def q_count_and(sf_dir: str, terms: list[str]) -> pa.Table:
+    s = searcher_for(sf_dir)
+    return pa.table({"n_matched": pa.array([s.count(_ast(terms, "and"))],
+                                           type=pa.int64())})
+
+
+def q_or_not_docs(sf_dir: str, a: str, b: str, c: str) -> pa.Table:
+    from ..query.filter import Not, Or, Term
+    s = searcher_for(sf_dir)
+    ast = Not(Or((Term("text", a), Term("text", b))), (Term("text", c),))
+    docs = s.match_docs(ast)
+    return pa.table({"doc_id": pa.array(np.sort(docs))})
+
+
+def q_prefix_count(sf_dir: str, prefix: str) -> pa.Table:
+    from ..query.filter import Prefix
+    s = searcher_for(sf_dir)
+    return pa.table({"n_matched": pa.array([s.count(Prefix("text", prefix))],
+                                           type=pa.int64())})
+
+
+def q_keyword_and_term(sf_dir: str, role: str, term: str) -> pa.Table:
+    from ..query.filter import And, Term
+    s = searcher_for(sf_dir)
+    ast = And((Term("role", role), Term("text", term)))
+    return pa.table({"n_matched": pa.array([s.count(ast)], type=pa.int64())})
+
+
+def q_term_stats(sf_dir: str, k: int = 20) -> pa.Table:
+    """Global per-term df/cf via a Ray pipeline over segment term dicts
+    (the distributed analogue of ``getGlobalCardinality``,
+    ``LabFieldIndex.java:474-476``)."""
+    idir = index_dir_for(sf_dir)
+    from ray.data.aggregate import Sum
+    segs = ray.data.read_parquet(os.path.join(idir, "segments"),
+                                 columns=["term", "df", "cf"])
+    agg = segs.groupby("term").aggregate(Sum("df", alias_name="df"),
+                                         Sum("cf", alias_name="cf"))
+    pdf = agg.to_pandas()
+    pdf = pdf[~pdf["term"].str.contains(":")]
+    pdf = pdf.sort_values(["cf", "term"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True))
+
+
+def q_collection_stats(sf_dir: str) -> pa.Table:
+    m = manifest_for(sf_dir)
+    return pa.table({"n_docs": pa.array([m["n_docs"]], type=pa.int64()),
+                     "total_len": pa.array([m["total_len"]], type=pa.int64()),
+                     "avgdl": pa.array([round(m["avgdl"], 6)], type=pa.float64())})
+
+
+def q_doc_lengths(sf_dir: str) -> pa.Table:
+    idir = index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idir, "docstore"),
+                               columns=["doc_id", "doc_len"],
+                               file_extensions=["parquet"])
+    t = ds.sort("doc_id").to_pandas()
+    return pa.table({"doc_id": pa.array(t["doc_id"].to_numpy()),
+                     "doc_len": pa.array(t["doc_len"].to_numpy())})
+
+
+def _ast(terms: list[str], mode: str):
+    from ..query.filter import and_terms, or_terms
+    return and_terms(sorted(set(terms))) if mode == "and" else or_terms(sorted(set(terms)))

@@ -1,0 +1,453 @@
+"""Query engine: partition-reader actor pool + driver top-k merge.
+
+Architecture (SURVEY.md §3.3 re-architecture): the reference solves a query
+by scatter-gather over per-tenant partitions hosted on reader nodes
+(``MiruService.askAndMerge``, ``MiruService.java:101-194``; per-partition
+``Question.askLocal`` under a query handle).  Here each partition is a
+contiguous doc_id range whose segments + doclen/ts arrays are owned by a
+``PartitionReader``; readers are Ray actors created once and queried many
+times (state loaded in ``__init__`` — the actor-pool rule), and the driver
+merges per-partition top-k heaps with the reference's tie-break.
+
+Rank identity across partitioning: scoring uses GLOBAL stats gathered in a
+first fan-out round (df/cf summed over partitions; N/avgdl from the
+manifest), so scores do not depend on the partition count — verified by the
+partition-invariance test (FIXTURES.md §F4 inv. 5).
+
+Query strategies (``FullTextQuery.Strategy``, ``FullTextQuery.java:15-17``):
+``bm25`` / ``ref-tfidf`` score-and-rank; ``time`` returns newest-first
+matches (ts desc, doc_id desc — our doc ids are conversation-ordered, not
+time-ordered, so TIME sorts on the ts column with doc_id tiebreak; see
+SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+import ray
+
+from ..config import IndexConfig
+from ..util import read_json, term_shard
+from ..index.segments import SegmentReader
+from . import scorer as S
+from .filter import (And, Node, Not, Or, Prefix, Term, TimeRange, and_terms,
+                     collect_prefixes, collect_scoring_terms)
+from .parser import parse_query
+
+
+class PartitionReader:
+    """Holds the open state for a set of partitions (one actor = many
+    partitions).  State loaded once: doclen + ts arrays per partition,
+    segment term dictionaries on demand (cached) — the analogue of the
+    reference's hosted partition with open LAB handles
+    (``miru-service/.../partition/MiruLocalHostedPartition.java``)."""
+
+    def __init__(self, index_dir: str, pids: list[int]):
+        self.index_dir = index_dir
+        manifest = read_json(os.path.join(index_dir, "manifest.json"))
+        self.cfg = IndexConfig.from_dict(manifest["config"])
+        self.n_docs = manifest["n_docs"]
+        self.avgdl = manifest["avgdl"]
+        parts = {p["pid"]: p for p in manifest["partitions"]}
+        self.parts = {pid: parts[pid] for pid in pids}
+        self._seg_cache: dict[tuple[int, int], SegmentReader | None] = {}
+        self.doclen: dict[int, np.ndarray] = {}
+        self.ts: dict[int, np.ndarray] = {}
+        for pid in pids:
+            base, count = parts[pid]["base"], parts[pid]["count"]
+            t = self._docstore(pid).to_table(columns=["doc_id", "doc_len", "ts"])
+            dl = np.zeros(count, np.int64)
+            tsa = np.zeros(count, np.int64)
+            idx = t["doc_id"].to_numpy() - base
+            dl[idx] = t["doc_len"].to_numpy()
+            tsa[idx] = t["ts"].cast(pa.int64()).to_numpy()
+            self.doclen[pid] = dl
+            self.ts[pid] = tsa
+
+    def _docstore(self, pid: int) -> pads.Dataset:
+        return pads.dataset(os.path.join(self.index_dir, "docstore",
+                                         f"partition={pid}"), format="parquet")
+
+    def _segment(self, pid: int, shard: int) -> SegmentReader | None:
+        key = (pid, shard)
+        if key not in self._seg_cache:
+            path = os.path.join(self.index_dir,
+                                f"segments/p{pid:05d}_s{shard:03d}.parquet")
+            self._seg_cache[key] = SegmentReader(path) if os.path.exists(path) else None
+        return self._seg_cache[key]
+
+    def _lookup(self, pid: int, term: str):
+        shard = int(term_shard(np.array([term], object), self.cfg.num_shards)[0])
+        seg = self._segment(pid, shard)
+        if seg is None:
+            return None, None
+        row = seg.lookup(term)
+        return (seg, row) if row is not None else (None, None)
+
+    # ---------------- phase 1: stats / expansion -------------------------
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Local (df, cf) per term, summed over this reader's partitions."""
+        out = {}
+        for t in terms:
+            df = cf = 0
+            for pid in self.parts:
+                seg, row = self._lookup(pid, t)
+                if row is not None:
+                    d, c = seg.stats(row)
+                    df += d
+                    cf += c
+            if df:
+                out[t] = (df, cf)
+        return out
+
+    def expand_prefix(self, prefix_key: str, cap: int) -> list[str]:
+        """Local prefix expansion via term-dict range scan (terms sorted;
+        reference: ``MiruAggregateUtil.java:1154-1167``)."""
+        found: set[str] = set()
+        for pid in self.parts:
+            for shard in range(self.cfg.num_shards):
+                seg = self._segment(pid, shard)
+                if seg is None:
+                    continue
+                lo, hi = seg.prefix_range(prefix_key)
+                found.update(seg.terms[lo:min(hi, lo + cap)])
+        return sorted(found)[:cap]
+
+    # ---------------- phase 2: evaluation + scoring ----------------------
+
+    def _postings(self, pid: int, term: str, cache: dict):
+        key = (pid, term)
+        if key not in cache:
+            seg, row = self._lookup(pid, term)
+            cache[key] = None if row is None else seg.postings(row)
+        return cache[key]
+
+    def _eval(self, node: Node, pid: int, cache: dict,
+              expansions: dict[str, list[str]]) -> np.ndarray:
+        base = self.parts[pid]["base"]
+        count = self.parts[pid]["count"]
+        if isinstance(node, Term):
+            mask = np.zeros(count, bool)
+            p = self._postings(pid, node.term_key(), cache)
+            if p is not None:
+                mask[p[0] - base] = True
+            return mask
+        if isinstance(node, Prefix):
+            mask = np.zeros(count, bool)
+            for t in expansions.get(node.term_key_prefix(), []):
+                p = self._postings(pid, t, cache)
+                if p is not None:
+                    mask[p[0] - base] = True
+            return mask
+        if isinstance(node, TimeRange):
+            ts = self.ts[pid]
+            return (ts >= node.t0_us) & (ts <= node.t1_us)
+        if isinstance(node, And):
+            mask = np.ones(count, bool)
+            for c in node.children:
+                mask &= self._eval(c, pid, cache, expansions)
+                if not mask.any():  # early-exit empty AND
+                    return mask     # (MiruAggregateUtil.java:1175-1177)
+            return mask
+        if isinstance(node, Or):
+            mask = np.zeros(count, bool)
+            for c in node.children:
+                mask |= self._eval(c, pid, cache, expansions)
+            return mask
+        if isinstance(node, Not):
+            mask = self._eval(node.positive, pid, cache, expansions)
+            for c in node.negatives:
+                mask &= ~self._eval(c, pid, cache, expansions)
+            return mask
+        raise TypeError(f"unknown node {node!r}")
+
+    def search(self, ast: Node, k: int, strategy: str,
+               term_counts: dict[str, int],
+               global_stats: dict[str, tuple[int, int]],
+               expansions: dict[str, list[str]] | None = None,
+               use_wand: bool = False) -> dict:
+        """Per-partition top-k → merged local top-k for this reader."""
+        expansions = expansions or {}
+        out_docs, out_scores = [], []
+        for pid in self.parts:
+            base = self.parts[pid]["base"]
+            cache: dict = {}
+            mask = self._eval(ast, pid, cache, expansions)
+            if not mask.any():
+                continue
+            if use_wand and strategy in ("bm25", "ref-tfidf") and _is_pure_or(ast):
+                d, s = self._wand_partition(pid, k, strategy, term_counts,
+                                            global_stats, cache)
+            else:
+                d, s = self._score_partition(pid, mask, k, strategy,
+                                             term_counts, global_stats, cache)
+            out_docs.append(d)
+            out_scores.append(s)
+        if not out_docs:
+            return {"doc_ids": np.empty(0, np.int64),
+                    "scores": np.empty(0, np.float64),
+                    "ts": np.empty(0, np.int64)}
+        docs = np.concatenate(out_docs)
+        scores = np.concatenate(out_scores)
+        docs, scores = S.topk_by_score(docs, scores, k)
+        return {"doc_ids": docs, "scores": scores, "ts": self._ts_of(docs)}
+
+    def _score_partition(self, pid, mask, k, strategy, term_counts,
+                         global_stats, cache):
+        """Vectorized term-at-a-time scoring in fixed (sorted) term order."""
+        base = self.parts[pid]["base"]
+        count = self.parts[pid]["count"]
+        dl = self.doclen[pid]
+        cfg = self.cfg
+        acc = np.zeros(count, np.float64)
+        for term in sorted(global_stats):
+            qc = term_counts.get(term, 0)
+            if qc <= 0:
+                continue
+            p = self._postings(pid, term, cache)
+            if p is None:
+                continue
+            docs, tfs = p
+            idx = docs - base
+            df, cf = global_stats[term]
+            w = S.term_weight_arrays(strategy, qc, df, cf, self.n_docs,
+                                     self.avgdl, cfg.k1, cfg.b, tfs, dl[idx])
+            acc[idx] += w
+        sel = np.flatnonzero(mask)
+        return S.topk_by_score(sel + base, acc[sel], k)
+
+    def _wand_partition(self, pid, k, strategy, term_counts, global_stats,
+                        cache):
+        base = self.parts[pid]["base"]
+        dl = self.doclen[pid]
+        cfg = self.cfg
+        postings, ubs, wfns, blocks, bubs = [], [], [], [], []
+        for term in sorted(global_stats):
+            qc = term_counts.get(term, 0)
+            if qc <= 0:
+                continue
+            seg, row = self._lookup(pid, term)
+            if row is None:
+                continue
+            docs, tfs = self._postings(pid, term, cache)
+            df, cf = global_stats[term]
+            postings.append((docs, tfs))
+            blocks.append(seg.block_meta(row))
+            max_tf = float(tfs.max())
+            ubs.append(S.term_upper_bound(strategy, qc, df, cf, self.n_docs,
+                                          self.avgdl, cfg.k1, cfg.b, max_tf))
+
+            def wf(tf_s, doc_s, _df=df, _cf=cf, _qc=qc):
+                return S.term_weight_arrays(strategy, _qc, _df, _cf,
+                                            self.n_docs, self.avgdl, cfg.k1,
+                                            cfg.b, tf_s, dl[doc_s - base])
+
+            def bub(bmtf, _df=df, _cf=cf, _qc=qc):
+                return S.term_upper_bound(strategy, _qc, _df, _cf,
+                                          self.n_docs, self.avgdl, cfg.k1,
+                                          cfg.b, bmtf)
+
+            wfns.append(wf)
+            bubs.append(bub)
+        return S.wand_topk(postings, ubs, wfns, blocks, bubs, k)
+
+    def _ts_of(self, docs: np.ndarray) -> np.ndarray:
+        out = np.empty(len(docs), np.int64)
+        dpp = self.cfg.docs_per_partition
+        for i, d in enumerate(docs):
+            pid = int(d) // dpp
+            out[i] = self.ts[pid][int(d) - self.parts[pid]["base"]]
+        return out
+
+    def match(self, ast: Node, expansions: dict | None = None,
+              return_docs: bool = False) -> dict:
+        """Filter-only evaluation: count (+ optionally doc ids) per reader
+        (reference: ``bitmaps.cardinality(answer)``, ``FullText.java:89``)."""
+        expansions = expansions or {}
+        total = 0
+        docs = []
+        for pid in self.parts:
+            base = self.parts[pid]["base"]
+            mask = self._eval(ast, pid, {}, expansions)
+            total += int(mask.sum())
+            if return_docs:
+                docs.append(np.flatnonzero(mask) + base)
+        return {"count": total,
+                "doc_ids": np.concatenate(docs) if docs else np.empty(0, np.int64)}
+
+    def topk_time(self, ast: Node, k: int,
+                  expansions: dict | None = None) -> dict:
+        """TIME strategy: newest-first matches (ts desc, doc_id desc)."""
+        expansions = expansions or {}
+        all_docs, all_ts = [], []
+        for pid in self.parts:
+            base = self.parts[pid]["base"]
+            mask = self._eval(ast, pid, {}, expansions)
+            sel = np.flatnonzero(mask)
+            if not len(sel):
+                continue
+            ts = self.ts[pid][sel]
+            if len(sel) > k:
+                order = np.lexsort((sel, ts))[::-1][:k]
+                sel, ts = sel[order], ts[order]
+            all_docs.append(sel + base)
+            all_ts.append(ts)
+        if not all_docs:
+            return {"doc_ids": np.empty(0, np.int64), "ts": np.empty(0, np.int64)}
+        docs = np.concatenate(all_docs)
+        ts = np.concatenate(all_ts)
+        order = np.lexsort((docs, ts))[::-1][:k]
+        return {"doc_ids": docs[order], "ts": ts[order]}
+
+    def gather(self, doc_ids: list[int], columns: list[str]) -> pa.Table:
+        """Read stored fields for result docs (reference: gatherValues,
+        ``FullText.java:253-280``)."""
+        dpp = self.cfg.docs_per_partition
+        by_pid = defaultdict(list)
+        for d in doc_ids:
+            by_pid[int(d) // dpp].append(int(d))
+        tables = []
+        for pid, ids in by_pid.items():
+            dset = self._docstore(pid)
+            t = dset.to_table(columns=list(dict.fromkeys(["doc_id"] + columns)),
+                              filter=pads.field("doc_id").isin(ids))
+            tables.append(t)
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def _is_pure_or(node: Node) -> bool:
+    if isinstance(node, Term):
+        return True
+    return isinstance(node, Or) and all(isinstance(c, Term) for c in node.children)
+
+
+class Searcher:
+    """Driver-side planner/merger over a pool of PartitionReader actors."""
+
+    def __init__(self, index_dir: str, num_readers: int | None = None,
+                 use_actors: bool = True, num_cpus: float = 0):
+        # num_cpus=0 by default: reader actors are query-latency-oriented and
+        # idle between queries; reserving whole CPUs for them starves
+        # co-running Dataset build stages of schedulable slots (a 4-CPU test
+        # cluster deadlocks).  Benchmarks that want dedicated cores pass
+        # num_cpus explicitly.
+        self.index_dir = index_dir
+        self.manifest = read_json(os.path.join(index_dir, "manifest.json"))
+        self.cfg = IndexConfig.from_dict(self.manifest["config"])
+        pids = [p["pid"] for p in self.manifest["partitions"]]
+        n = min(num_readers or max(1, len(pids)), max(1, len(pids)))
+        assignment = [pids[i::n] for i in range(n)]
+        self.use_actors = use_actors
+        if use_actors:
+            cls = ray.remote(num_cpus=num_cpus)(PartitionReader)
+            self.readers = [cls.remote(index_dir, a) for a in assignment]
+        else:
+            self.readers = [PartitionReader(index_dir, a) for a in assignment]
+
+    # -------------- fan-out helper --------------
+    def _fanout(self, method: str, *args, **kwargs) -> list:
+        if self.use_actors:
+            return ray.get([getattr(r, method).remote(*args, **kwargs)
+                            for r in self.readers])
+        return [getattr(r, method)(*args, **kwargs) for r in self.readers]
+
+    def _prepare(self, ast: Node):
+        """Phase 1: global prefix expansion + global term stats."""
+        expansions: dict[str, list[str]] = {}
+        for p in collect_prefixes(ast):
+            key = p.term_key_prefix()
+            found: set[str] = set()
+            for res in self._fanout("expand_prefix", key, p.max_expansion):
+                found.update(res)
+            expansions[key] = sorted(found)[:p.max_expansion]
+        term_counts = collect_scoring_terms(ast)
+        # expanded prefix terms join the scoring set with multiplicity 1
+        for terms in expansions.values():
+            for t in terms:
+                term_counts[t] = term_counts.get(t, 0) + 1
+        stats: dict[str, tuple[int, int]] = {}
+        need = sorted(t for t, c in term_counts.items() if c != 0)
+        if need:
+            for res in self._fanout("term_stats", need):
+                for t, (df, cf) in res.items():
+                    d0, c0 = stats.get(t, (0, 0))
+                    stats[t] = (d0 + df, c0 + cf)
+        return expansions, term_counts, stats
+
+    def topk(self, query: "str | Node | list[str]", k: int = 10,
+             strategy: str = "bm25", use_wand: bool = False) -> pa.Table:
+        """Top-k search. ``query``: query string (Lucene-ish), list of terms
+        (AND semantics, like the reference's test queries), or a Filter AST.
+        Returns (doc_id, score) ordered score desc, doc_id desc."""
+        ast = self._to_ast(query)
+        if strategy == "time":
+            return self.topk_time(ast, k)
+        expansions, term_counts, stats = self._prepare(ast)
+        parts = self._fanout("search", ast, k, strategy, term_counts, stats,
+                             expansions, use_wand)
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        scores = np.concatenate([p["scores"] for p in parts])
+        docs, scores = S.topk_by_score(docs, scores, k)
+        return pa.table({"doc_id": pa.array(docs),
+                         "score": pa.array(np.round(scores, 6))})
+
+    def topk_time(self, query, k: int = 10) -> pa.Table:
+        ast = self._to_ast(query)
+        expansions, _tc, _st = self._prepare(ast)
+        parts = self._fanout("topk_time", ast, k, expansions)
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        ts = np.concatenate([p["ts"] for p in parts])
+        order = np.lexsort((docs, ts))[::-1][:k]
+        return pa.table({"doc_id": pa.array(docs[order]),
+                         "ts": pa.array(ts[order]).cast(pa.timestamp("us"))})
+
+    def count(self, query) -> int:
+        ast = self._to_ast(query)
+        expansions, _tc, _st = self._prepare(ast)
+        return sum(p["count"] for p in self._fanout("match", ast, expansions))
+
+    def match_docs(self, query) -> np.ndarray:
+        ast = self._to_ast(query)
+        expansions, _tc, _st = self._prepare(ast)
+        parts = self._fanout("match", ast, expansions, True)
+        return np.sort(np.concatenate([p["doc_ids"] for p in parts]))
+
+    def gather(self, doc_ids, columns=("conv_id", "turn_idx", "text")) -> pa.Table:
+        dpp = self.cfg.docs_per_partition
+        by_reader = defaultdict(list)
+        pid_to_reader = {}
+        n = len(self.readers)
+        pids = [p["pid"] for p in self.manifest["partitions"]]
+        for i in range(n):
+            for pid in pids[i::n]:
+                pid_to_reader[pid] = i
+        for d in np.asarray(doc_ids):
+            by_reader[pid_to_reader[int(d) // dpp]].append(int(d))
+        if self.use_actors:
+            parts = ray.get([self.readers[i].gather.remote(ids, list(columns))
+                             for i, ids in by_reader.items()])
+        else:
+            parts = [self.readers[i].gather(ids, list(columns))
+                     for i, ids in by_reader.items()]
+        parts = [p for p in parts if p.num_rows]
+        return pa.concat_tables(parts) if parts else pa.table({})
+
+    def _to_ast(self, query) -> Node:
+        if isinstance(query, Node):
+            return query
+        if isinstance(query, (list, tuple)):
+            return and_terms(list(query))
+        return parse_query(query)
+
+    def close(self):
+        if self.use_actors:
+            for r in self.readers:
+                ray.kill(r)
+        self.readers = []

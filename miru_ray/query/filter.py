@@ -1,0 +1,117 @@
+"""Query filter AST — the engine's analogue of miru's ``MiruFilter``.
+
+The reference AST is ``MiruFilter{operation: and|or|pButNotQ, fieldFilters,
+subFilters}`` (``miru-api/.../query/filter/MiruFilter.java:9-33``); its
+evaluator rejects every other declared operation
+(``MiruAggregateUtil.java:1236-1237``), so we implement exactly and / or /
+pButNotQ plus term, prefix and time-range leaves.
+
+Evaluation happens per partition as boolean-mask algebra over decoded posting
+lists (see ``miru_ray.query.engine.PartitionReader.eval_filter``) — the
+NumPy replacement for the reference's Roaring ``MiruBitmaps`` kernel
+(``miru-plugin/.../bitmap/MiruBitmaps.java:87-131``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    """Base class for filter AST nodes (picklable, shipped to reader actors)."""
+
+
+@dataclass(frozen=True)
+class Term(Node):
+    field: str          # "text" for tokenized terms, else a keyword field
+    value: str
+
+    def term_key(self) -> str:
+        return self.value if self.field == "text" else f"{self.field}:{self.value}"
+
+
+@dataclass(frozen=True)
+class Prefix(Node):
+    """Prefix/wildcard expansion ``pre*`` with an expansion cap (reference:
+    ``maxWildcardExpansion``, ``MiruAggregateUtil.java:1154-1167``)."""
+    field: str
+    prefix: str
+    max_expansion: int = 1000
+
+    def term_key_prefix(self) -> str:
+        return self.prefix if self.field == "text" else f"{self.field}:{self.prefix}"
+
+
+@dataclass(frozen=True)
+class TimeRange(Node):
+    """Inclusive [t0, t1] in epoch microseconds (reference: the time-range
+    mask, ``MiruBitmapsRoaring.buildTimeRangeMask``, ``MiruTimeIndex``)."""
+    t0_us: int
+    t1_us: int
+
+
+@dataclass(frozen=True)
+class And(Node):
+    children: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Or(Node):
+    children: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Not(Node):
+    """pButNotQ: ``positive AND NOT (q1 OR q2 ...)``
+    (``MiruFilterOperation.java:11-22``)."""
+    positive: Node
+    negatives: tuple = field(default_factory=tuple)
+
+
+def and_terms(terms: list[str], fld: str = "text") -> Node:
+    return And(tuple(Term(fld, t) for t in terms))
+
+
+def or_terms(terms: list[str], fld: str = "text") -> Node:
+    return Or(tuple(Term(fld, t) for t in terms))
+
+
+def collect_scoring_terms(node: Node, counts: dict[str, int] | None = None,
+                          polarity: int = 1) -> dict[str, int]:
+    """Query-term multiplicity with ± polarity for negated branches.
+
+    Mirrors the reference's ``termCollector`` which increments per expanded
+    query term and decrements inside negated pButNotQ branches
+    (``MiruAggregateUtil.collectTerm:1204-1220``); terms with non-positive
+    final counts score zero.
+    """
+    if counts is None:
+        counts = {}
+    if isinstance(node, Term):
+        k = node.term_key()
+        counts[k] = counts.get(k, 0) + polarity
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            collect_scoring_terms(c, counts, polarity)
+    elif isinstance(node, Not):
+        collect_scoring_terms(node.positive, counts, polarity)
+        for c in node.negatives:
+            collect_scoring_terms(c, counts, -polarity)
+    # Prefix terms are expanded per partition at eval time; their expansions
+    # are collected there (engine.PartitionReader.expand_terms).
+    return counts
+
+
+def collect_prefixes(node: Node, out: list[Prefix] | None = None) -> list[Prefix]:
+    if out is None:
+        out = []
+    if isinstance(node, Prefix):
+        out.append(node)
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            collect_prefixes(c, out)
+    elif isinstance(node, Not):
+        collect_prefixes(node.positive, out)
+        for c in node.negatives:
+            collect_prefixes(c, out)
+    return out

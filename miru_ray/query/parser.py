@@ -1,0 +1,111 @@
+"""Lucene-ish query string → Filter AST.
+
+Mirrors the reference's ``LuceneBackedQueryParser`` mapping
+(``miru-plugin/.../query/LuceneBackedQueryParser.java:76-144``): default
+operator AND; ``MUST`` → and, ``SHOULD`` → or, ``MUST_NOT`` → pButNotQ,
+``PrefixQuery`` (``term*``) → wildcard expansion.  Grammar::
+
+    query   := clause+                      (default AND)
+    clause  := ["-"|"NOT "] atom | atom "OR" atom ...
+    atom    := [field ":"] term ["*"] | "(" query ")"
+
+Quoted phrases are treated as an AND of their terms (the engine has no
+positional index; documented deviation).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..tokenize import py_tokenize
+from .filter import And, Node, Not, Or, Prefix, Term
+
+_TOKEN_SPLIT = re.compile(r'\(|\)|"[^"]*"|\S+')
+
+
+def parse_query(q: str, default_field: str = "text") -> Node:
+    tokens = _TOKEN_SPLIT.findall(q)
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else None
+
+    def parse_group() -> Node:
+        nonlocal pos
+        positives: list[Node] = []
+        negatives: list[Node] = []
+        pending_or = False
+        negate_next = False
+        while pos < len(tokens):
+            t = tokens[pos]
+            if t == ")":
+                break
+            pos += 1
+            if t == "(":
+                node = parse_group()
+                if peek() == ")":
+                    pos += 1
+            elif t.upper() == "OR":
+                pending_or = True
+                continue
+            elif t.upper() == "AND":
+                continue
+            elif t.upper() == "NOT":
+                negate_next = True
+                continue
+            elif t.startswith("-") and len(t) > 1:
+                negate_next = True
+                node = _atom(t[1:], default_field)
+            else:
+                node = _atom(t, default_field)
+            if node is None:
+                negate_next = False
+                pending_or = False
+                continue
+            if negate_next:
+                negatives.append(node)
+                negate_next = False
+            elif pending_or and positives:
+                prev = positives.pop()
+                if isinstance(prev, Or):
+                    positives.append(Or(prev.children + (node,)))
+                else:
+                    positives.append(Or((prev, node)))
+                pending_or = False
+            else:
+                positives.append(node)
+        pos_node: Node = (positives[0] if len(positives) == 1
+                          else And(tuple(positives)))
+        if negatives:
+            return Not(pos_node, tuple(negatives))
+        return pos_node
+
+    node = parse_group()
+    return node
+
+
+def _atom(tok: str, default_field: str) -> Node | None:
+    if tok.startswith('"') and tok.endswith('"'):
+        terms = py_tokenize(tok[1:-1])
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return Term(default_field, terms[0])
+        return And(tuple(Term(default_field, t) for t in terms))
+    field = default_field
+    if ":" in tok:
+        field, tok = tok.split(":", 1)
+    if tok.endswith("*"):
+        body = tok[:-1]
+        if field == default_field:
+            toks = py_tokenize(body)
+            body = toks[-1] if toks else ""
+        return Prefix(field, body) if body else None
+    if field == default_field:
+        terms = py_tokenize(tok)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return Term(field, terms[0])
+        return And(tuple(Term(field, t) for t in terms))
+    return Term(field, tok)

@@ -1,0 +1,61 @@
+"""Small shared helpers: stable hashing, atomic writes, input fingerprints."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+
+def term_shard(terms, num_shards: int) -> np.ndarray:
+    """Stable vectorized shard assignment for term strings.
+
+    Uses ``pandas.util.hash_array`` (SipHash with a fixed key) — deterministic
+    across processes for a given pandas version, which is all placement needs;
+    the query side locates a term's shard with the same function.
+    """
+    arr = np.asarray(terms, dtype=object)
+    return (pd.util.hash_array(arr) % np.uint64(num_shards)).astype(np.int64)
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def atomic_write_json(path: str, obj) -> None:
+    atomic_write_bytes(path, json.dumps(obj, indent=1, sort_keys=True).encode())
+
+
+def read_json(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
+def input_fingerprint(paths: Iterable[str]) -> str:
+    """Hash of (path, size, mtime_ns) for every input file — the resume key.
+
+    Reference precedent: the rebuild/sip cursors persisted per batch
+    (``MiruLocalHostedPartition.java:958-961``) make re-ingest idempotent; for
+    a batch engine the input fingerprint plays that role.
+    """
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
+def list_parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    return sorted(out)

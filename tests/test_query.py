@@ -1,0 +1,136 @@
+"""Rank-identity + filter semantics vs the single-process oracle.
+
+Mirrors the reference's end-to-end fulltext test strategy: randomized
+conjunctive queries over the fixture vocabulary
+(``MiruFullTextNGTest.java:217-225``), extended per FIXTURES.md §F3 with OR,
+pButNotQ, prefix, time-range, both scorers, WAND, and TIME ordering.
+"""
+
+import numpy as np
+import pytest
+
+from miru_ray.query.filter import (And, Not, Or, Prefix, Term, TimeRange,
+                                   and_terms, or_terms)
+
+
+def _vocab(oracle):
+    return sorted(t for t in oracle.df_c if not t.startswith(("role:", "tool:")))
+
+
+def _hot(oracle, n=50):
+    v = _vocab(oracle)
+    return sorted(v, key=lambda t: (-oracle.cf_c[t], t))[:n]
+
+
+@pytest.mark.parametrize("strategy", ["bm25", "ref-tfidf"])
+def test_random_and_queries(xs_searcher, xs_oracle, strategy):
+    rng = np.random.default_rng(7)
+    vocab, hot = _vocab(xs_oracle), _hot(xs_oracle)
+    for trial in range(20):
+        nq = int(rng.integers(1, 6))
+        pool = hot if trial % 2 else vocab
+        terms = list(rng.choice(pool, size=nq, replace=True))
+        for k in (1, 10, 100):
+            d_o, s_o = xs_oracle.topk(terms, k, strategy)
+            res = xs_searcher.topk(terms, k, strategy)
+            assert (res["doc_id"].to_numpy() == d_o).all(), (terms, k)
+            assert np.allclose(res["score"].to_numpy(), np.round(s_o, 6),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["bm25", "ref-tfidf"])
+def test_or_and_wand_queries(xs_searcher, xs_oracle, strategy):
+    rng = np.random.default_rng(11)
+    hot = _hot(xs_oracle)
+    for _ in range(10):
+        terms = list(rng.choice(hot, size=int(rng.integers(2, 5)), replace=False))
+        d_o, s_o = xs_oracle.topk(terms, 10, strategy, mode="or")
+        plain = xs_searcher.topk(or_terms(terms), 10, strategy)
+        wand = xs_searcher.topk(or_terms(terms), 10, strategy, use_wand=True)
+        assert (plain["doc_id"].to_numpy() == d_o).all()
+        assert (wand["doc_id"].to_numpy() == d_o).all()
+        assert np.allclose(wand["score"].to_numpy(), np.round(s_o, 6), atol=1e-6)
+
+
+def test_time_strategy(xs_searcher, xs_oracle):
+    rng = np.random.default_rng(13)
+    hot = _hot(xs_oracle)
+    for _ in range(10):
+        terms = list(rng.choice(hot, size=2, replace=False))
+        d_o = xs_oracle.topk_time(terms, 10)
+        res = xs_searcher.topk(terms, 10, "time")
+        assert (res["doc_id"].to_numpy() == d_o).all()
+
+
+def test_pbutnotq(xs_searcher, xs_oracle):
+    hot = _hot(xs_oracle, 10)
+    a, b, c = hot[0], hot[1], hot[2]
+    ast = Not(And((Term("text", a), Term("text", b))), (Term("text", c),))
+    got = set(xs_searcher.match_docs(ast).tolist())
+    exp = (set(xs_oracle.postings[a]) & set(xs_oracle.postings[b])) - set(xs_oracle.postings[c])
+    assert got == exp
+
+
+def test_keyword_filter(xs_searcher, xs_oracle):
+    hot = _hot(xs_oracle, 5)
+    ast = And((Term("text", hot[0]), Term("role", "user")))
+    got = set(xs_searcher.match_docs(ast).tolist())
+    users = set(np.flatnonzero((xs_oracle.df["role"] == "user").to_numpy()).tolist())
+    exp = set(xs_oracle.postings[hot[0]]) & users
+    assert got == exp
+
+
+def test_prefix_expansion(xs_searcher, xs_oracle):
+    pref = "qu"
+    ast = Prefix("text", pref)
+    got = set(xs_searcher.match_docs(ast).tolist())
+    exp = set()
+    for t, docs in xs_oracle.postings.items():
+        if t.startswith(pref) and not t.startswith(("role:", "tool:")):
+            exp.update(docs)
+    assert got == exp
+
+
+def test_prefix_expansion_cap(xs_searcher, xs_oracle):
+    full = xs_searcher.count(Prefix("text", "a"))
+    capped = xs_searcher.count(Prefix("text", "a", max_expansion=3))
+    exp_terms = sorted(t for t in xs_oracle.postings
+                       if t.startswith("a") and not t.startswith(("role:", "tool:")))[:3]
+    exp = set()
+    for t in exp_terms:
+        exp.update(xs_oracle.postings[t])
+    assert capped == len(exp)
+    assert capped <= full
+
+
+def test_time_range_filter(xs_searcher, xs_oracle):
+    ts = xs_oracle.ts
+    lo, hi = int(np.quantile(ts, 0.25)), int(np.quantile(ts, 0.75))
+    hot = _hot(xs_oracle, 3)
+    ast = And((Term("text", hot[0]), TimeRange(lo, hi)))
+    got = set(xs_searcher.match_docs(ast).tolist())
+    exp = {d for d in xs_oracle.postings[hot[0]] if lo <= ts[d] <= hi}
+    assert got == exp
+
+
+def test_count_matches_oracle(xs_searcher, xs_oracle):
+    hot = _hot(xs_oracle, 5)
+    assert xs_searcher.count([hot[0]]) == len(xs_oracle.postings[hot[0]])
+    assert xs_searcher.count(and_terms([hot[0], hot[1]])) == len(
+        set(xs_oracle.postings[hot[0]]) & set(xs_oracle.postings[hot[1]]))
+
+
+def test_gather_roundtrip(xs_searcher, xs_oracle):
+    hot = _hot(xs_oracle, 1)
+    docs = xs_searcher.match_docs([hot[0]])[:20]
+    t = xs_searcher.gather(docs, ["conv_id", "turn_idx", "text"]).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    for _, row in t.iterrows():
+        src = xs_oracle.df.iloc[int(row["doc_id"])]
+        assert row["text"] == src["text"]
+        assert row["conv_id"] == src["conv_id"]
+
+
+def test_empty_result(xs_searcher):
+    res = xs_searcher.topk(["zzzznotaterm"], 10, "bm25")
+    assert res.num_rows == 0

@@ -1,0 +1,74 @@
+"""Checkpoint/resume + partition invariance (FIXTURES.md §F4 inv. 5-6)."""
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+
+from miru_ray.config import IndexConfig
+from miru_ray.index.build import build_index
+from miru_ray.query.engine import Searcher
+from miru_ray.util import read_json
+
+
+def _file_hashes(index_dir):
+    out = {}
+    for root, _dirs, files in os.walk(os.path.join(index_dir, "segments")):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            out[os.path.relpath(p, index_dir)] = hashlib.sha256(
+                open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_resume_after_interrupt(xs_path, tmp_path):
+    cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    ref = build_index(xs_path, a, cfg)
+
+    # interrupted build: stop after docstore, then resume to completion
+    r1 = build_index(xs_path, b, cfg, stop_after_stage="docstore")
+    assert r1["incomplete"]
+    r2 = build_index(xs_path, b, cfg)
+    assert r2["stages"]["offsets"].get("skipped")
+    assert r2["stages"]["docstore"].get("skipped")
+
+    # byte-identical segments + identical manifest (minus timings)
+    assert _file_hashes(a) == _file_hashes(b)
+    for k in ("n_docs", "total_len", "avgdl", "partitions", "segments",
+              "fingerprint", "config"):
+        assert ref[k] == r2[k], k
+
+    # idempotent re-invocation: manifest match → no-op
+    r3 = build_index(xs_path, b, cfg)
+    assert r3["n_docs"] == ref["n_docs"]
+
+
+def test_partition_invariance(xs_path, xs_oracle, tmp_path):
+    """Scores/ranks must not depend on partitioning (SURVEY.md §7.3)."""
+    results = []
+    for dpp, nsh in ((250, 1), (500, 3), (5000, 2)):
+        d = str(tmp_path / f"p{dpp}")
+        build_index(xs_path, d, IndexConfig(docs_per_partition=dpp,
+                                            num_shards=nsh))
+        s = Searcher(d, num_readers=2)
+        hot = sorted(xs_oracle.df_c, key=lambda t: -xs_oracle.cf_c[t])
+        hot = [t for t in hot if not t.startswith(("role:", "tool:"))][:3]
+        r = s.topk(hot[:2], 25, "bm25")
+        results.append((r["doc_id"].to_pylist(), r["score"].to_pylist()))
+        s.close()
+        shutil.rmtree(d)
+    assert results[0] == results[1] == results[2]
+
+
+def test_stale_manifest_rebuilds(xs_path, tmp_path):
+    d = str(tmp_path / "c")
+    cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+    build_index(xs_path, d, cfg)
+    m = read_json(os.path.join(d, "manifest.json"))
+    cfg2 = IndexConfig(docs_per_partition=1000, num_shards=2,
+                       remove_stopwords=True)
+    m2 = build_index(xs_path, d, cfg2, overwrite=True)
+    assert m2["total_len"] < m["total_len"]  # stopwords removed → shorter
