@@ -53,6 +53,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_top20": lambda sf: F.q_term_stats(sf, 20),
         "collection_stats": F.q_collection_stats,
         "doc_lengths": F.q_doc_lengths,
+        **_ops_queries(),
+    }
+
+
+def _ops_queries() -> dict[str, Callable[[str], Any]]:
+    from miru_ray.ops import analytics as A
+    from miru_ray.ops import dedup as D
+    from miru_ray.ops import similarity as Sim
+    from miru_ray.ops import textstats as T
+    from miru_ray.pipelines import relational as R
+
+    return {
+        # ---- analytics family (SURVEY.md §2.6) over events ----
+        "events_distincts": A.distincts,
+        "events_uniques": A.uniques,
+        "events_aggregate_counts": A.aggregate_counts,
+        "events_waveform": A.waveform,
+        "events_metrics": A.metrics,
+        "events_trending": A.trending,
+        # ---- dedup family (§2.8 + training-data ops) ----
+        "dedup_exact_docs": D.exact_dedup,
+        "dedup_exact_count": D.exact_dedup_count,
+        "dedup_ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "dedup_minhash_clusters": D.minhash_dedup,      # rows-only check
+        "dedup_simhash_pairs": D.simhash_pairs,         # rows-only check
+        "embedding_neardup_pairs": D.embedding_neardup_pairs,
+        # ---- similarity search ----
+        "ann_bruteforce_topk": Sim.ann_bruteforce_topk,
+        "ann_lsh_recall": Sim.ann_lsh_topk,             # rows-only check
+        # ---- text analysis ----
+        "text_token_count_by_source": T.token_count_by_source,
+        "text_quality_by_lang": T.quality_by_lang,
+        "text_langid": T.langid,                        # rows-only check
+        "text_fingerprints": T.fingerprints,            # rows-only check
+        # ---- relational / reco (§2.5, §2.6) ----
+        "rel_pricing_summary": R.pricing_summary,
+        "rel_revenue_by_nation": R.revenue_by_nation,
+        "rel_collaborative_filtering": R.collaborative_filtering,
     }
 
 
@@ -112,4 +150,18 @@ FROM stats
 {P}
 SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
 """.strip(),
+        **_ops_oracles(),
     }
+
+
+def _ops_oracles() -> dict[str, str]:
+    from miru_ray.ops import analytics as A
+    from miru_ray.ops import dedup as D
+    from miru_ray.ops import similarity as Sim
+    from miru_ray.ops import textstats as T
+    from miru_ray.pipelines import relational as R
+
+    out: dict[str, str] = {}
+    for mod in (A, D, T, Sim, R):
+        out.update(mod.SQL)
+    return out

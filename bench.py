@@ -117,9 +117,12 @@ def run_scaling() -> dict:
     """Same job at two parallelism levels in fresh processes (BASELINE.md)."""
     lo, hi = (int(x) for x in
               os.environ.get("MIRU_SCALING_CPUS", "8,32").split(","))
+    scale = os.environ.get("MIRU_SCALING_SCALE", "l")  # big enough that the
+    # parallel stages dominate the fixed per-pipeline overheads
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   MIRU_BENCH_SCALE=scale,
                    MIRU_BENCH_QUERY_REPS="20", MIRU_SKIP_SF_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,

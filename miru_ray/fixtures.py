@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SEED = 42
-SCALES = {"xs": 100, "s": 2_000, "m": 50_000}  # conversations per scale
+SCALES = {"xs": 100, "s": 2_000, "m": 50_000, "l": 200_000}  # conversations
 
 ROLES = ["user", "assistant", "system", "tool"]
 _MULTILANG = [
@@ -192,3 +192,43 @@ def derive_transcripts_batch(batch: pa.Table) -> pa.Table:
 def derive_transcripts(documents: pa.Table) -> pa.Table:
     """Whole-table variant of :func:`derive_transcripts_batch` (tests/oracle)."""
     return derive_transcripts_batch(documents)
+
+
+# ---------------------------------------------------------------------------
+# documents with planted duplicates (for the dedup operator family) —
+# deterministic and SQL-reproducible, since the raw documents table has no
+# duplicate texts at all.
+#   - docs with doc_id % 5 == 3 get an EXACT copy at doc_id + N
+#   - docs with doc_id % 5 == 1 get a NEAR copy (first token → 'xdup') at
+#     doc_id + 2N
+# where N = count(documents).  Plant sets are disjoint by construction.
+# ---------------------------------------------------------------------------
+
+DOCS_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id, text
+FROM documents WHERE doc_id % 5 = 3
+UNION ALL
+SELECT doc_id + 2 * (SELECT count(*) FROM documents) AS doc_id,
+       regexp_replace(text, '^[a-z0-9]+', 'xdup') AS text
+FROM documents WHERE doc_id % 5 = 1
+""".strip()
+
+
+def derive_docs_dup(documents: pa.Table) -> pa.Table:
+    """Arrow equivalent of :data:`DOCS_DUP_SQL` (exact same rows)."""
+    import re
+    n = documents.num_rows
+    doc_id = documents["doc_id"].to_numpy()
+    text = np.asarray(documents["text"].to_pandas(), dtype=object)
+    m_exact = doc_id % 5 == 3
+    m_near = doc_id % 5 == 1
+    near_text = np.array([re.sub("^[a-z0-9]+", "xdup", t, count=1)
+                          for t in text[m_near]], dtype=object)
+    return pa.table({
+        "doc_id": pa.array(np.concatenate([
+            doc_id, doc_id[m_exact] + n, doc_id[m_near] + 2 * n]).astype(np.int64)),
+        "text": pa.array(np.concatenate([text, text[m_exact], near_text]),
+                         type=pa.string()),
+    })

@@ -1,0 +1,186 @@
+"""Analytics operators over the ``events`` stream table.
+
+Ray-Data re-expressions of the reference's aggregate plugin family
+(SURVEY.md §2.6):
+
+- distincts / uniques    — ``Distincts.java:41-210``, ``UniquesInjectable``
+- aggregate counts       — ``AggregateCounts.java:49-405`` (group, count,
+                           oldest doc) without the bitmap peel loop
+- waveforms              — ``Analytics.java:57-203`` time-bucketed counts
+                           (bucket = (ts - t0) // dt computed in map_batches,
+                           replacing ``boundedCardinalities``)
+- metrics sum/avg        — ``Metrics.java:28-98`` (plain groupby sum/mean —
+                           the valueBits bit-planes are a bitmap-engine
+                           artifact, SURVEY.md §2.6)
+- trending               — ``TrendingQuestion.java:138-199`` waveform +
+                           LINEAR_REGRESSION scoring (slope), top-k
+
+Every groupby here is preceded by an exact per-batch partial aggregation in
+``map_batches`` so the all-to-all shuffle moves one row per (key, batch)
+instead of one row per event — the §2.6→Ray "pre-aggregate before groupby"
+rule.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+US_PER_HOUR = 3_600_000_000
+
+#: epoch µs of TIMESTAMP '2024-01-01' — fixed waveform origin so engine and
+#: SQL bucket identically
+T0_US = 1_704_067_200_000_000
+
+
+def _events(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=columns)
+
+
+def distincts(sf_dir: str) -> pa.Table:
+    """Distinct event types, sorted (Distincts semantics)."""
+    vals = _events(sf_dir, ["event_type"]).unique("event_type")
+    return pa.table({"event_type": pa.array(sorted(vals))})
+
+
+def uniques(sf_dir: str) -> pa.Table:
+    """Cardinality of distinct users (Uniques = count of Distincts)."""
+    n = len(_events(sf_dir, ["user_id"]).unique("user_id"))
+    return pa.table({"n_unique_users": pa.array([n], type=pa.int64())})
+
+
+def _bucket_batch(batch: pa.Table, dt_us: int) -> pa.Table:
+    ts = pc.cast(batch["ts"], pa.int64())
+    bucket = pc.divide(pc.subtract(ts, T0_US), dt_us)
+    return batch.append_column("bucket", pc.cast(bucket, pa.int64()))
+
+
+def aggregate_counts(sf_dir: str) -> pa.Table:
+    """Per event_type: count + oldest/newest ts (AggregateCounts view)."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+    ds = ds.map_batches(
+        lambda t: t.set_column(1, "ts", pc.cast(t["ts"], pa.int64())),
+        batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("ts", "count"), ("ts", "min"), ("ts", "max")])
+        return g.rename_columns(["event_type", "cnt", "min_ts", "max_ts"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby("event_type").aggregate(
+        Sum("cnt", alias_name="n_events"),
+        Min("min_ts", alias_name="oldest_ts"),
+        Max("max_ts", alias_name="newest_ts")).to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"]),
+        "n_events": pa.array(out["n_events"].astype(np.int64)),
+        "oldest_ts": pa.array(out["oldest_ts"].astype(np.int64)).cast(pa.timestamp("us")),
+        "newest_ts": pa.array(out["newest_ts"].astype(np.int64)).cast(pa.timestamp("us")),
+    })
+
+
+def waveform(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
+    """Time-bucketed event counts per event_type (Analytics waveforms)."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+    ds = ds.map_batches(lambda t: _bucket_batch(t, dt_us),
+                        batch_format="pyarrow", batch_size=65536)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "bucket"]).aggregate([("bucket", "count")])
+        return g.rename_columns(["event_type", "bucket", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["event_type", "bucket"]).aggregate(
+        Sum("cnt", alias_name="n_events")).to_pandas()
+    out = out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def metrics(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
+    """Per-bucket sum/avg of ``value`` (Metrics/Anomaly waveforms).
+
+    ``value`` is integer-scaled ×1e6 before summing so the distributed sum
+    is exact and reduce-order-independent (hash-matches the SQL oracle)."""
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _bucket_batch(t, dt_us)
+        v6 = pc.cast(pc.round(pc.multiply(t["value"], 1e6)), pa.int64())
+        return pa.table({"bucket": t["bucket"], "v6": v6})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = ds.groupby("bucket").aggregate(
+        Sum("v6", alias_name="sv6"),
+        Count(alias_name="n_events")).to_pandas()
+    out["sum_value"] = (out["sv6"] / 1e6).round(6)
+    out["avg_value"] = (out["sv6"] / 1e6 / out["n_events"]).round(6)
+    out = out[["bucket", "sum_value", "avg_value", "n_events"]]
+    out = out.sort_values("bucket").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def trending(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3) -> pa.Table:
+    """Top-k event types by linear-regression slope of their waveform
+    (Trending LINEAR_REGRESSION strategy).  Waveform aggregation is
+    distributed; the per-type slope over ≤#buckets points is driver-side
+    (tiny), like the reference's answer-merge scoring."""
+    wf = waveform(sf_dir, dt_us).to_pandas()
+    rows = []
+    for et, g in wf.groupby("event_type"):
+        x = g["bucket"].to_numpy(dtype=np.float64)
+        y = g["n_events"].to_numpy(dtype=np.float64)
+        # least-squares slope, same formula as SQL regr_slope
+        slope = (np.mean(x * y) - x.mean() * y.mean()) / (np.mean(x * x) - x.mean() ** 2)
+        rows.append((et, round(float(slope), 6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pa.table({"event_type": pa.array([r[0] for r in rows]),
+                     "slope": pa.array([r[1] for r in rows], type=pa.float64())})
+
+
+# --------------------------- SQL oracles -----------------------------------
+
+SQL = {
+    "events_distincts":
+        "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "events_uniques":
+        "SELECT count(DISTINCT user_id)::BIGINT AS n_unique_users FROM events",
+    "events_aggregate_counts": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       min(ts) AS oldest_ts, max(ts) AS newest_ts
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip(),
+    "events_waveform": f"""
+SELECT event_type,
+       (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip(),
+    "events_metrics": f"""
+SELECT (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
+       round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 6) AS sum_value,
+       round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6 / count(*), 6) AS avg_value,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+""".strip(),
+    "events_trending": f"""
+WITH wf AS (
+  SELECT event_type,
+         (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, round(regr_slope(n_events, bucket), 6) AS slope
+FROM wf GROUP BY event_type
+ORDER BY slope DESC, event_type ASC LIMIT 3
+""".strip(),
+}

@@ -1,0 +1,399 @@
+"""Deduplication operators over the ``documents`` table.
+
+Large-scale training-data dedup, Ray-Data-first (the reference's only dedup
+is exact ingest dedup by timestamp keeping max version,
+``MiruPartitionAccessor.handleActivities:563-578`` — the hash-partition +
+per-group-first pattern here is its batch analogue; near-dup operators are
+the explicit-design extensions SURVEY.md §2.8 calls for):
+
+- exact          — content-hash → groupby(hash) → keep min doc_id
+- minhash LSH    — word-shingle → minhash(128) → band buckets → groupby →
+                   candidate pairs → exact-Jaccard verify → min-label
+                   clusters
+- simhash        — 64-bit simhash, 4-band blocking, Hamming ≤ τ pairs
+- ngram Jaccard  — exact pairwise Jaccard on candidates from shared rare
+                   shingles
+- embedding      — cosine ≥ τ near-dup pairs over the embeddings table
+                   (batch × broadcast-matrix matmul)
+
+All hashes are deterministic (blake2b with fixed seeds / fixed random
+projection planes), so results are stable across runs and partitioning.
+Candidate generation is distributed (map_batches + groupby); only the final
+pair verification / union-find runs on the driver, over the (small)
+candidate set — documented assumption, same shape as the reference's
+driver-side answer merging.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..tokenize import py_tokenize
+
+# ------------------------------ helpers ------------------------------------
+
+
+def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    """The dup-planted documents table (fixtures.DOCS_DUP_SQL equivalent) —
+    the raw documents table has zero duplicate texts, so the dedup family
+    runs over a deterministic derivation with planted exact + near copies.
+    The expansion rule is row-local, so it composes with map_batches."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures import derive_docs_dup
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.read_metadata(path).num_rows
+    _ = derive_docs_dup  # whole-table reference implementation (tests)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: _expand_batch(b, n),
+                          batch_format="pyarrow", batch_size=8192)
+
+
+def _expand_batch(b: pa.Table, n: int) -> pa.Table:
+    import re
+    doc_id = b["doc_id"].to_numpy()
+    text = np.asarray(b["text"].to_pandas(), dtype=object)
+    m_exact = doc_id % 5 == 3
+    m_near = doc_id % 5 == 1
+    near_text = np.array([re.sub("^[a-z0-9]+", "xdup", t, count=1)
+                          for t in text[m_near]], dtype=object)
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(
+            [doc_id, doc_id[m_exact] + n, doc_id[m_near] + 2 * n]).astype(np.int64)),
+        "text": pa.array(np.concatenate([text, text[m_exact], near_text]),
+                         type=pa.string()),
+    })
+
+
+def _hash64(strings: "pd.Series") -> np.ndarray:
+    """Deterministic 64-bit content hash (vectorized via pandas hash_array
+    would be version-dependent; blake2b is stable across everything)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big") for s in strings),
+        dtype=np.uint64, count=len(strings))
+
+
+def _shingles(tokens: list[str], n: int = 3) -> set[str]:
+    if len(tokens) < n:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)}
+
+
+# ------------------------------ exact dedup --------------------------------
+
+
+def exact_dedup(sf_dir: str) -> pa.Table:
+    """Keep the smallest doc_id per distinct text: hash-partition by content
+    hash, per-group first (the §2.8 pattern).  Returns survivors sorted."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = _hash64(b["text"].to_pandas())
+        return b.append_column("h", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")[["doc_id"]]
+
+    kept = hashed.groupby("h").map_groups(keep_first, batch_format="pandas")
+    out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def exact_dedup_count(sf_dir: str) -> pa.Table:
+    n = exact_dedup(sf_dir).num_rows
+    return pa.table({"n_distinct": pa.array([n], type=pa.int64())})
+
+
+# ------------------------------ minhash LSH --------------------------------
+
+MINHASH_PERMS = 128
+LSH_BANDS = 32          # 32 bands × 4 rows
+_ROWS_PER_BAND = MINHASH_PERMS // LSH_BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.default_rng(12345)
+_A = _rng.integers(1, _MERSENNE, MINHASH_PERMS, dtype=np.uint64)
+_B = _rng.integers(0, _MERSENNE, MINHASH_PERMS, dtype=np.uint64)
+
+
+def _minhash(shingle_hashes: np.ndarray) -> np.ndarray:
+    """(n_shingles,) uint64 → (MINHASH_PERMS,) uint64 signature."""
+    if len(shingle_hashes) == 0:
+        return np.full(MINHASH_PERMS, np.uint64(_MERSENNE))
+    x = shingle_hashes[:, None]
+    hv = (x * _A[None, :] + _B[None, :]) % np.uint64(_MERSENNE)
+    return hv.min(axis=0)
+
+
+def _minhash_bands_batch(b: pa.Table) -> pa.Table:
+    """doc → LSH_BANDS rows (band_id, band_hash, doc_id)."""
+    docs = b["doc_id"].to_numpy()
+    texts = b["text"].to_pandas()
+    band_ids, band_hashes, out_docs = [], [], []
+    for d, t in zip(docs, texts):
+        sh = _shingles(py_tokenize(t))
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+             for s in sh), dtype=np.uint64, count=len(sh))
+        sig = _minhash(hs)
+        for band in range(LSH_BANDS):
+            chunk = sig[band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
+            # blake2b, NOT Python hash(): must be deterministic across worker
+            # processes (PYTHONHASHSEED varies)
+            bh = int.from_bytes(
+                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
+                "big") & 0x7FFFFFFFFFFFFFFF
+            band_ids.append(band)
+            band_hashes.append(bh)
+            out_docs.append(int(d))
+    return pa.table({"band_id": pa.array(band_ids, pa.int32()),
+                     "band_hash": pa.array(band_hashes, pa.int64()),
+                     "doc_id": pa.array(out_docs, pa.int64())})
+
+
+def minhash_candidates(sf_dir: str) -> list[tuple[int, int]]:
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    bands = ds.map_batches(_minhash_bands_batch, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].to_numpy())
+        if len(d) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        i, j = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"a": d[i], "b": d[j]})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas").to_pandas()
+    return sorted(set(zip(cand["a"], cand["b"])))
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """MinHash-LSH near-dup clusters: candidates from band collisions,
+    verified with exact shingle Jaccard, clustered by union-find (driver —
+    candidate set is band-collision-bounded)."""
+    cands = minhash_candidates(sf_dir)
+    docs = _documents(sf_dir, ["doc_id", "text"]).to_pandas()
+    toks = {int(r.doc_id): _shingles(py_tokenize(r.text))
+            for r in docs.itertuples() }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in cands:
+        sa, sb = toks[a], toks[b]
+        union = len(sa | sb)
+        if union and len(sa & sb) / union >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    cluster = {d: find(d) for d in toks}
+    out = pd.DataFrame({"doc_id": sorted(toks),
+                        "cluster_id": [cluster[d] for d in sorted(toks)]})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------ simhash ------------------------------------
+
+
+def _simhash64(tokens: list[str]) -> int:
+    acc = np.zeros(64, np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    return v
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs by SimHash: 4-band blocking (a pair within Hamming ≤ 3
+    shares at least one exact 16-bit band) then exact Hamming verify."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def sim_batch(b: pa.Table) -> pa.Table:
+        docs = b["doc_id"].to_numpy()
+        sigs = [_simhash64(py_tokenize(t)) for t in b["text"].to_pandas()]
+        rows = {"band_id": [], "band_val": [], "doc_id": [], "sig": []}
+        for d, s in zip(docs, sigs):
+            for band in range(4):
+                rows["band_id"].append(band)
+                rows["band_val"].append((s >> (band * 16)) & 0xFFFF)
+                rows["doc_id"].append(int(d))
+                rows["sig"].append(np.int64(np.uint64(s).view(np.int64)))
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    bands = ds.map_batches(sim_batch, batch_format="pyarrow", batch_size=4096)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        d = g["doc_id"].to_numpy()
+        s = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
+        if len(d) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        i, j = np.triu_indices(len(d), k=1)
+        ham = np.array([bin(int(s[x]) ^ int(s[y])).count("1")
+                        for x, y in zip(i, j)])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": d[i][keep], "b": d[j][keep]})
+
+    cand = bands.groupby(["band_id", "band_val"]).map_groups(
+        pairs, batch_format="pandas").to_pandas()
+    uniq = sorted(set(zip(cand["a"].astype(int), cand["b"].astype(int))))
+    return pa.table({"a": pa.array([p[0] for p in uniq], pa.int64()),
+                     "b": pa.array([p[1] for p in uniq], pa.int64())})
+
+
+# ------------------------------ ngram jaccard ------------------------------
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        n: int = 3) -> pa.Table:
+    """Exact n-gram Jaccard ≥ threshold pairs, candidates via shared
+    shingles (a pair with Jaccard ≥ t shares ≥ 1 shingle — complete)."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        docs, shs = [], []
+        for d, t in zip(b["doc_id"].to_numpy(), b["text"].to_pandas()):
+            for s in _shingles(py_tokenize(t), n):
+                docs.append(int(d))
+                shs.append(s)
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "shingle": pa.array(shs, pa.string())})
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=4096)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].unique())
+        if len(d) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        i, j = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"a": d[i], "b": d[j]})
+
+    cand = rows.groupby("shingle").map_groups(pairs, batch_format="pandas")
+    cand = cand.to_pandas().drop_duplicates()
+    docs = _documents(sf_dir, ["doc_id", "text"]).to_pandas()
+    sh = {int(r.doc_id): _shingles(py_tokenize(r.text), n)
+          for r in docs.itertuples()}
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(set(zip(cand["a"].astype(int), cand["b"].astype(int)))):
+        u = len(sh[a] | sh[b])
+        jac = len(sh[a] & sh[b]) / u if u else 0.0
+        if jac >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(jac, 6))
+    return pa.table({"a": pa.array(out_a, pa.int64()),
+                     "b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+# ------------------------------ embedding near-dup -------------------------
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """Cosine ≥ threshold pairs over the embeddings table.  Each batch does
+    one matmul against the broadcast L2-normalized matrix — the brute-force
+    baseline; the LSH-bucketed variant is the scale path (similarity.py)."""
+    import ray
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    full = emb.to_pandas()
+    ids = full["vec_id"].to_numpy().astype(np.int64)
+    M = np.stack(full["embedding"].to_numpy())
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, Mn))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.Mn = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            q_ids = b["vec_id"].to_numpy().astype(np.int64)
+            Q = np.stack(b["embedding"].to_numpy())
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            sims = Qn @ self.Mn.T
+            qi, mi = np.nonzero(sims >= threshold)
+            a = q_ids[qi]
+            bb = self.ids[mi]
+            keep = a < bb
+            # pair membership only — a float similarity column cannot
+            # hash-match across different reduce orders, and the threshold
+            # boundary is the only float-sensitive decision left
+            return pd.DataFrame({"a": a[keep], "b": bb[keep]})
+
+    pairs = emb.map_batches(PairFinder, batch_format="pandas",
+                            batch_size=1024, concurrency=(1, 4))
+    out = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --------------------------- SQL oracles -----------------------------------
+
+def _sql():
+    from ..fixtures import DOCS_DUP_SQL
+    dup = f"documents_dup AS ({DOCS_DUP_SQL})"
+    return {
+        "dedup_exact_docs": f"""
+WITH {dup}
+SELECT min(doc_id) AS doc_id FROM documents_dup GROUP BY text ORDER BY doc_id
+""".strip(),
+        "dedup_exact_count": f"""
+WITH {dup}
+SELECT count(DISTINCT text)::BIGINT AS n_distinct FROM documents_dup
+""".strip(),
+        # TRUE shingle-Jaccard pairs, computed independently in SQL
+        "dedup_ngram_jaccard_pairs": f"""
+WITH {dup},
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents_dup
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.s, b.s)) * 1.0 /
+         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a, b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.5 ORDER BY a, b
+""".strip(),
+        # embedding near-dup: SQL-expressible with list_cosine_similarity
+        "embedding_neardup_pairs": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY a, b
+""".strip(),
+    }
+
+
+SQL = _sql()
