@@ -91,6 +91,22 @@ def _ops_queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": R.pricing_summary,
         "rel_revenue_by_nation": R.revenue_by_nation,
         "rel_collaborative_filtering": R.collaborative_filtering,
+        **_mm_queries(),
+    }
+
+
+def _mm_queries() -> dict[str, Callable[[str], Any]]:
+    from miru_ray.pipelines import catwalk as C
+    from miru_ray.stages import multimodal as M
+
+    return {
+        # ---- multimodal binary columns (stubbed codecs, real plumbing) ----
+        "media_decode_dims": M.media_decode_dims,
+        "media_frame_sample_counts": M.media_frame_sample_counts,
+        "media_pipeline_features": M.media_pipeline_features,  # rows-only
+        # ---- catwalk model build + strut scoring (§2.5) ----
+        "catwalk_model": C.catwalk_model,
+        "strut_topk_users": C.strut_topk,
     }
 
 
@@ -161,7 +177,10 @@ def _ops_oracles() -> dict[str, str]:
     from miru_ray.ops import textstats as T
     from miru_ray.pipelines import relational as R
 
+    from miru_ray.pipelines import catwalk as C
+    from miru_ray.stages import multimodal as M
+
     out: dict[str, str] = {}
-    for mod in (A, D, T, Sim, R):
+    for mod in (A, D, T, Sim, R, C, M):
         out.update(mod.SQL)
     return out

@@ -34,6 +34,17 @@ class IndexConfig:
     # LabInvertedIndex.java:268-292)
     num_shards: int = 4
     remove_stopwords: bool = False
+    # postings shuffle implementation:
+    #   "external" (default) — map-side partitioned parquet write keyed by
+    #     (partition, shard), then one independent encode task per cell.
+    #     Every posting row is written once and read once (same IO as an
+    #     object-store shuffle) with NO comparison sort, and the postings
+    #     directory doubles as a per-cell resume checkpoint.  On a cluster
+    #     this is a standard external (storage-backed) shuffle.
+    #   "groupby" — Ray-native groupby(gkey).map_groups sort shuffle through
+    #     the object store (measured ~3× slower here: the sort pays ~600
+    #     CPU-s ordering 160M string-carrying rows it doesn't need ordered).
+    shuffle_mode: str = "external"
     # BM25 constants (conventional defaults; the reference's own scorer has
     # no k1/b — see SURVEY.md §2.12)
     k1: float = 1.2

@@ -28,7 +28,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SEED = 42
-SCALES = {"xs": 100, "s": 2_000, "m": 50_000, "l": 200_000}  # conversations
+SCALES = {"xs": 100, "s": 2_000, "m": 50_000, "l": 200_000,
+          "xl": 600_000}  # conversations per scale
 
 ROLES = ["user", "assistant", "system", "tool"]
 _MULTILANG = [

