@@ -107,7 +107,20 @@ def _mm_queries() -> dict[str, Callable[[str], Any]]:
         # ---- catwalk model build + strut scoring (§2.5) ----
         "catwalk_model": C.catwalk_model,
         "strut_topk_users": C.strut_topk,
+        # ---- sketches + highlighting ----
+        "events_uniques_hll": _hll_users,            # rows-only (approx)
+        "fulltext_highlight": _highlight,            # rows-only
     }
+
+
+def _hll_users(sf_dir: str) -> Any:
+    from miru_ray.ops.sketches import approx_unique
+    return approx_unique(sf_dir, "events", "user_id")
+
+
+def _highlight(sf_dir: str) -> Any:
+    from miru_ray.pipelines import flagship as F
+    return F.q_highlight(sf_dir, QUERY_TERMS, 5)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -12,12 +12,14 @@ Ray-Data-first pipeline (SURVEY.md §7.1), four stages, all resumable:
                    partitioned by doc-partition (the forward/activity index,
                    ``miru-service/.../index/lab/LabActivityIndex.java``)
 [3] segments       map_batches(tokenize → (term, doc_id, tf) exact per-batch
-                   partials) → groupby((partition, shard)) shuffle →
-                   per-group vectorized encode → atomic segment files
-                   (skew bound: a hot term splits across partitions and its
-                   per-cell postings are capped by partition size — the
-                   analogue of atomized containers,
-                   ``LabInvertedIndex.java:268-292``)
+                   partials) → shuffle keyed by gkey = (partition, shard) →
+                   per-cell vectorized encode → atomic segment files.
+                   Default shuffle is EXTERNAL (partitioned parquet spill +
+                   one encode task per cell; see IndexConfig.shuffle_mode);
+                   groupby(gkey).map_groups remains available.  Skew bound:
+                   a hot term splits across partitions and its per-cell
+                   postings are capped by partition size — the analogue of
+                   atomized containers (``LabInvertedIndex.java:268-292``)
 [4] manifest       collection stats (N, total_len, avgdl) + lineage:
                    input fingerprint, per-stage metrics, partition ranges,
                    segment inventory.  Atomic swap = index goes live

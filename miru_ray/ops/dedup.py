@@ -101,11 +101,12 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")[["doc_id"]]
-
-    kept = hashed.groupby("h").map_groups(keep_first, batch_format="pandas")
-    out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # per-group-first as an AGGREGATE (min doc_id per hash) — map_groups
+    # over one tiny pandas group per distinct text is orders slower
+    from ray.data.aggregate import Min
+    kept = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    out = kept.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -161,20 +162,40 @@ def _minhash_bands_batch(b: pa.Table) -> pa.Table:
 
 
 def minhash_candidates(sf_dir: str) -> list[tuple[int, int]]:
+    """Candidate pairs = docs sharing an LSH band bucket.
+
+    Bucket SIZES are computed distributed (groupby count); only rows in
+    colliding buckets (count > 1 — rare by construction) come back to the
+    driver, where pair expansion is one vectorized pandas pass."""
+    from ray.data.aggregate import Count
     ds = _documents(sf_dir, ["doc_id", "text"])
     bands = ds.map_batches(_minhash_bands_batch, batch_format="pyarrow",
                            batch_size=4096)
+    sizes = bands.groupby(["band_id", "band_hash"]).aggregate(
+        Count(alias_name="n")).to_pandas()
+    hot = sizes[sizes["n"] > 1]
+    if not len(hot):
+        return []
+    hot_keys = set(zip(hot["band_id"].astype(int), hot["band_hash"].astype(int)))
+    import ray as _ray
+    ref = _ray.put(hot_keys)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["doc_id"].to_numpy())
+    def keep_colliding(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _ray.get(ref)
+        mask = [(int(x), int(y)) in keys
+                for x, y in zip(b["band_id"], b["band_hash"])]
+        return b[np.array(mask, bool)]
+
+    coll = bands.map_batches(keep_colliding,
+                             batch_format="pandas").to_pandas()
+    out: set[tuple[int, int]] = set()
+    for _, g in coll.groupby(["band_id", "band_hash"]):
+        d = np.sort(g["doc_id"].unique())
         if len(d) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+            continue
         i, j = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"a": d[i], "b": d[j]})
-
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas").to_pandas()
-    return sorted(set(zip(cand["a"], cand["b"])))
+        out.update(zip(d[i].tolist(), d[j].tolist()))
+    return sorted(out)
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
@@ -240,25 +261,44 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         return pa.table({k: pa.array(v) for k, v in rows.items()})
 
     bands = ds.map_batches(sim_batch, batch_format="pyarrow", batch_size=4096)
+    # only colliding buckets matter; bucket sizes computed distributed
+    from ray.data.aggregate import Count
+    sizes = bands.groupby(["band_id", "band_val"]).aggregate(
+        Count(alias_name="n")).to_pandas()
+    hot = set(zip(sizes[sizes["n"] > 1]["band_id"].astype(int),
+                  sizes[sizes["n"] > 1]["band_val"].astype(int)))
+    if not hot:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    import ray as _ray
+    ref = _ray.put(hot)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
+    def keep_colliding(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _ray.get(ref)
+        mask = [(int(x), int(y)) in keys
+                for x, y in zip(b["band_id"], b["band_val"])]
+        return b[np.array(mask, bool)]
+
+    coll = bands.map_batches(keep_colliding, batch_format="pandas").to_pandas()
+    popcnt8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+    def _hamming(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        z = (x ^ y).view(np.uint8).reshape(len(x), 8)
+        return popcnt8[z].sum(axis=1)
+
+    uniq: set[tuple[int, int]] = set()
+    for _, g in coll.groupby(["band_id", "band_val"]):
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
         d = g["doc_id"].to_numpy()
         s = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
         if len(d) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
+            continue
         i, j = np.triu_indices(len(d), k=1)
-        ham = np.array([bin(int(s[x]) ^ int(s[y])).count("1")
-                        for x, y in zip(i, j)])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": d[i][keep], "b": d[j][keep]})
-
-    cand = bands.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas").to_pandas()
-    uniq = sorted(set(zip(cand["a"].astype(int), cand["b"].astype(int))))
-    return pa.table({"a": pa.array([p[0] for p in uniq], pa.int64()),
-                     "b": pa.array([p[1] for p in uniq], pa.int64())})
+        keep = _hamming(s[i], s[j]) <= max_hamming
+        uniq.update(zip(d[i][keep].tolist(), d[j][keep].tolist()))
+    pairs = sorted(uniq)
+    return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                     "b": pa.array([p[1] for p in pairs], pa.int64())})
 
 
 # ------------------------------ ngram jaccard ------------------------------
@@ -266,8 +306,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                         n: int = 3) -> pa.Table:
-    """Exact n-gram Jaccard ≥ threshold pairs, candidates via shared
-    shingles (a pair with Jaccard ≥ t shares ≥ 1 shingle — complete)."""
+    """Exact all-pairs n-gram Jaccard ≥ threshold.
+
+    Shingle extraction is distributed (map_batches); the pairwise
+    intersection is a blocked doc×shingle boolean matmul (BLAS) — the exact
+    brute-force baseline.  This corpus's shingle vocabulary is small; at
+    real scale the exact variant is the verifier behind MinHash-LSH
+    candidates (:func:`minhash_dedup`), never run all-pairs.
+    """
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def shingle_rows(b: pa.Table) -> pa.Table:
@@ -279,32 +325,45 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         return pa.table({"doc_id": pa.array(docs, pa.int64()),
                          "shingle": pa.array(shs, pa.string())})
 
-    rows = ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=4096)
+    import ray as _ray
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()
+    codes, _uniq = pd.factorize(rows["shingle"], sort=False)
+    doc_ids, doc_idx = np.unique(rows["doc_id"].to_numpy(), return_inverse=True)
+    D, V = len(doc_ids), codes.max() + 1
+    if D * V > 4e9:
+        raise ValueError("all-pairs exact Jaccard infeasible at this size; "
+                         "use minhash_dedup (LSH candidates + verify)")
+    A = np.zeros((D, V), np.float32)
+    A[doc_idx, codes] = 1.0
+    sizes = A.sum(axis=1)
+    ref = _ray.put((doc_ids, A, sizes))  # broadcast once; workers read
+    #                                      zero-copy from the object store
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["doc_id"].unique())
-        if len(d) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
-        i, j = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"a": d[i], "b": d[j]})
+    @_ray.remote(num_cpus=1)
+    def block_pairs(lo: int, hi: int):
+        ids, M, sz = _ray.get(ref)
+        inter = (M[lo:hi] @ M[lo:].T).astype(np.float64)  # exact small ints
+        union = (sz[lo:hi, None] + sz[None, lo:]).astype(np.float64) - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # float64 division of exact integer counts — bit-identical to
+            # the SQL oracle's len()/len() division
+            jac = np.where(union > 0, inter / union, 0.0)
+        bi, dj = np.nonzero(jac >= threshold)
+        ga, gb = ids[bi + lo], ids[dj + lo]
+        keep = ga < gb
+        return ga[keep], gb[keep], jac[bi[keep], dj[keep]]
 
-    cand = rows.groupby("shingle").map_groups(pairs, batch_format="pandas")
-    cand = cand.to_pandas().drop_duplicates()
-    docs = _documents(sf_dir, ["doc_id", "text"]).to_pandas()
-    sh = {int(r.doc_id): _shingles(py_tokenize(r.text), n)
-          for r in docs.itertuples()}
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(set(zip(cand["a"].astype(int), cand["b"].astype(int)))):
-        u = len(sh[a] | sh[b])
-        jac = len(sh[a] & sh[b]) / u if u else 0.0
-        if jac >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(jac, 6))
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    B = 256
+    parts = _ray.get([block_pairs.remote(lo, min(lo + B, D))
+                      for lo in range(0, D, B)])
+    a = np.concatenate([p[0] for p in parts])
+    b = np.concatenate([p[1] for p in parts])
+    j = np.round(np.concatenate([p[2] for p in parts]).astype(np.float64), 6)
+    order = np.lexsort((b, a))
+    return pa.table({"a": pa.array(a[order], pa.int64()),
+                     "b": pa.array(b[order], pa.int64()),
+                     "jaccard": pa.array(j[order], pa.float64())})
 
 
 # ------------------------------ embedding near-dup -------------------------

@@ -235,6 +235,19 @@ def q_doc_lengths(sf_dir: str) -> pa.Table:
                      "doc_len": pa.array(t["doc_len"].to_numpy())})
 
 
+def q_highlight(sf_dir: str, terms: list[str], k: int = 5) -> pa.Table:
+    """Top-k BM25 + best-fragment highlights (reference:
+    ``LuceneBackedQueryParser.highlight``, LuceneBackedQueryParser.java:56-74)."""
+    from ..query.highlight import highlight_rows
+    s = searcher_for(sf_dir)
+    res = s.topk(_ast(terms, "and"), k, "bm25")
+    g = s.gather(res["doc_id"].to_pylist(), ["text"]).to_pandas()
+    merged = res.to_pandas().merge(g, on="doc_id", how="left")
+    merged["fragment"] = highlight_rows(merged["text"], terms)
+    return pa.Table.from_pandas(
+        merged[["doc_id", "score", "fragment"]], preserve_index=False)
+
+
 def _ast(terms: list[str], mode: str):
     from ..query.filter import and_terms, or_terms
     return and_terms(sorted(set(terms))) if mode == "and" else or_terms(sorted(set(terms)))

@@ -80,3 +80,23 @@ def test_langid_shape():
     assert set(out.columns) == {"lang", "n_docs", "accuracy"}
     assert out["n_docs"].sum() == 500
     assert ((out["accuracy"] >= 0) & (out["accuracy"] <= 1)).all()
+
+
+def test_hll_within_error():
+    from miru_ray.ops.sketches import approx_unique
+    import duckdb
+    got = approx_unique(SF, "events", "user_id").to_pandas()["approx_unique"][0]
+    exact = duckdb.sql(
+        f"select count(distinct user_id) from '{SF}/events.parquet'").fetchone()[0]
+    assert abs(got - exact) / max(1, exact) < 0.1, (got, exact)
+
+
+def test_highlighter():
+    from miru_ray.query.highlight import best_fragment, highlight_rows
+    frag = best_fragment("The quick Brown fox jumps over the lazy dog",
+                         {"brown", "lazy"}, width=6)
+    assert "<b>Brown</b>" in frag
+    assert best_fragment("nothing matches here", {"zzz"}) == ""
+    outs = highlight_rows(["alpha beta gamma", None], ["beta"])
+    assert outs[0] == "alpha <b>beta</b> gamma"
+    assert outs[1] == ""
