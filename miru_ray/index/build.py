@@ -363,6 +363,18 @@ def build_index(input_path: str | list[str], index_dir: str,
         if m.get("fingerprint") == fp and m.get("config") == cfg.to_dict():
             logger.info("index up to date at %s", index_dir)
             return m
+        # incremental append (the sip analogue): the old input is an
+        # unchanged subset of the new input → index only the added files
+        old_files = m.get("input_files", [])
+        if (m.get("config") == cfg.to_dict() and old_files
+                and set(old_files) <= set(files)
+                and all("cf_text" in s for s in m.get("segments", []))):
+            try:
+                if input_fingerprint(old_files) == m["fingerprint"]:
+                    new_files = sorted(set(files) - set(old_files))
+                    return append_index(index_dir, m, new_files, fp, cfg)
+            except FileNotFoundError:
+                pass  # old inputs vanished → full rebuild below
 
     stages: dict[str, dict] = {}
 
@@ -424,15 +436,164 @@ def build_index(input_path: str | list[str], index_dir: str,
         "segments": [{"pid": int(r["pid"]), "shard": int(r["shard"]),
                       "path": segment_rel_path(int(r["pid"]), int(r["shard"])),
                       "n_terms": int(r["n_terms"]),
-                      "n_postings": int(r["n_postings"])} for r in seg_rows],
+                      "n_postings": int(r["n_postings"]),
+                      "cf_text": int(r.get("cf_text", 0))} for r in seg_rows],
         "stages": stages,
     }
     stages["manifest"] = {"seconds": round(time.perf_counter() - t0, 3)}
     atomic_write_json(manifest_path, manifest)
+    _cleanup_spill(index_dir)
+    return manifest
+
+
+def _cleanup_spill(index_dir: str) -> None:
     # the postings spill was the mid-build checkpoint; the committed
     # segments supersede it
-    spill_dir = os.path.join(index_dir, "postings_spill")
+    import shutil
+    for d in ("postings_spill", "postings_spill_append"):
+        spill_dir = os.path.join(index_dir, d)
+        if os.path.exists(spill_dir):
+            shutil.rmtree(spill_dir, ignore_errors=True)
+
+
+def append_index(index_dir: str, manifest: dict, new_files: list[str],
+                 new_fp: str, cfg: IndexConfig) -> dict:
+    """Incrementally index NEW input files into an existing index.
+
+    The batch analogue of the reference's sip path
+    (``MiruLocalHostedPartition.sip:1172-1238``): the manifest is the
+    cursor, appended docs get ids after the existing allocation, the
+    boundary (partially-filled) partition's segments are merged with the
+    new postings (decode → concat → re-encode → atomic replace — LAB
+    compaction's role), and later partitions are fresh.
+
+    Constraint: appended files must contain only WHOLE NEW conversations
+    (the reference reuses ids via ``timeIdIndex.lookup``; our id scheme is
+    conv-offset-based, so continuing an existing conversation would need a
+    second id range per conv — asserted and rejected).
+    """
+    t_all = time.perf_counter()
+    offsets_path = os.path.join(index_dir, "conv_offsets.parquet")
+    docstore_dir = os.path.join(index_dir, "docstore")
+    old_n = manifest["n_docs"]
+    dpp = cfg.docs_per_partition
+
+    # [1] offsets for the new conversations (appended AFTER the old ids)
+    partials = ray.get([_conv_counts_for_file.remote(p) for p in new_files])
+    merged = pa.concat_tables(partials)
+    g = merged.group_by("conv_id").aggregate(
+        [("cnt", "sum"), ("max_turn", "max")])
+    conv = np.asarray(g["conv_id"].to_pandas(), dtype=object)
+    cnt = g["cnt_sum"].to_numpy().astype(np.int64)
+    max_turn = g["max_turn_max"].to_numpy().astype(np.int64)
+    if not (max_turn + 1 == cnt).all():
+        raise ValueError("appended files: turn_idx not contiguous per conv")
+    order = np.argsort(conv, kind="stable")
+    conv, cnt = conv[order], cnt[order]
+    old_off = pq.read_table(offsets_path)
+    old_convs = np.asarray(old_off["conv_id"].to_pandas(), dtype=object)
+    pos = np.searchsorted(old_convs, conv)
+    clash = (pos < len(old_convs)) & (old_convs[np.minimum(pos, len(old_convs) - 1)] == conv)
+    if clash.any():
+        raise ValueError(
+            f"appended files continue existing conversation(s) "
+            f"(e.g. {conv[np.argmax(clash)]!r}); append requires whole new "
+            "conversations")
+    off = np.zeros(len(cnt), np.int64)
+    np.cumsum(cnt[:-1], out=off[1:])
+    off += old_n
+    combined = pa.concat_tables([
+        old_off,
+        pa.table({"conv_id": pa.array(conv, pa.string()),
+                  "offset": pa.array(off), "cnt": pa.array(cnt)})])
+    comb_pdf = combined.to_pandas().sort_values("conv_id")
+    tmp = offsets_path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(comb_pdf, preserve_index=False), tmp)
+    os.replace(tmp, offsets_path)
+    atomic_write_json(offsets_path + ".meta.json",
+                      {"fingerprint": new_fp, "n_docs": old_n + int(cnt.sum()),
+                       "n_convs": manifest["n_convs"] + len(cnt)})
+
+    # [2] doc store for the new files only (Ray's writer adds part files to
+    # the existing partition dirs; doc ids are disjoint from the old ones)
+    ds = _read_input(new_files)
+    build_docstore(ds, offsets_path, docstore_dir, cfg)
+
+    # [3] postings for the new docs; boundary-partition cells merge with
+    # their existing segments, later partitions are fresh
+    spill_dir = os.path.join(index_dir, "postings_spill_append")
+    import shutil
     if os.path.exists(spill_dir):
-        import shutil
-        shutil.rmtree(spill_dir, ignore_errors=True)
-    return manifest
+        shutil.rmtree(spill_dir)
+    docs = ray.data.read_parquet(docstore_dir, columns=(
+        ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)),
+        file_extensions=["parquet"],
+        filter=(pads_field("doc_id") >= old_n))
+    postings = docs.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
+                                batch_size=8192)
+    postings.write_parquet(spill_dir, partition_cols=["gkey"])
+
+    nsh = cfg.num_shards
+    from .segments import encode_segment_table as _enc
+    from .segments import segment_to_rows as _seg_rows
+    from .segments import write_segment as _write
+
+    @ray.remote(num_cpus=1)
+    def merge_cell(gdir: str, gkey: int) -> tuple[int, int, int, int, int]:
+        import pyarrow.compute as _pc
+        new_rows = pq.ParquetDataset(gdir).read()
+        pid, shard = gkey // nsh, gkey % nsh
+        path = os.path.join(index_dir, segment_rel_path(pid, shard))
+        if os.path.exists(path):
+            old_rows = _seg_rows(path)
+            new_rows = pa.concat_tables(
+                [old_rows, new_rows.select(["term", "doc_id", "tf"])])
+        seg = _enc(new_rows)
+        _write(seg, path)  # atomic replace
+        kw = _pc.match_substring(seg["term"], ":")
+        cf_text = int(_pc.sum(_pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
+        return pid, shard, seg.num_rows, new_rows.num_rows, cf_text
+
+    futs = []
+    for d in sorted(os.listdir(spill_dir)):
+        if d.startswith("gkey="):
+            futs.append(merge_cell.remote(os.path.join(spill_dir, d),
+                                          int(d.split("=", 1)[1])))
+    new_rows = [{"pid": p, "shard": s, "n_terms": nt, "n_postings": np_,
+                 "cf_text": ct,
+                 "path": segment_rel_path(p, s)}
+                for p, s, nt, np_, ct in ray.get(futs)]
+
+    # [4] manifest update: replace merged cells, add fresh ones
+    replaced = {(r["pid"], r["shard"]) for r in new_rows}
+    segments = [s for s in manifest["segments"]
+                if (s["pid"], s["shard"]) not in replaced] + new_rows
+    segments.sort(key=lambda r: (r["pid"], r["shard"]))
+    n_docs = old_n + int(cnt.sum())
+    n_parts = (n_docs + dpp - 1) // dpp
+    total_len = int(sum(s["cf_text"] for s in segments))
+    out = dict(manifest)
+    out.update({
+        "fingerprint": new_fp,
+        "input_files": sorted(set(manifest["input_files"]) | set(new_files)),
+        "n_docs": n_docs,
+        "n_convs": manifest["n_convs"] + len(cnt),
+        "total_len": total_len,
+        "avgdl": total_len / n_docs if n_docs else 0.0,
+        "partitions": [{"pid": p, "base": p * dpp,
+                        "count": min(dpp, n_docs - p * dpp)}
+                       for p in range(n_parts)],
+        "segments": [{k: int(v) if isinstance(v, (int, np.integer)) else v
+                      for k, v in s.items()} for s in segments],
+    })
+    out.setdefault("stages", {})["append"] = {
+        "seconds": round(time.perf_counter() - t_all, 3),
+        "new_docs": int(cnt.sum()), "new_files": len(new_files)}
+    atomic_write_json(os.path.join(index_dir, "manifest.json"), out)
+    _cleanup_spill(index_dir)
+    return out
+
+
+def pads_field(name: str):
+    import pyarrow.dataset as _pads
+    return _pads.field(name)

@@ -104,6 +104,28 @@ def write_segment(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def segment_to_rows(path: str) -> pa.Table:
+    """Decode a whole segment back to (term, doc_id, tf) rows — the input
+    side of a segment merge/compaction (reference: LAB compaction,
+    ``compactOnClosedWriters``)."""
+    t = pq.read_table(path, columns=["term", "df", "doc_bytes", "tf_bytes"])
+    terms_out, docs_out, tfs_out = [], [], []
+    dfs = t["df"].to_numpy()
+    terms = t["term"].to_pylist()
+    for i in range(t.num_rows):
+        df = int(dfs[i])
+        docs_out.append(decode_doc_ids(t["doc_bytes"][i].as_py(), df))
+        tfs_out.append(decode_tfs(t["tf_bytes"][i].as_py(), df))
+        terms_out.extend([terms[i]] * df)
+    return pa.table({
+        "term": pa.array(terms_out, pa.string()),
+        "doc_id": pa.array(np.concatenate(docs_out) if docs_out
+                           else np.empty(0, np.int64)),
+        "tf": pa.array(np.concatenate(tfs_out) if tfs_out
+                       else np.empty(0, np.int64)),
+    })
+
+
 class SegmentReader:
     """In-memory view of one segment file: sorted term dict + lazy postings."""
 

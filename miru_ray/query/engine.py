@@ -58,10 +58,17 @@ class PartitionReader:
         parts = {p["pid"]: p for p in manifest["partitions"]}
         self.parts = {pid: parts[pid] for pid in pids}
         self._seg_cache: dict[tuple[int, int], SegmentReader | None] = {}
-        if preload_segments:  # warm term dictionaries at init (actor-pool
-            for pid in pids:  # rule: do one-time work once, not per query)
-                for shard in range(self.cfg.num_shards):
-                    self._segment(pid, shard)
+        # decoded-postings LRU: hot query terms repeat, decode once
+        # (reference: plugin term-feature cache, MiruPluginCacheProvider)
+        self._post_cache: "dict[tuple[int, str], tuple | None]" = {}
+        self._post_cache_cap = 4096
+        # tombstones: removal mask subtracted from every filter result
+        # (reference: MiruRemovalIndex / buildIndexMask,
+        # MiruBitmaps.java:133-139)
+        self._tombstones: dict[int, np.ndarray] = {}
+        tpath = os.path.join(index_dir, "tombstones.json")
+        if os.path.exists(tpath):
+            self.load_tombstones(read_json(tpath))
         self.doclen: dict[int, np.ndarray] = {}
         self.ts: dict[int, np.ndarray] = {}
         for pid in pids:
@@ -74,6 +81,24 @@ class PartitionReader:
             tsa[idx] = t["ts"].cast(pa.int64()).to_numpy()
             self.doclen[pid] = dl
             self.ts[pid] = tsa
+        if preload_segments:  # warm term dictionaries at init (actor-pool
+            for pid in pids:  # rule: do one-time work once, not per query)
+                for shard in range(self.cfg.num_shards):
+                    self._segment(pid, shard)
+
+    def load_tombstones(self, doc_ids: list[int]) -> int:
+        """(Re)load removed doc ids; returns count applied to this reader."""
+        dpp = self.cfg.docs_per_partition
+        tomb: dict[int, list[int]] = {}
+        n = 0
+        for d in doc_ids:
+            pid = int(d) // dpp
+            if pid in self.parts:
+                tomb.setdefault(pid, []).append(int(d))
+                n += 1
+        self._tombstones = {p: np.array(sorted(v), np.int64)
+                            for p, v in tomb.items()}
+        return n
 
     def _docstore(self, pid: int) -> pads.Dataset:
         return pads.dataset(os.path.join(self.index_dir, "docstore",
@@ -129,10 +154,27 @@ class PartitionReader:
 
     def _postings(self, pid: int, term: str, cache: dict):
         key = (pid, term)
-        if key not in cache:
-            seg, row = self._lookup(pid, term)
-            cache[key] = None if row is None else seg.postings(row)
-        return cache[key]
+        if key in cache:
+            return cache[key]
+        if key in self._post_cache:
+            cache[key] = self._post_cache[key]
+            return cache[key]
+        seg, row = self._lookup(pid, term)
+        val = None if row is None else seg.postings(row)
+        cache[key] = val
+        if len(self._post_cache) >= self._post_cache_cap:
+            self._post_cache.clear()  # simple epoch eviction
+        self._post_cache[key] = val
+        return val
+
+    def _alive_mask(self, pid: int, mask: np.ndarray) -> np.ndarray:
+        """AND the removal mask into a filter result (buildIndexMask
+        semantics, ``MiruBitmaps.java:133-139``)."""
+        t = self._tombstones.get(pid)
+        if t is not None and len(t):
+            mask = mask.copy()
+            mask[t - self.parts[pid]["base"]] = False
+        return mask
 
     def _eval(self, node: Node, pid: int, cache: dict,
               expansions: dict[str, list[str]]) -> np.ndarray:
@@ -191,7 +233,7 @@ class PartitionReader:
         for pid in self.parts:
             base = self.parts[pid]["base"]
             cache: dict = {}
-            mask = self._eval(ast, pid, cache, expansions)
+            mask = self._alive_mask(pid, self._eval(ast, pid, cache, expansions))
             if not mask.any():
                 continue
             if (use_wand and after is None
@@ -294,7 +336,7 @@ class PartitionReader:
         docs = []
         for pid in self.parts:
             base = self.parts[pid]["base"]
-            mask = self._eval(ast, pid, {}, expansions)
+            mask = self._alive_mask(pid, self._eval(ast, pid, {}, expansions))
             total += int(mask.sum())
             if return_docs:
                 docs.append(np.flatnonzero(mask) + base)
@@ -308,7 +350,7 @@ class PartitionReader:
         all_docs, all_ts = [], []
         for pid in self.parts:
             base = self.parts[pid]["base"]
-            mask = self._eval(ast, pid, {}, expansions)
+            mask = self._alive_mask(pid, self._eval(ast, pid, {}, expansions))
             sel = np.flatnonzero(mask)
             if not len(sel):
                 continue
@@ -506,6 +548,19 @@ class Searcher:
                      for i, ids in by_reader.items()]
         parts = [p for p in parts if p.num_rows]
         return pa.concat_tables(parts) if parts else pa.table({})
+
+    def remove_docs(self, doc_ids) -> int:
+        """Tombstone documents (REMOVE semantics: the reference's removal
+        index excludes them from every answer, ``MiruRemovalIndex``).
+        Persists to tombstones.json and pushes to live readers."""
+        from ..util import atomic_write_json
+        tpath = os.path.join(self.index_dir, "tombstones.json")
+        existing = set(read_json(tpath)) if os.path.exists(tpath) else set()
+        existing.update(int(d) for d in doc_ids)
+        doc_list = sorted(existing)
+        atomic_write_json(tpath, doc_list)
+        counts = self._fanout("load_tombstones", doc_list)
+        return sum(counts)
 
     def _to_ast(self, query) -> Node:
         if isinstance(query, Node):

@@ -166,3 +166,27 @@ def test_stats_cache_consistency(xs_searcher, xs_oracle):
     a = xs_searcher.topk(hot[:2], 10, "bm25")
     b = xs_searcher.topk(hot[:2], 10, "bm25")  # cached stats path
     assert a.equals(b)
+
+
+def test_tombstones(xs_index, xs_oracle, tmp_path):
+    """REMOVE semantics: tombstoned docs vanish from every answer
+    (reference removal index / buildIndexMask)."""
+    import os
+    import shutil
+
+    from miru_ray.query.engine import Searcher
+    idx2 = str(tmp_path / "tomb")
+    shutil.copytree(xs_index, idx2)
+    s = Searcher(idx2, num_readers=2)
+    hot = _hot(xs_oracle, 1)
+    before = s.topk(hot[:1], 10, "bm25")["doc_id"].to_pylist()
+    removed = before[:3]
+    assert s.remove_docs(removed) == 3
+    after = s.topk(hot[:1], 10, "bm25")["doc_id"].to_pylist()
+    assert not (set(removed) & set(after))
+    assert s.count(hot[:1]) == len(xs_oracle.postings[hot[0]]) - 3
+    # persisted: a fresh searcher sees the tombstones
+    s.close()
+    s2 = Searcher(idx2, num_readers=1)
+    assert not (set(removed) & set(s2.topk(hot[:1], 10, "bm25")["doc_id"].to_pylist()))
+    s2.close()

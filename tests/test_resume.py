@@ -72,3 +72,79 @@ def test_stale_manifest_rebuilds(xs_path, tmp_path):
                        remove_stopwords=True)
     m2 = build_index(xs_path, d, cfg2, overwrite=True)
     assert m2["total_len"] < m["total_len"]  # stopwords removed → shorter
+
+
+def test_incremental_append(xs_table, tmp_path):
+    """Sip-analogue append: index half the conversations, append the rest;
+    result must be identical to a one-shot build (byte-identical segments,
+    same manifest stats)."""
+    import pyarrow.parquet as pq
+
+    cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+    # split at a conversation boundary, second half sorts after the first
+    df = xs_table.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                          kind="mergesort")
+    convs = sorted(df["conv_id"].unique())
+    first = set(convs[: len(convs) // 2])
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(df[df["conv_id"].isin(first)],
+                                        preserve_index=False), a_path)
+    pq.write_table(pa.Table.from_pandas(df[~df["conv_id"].isin(first)],
+                                        preserve_index=False), b_path)
+
+    full_dir = str(tmp_path / "full")
+    incr_dir = str(tmp_path / "incr")
+    m_full = build_index([a_path, b_path], full_dir, cfg)
+    m_half = build_index([a_path], incr_dir, cfg)
+    assert m_half["n_docs"] < m_full["n_docs"]
+    m_incr = build_index([a_path, b_path], incr_dir, cfg)
+    assert "append" in m_incr["stages"]
+
+    for k in ("n_docs", "n_convs", "total_len", "avgdl", "partitions"):
+        assert m_full[k] == m_incr[k], k
+    assert ([(s["pid"], s["shard"], s["n_terms"], s["cf_text"])
+             for s in m_full["segments"]]
+            == [(s["pid"], s["shard"], s["n_terms"], s["cf_text"])
+                for s in m_incr["segments"]])
+    assert _file_hashes(full_dir) == _file_hashes(incr_dir)
+
+    # query equivalence
+    sf = Searcher(full_dir, num_readers=1)
+    si = Searcher(incr_dir, num_readers=1)
+    for terms in (["alpha"], ["query", "search"]):
+        a = sf.topk(terms, 10, "bm25")
+        b = si.topk(terms, 10, "bm25")
+        assert a.equals(b)
+    sf.close()
+    si.close()
+
+
+def test_append_rejects_continued_conversation(xs_table, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+    df = xs_table.to_pandas().sort_values(["conv_id", "turn_idx"])
+    # split one conversation MID-WAY: append must refuse
+    conv0 = df["conv_id"].iloc[0]
+    g = df[df["conv_id"] == conv0]
+    rest = df[df["conv_id"] != conv0]
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        pd_concat([rest, g.head(len(g) // 2)]), preserve_index=False), a_path)
+    pq.write_table(pa.Table.from_pandas(g.tail(len(g) - len(g) // 2),
+                                        preserve_index=False), b_path)
+    d = str(tmp_path / "idx")
+    build_index([a_path], d, cfg)
+    import pytest as _pytest
+    # either guard may fire first: continued-conv turn_idx isn't 0-based
+    # (contiguity check) or the conv already exists (clash check)
+    with _pytest.raises(ValueError, match="contiguous|conversation"):
+        build_index([a_path, b_path], d, cfg)
+
+
+def pd_concat(frames):
+    import pandas as pd
+    return pd.concat(frames, ignore_index=True)
