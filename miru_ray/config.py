@@ -45,6 +45,12 @@ class IndexConfig:
     #     the object store (measured ~3× slower here: the sort pays ~600
     #     CPU-s ordering 160M string-carrying rows it doesn't need ordered).
     shuffle_mode: str = "external"
+    # run the doc-store write and the postings spill as concurrent Dataset
+    # executions (spill assigns doc ids inline from the broadcast offsets).
+    # Off by default: on a single box two streaming executors oversubscribe
+    # the same CPUs and the total gets worse (measured); on a real cluster
+    # with separate IO/CPU bottlenecks it can hide the docstore write.
+    overlap_stages: bool = False
     # BM25 constants (conventional defaults; the reference's own scorer has
     # no k1/b — see SURVEY.md §2.12)
     k1: float = 1.2

@@ -74,6 +74,31 @@ def _read_input(input_path: str | list[str], columns=None) -> "ray.data.Dataset"
     return ray.data.read_parquet(input_path, columns=columns)
 
 
+def _stabilize_concurrent_imports() -> None:
+    """Make concurrent Dataset executions from driver threads safe.
+
+    Ray's path resolution lazily imports ``fsspec.implementations.http`` on
+    every call; without aiohttp the import fails (handled), is evicted from
+    ``sys.modules``, and is retried — so two threads resolving paths at once
+    race on the half-initialized module and surface an *unhandled*
+    ``ImportError: cannot import name HTTPFileSystem``.  Seeding stub
+    ``aiohttp``/``yarl`` modules lets the fsspec module import once and stay
+    cached.  This sandbox is local-filesystem-only; the HTTP path is never
+    exercised.
+    """
+    import sys
+    import types
+    for name in ("aiohttp", "yarl"):
+        try:
+            __import__(name)
+        except ImportError:
+            sys.modules[name] = types.ModuleType(name)
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:  # pragma: no cover
+        pass
+
+
 # ---------------------------------------------------------------------------
 # stage 1 — conversation offsets (doc-id allocation without a global sort)
 # ---------------------------------------------------------------------------
@@ -195,7 +220,14 @@ def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
 # stage 3 — postings shuffle + segment encode
 # ---------------------------------------------------------------------------
 
-def make_postings_fn(cfg: IndexConfig):
+def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
+    """Batch → (term, doc_id, tf, gkey) rows.
+
+    With ``offsets_ref`` the batch is RAW INPUT (conv_id/turn_idx, no
+    doc_id yet): ids are assigned inline against the broadcast offsets, so
+    the postings pipeline reads the source directly and can run CONCURRENTLY
+    with the doc-store write instead of waiting for its files.
+    """
     stop = EN_STOPWORDS if cfg.remove_stopwords else None
     dpp = cfg.docs_per_partition
     nsh = cfg.num_shards
@@ -203,7 +235,13 @@ def make_postings_fn(cfg: IndexConfig):
     kw_fields = cfg.keyword_fields
 
     def to_postings(batch: pa.Table) -> pa.Table:
-        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+        if offsets_ref is not None:
+            convs, offs = _get_offsets(offsets_ref)
+            conv = np.asarray(batch["conv_id"].to_pandas(), dtype=object)
+            pos = np.searchsorted(convs, conv)
+            doc_id = offs[pos] + batch["turn_idx"].to_numpy().astype(np.int64)
+        else:
+            doc_id = batch["doc_id"].to_numpy().astype(np.int64)
         parts = []
         for f in text_fields:
             terms, rows, _ = explode_tokens(batch[f], stop)
@@ -287,20 +325,28 @@ def _build_segments_external(postings: "ray.data.Dataset", index_dir: str,
     ~3× faster (no comparison sort of the posting stream), and resumable at
     cell granularity: existing segment files are skipped.
     """
+    _spill_postings(postings, os.path.join(index_dir, "postings_spill"))
+    return _encode_cells(index_dir, cfg)
+
+
+def _spill_postings(postings: "ray.data.Dataset", spill_dir: str) -> None:
+    done_marker = os.path.join(spill_dir, "_SPILL_DONE")
+    if os.path.exists(done_marker):
+        return
+    import shutil
+    if os.path.exists(spill_dir):
+        shutil.rmtree(spill_dir)
+    postings.write_parquet(spill_dir, partition_cols=["gkey"])
+    with open(done_marker, "w") as f:
+        f.write("ok")
+
+
+def _encode_cells(index_dir: str, cfg: IndexConfig) -> list[dict]:
     import pyarrow.parquet as pq
 
     from .segments import encode_segment_table, write_segment
 
     spill_dir = os.path.join(index_dir, "postings_spill")
-    done_marker = os.path.join(spill_dir, "_SPILL_DONE")
-    if not os.path.exists(done_marker):
-        import shutil
-        if os.path.exists(spill_dir):
-            shutil.rmtree(spill_dir)
-        postings.write_parquet(spill_dir, partition_cols=["gkey"])
-        with open(done_marker, "w") as f:
-            f.write("ok")
-
     nsh = cfg.num_shards
 
     @ray.remote(num_cpus=1)
@@ -392,23 +438,53 @@ def build_index(input_path: str | list[str], index_dir: str,
     if stop_after_stage == "offsets":
         return {"incomplete": True, "stages": stages}
 
-    # [2] doc store
-    t0 = time.perf_counter()
-    if os.path.exists(os.path.join(docstore_dir, "_SUCCESS")) and not overwrite:
-        stages["docstore"] = {"skipped": True}
-    else:
+    # [2] doc store ∥ [3a] postings spill — independent given the offsets
+    # table (the spill assigns doc ids inline from the broadcast offsets),
+    # so the two Dataset executions run concurrently from driver threads
+    # and fill each other's scheduling gaps.
+    def docstore_job():
+        t0 = time.perf_counter()
+        if os.path.exists(os.path.join(docstore_dir, "_SUCCESS")) and not overwrite:
+            return {"skipped": True}
         import shutil
         if os.path.exists(docstore_dir):
             shutil.rmtree(docstore_dir)
-        ds = _read_input(files)
-        build_docstore(ds, offsets_path, docstore_dir, cfg)
-        stages["docstore"] = {"seconds": round(time.perf_counter() - t0, 3)}
-    if stop_after_stage == "docstore":
-        return {"incomplete": True, "stages": stages}
+        build_docstore(_read_input(files), offsets_path, docstore_dir, cfg)
+        return {"seconds": round(time.perf_counter() - t0, 3)}
 
-    # [3] segments
+    def spill_job():
+        t0 = time.perf_counter()
+        off_t = pq.read_table(offsets_path)
+        ref = ray.put((np.asarray(off_t["conv_id"].to_pandas(), dtype=object),
+                       off_t["offset"].to_numpy().astype(np.int64)))
+        cols = (["conv_id", "turn_idx"] + list(cfg.text_fields)
+                + list(cfg.keyword_fields))
+        ds = _read_input(files, columns=sorted(set(cols)))
+        postings = ds.map_batches(make_postings_fn(cfg, ref),
+                                  batch_format="pyarrow", batch_size=8192)
+        _spill_postings(postings, os.path.join(index_dir, "postings_spill"))
+        return {"seconds": round(time.perf_counter() - t0, 3)}
+
     t0 = time.perf_counter()
-    seg_rows = build_segments(docstore_dir, index_dir, cfg)
+    if cfg.shuffle_mode == "external" and cfg.overlap_stages:
+        from concurrent.futures import ThreadPoolExecutor
+        _stabilize_concurrent_imports()
+        if stop_after_stage == "docstore":
+            stages["docstore"] = docstore_job()
+            return {"incomplete": True, "stages": stages}
+        with ThreadPoolExecutor(2) as ex:
+            f_doc = ex.submit(docstore_job)
+            f_spill = ex.submit(spill_job)
+            stages["docstore"] = f_doc.result()
+            stages["spill"] = f_spill.result()
+        t0 = time.perf_counter()
+        seg_rows = _encode_cells(index_dir, cfg)
+    else:
+        stages["docstore"] = docstore_job()
+        if stop_after_stage == "docstore":
+            return {"incomplete": True, "stages": stages}
+        t0 = time.perf_counter()
+        seg_rows = build_segments(docstore_dir, index_dir, cfg)
     stages["segments"] = {"seconds": round(time.perf_counter() - t0, 3),
                           "n_segments": len(seg_rows),
                           "n_postings": int(sum(r["n_postings"] for r in seg_rows))}
