@@ -533,7 +533,8 @@ def _cleanup_spill(index_dir: str) -> None:
 
 
 def append_index(index_dir: str, manifest: dict, new_files: list[str],
-                 new_fp: str, cfg: IndexConfig) -> dict:
+                 new_fp: str, cfg: IndexConfig,
+                 _crash_after_docstore: bool = False) -> dict:
     """Incrementally index NEW input files into an existing index.
 
     The batch analogue of the reference's sip path
@@ -567,6 +568,12 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     order = np.argsort(conv, kind="stable")
     conv, cnt = conv[order], cnt[order]
     old_off = pq.read_table(offsets_path)
+    # a crashed earlier attempt of THIS append may have advanced the offsets
+    # table already; genuine pre-append conversations all have offset <
+    # old_n, so drop any leftovers beyond it (idempotent retry)
+    genuine = old_off["offset"].to_numpy() < old_n
+    if not genuine.all():
+        old_off = old_off.filter(pa.array(genuine))
     old_convs = np.asarray(old_off["conv_id"].to_pandas(), dtype=object)
     pos = np.searchsorted(old_convs, conv)
     clash = (pos < len(old_convs)) & (old_convs[np.minimum(pos, len(old_convs) - 1)] == conv)
@@ -590,10 +597,32 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
                       {"fingerprint": new_fp, "n_docs": old_n + int(cnt.sum()),
                        "n_convs": manifest["n_convs"] + len(cnt)})
 
-    # [2] doc store for the new files only (Ray's writer adds part files to
-    # the existing partition dirs; doc ids are disjoint from the old ones)
+    # [2] doc store for the new files only — IDEMPOTENT under append retry:
+    # write to a staging dir, then move files into the live partition dirs
+    # under a deterministic per-append prefix, clearing any leftovers of a
+    # previously crashed attempt of this same append first (a plain
+    # write_parquet into the live dirs would duplicate rows on retry).
+    import shutil
+    tag = f"append-{new_fp[:16]}"
+    staging = os.path.join(index_dir, "docstore_append_staging")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
     ds = _read_input(new_files)
-    build_docstore(ds, offsets_path, docstore_dir, cfg)
+    build_docstore(ds, offsets_path, staging, cfg)
+    for pdir in sorted(os.listdir(staging)):
+        if not pdir.startswith("partition="):
+            continue
+        dst_dir = os.path.join(docstore_dir, pdir)
+        os.makedirs(dst_dir, exist_ok=True)
+        for stale in os.listdir(dst_dir):  # leftovers of a crashed attempt
+            if stale.startswith(tag):
+                os.remove(os.path.join(dst_dir, stale))
+        for k, f in enumerate(sorted(os.listdir(os.path.join(staging, pdir)))):
+            os.replace(os.path.join(staging, pdir, f),
+                       os.path.join(dst_dir, f"{tag}-{k:05d}.parquet"))
+    shutil.rmtree(staging)
+    if _crash_after_docstore:  # test hook: simulate a mid-append crash
+        raise RuntimeError("simulated crash after append docstore")
 
     # [3] postings for the new docs; boundary-partition cells merge with
     # their existing segments, later partitions are fresh

@@ -148,3 +148,46 @@ def test_append_rejects_continued_conversation(xs_table, tmp_path):
 def pd_concat(frames):
     import pandas as pd
     return pd.concat(frames, ignore_index=True)
+
+
+def test_append_crash_resume(xs_table, tmp_path, monkeypatch):
+    """A crashed append retried to completion must equal a clean append
+    (no duplicated docstore rows, idempotent segment merge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miru_ray.index import build as B
+    cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+    df = xs_table.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                          kind="mergesort")
+    convs = sorted(df["conv_id"].unique())
+    first = set(convs[: len(convs) // 2])
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(df[df["conv_id"].isin(first)],
+                                        preserve_index=False), a_path)
+    pq.write_table(pa.Table.from_pandas(df[~df["conv_id"].isin(first)],
+                                        preserve_index=False), b_path)
+    d = str(tmp_path / "idx")
+    build_index([a_path], d, cfg)
+
+    orig = B.append_index
+    monkeypatch.setattr(
+        B, "append_index",
+        lambda *a, **k: orig(*a, **k, _crash_after_docstore=True))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated"):
+        build_index([a_path, b_path], d, cfg)
+    monkeypatch.setattr(B, "append_index", orig)
+    m = build_index([a_path, b_path], d, cfg)  # retry completes
+
+    # no duplicated docstore rows
+    import os
+    ds = pq.ParquetDataset(os.path.join(d, "docstore")).read()
+    ids = ds["doc_id"].to_numpy()
+    assert len(ids) == len(set(ids.tolist())) == m["n_docs"]
+    # equals a clean one-shot build
+    full = str(tmp_path / "full")
+    m2 = build_index([a_path, b_path], full, cfg)
+    assert m["n_docs"] == m2["n_docs"] and m["total_len"] == m2["total_len"]
+    assert _file_hashes(d) == _file_hashes(full)
