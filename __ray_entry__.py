@@ -72,6 +72,7 @@ def _ops_queries() -> dict[str, Callable[[str], Any]]:
         "events_waveform": A.waveform,
         "events_metrics": A.metrics,
         "events_trending": A.trending,
+        "events_trending_peaks": A.trending_peaks,   # rows-only (PEAKS)
         # ---- dedup family (§2.8 + training-data ops) ----
         "dedup_exact_docs": D.exact_dedup,
         "dedup_exact_count": D.exact_dedup_count,

@@ -1,0 +1,113 @@
+"""CLI: build / append / search / remove — the ``ray job submit`` surface.
+
+Examples::
+
+    python -m miru_ray build  --input /data/transcripts --index /data/idx
+    python -m miru_ray search --index /data/idx --query "alpha beta" -k 10
+    python -m miru_ray search --index /data/idx --query "role:user spark*" \
+        --strategy ref-tfidf --gather
+    python -m miru_ray remove --index /data/idx --doc-ids 3,17,42
+
+Owns its Ray session (``ray.init(address="local", ...)``) — library code
+never calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="miru_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build or resume/append an index")
+    b.add_argument("--input", required=True, help="parquet file/dir of transcripts")
+    b.add_argument("--index", required=True, help="index output directory")
+    b.add_argument("--docs-per-partition", type=int, default=100_000)
+    b.add_argument("--num-shards", type=int, default=8)
+    b.add_argument("--remove-stopwords", action="store_true")
+    b.add_argument("--overwrite", action="store_true")
+
+    s = sub.add_parser("search", help="query an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True, help="Lucene-ish query string")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--strategy", default="bm25",
+                   choices=["bm25", "ref-tfidf", "time"])
+    s.add_argument("--wand", action="store_true")
+    s.add_argument("--gather", action="store_true",
+                   help="include conv_id/turn_idx/text columns")
+    s.add_argument("--highlight", action="store_true")
+    s.add_argument("--num-readers", type=int, default=4)
+
+    r = sub.add_parser("remove", help="tombstone documents")
+    r.add_argument("--index", required=True)
+    r.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
+
+    args = p.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    import logging
+
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    try:
+        return _run(args)
+    finally:
+        ray.shutdown()
+
+
+def _run(args) -> int:
+    if args.cmd == "build":
+        from .config import IndexConfig
+        from .index.build import build_index
+        cfg = IndexConfig(docs_per_partition=args.docs_per_partition,
+                          num_shards=args.num_shards,
+                          remove_stopwords=args.remove_stopwords)
+        m = build_index(args.input, args.index, cfg, overwrite=args.overwrite)
+        print(json.dumps({k: m[k] for k in
+                          ("n_docs", "n_convs", "total_len", "avgdl")}
+                         | {"segments": len(m["segments"]),
+                            "stages": m["stages"]}))
+        return 0
+
+    if args.cmd == "search":
+        from .query.engine import Searcher
+        s = Searcher(args.index, num_readers=args.num_readers)
+        res = s.topk(args.query, args.k, args.strategy, use_wand=args.wand)
+        out = res.to_pandas()
+        if (args.gather or args.highlight) and len(out):
+            g = s.gather(out["doc_id"].tolist(),
+                         ["conv_id", "turn_idx", "text"]).to_pandas()
+            out = out.merge(g, on="doc_id", how="left")
+            if args.highlight:
+                from .query.filter import collect_scoring_terms
+                from .query.highlight import highlight_rows
+                terms = [t for t in collect_scoring_terms(s._to_ast(args.query))
+                         if ":" not in t]
+                out["fragment"] = highlight_rows(out["text"], terms)
+                out = out.drop(columns=["text"])
+        for rec in out.to_dict(orient="records"):
+            print(json.dumps(rec, default=str))
+        s.close()
+        return 0
+
+    if args.cmd == "remove":
+        from .query.engine import Searcher
+        s = Searcher(args.index, num_readers=1)
+        n = s.remove_docs([int(x) for x in args.doc_ids.split(",")])
+        print(json.dumps({"tombstoned": n}))
+        s.close()
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -148,6 +148,48 @@ def trending(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3) -> pa.Table:
                      "slope": pa.array([r[1] for r in rows], type=pa.float64())})
 
 
+def _peakdet(y: np.ndarray, delta: float) -> int:
+    """Count peaks: local maxima that rise ≥ delta above the surrounding
+    minima (reference: ``PeakDet.java:22-95``, the classic peakdet scan)."""
+    peaks = 0
+    mn, mx = np.inf, -np.inf
+    look_for_max = True
+    for v in y:
+        if v > mx:
+            mx = v
+        if v < mn:
+            mn = v
+        if look_for_max:
+            if v < mx - delta:
+                peaks += 1
+                mn = v
+                look_for_max = False
+        else:
+            if v > mn + delta:
+                mx = v
+                look_for_max = True
+    return peaks
+
+
+def trending_peaks(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3,
+                   delta_frac: float = 0.5) -> pa.Table:
+    """Top-k event types by waveform peak count (Trending PEAKS strategy,
+    ``TrendingQuestion.java:138-199`` + ``PeakDet``); ties by type name.
+    delta = delta_frac × waveform mean, per type."""
+    wf = waveform(sf_dir, dt_us).to_pandas()
+    rows = []
+    for et, g in wf.groupby("event_type"):
+        g = g.sort_values("bucket")
+        # densify: missing buckets are zero counts
+        buckets = g["bucket"].to_numpy()
+        dense = np.zeros(int(buckets.max() - buckets.min() + 1), np.float64)
+        dense[buckets - buckets.min()] = g["n_events"].to_numpy()
+        rows.append((et, _peakdet(dense, delta_frac * dense.mean())))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pa.table({"event_type": pa.array([r[0] for r in rows[:k]]),
+                     "n_peaks": pa.array([r[1] for r in rows[:k]], pa.int64())})
+
+
 # --------------------------- SQL oracles -----------------------------------
 
 SQL = {

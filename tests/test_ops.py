@@ -100,3 +100,14 @@ def test_highlighter():
     outs = highlight_rows(["alpha beta gamma", None], ["beta"])
     assert outs[0] == "alpha <b>beta</b> gamma"
     assert outs[1] == ""
+
+
+def test_trending_peaks():
+    from miru_ray.ops.analytics import _peakdet, trending_peaks
+    import numpy as np
+    assert _peakdet(np.array([0, 5, 0, 5, 0], float), 2.0) == 2
+    assert _peakdet(np.array([1, 1, 1], float), 0.5) == 0
+    out = trending_peaks(SF).to_pandas()
+    assert len(out) == 3 and (out["n_peaks"] >= 0).all()
+    # deterministic
+    assert trending_peaks(SF).equals(trending_peaks(SF))
