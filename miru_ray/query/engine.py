@@ -81,10 +81,30 @@ class PartitionReader:
             tsa[idx] = t["ts"].cast(pa.int64()).to_numpy()
             self.doclen[pid] = dl
             self.ts[pid] = tsa
+        # zone maps: per-partition ts min/max for time-range pruning
+        # (reference: time index + partition pruning, MiruTimeIndex /
+        # SURVEY.md §2.3 time-range mask mapping)
+        self._ts_range = {pid: (int(t.min()), int(t.max()))
+                          for pid, t in self.ts.items() if len(t)}
         if preload_segments:  # warm term dictionaries at init (actor-pool
             for pid in pids:  # rule: do one-time work once, not per query)
                 for shard in range(self.cfg.num_shards):
                     self._segment(pid, shard)
+
+    def _may_match(self, node: Node, pid: int) -> bool:
+        """Conservative partition pruning: False only if NO doc in the
+        partition can satisfy the filter (time zone-map check)."""
+        if isinstance(node, TimeRange):
+            lo, hi = self._ts_range.get(pid, (node.t0_us, node.t1_us))
+            return node.t0_us <= hi and node.t1_us >= lo
+        if isinstance(node, And):
+            return all(self._may_match(c, pid) for c in node.children)
+        if isinstance(node, Or):
+            return (any(self._may_match(c, pid) for c in node.children)
+                    if node.children else False)
+        if isinstance(node, Not):
+            return self._may_match(node.positive, pid)
+        return True
 
     def load_tombstones(self, doc_ids: list[int]) -> int:
         """(Re)load removed doc ids; returns count applied to this reader."""
@@ -231,6 +251,8 @@ class PartitionReader:
         expansions = expansions or {}
         out_docs, out_scores = [], []
         for pid in self.parts:
+            if not self._may_match(ast, pid):
+                continue  # zone-map pruned
             base = self.parts[pid]["base"]
             cache: dict = {}
             mask = self._alive_mask(pid, self._eval(ast, pid, cache, expansions))
@@ -335,6 +357,8 @@ class PartitionReader:
         total = 0
         docs = []
         for pid in self.parts:
+            if not self._may_match(ast, pid):
+                continue  # zone-map pruned
             base = self.parts[pid]["base"]
             mask = self._alive_mask(pid, self._eval(ast, pid, {}, expansions))
             total += int(mask.sum())
@@ -349,6 +373,8 @@ class PartitionReader:
         expansions = expansions or {}
         all_docs, all_ts = [], []
         for pid in self.parts:
+            if not self._may_match(ast, pid):
+                continue  # zone-map pruned
             base = self.parts[pid]["base"]
             mask = self._alive_mask(pid, self._eval(ast, pid, {}, expansions))
             sel = np.flatnonzero(mask)

@@ -190,3 +190,19 @@ def test_tombstones(xs_index, xs_oracle, tmp_path):
     s2 = Searcher(idx2, num_readers=1)
     assert not (set(removed) & set(s2.topk(hot[:1], 10, "bm25")["doc_id"].to_pylist()))
     s2.close()
+
+
+def test_time_range_partition_pruning(xs_searcher, xs_oracle):
+    """Zone-map pruning must not change results for any time window."""
+    ts = xs_oracle.ts
+    hot = _hot(xs_oracle, 2)
+    for q in ((0.0, 0.1), (0.45, 0.55), (0.9, 1.0), (0.0, 1.0)):
+        lo = int(np.quantile(ts, q[0]))
+        hi = int(np.quantile(ts, q[1]))
+        ast = And((Term("text", hot[0]), TimeRange(lo, hi)))
+        got = set(xs_searcher.match_docs(ast).tolist())
+        exp = {d for d in xs_oracle.postings[hot[0]] if lo <= ts[d] <= hi}
+        assert got == exp, q
+    # fully out-of-range window → empty, everywhere pruned
+    ast = And((Term("text", hot[0]), TimeRange(0, 10)))
+    assert xs_searcher.count(ast) == 0

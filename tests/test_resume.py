@@ -191,3 +191,14 @@ def test_append_crash_resume(xs_table, tmp_path, monkeypatch):
     m2 = build_index([a_path, b_path], full, cfg)
     assert m["n_docs"] == m2["n_docs"] and m["total_len"] == m2["total_len"]
     assert _file_hashes(d) == _file_hashes(full)
+
+
+def test_groupby_shuffle_mode_equivalent(xs_path, tmp_path):
+    """The Ray-native groupby shuffle must produce byte-identical segments
+    to the default external shuffle."""
+    a = str(tmp_path / "ext")
+    b = str(tmp_path / "grp")
+    build_index(xs_path, a, IndexConfig(docs_per_partition=1000, num_shards=2))
+    build_index(xs_path, b, IndexConfig(docs_per_partition=1000, num_shards=2,
+                                        shuffle_mode="groupby"))
+    assert _file_hashes(a) == _file_hashes(b)
