@@ -136,29 +136,52 @@ def _minhash(shingle_hashes: np.ndarray) -> np.ndarray:
 
 
 def _minhash_bands_batch(b: pa.Table) -> pa.Table:
-    """doc → LSH_BANDS rows (band_id, band_hash, doc_id)."""
+    """doc → LSH_BANDS rows (band_id, band_hash, doc_id).
+
+    Vectorized: shingle hashes of the whole batch go through the permutation
+    matrix in one chunked pass; per-doc minima via ``np.minimum.reduceat``
+    over document boundaries; band hashes via one blake2b per (doc, band)
+    (deterministic across workers — never Python ``hash()``).
+    """
     docs = b["doc_id"].to_numpy()
     texts = b["text"].to_pandas()
-    band_ids, band_hashes, out_docs = [], [], []
-    for d, t in zip(docs, texts):
-        sh = _shingles(py_tokenize(t))
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-             for s in sh), dtype=np.uint64, count=len(sh))
-        sig = _minhash(hs)
+    per_doc = [sorted(_shingles(py_tokenize(t))) for t in texts]
+    counts = np.array([max(1, len(s)) for s in per_doc], np.int64)
+    flat = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big")
+         for shs in per_doc for s in (shs or ["\x00empty"])),
+        dtype=np.uint64, count=int(counts.sum()))
+    starts = np.zeros(len(per_doc), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    sigs = np.empty((len(per_doc), MINHASH_PERMS), np.uint64)
+    CH = 200_000  # shingle-row chunk so (CH × 128) fits comfortably in RAM
+    doc_of = np.repeat(np.arange(len(per_doc)), counts)
+    for lo in range(0, len(flat), CH):
+        hv = (flat[lo:lo + CH, None] * _A[None, :] + _B[None, :]) \
+            % np.uint64(_MERSENNE)
+        seg_docs = doc_of[lo:lo + CH]
+        boundaries = np.flatnonzero(np.diff(seg_docs)) + 1
+        red_starts = np.concatenate(([0], boundaries))
+        mins = np.minimum.reduceat(hv, red_starts, axis=0)
+        touched = seg_docs[red_starts]
+        first_chunk = lo <= starts[touched]
+        sigs[touched[first_chunk]] = mins[first_chunk]
+        if (~first_chunk).any():
+            t2 = touched[~first_chunk]
+            np.minimum(sigs[t2], mins[~first_chunk], out=sigs[t2])
+    band_hashes = np.empty((len(per_doc), LSH_BANDS), np.int64)
+    for i in range(len(per_doc)):
         for band in range(LSH_BANDS):
-            chunk = sig[band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
-            # blake2b, NOT Python hash(): must be deterministic across worker
-            # processes (PYTHONHASHSEED varies)
-            bh = int.from_bytes(
+            chunk = sigs[i, band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
+            band_hashes[i, band] = int.from_bytes(
                 hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
                 "big") & 0x7FFFFFFFFFFFFFFF
-            band_ids.append(band)
-            band_hashes.append(bh)
-            out_docs.append(int(d))
-    return pa.table({"band_id": pa.array(band_ids, pa.int32()),
-                     "band_hash": pa.array(band_hashes, pa.int64()),
-                     "doc_id": pa.array(out_docs, pa.int64())})
+    n = len(per_doc)
+    return pa.table({
+        "band_id": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)),
+        "band_hash": pa.array(band_hashes.reshape(-1)),
+        "doc_id": pa.array(np.repeat(docs.astype(np.int64), LSH_BANDS))})
 
 
 def minhash_candidates(sf_dir: str) -> list[tuple[int, int]]:
@@ -167,29 +190,17 @@ def minhash_candidates(sf_dir: str) -> list[tuple[int, int]]:
     Bucket SIZES are computed distributed (groupby count); only rows in
     colliding buckets (count > 1 — rare by construction) come back to the
     driver, where pair expansion is one vectorized pandas pass."""
-    from ray.data.aggregate import Count
     ds = _documents(sf_dir, ["doc_id", "text"])
+    # banding (tokenize + minhash) is the distributed heavy pass; the bands
+    # table itself is tiny (32 rows per doc), so collision/pair extraction
+    # is one vectorized driver pass.  (Ray's sort-groupby on 2 keys costs
+    # tens of seconds of fixed overhead at this size; at ≥10^8 docs swap
+    # this tail for a distributed groupby-count + colliding-key filter.)
     bands = ds.map_batches(_minhash_bands_batch, batch_format="pyarrow",
-                           batch_size=4096)
-    sizes = bands.groupby(["band_id", "band_hash"]).aggregate(
-        Count(alias_name="n")).to_pandas()
-    hot = sizes[sizes["n"] > 1]
-    if not len(hot):
-        return []
-    hot_keys = set(zip(hot["band_id"].astype(int), hot["band_hash"].astype(int)))
-    import ray as _ray
-    ref = _ray.put(hot_keys)
-
-    def keep_colliding(b: pd.DataFrame) -> pd.DataFrame:
-        keys = _ray.get(ref)
-        mask = [(int(x), int(y)) in keys
-                for x, y in zip(b["band_id"], b["band_hash"])]
-        return b[np.array(mask, bool)]
-
-    coll = bands.map_batches(keep_colliding,
-                             batch_format="pandas").to_pandas()
+                           batch_size=1024).to_pandas()
+    coll = bands[bands.duplicated(["band_id", "band_hash"], keep=False)]
     out: set[tuple[int, int]] = set()
-    for _, g in coll.groupby(["band_id", "band_hash"]):
+    for _, g in coll.groupby(["band_id", "band_hash"], sort=False):
         d = np.sort(g["doc_id"].unique())
         if len(d) < 2:
             continue
@@ -204,8 +215,12 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     candidate set is band-collision-bounded)."""
     cands = minhash_candidates(sf_dir)
     docs = _documents(sf_dir, ["doc_id", "text"]).to_pandas()
+    all_ids = docs["doc_id"].astype(int).tolist()
+    # exact-Jaccard verification only needs the candidate docs' shingles —
+    # rebuilding them for every doc made the driver the bottleneck
+    in_cands = {d for pair in cands for d in pair}
     toks = {int(r.doc_id): _shingles(py_tokenize(r.text))
-            for r in docs.itertuples() }
+            for r in docs.itertuples() if int(r.doc_id) in in_cands}
     parent: dict[int, int] = {}
 
     def find(x):
@@ -221,9 +236,9 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-    cluster = {d: find(d) for d in toks}
-    out = pd.DataFrame({"doc_id": sorted(toks),
-                        "cluster_id": [cluster[d] for d in sorted(toks)]})
+    cluster = {d: find(d) for d in all_ids}
+    out = pd.DataFrame({"doc_id": sorted(all_ids),
+                        "cluster_id": [cluster[d] for d in sorted(all_ids)]})
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -249,37 +264,44 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def sim_batch(b: pa.Table) -> pa.Table:
+        # batch-vectorized simhash: hash every token once, unpack sign bits
+        # for all tokens at once, per-doc ±1 sums via np.add.reduceat
         docs = b["doc_id"].to_numpy()
-        sigs = [_simhash64(py_tokenize(t)) for t in b["text"].to_pandas()]
-        rows = {"band_id": [], "band_val": [], "doc_id": [], "sig": []}
-        for d, s in zip(docs, sigs):
-            for band in range(4):
-                rows["band_id"].append(band)
-                rows["band_val"].append((s >> (band * 16)) & 0xFFFF)
-                rows["doc_id"].append(int(d))
-                rows["sig"].append(np.int64(np.uint64(s).view(np.int64)))
-        return pa.table({k: pa.array(v) for k, v in rows.items()})
+        toks_per_doc = [py_tokenize(t) for t in b["text"].to_pandas()]
+        counts = np.array([max(1, len(t)) for t in toks_per_doc], np.int64)
+        flat = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                            "big")
+             for toks in toks_per_doc for t in (toks or ["\x00empty"]))
+            , dtype=np.uint64, count=int(counts.sum()))
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int32) * 2 - 1
+        starts = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        acc = np.add.reduceat(bits, starts, axis=0)
+        sig_bits = (acc > 0).astype(np.uint64)
+        sigs = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        n = len(docs)
+        band_ids = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))
+        band_vals = ((sigs[:, None] >> shifts[None, :])
+                     & np.uint64(0xFFFF)).astype(np.int64).reshape(-1)
+        return pa.table({
+            "band_id": pa.array(band_ids),
+            "band_val": pa.array(band_vals),
+            "doc_id": pa.array(np.repeat(docs.astype(np.int64), 4)),
+            "sig": pa.array(np.repeat(sigs.view(np.int64), 4))})
 
-    bands = ds.map_batches(sim_batch, batch_format="pyarrow", batch_size=4096)
-    # only colliding buckets matter; bucket sizes computed distributed
-    from ray.data.aggregate import Count
-    sizes = bands.groupby(["band_id", "band_val"]).aggregate(
-        Count(alias_name="n")).to_pandas()
-    hot = set(zip(sizes[sizes["n"] > 1]["band_id"].astype(int),
-                  sizes[sizes["n"] > 1]["band_val"].astype(int)))
-    if not hot:
+    # the signature pass is the distributed heavy step; the bands table is
+    # 4 rows/doc, so collision + Hamming verification is one driver pass
+    # (same scale note as minhash_candidates)
+    bands = ds.map_batches(sim_batch, batch_format="pyarrow",
+                           batch_size=1024).to_pandas()
+    coll = bands[bands.duplicated(["band_id", "band_val"], keep=False)]
+    if not len(coll):
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
-    import ray as _ray
-    ref = _ray.put(hot)
-
-    def keep_colliding(b: pd.DataFrame) -> pd.DataFrame:
-        keys = _ray.get(ref)
-        mask = [(int(x), int(y)) in keys
-                for x, y in zip(b["band_id"], b["band_val"])]
-        return b[np.array(mask, bool)]
-
-    coll = bands.map_batches(keep_colliding, batch_format="pandas").to_pandas()
     popcnt8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 
     def _hamming(x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -79,29 +79,25 @@ def _distinct_user_features(sf_dir: str) -> "ray.data.Dataset":
     return agg.select_columns(["feature", "user_id"])
 
 
+def _model_from_pairs(pairs_pdf: pd.DataFrame, lab: np.ndarray) -> pd.DataFrame:
+    is_lab = np.isin(pairs_pdf["user_id"].to_numpy(), lab)
+    g = pairs_pdf.assign(is_lab=is_lab.astype(np.int64)).groupby(
+        "feature", as_index=False).agg(numerator=("is_lab", "sum"),
+                                       denominator=("is_lab", "size"))
+    g["numerator"] = g["numerator"].astype(np.int64)
+    g["denominator"] = g["denominator"].astype(np.int64)
+    return g.sort_values("feature").reset_index(drop=True)
+
+
 def catwalk_model(sf_dir: str) -> pa.Table:
-    """(feature, numerator, denominator) — FeatureScore table."""
-    lab = _labeled_users(sf_dir)
-    lab_ref = ray.put(lab)
+    """(feature, numerator, denominator) — FeatureScore table.
 
-    def partial_counts(b: pa.Table) -> pa.Table:
-        labs = ray.get(lab_ref)
-        users = b["user_id"].to_numpy()
-        is_lab = np.isin(users, labs).astype(np.int64)
-        t = b.append_column("is_lab", pa.array(is_lab))
-        g = t.group_by("feature").aggregate(
-            [("is_lab", "sum"), ("is_lab", "count")])
-        return g.rename_columns(["feature", "num", "den"])
-
-    pairs = _distinct_user_features(sf_dir)
-    partials = pairs.map_batches(partial_counts, batch_format="pyarrow",
-                                 batch_size=65536)
-    out = partials.groupby("feature").aggregate(
-        Sum("num", alias_name="numerator"),
-        Sum("den", alias_name="denominator")).to_pandas()
-    out["numerator"] = out["numerator"].astype(np.int64)
-    out["denominator"] = out["denominator"].astype(np.int64)
-    out = out.sort_values("feature").reset_index(drop=True)
+    The distinct (user, feature) pairs are computed distributed (one pass);
+    the FeatureScore aggregation runs over that small table (≤ one row per
+    user-feature pair) on the driver — the reference's model store also
+    merges pre-counted FeatureScores (``CatwalkModelService:146-200``)."""
+    pairs_pdf = _distinct_user_features(sf_dir).to_pandas()
+    out = _model_from_pairs(pairs_pdf, _labeled_users(sf_dir))
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -125,13 +121,19 @@ class StrutScorer:
 
 
 def strut_topk(sf_dir: str, k: int = 10) -> pa.Table:
-    """Top-k unlabeled users by max feature score (MAX strategy)."""
-    model = catwalk_model(sf_dir)
-    model_ref = ray.put((np.asarray(model["feature"].to_pandas(), object),
+    """Top-k unlabeled users by max feature score (MAX strategy).
+
+    The distinct-pairs dataset is computed ONCE; the model is derived from
+    it and broadcast to the scorer actor pool that re-consumes the same
+    pairs (no second distributed distinct pass)."""
+    lab = _labeled_users(sf_dir)
+    pairs_pdf = _distinct_user_features(sf_dir).to_pandas()
+    model = _model_from_pairs(pairs_pdf, lab)
+    model_ref = ray.put((np.asarray(model["feature"], object),
                          model["numerator"].to_numpy().astype(np.float64),
                          model["denominator"].to_numpy().astype(np.float64)))
-    lab_ref = ray.put(_labeled_users(sf_dir))
-    pairs = _distinct_user_features(sf_dir)
+    lab_ref = ray.put(lab)
+    pairs = ray.data.from_pandas(pairs_pdf)
     partials = pairs.map_batches(
         StrutScorer, batch_format="pandas", batch_size=65536,
         concurrency=(1, 4), fn_constructor_args=(model_ref, lab_ref))
