@@ -22,6 +22,12 @@ class IndexConfig:
     # fields indexed whole as `field:value` single terms, tf=1 (reference:
     # `singleTerm` fields, MiruFieldDefinition.java:59-78)
     keyword_fields: tuple[str, ...] = ("role", "tool")
+    # list<string> columns indexed as one `field:value` term PER ELEMENT
+    # (reference: `multiTerm` fields, MiruFieldDefinition.java:59-78; the
+    # authz ACL list, MiruActivity.authz / MiruAuthzIndex, is the canonical
+    # user — each ACL entry gets its own postings, queries OR a principal's
+    # entries, MiruAuthzExpression)
+    list_keyword_fields: tuple[str, ...] = ()
     # docs per index partition (reference: partition rollover by capacity,
     # MiruPartitioner.java:92-108; "millions of ordered documents" README:12).
     # Tests use small values; at 100 TB size this to a few million docs so a
@@ -58,15 +64,28 @@ class IndexConfig:
     ts_field: str = "ts"
     id_fields: tuple[str, ...] = ("conv_id", "turn_idx")
 
+    def content_dict(self) -> dict:
+        """Only the fields that determine INDEX BYTES.  Execution knobs
+        (shuffle_mode, overlap_stages) and query-time constants (k1, b)
+        are excluded so stage checkpoints remain valid across them —
+        different shuffle paths must produce byte-identical segments."""
+        d = self.to_dict()
+        for k in ("shuffle_mode", "overlap_stages", "k1", "b"):
+            d.pop(k)
+        return d
+
     def to_dict(self) -> dict:
         d = asdict(self)
-        for k in ("text_fields", "keyword_fields", "id_fields"):
+        for k in ("text_fields", "keyword_fields", "list_keyword_fields",
+                  "id_fields"):
             d[k] = list(d[k])
         return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "IndexConfig":
         d = dict(d)
-        for k in ("text_fields", "keyword_fields", "id_fields"):
+        d.setdefault("list_keyword_fields", ())
+        for k in ("text_fields", "keyword_fields", "list_keyword_fields",
+                  "id_fields"):
             d[k] = tuple(d[k])
         return cls(**d)

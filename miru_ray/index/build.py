@@ -67,11 +67,29 @@ from .segments import encode_segment_table, segment_rel_path, write_segment
 
 logger = logging.getLogger(__name__)
 
-MANIFEST_VERSION = 1
+MANIFEST_VERSION = 2  # v2: segment term dict carries first_doc/last_doc
 
 
 def _read_input(input_path: str | list[str], columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(input_path, columns=columns)
+
+
+def _build_tag(fp: str, cfg: IndexConfig) -> dict:
+    """Identity of one build: (input fingerprint, content config, format
+    version).  Every skip-if-exists checkpoint must match this tag,
+    otherwise the stage output belongs to a DIFFERENT build and is cleared
+    first — deterministic-content resume is only valid within one tag."""
+    return {"fingerprint": fp, "config": cfg.content_dict(),
+            "version": MANIFEST_VERSION}
+
+
+def _stage_current(marker_path: str, tag: dict) -> bool:
+    if not os.path.exists(marker_path):
+        return False
+    try:
+        return read_json(marker_path) == tag
+    except Exception:
+        return False
 
 
 def _stabilize_concurrent_imports() -> None:
@@ -201,7 +219,7 @@ class AssignDocIds:
 
 
 def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
-                   cfg: IndexConfig) -> None:
+                   cfg: IndexConfig, tag: dict | None = None) -> None:
     off_t = pq.read_table(offsets_path)
     convs = np.asarray(off_t["conv_id"].to_pandas(), dtype=object)
     offs = off_t["offset"].to_numpy().astype(np.int64)
@@ -211,9 +229,9 @@ def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
     # broadcast is cached per worker process by _get_offsets
     fn = AssignDocIds(ref, cfg.docs_per_partition, stop)
     out = ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
-    out.write_parquet(docstore_dir, partition_cols=["partition"])
-    with open(os.path.join(docstore_dir, "_SUCCESS"), "w") as f:
-        f.write("ok")
+    out.write_parquet(docstore_dir, partition_cols=["partition"],
+                      compression="zstd")
+    atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"), tag or {})
 
 
 # ---------------------------------------------------------------------------
@@ -233,12 +251,19 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
     nsh = cfg.num_shards
     text_fields = cfg.text_fields
     kw_fields = cfg.keyword_fields
+    list_kw_fields = cfg.list_keyword_fields
 
     def to_postings(batch: pa.Table) -> pa.Table:
         if offsets_ref is not None:
             convs, offs = _get_offsets(offsets_ref)
             conv = np.asarray(batch["conv_id"].to_pandas(), dtype=object)
             pos = np.searchsorted(convs, conv)
+            # same bounds + equality validation as AssignDocIds: a conv_id
+            # missing from the offsets table must raise, not silently take
+            # a neighbour's offset (ADVICE r01, low)
+            if (pos >= len(convs)).any() or (convs[np.minimum(
+                    pos, len(convs) - 1)] != conv).any():
+                raise ValueError("conv_id missing from offsets table")
             doc_id = offs[pos] + batch["turn_idx"].to_numpy().astype(np.int64)
         else:
             doc_id = batch["doc_id"].to_numpy().astype(np.int64)
@@ -263,6 +288,26 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
                 "term": pa.array(kterm, type=pa.string()),
                 "doc_id": pa.array(doc_id[keep]),
                 "tf": pa.array(np.ones(int(keep.sum()), np.int64))}))
+        for f in list_kw_fields:
+            # one `field:value` term per list element (multiTerm fields) —
+            # zero-copy explode via list offsets + parent_indices
+            col = batch[f]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = pc.list_flatten(col)
+            if len(flat) == 0:
+                continue
+            parent = pc.list_parent_indices(col).to_numpy()
+            v = np.asarray(pc.cast(flat, pa.string()).to_pandas(),
+                           dtype=object)
+            ok = np.array([s is not None and s != "" for s in v], bool)
+            if not ok.any():
+                continue
+            kterm = np.array([f + ":"], dtype=object) + v[ok]
+            parts.append(pa.table({
+                "term": pa.array(kterm, type=pa.string()),
+                "doc_id": pa.array(doc_id[parent[ok]]),
+                "tf": pa.array(np.ones(int(ok.sum()), np.int64))}))
         if not parts:
             return pa.table({"term": pa.array([], pa.string()),
                              "doc_id": pa.array([], pa.int64()),
@@ -300,8 +345,10 @@ def make_segment_writer(index_dir: str, nsh: int):
     return encode_group
 
 
-def build_segments(docstore_dir: str, index_dir: str, cfg: IndexConfig) -> list[dict]:
-    cols = ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
+def build_segments(docstore_dir: str, index_dir: str, cfg: IndexConfig,
+                   tag: dict | None = None) -> list[dict]:
+    cols = ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields) \
+        + list(cfg.list_keyword_fields)
     docs = ray.data.read_parquet(docstore_dir, columns=cols,
                                  file_extensions=["parquet"])
     postings = docs.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
@@ -312,11 +359,12 @@ def build_segments(docstore_dir: str, index_dir: str, cfg: IndexConfig) -> list[
             batch_format="pyarrow")
         rows = meta.take_all()
         return sorted(rows, key=lambda r: (r["pid"], r["shard"]))
-    return _build_segments_external(postings, index_dir, cfg)
+    return _build_segments_external(postings, index_dir, cfg, tag)
 
 
 def _build_segments_external(postings: "ray.data.Dataset", index_dir: str,
-                             cfg: IndexConfig) -> list[dict]:
+                             cfg: IndexConfig,
+                             tag: dict | None = None) -> list[dict]:
     """External shuffle: partitioned parquet spill keyed by gkey, then one
     independent encode task per (partition, shard) cell.
 
@@ -325,20 +373,24 @@ def _build_segments_external(postings: "ray.data.Dataset", index_dir: str,
     ~3× faster (no comparison sort of the posting stream), and resumable at
     cell granularity: existing segment files are skipped.
     """
-    _spill_postings(postings, os.path.join(index_dir, "postings_spill"))
+    _spill_postings(postings, os.path.join(index_dir, "postings_spill"), tag)
     return _encode_cells(index_dir, cfg)
 
 
-def _spill_postings(postings: "ray.data.Dataset", spill_dir: str) -> None:
+def _spill_postings(postings: "ray.data.Dataset", spill_dir: str,
+                    tag: dict | None = None) -> None:
     done_marker = os.path.join(spill_dir, "_SPILL_DONE")
-    if os.path.exists(done_marker):
+    if _stage_current(done_marker, tag or {}):
         return
     import shutil
     if os.path.exists(spill_dir):
         shutil.rmtree(spill_dir)
-    postings.write_parquet(spill_dir, partition_cols=["gkey"])
-    with open(done_marker, "w") as f:
-        f.write("ok")
+    # zstd on the spill: postings rows are string-heavy (term column) and the
+    # spill is the build's dominant disk write — compression trades cheap CPU
+    # for the single-box IO ceiling (BENCH.md 8→32 scaling)
+    postings.write_parquet(spill_dir, partition_cols=["gkey"],
+                           compression="zstd")
+    atomic_write_json(done_marker, tag or {})
 
 
 def _encode_cells(index_dir: str, cfg: IndexConfig) -> list[dict]:
@@ -386,6 +438,31 @@ def _encode_cells(index_dir: str, cfg: IndexConfig) -> list[dict]:
 # orchestration
 # ---------------------------------------------------------------------------
 
+def _reset_stage_outputs(index_dir: str, docstore_dir: str, tag: dict,
+                         overwrite: bool) -> None:
+    """Clear any stage output that belongs to a different build tag (or all
+    of them under ``overwrite=True``) so skip-if-exists checkpoints can never
+    serve stale bytes: segment files / docstore / spill written by a build
+    with different input or config would otherwise be silently reused while
+    the manifest reports fresh stats (ADVICE r01, high)."""
+    import shutil
+    seg_dir = os.path.join(index_dir, "segments")
+    seg_meta = os.path.join(seg_dir, "_META.json")
+    if overwrite or not _stage_current(seg_meta, tag):
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        os.makedirs(seg_dir, exist_ok=True)
+        atomic_write_json(seg_meta, tag)
+    if overwrite or not _stage_current(
+            os.path.join(docstore_dir, "_SUCCESS"), tag):
+        shutil.rmtree(docstore_dir, ignore_errors=True)
+    for d in ("postings_spill", "postings_spill_append"):
+        sd = os.path.join(index_dir, d)
+        if os.path.exists(sd) and (
+                overwrite
+                or not _stage_current(os.path.join(sd, "_SPILL_DONE"), tag)):
+            shutil.rmtree(sd, ignore_errors=True)
+
+
 def build_index(input_path: str | list[str], index_dir: str,
                 cfg: IndexConfig | None = None, *,
                 overwrite: bool = False,
@@ -406,13 +483,15 @@ def build_index(input_path: str | list[str], index_dir: str,
 
     if os.path.exists(manifest_path) and not overwrite:
         m = read_json(manifest_path)
-        if m.get("fingerprint") == fp and m.get("config") == cfg.to_dict():
+        if (m.get("fingerprint") == fp and m.get("config") == cfg.to_dict()
+                and m.get("version") == MANIFEST_VERSION):
             logger.info("index up to date at %s", index_dir)
             return m
         # incremental append (the sip analogue): the old input is an
         # unchanged subset of the new input → index only the added files
         old_files = m.get("input_files", [])
         if (m.get("config") == cfg.to_dict() and old_files
+                and m.get("version") == MANIFEST_VERSION
                 and set(old_files) <= set(files)
                 and all("cf_text" in s for s in m.get("segments", []))):
             try:
@@ -423,6 +502,8 @@ def build_index(input_path: str | list[str], index_dir: str,
                 pass  # old inputs vanished → full rebuild below
 
     stages: dict[str, dict] = {}
+    tag = _build_tag(fp, cfg)
+    _reset_stage_outputs(index_dir, docstore_dir, tag, overwrite)
 
     # [1] conv offsets
     t0 = time.perf_counter()
@@ -444,12 +525,13 @@ def build_index(input_path: str | list[str], index_dir: str,
     # and fill each other's scheduling gaps.
     def docstore_job():
         t0 = time.perf_counter()
-        if os.path.exists(os.path.join(docstore_dir, "_SUCCESS")) and not overwrite:
+        if _stage_current(os.path.join(docstore_dir, "_SUCCESS"), tag):
             return {"skipped": True}
         import shutil
         if os.path.exists(docstore_dir):
             shutil.rmtree(docstore_dir)
-        build_docstore(_read_input(files), offsets_path, docstore_dir, cfg)
+        build_docstore(_read_input(files), offsets_path, docstore_dir, cfg,
+                       tag)
         return {"seconds": round(time.perf_counter() - t0, 3)}
 
     def spill_job():
@@ -458,11 +540,12 @@ def build_index(input_path: str | list[str], index_dir: str,
         ref = ray.put((np.asarray(off_t["conv_id"].to_pandas(), dtype=object),
                        off_t["offset"].to_numpy().astype(np.int64)))
         cols = (["conv_id", "turn_idx"] + list(cfg.text_fields)
-                + list(cfg.keyword_fields))
+                + list(cfg.keyword_fields) + list(cfg.list_keyword_fields))
         ds = _read_input(files, columns=sorted(set(cols)))
         postings = ds.map_batches(make_postings_fn(cfg, ref),
                                   batch_format="pyarrow", batch_size=8192)
-        _spill_postings(postings, os.path.join(index_dir, "postings_spill"))
+        _spill_postings(postings, os.path.join(index_dir, "postings_spill"),
+                        tag)
         return {"seconds": round(time.perf_counter() - t0, 3)}
 
     t0 = time.perf_counter()
@@ -484,7 +567,7 @@ def build_index(input_path: str | list[str], index_dir: str,
         if stop_after_stage == "docstore":
             return {"incomplete": True, "stages": stages}
         t0 = time.perf_counter()
-        seg_rows = build_segments(docstore_dir, index_dir, cfg)
+        seg_rows = build_segments(docstore_dir, index_dir, cfg, tag)
     stages["segments"] = {"seconds": round(time.perf_counter() - t0, 3),
                           "n_segments": len(seg_rows),
                           "n_postings": int(sum(r["n_postings"] for r in seg_rows))}
@@ -599,24 +682,34 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
 
     # [2] doc store for the new files only — IDEMPOTENT under append retry:
     # write to a staging dir, then move files into the live partition dirs
-    # under a deterministic per-append prefix, clearing any leftovers of a
-    # previously crashed attempt of this same append first (a plain
-    # write_parquet into the live dirs would duplicate rows on retry).
+    # under a deterministic per-append prefix.  A ``pending_append.json``
+    # sidecar records the in-flight attempt's prefix; leftovers of ANY
+    # previously crashed attempt (same OR different fingerprint — ADVICE
+    # r01, medium) are purged via the sidecar before new files move in.
     import shutil
     tag = f"append-{new_fp[:16]}"
+    sidecar_path = os.path.join(index_dir, "pending_append.json")
+    stale_tags = {tag}
+    if os.path.exists(sidecar_path):
+        stale_tags.add(read_json(sidecar_path).get("tag", tag))
+    atomic_write_json(sidecar_path, {"tag": tag})
     staging = os.path.join(index_dir, "docstore_append_staging")
     if os.path.exists(staging):
         shutil.rmtree(staging)
     ds = _read_input(new_files)
     build_docstore(ds, offsets_path, staging, cfg)
+    for pdir in sorted(os.listdir(docstore_dir)):
+        if not pdir.startswith("partition="):
+            continue
+        dst_dir = os.path.join(docstore_dir, pdir)
+        for stale in os.listdir(dst_dir):  # leftovers of crashed attempts
+            if any(stale.startswith(t) for t in stale_tags):
+                os.remove(os.path.join(dst_dir, stale))
     for pdir in sorted(os.listdir(staging)):
         if not pdir.startswith("partition="):
             continue
         dst_dir = os.path.join(docstore_dir, pdir)
         os.makedirs(dst_dir, exist_ok=True)
-        for stale in os.listdir(dst_dir):  # leftovers of a crashed attempt
-            if stale.startswith(tag):
-                os.remove(os.path.join(dst_dir, stale))
         for k, f in enumerate(sorted(os.listdir(os.path.join(staging, pdir)))):
             os.replace(os.path.join(staging, pdir, f),
                        os.path.join(dst_dir, f"{tag}-{k:05d}.parquet"))
@@ -624,57 +717,57 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     if _crash_after_docstore:  # test hook: simulate a mid-append crash
         raise RuntimeError("simulated crash after append docstore")
 
-    # [3] postings for the new docs; boundary-partition cells merge with
-    # their existing segments, later partitions are fresh
-    spill_dir = os.path.join(index_dir, "postings_spill_append")
-    import shutil
-    if os.path.exists(spill_dir):
-        shutil.rmtree(spill_dir)
-    docs = ray.data.read_parquet(docstore_dir, columns=(
-        ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)),
-        file_extensions=["parquet"],
-        filter=(pads_field("doc_id") >= old_n))
-    postings = docs.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
-                                batch_size=8192)
-    postings.write_parquet(spill_dir, partition_cols=["gkey"])
-
+    # [3] re-encode every partition the append touches FROM THE DOC STORE
+    # (all new docs have doc_id >= old_n, so touched pids are a contiguous
+    # tail: the boundary partition + fresh ones).  Rebuilding cells from the
+    # docstore — rather than merging new postings into existing segment
+    # files — makes this stage idempotent under any crash/retry pattern:
+    # a half-merged segment from a previous attempt is simply overwritten
+    # with deterministic content (the docstore is the WAL / source of truth,
+    # like the reference's rebuild-from-WAL path,
+    # ``MiruLocalHostedPartition.RebuildIndexRunnable``).
     nsh = cfg.num_shards
-    from .segments import encode_segment_table as _enc
-    from .segments import segment_to_rows as _seg_rows
-    from .segments import write_segment as _write
+    n_docs = old_n + int(cnt.sum())
+    first_pid = old_n // dpp
+    last_pid = (n_docs - 1) // dpp
+    postings_fn = make_postings_fn(cfg)
+    cols = (["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
+            + list(cfg.list_keyword_fields))
 
     @ray.remote(num_cpus=1)
-    def merge_cell(gdir: str, gkey: int) -> tuple[int, int, int, int, int]:
+    def rebuild_partition(pid: int) -> list[tuple[int, int, int, int, int]]:
         import pyarrow.compute as _pc
-        new_rows = pq.ParquetDataset(gdir).read()
-        pid, shard = gkey // nsh, gkey % nsh
-        path = os.path.join(index_dir, segment_rel_path(pid, shard))
-        if os.path.exists(path):
-            old_rows = _seg_rows(path)
-            new_rows = pa.concat_tables(
-                [old_rows, new_rows.select(["term", "doc_id", "tf"])])
-        seg = _enc(new_rows)
-        _write(seg, path)  # atomic replace
-        kw = _pc.match_substring(seg["term"], ":")
-        cf_text = int(_pc.sum(_pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
-        return pid, shard, seg.num_rows, new_rows.num_rows, cf_text
 
-    futs = []
-    for d in sorted(os.listdir(spill_dir)):
-        if d.startswith("gkey="):
-            futs.append(merge_cell.remote(os.path.join(spill_dir, d),
-                                          int(d.split("=", 1)[1])))
+        from .segments import encode_segment_table as _enc
+        from .segments import write_segment as _write
+        pdir = os.path.join(docstore_dir, f"partition={pid}")
+        t = pq.ParquetDataset(pdir).read(columns=cols)
+        rows = postings_fn(t)
+        gkeys = rows["gkey"].to_numpy()
+        out = []
+        for shard in range(nsh):
+            cell = rows.filter(pa.array(gkeys == pid * nsh + shard))
+            if cell.num_rows == 0:
+                continue
+            seg = _enc(cell)
+            _write(seg, os.path.join(index_dir, segment_rel_path(pid, shard)))
+            kw = _pc.match_substring(seg["term"], ":")
+            cf_text = int(_pc.sum(_pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
+            out.append((pid, shard, seg.num_rows, cell.num_rows, cf_text))
+        return out
+
+    futs = [rebuild_partition.remote(pid)
+            for pid in range(first_pid, last_pid + 1)]
     new_rows = [{"pid": p, "shard": s, "n_terms": nt, "n_postings": np_,
                  "cf_text": ct,
                  "path": segment_rel_path(p, s)}
-                for p, s, nt, np_, ct in ray.get(futs)]
+                for cells in ray.get(futs)
+                for p, s, nt, np_, ct in cells]
 
-    # [4] manifest update: replace merged cells, add fresh ones
-    replaced = {(r["pid"], r["shard"]) for r in new_rows}
+    # [4] manifest update: every cell of a rebuilt partition is replaced
     segments = [s for s in manifest["segments"]
-                if (s["pid"], s["shard"]) not in replaced] + new_rows
+                if s["pid"] < first_pid] + new_rows
     segments.sort(key=lambda r: (r["pid"], r["shard"]))
-    n_docs = old_n + int(cnt.sum())
     n_parts = (n_docs + dpp - 1) // dpp
     total_len = int(sum(s["cf_text"] for s in segments))
     out = dict(manifest)
@@ -695,6 +788,13 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
         "seconds": round(time.perf_counter() - t_all, 3),
         "new_docs": int(cnt.sum()), "new_files": len(new_files)}
     atomic_write_json(os.path.join(index_dir, "manifest.json"), out)
+    # keep the stage checkpoints consistent with the appended state so a
+    # subsequent full-rebuild check doesn't wipe a valid index
+    new_tag = _build_tag(new_fp, cfg)
+    atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"), new_tag)
+    atomic_write_json(os.path.join(index_dir, "segments", "_META.json"),
+                      new_tag)
+    os.remove(sidecar_path)  # append committed — no longer pending
     _cleanup_spill(index_dir)
     return out
 

@@ -31,6 +31,13 @@ SEGMENT_SCHEMA = pa.schema([
     ("term", pa.string()),
     ("df", pa.int64()),
     ("cf", pa.int64()),
+    # first/last doc per term, captured at INDEX time in the same encode
+    # pass (zero extra shuffle) — the reference's latest/first index
+    # families (``miru-service/.../stream/MiruIndexLatest.java:25``,
+    # ``MiruIndexFirst.java``): "latest doc per term" without a query-time
+    # groupby.  Global first/last = min/max across segments.
+    ("first_doc", pa.int64()),
+    ("last_doc", pa.int64()),
     ("doc_bytes", pa.binary()),
     ("tf_bytes", pa.binary()),
     ("block_last_doc", pa.list_(pa.int64())),
@@ -82,10 +89,13 @@ def encode_segment_table(group: pa.Table) -> pa.Table:
 
     enc = bulk_encode_postings(doc_np, tf_np, starts)
     boff = enc["block_offsets"]
+    ends = np.append(starts[1:], len(doc_np))
     return pa.table({
         "term": pa.array(sorted_terms, type=pa.string()),
         "df": pa.array(enc["df"]),
         "cf": pa.array(enc["cf"]),
+        "first_doc": pa.array(doc_np[starts]),
+        "last_doc": pa.array(doc_np[ends - 1]),
         "doc_bytes": pa.array(enc["doc_bytes"], type=pa.binary()),
         "tf_bytes": pa.array(enc["tf_bytes"], type=pa.binary()),
         "block_last_doc": pa.ListArray.from_arrays(
@@ -154,6 +164,12 @@ class SegmentReader:
 
     def stats(self, row: int) -> tuple[int, int]:
         return int(self._df[row]), int(self._cf[row])
+
+    def first_last(self, row: int) -> tuple[int, int]:
+        """(first_doc, last_doc) for a term — the index-time latest/first
+        family (``MiruIndexLatest.java:25``, ``MiruIndexFirst.java``)."""
+        return (int(self.table["first_doc"][row].as_py()),
+                int(self.table["last_doc"][row].as_py()))
 
     def postings(self, row: int) -> tuple[np.ndarray, np.ndarray]:
         df = int(self._df[row])

@@ -259,7 +259,12 @@ class PartitionReader:
             if not mask.any():
                 continue
             if (use_wand and after is None
-                    and strategy in ("bm25", "ref-tfidf") and _is_pure_or(ast)):
+                    and strategy in ("bm25", "ref-tfidf") and _is_pure_or(ast)
+                    and self._tombstones.get(pid) is None):
+                # WAND scores straight from postings, so a partition with
+                # tombstones falls back to mask scoring — the removal mask
+                # must gate every answer (buildIndexMask semantics; ADVICE
+                # r01: WAND returned removed docs)
                 d, s = self._wand_partition(pid, k, strategy, term_counts,
                                             global_stats, cache)
             else:

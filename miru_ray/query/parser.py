@@ -74,6 +74,13 @@ def parse_query(q: str, default_field: str = "text") -> Node:
                 pending_or = False
             else:
                 positives.append(node)
+        if not positives and negatives:
+            # pure-negative query ("-spark"): Lucene / the reference's
+            # LuceneBackedQueryParser yield NO results for MUST_NOT-only
+            # queries.  An empty Or() evaluates to match-none, so the whole
+            # expression matches nothing (ADVICE r01: the implicit And(())
+            # match-all made "-spark" return every non-matching doc).
+            return Not(Or(()), tuple(negatives))
         pos_node: Node = (positives[0] if len(positives) == 1
                           else And(tuple(positives)))
         if negatives:
