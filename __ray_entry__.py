@@ -49,8 +49,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_or_not_docs": lambda sf: F.q_or_not_docs(sf, "spark", "merge", "dup"),
         "fulltext_prefix_count": lambda sf: F.q_prefix_count(sf, "s"),
         "keyword_and_term_count": lambda sf: F.q_keyword_and_term(sf, "user", "spark"),
-        # ---- index-side stats (§2.6 global tf/df) ----
+        # ---- authz / ACL composite filter (§2.3, MiruAuthzIndex) ----
+        "fulltext_authz_count": F.q_authz_count,
+        "fulltext_authz_topk": lambda sf: F.q_authz_topk(sf, QUERY_TERMS, 10),
+        # ---- index-side stats (§2.6 global tf/df + latest/first family) ----
         "term_stats_top20": lambda sf: F.q_term_stats(sf, 20),
+        "terms_latest_top20": lambda sf: F.q_terms_latest(sf, 20),
         "collection_stats": F.q_collection_stats,
         "doc_lengths": F.q_doc_lengths,
         **_ops_queries(),
@@ -164,6 +168,10 @@ SELECT count(*)::BIGINT AS n_matched
 FROM docs d JOIN tf ON tf.doc_id = d.doc_id
 WHERE tf.term = 'spark' AND d.role = 'user'
 """.strip(),
+        "fulltext_authz_count": F.authz_count_sql(),
+        "fulltext_authz_topk": F.bm25_sql(QUERY_TERMS, 10, mode="and",
+                                          authz=F.AUTHZ_PRINCIPAL),
+        "terms_latest_top20": F.terms_latest_sql(20),
         "term_stats_top20": f"""
 {P}
 SELECT term, df::BIGINT AS df, cf::BIGINT AS cf FROM df

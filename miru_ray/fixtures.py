@@ -155,7 +155,9 @@ SELECT
        WHEN 2 THEN 'system' ELSE 'tool' END AS role,
   text,
   CASE WHEN doc_id % 3 = 0 THEN 'tool_' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS tool,
-  TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 1000000) AS ts
+  TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 1000000) AS ts,
+  ['grp' || CAST(doc_id % 7 AS VARCHAR),
+   'team' || CAST(doc_id % 11 AS VARCHAR)] AS acl
 FROM documents
 """.strip()
 
@@ -184,9 +186,23 @@ def derive_transcripts_batch(batch: pa.Table) -> pa.Table:
         "")
     ts = pc.cast(pc.add(_TS_BASE_US, pc.multiply(pc.cast(doc_id, pa.int64()), 1_000_000)),
                  pa.timestamp("us"))
+    # acl: a 2-entry ACL list per doc ([grp<d%7>, team<d%11>]) — the
+    # multi-valued authz column (MiruActivity.authz analogue)
+    grp = np.asarray(pc.binary_join_element_wise(
+        "grp", pc.cast(mod(doc_id, 7), pa.string()), "").to_pandas(),
+        dtype=object)
+    team = np.asarray(pc.binary_join_element_wise(
+        "team", pc.cast(mod(doc_id, 11), pa.string()), "").to_pandas(),
+        dtype=object)
+    n = len(grp)
+    flat = np.empty(2 * n, dtype=object)
+    flat[0::2], flat[1::2] = grp, team
+    acl = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 2 * n + 1, 2), pa.int32()),
+        pa.array(flat, pa.string()))
     return pa.table({
         "conv_id": conv_id, "turn_idx": turn_idx, "role": role,
-        "text": batch["text"], "tool": tool, "ts": ts,
+        "text": batch["text"], "tool": tool, "ts": ts, "acl": acl,
     })
 
 

@@ -27,7 +27,8 @@ from ..util import input_fingerprint, read_json
 CACHE_ROOT = "/tmp/miru_ray_cache"
 _SEARCHERS: dict[str, Searcher] = {}
 
-FLAGSHIP_CFG = IndexConfig(docs_per_partition=2000, num_shards=2)
+FLAGSHIP_CFG = IndexConfig(docs_per_partition=2000, num_shards=2,
+                           list_keyword_fields=("acl",))
 
 
 def transcripts_from_documents(sf_dir: str) -> "ray.data.Dataset":
@@ -41,7 +42,9 @@ def index_dir_for(sf_dir: str, cfg: IndexConfig = FLAGSHIP_CFG) -> str:
     """Build (once) and return the index directory for a testdata sf_dir."""
     src = os.path.join(sf_dir, "documents.parquet")
     fp = input_fingerprint([src])[:16]
-    root = os.path.join(CACHE_ROOT, f"flagship_{fp}")
+    # v2: derived transcripts carry the acl column (cache key must change
+    # whenever the derivation changes — the _DONE marker alone can't tell)
+    root = os.path.join(CACHE_ROOT, f"flagship_{fp}_v2")
     tdir = os.path.join(root, "transcripts")
     idir = os.path.join(root, "index")
     if not os.path.exists(os.path.join(tdir, "_DONE")):
@@ -76,7 +79,7 @@ SQL_PROLOGUE = f"""
 WITH transcripts AS ({DERIVE_SQL}),
 docs AS (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
-         conv_id, turn_idx, role, tool, ts, text
+         conv_id, turn_idx, role, tool, ts, text, acl
   FROM transcripts
 ),
 toks AS (
@@ -95,14 +98,19 @@ stats AS (
 
 
 def bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
-             mode: str = "or") -> str:
+             mode: str = "or", authz: tuple | None = None) -> str:
     qvals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    authz_pred = ""
+    if authz:
+        lst = ", ".join(f"'{a}'" for a in authz)
+        authz_pred = (f"JOIN docs ad ON ad.doc_id = tf.doc_id "
+                      f"AND list_has_any(ad.acl, [{lst}])")
     return f"""
 {SQL_PROLOGUE},
 q(term) AS (VALUES {qvals}),
 matched AS (
-  SELECT tf.doc_id FROM tf JOIN q USING (term)
+  SELECT tf.doc_id FROM tf JOIN q USING (term) {authz_pred}
   GROUP BY tf.doc_id {having}
 ),
 scores AS (
@@ -193,6 +201,74 @@ def q_prefix_count(sf_dir: str, prefix: str) -> pa.Table:
     s = searcher_for(sf_dir)
     return pa.table({"n_matched": pa.array([s.count(Prefix("text", prefix))],
                                            type=pa.int64())})
+
+
+AUTHZ_PRINCIPAL = ("grp3", "team5")  # deterministic test principal
+
+
+def q_authz_count(sf_dir: str, term: str = "spark",
+                  acls: tuple = AUTHZ_PRINCIPAL) -> pa.Table:
+    """Docs matching ``term`` AND visible to the principal (ACL composite
+    OR, ANDed into the answer — ``MiruAuthzIndex`` /
+    ``FullTextCustomQuestion.java:106``)."""
+    from ..query.filter import And, Authz, Term
+    s = searcher_for(sf_dir)
+    ast = And((Term("text", term), Authz(tuple(acls))))
+    return pa.table({"n_matched": pa.array([s.count(ast)], type=pa.int64())})
+
+
+def q_authz_topk(sf_dir: str, terms: list[str], k: int = 10,
+                 acls: tuple = AUTHZ_PRINCIPAL) -> pa.Table:
+    """BM25 top-k gated by the authz mask (scores unchanged — authz filters
+    visibility, it never contributes scoring terms)."""
+    from ..query.filter import And, Authz, Term
+    s = searcher_for(sf_dir)
+    ast = And(tuple(Term("text", t) for t in sorted(set(terms)))
+              + (Authz(tuple(acls)),))
+    return s.topk(ast, k, "bm25")
+
+
+def authz_count_sql(term: str = "spark",
+                    acls: tuple = AUTHZ_PRINCIPAL) -> str:
+    lst = ", ".join(f"'{a}'" for a in acls)
+    return f"""
+{SQL_PROLOGUE}
+SELECT count(*)::BIGINT AS n_matched
+FROM docs d JOIN tf ON tf.doc_id = d.doc_id
+WHERE tf.term = '{term}' AND list_has_any(d.acl, [{lst}])
+""".strip()
+
+
+def q_terms_latest(sf_dir: str, k: int = 20) -> pa.Table:
+    """Per-term global (df, cf, first_doc, last_doc) from the segment term
+    dicts — the index-time latest/first family (``MiruIndexLatest.java:25``,
+    ``MiruIndexFirst.java``): newest/oldest doc per term WITHOUT a
+    query-time groupby over postings."""
+    idir = index_dir_for(sf_dir)
+    from ray.data.aggregate import Max, Min, Sum
+    segs = ray.data.read_parquet(
+        os.path.join(idir, "segments"),
+        columns=["term", "df", "cf", "first_doc", "last_doc"],
+        file_extensions=["parquet"])
+    agg = segs.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf"),
+        Min("first_doc", alias_name="first_doc"),
+        Max("last_doc", alias_name="last_doc"))
+    pdf = agg.to_pandas()
+    pdf = pdf[~pdf["term"].str.contains(":")]
+    pdf = pdf.sort_values(["cf", "term"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True))
+
+
+def terms_latest_sql(k: int = 20) -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT t.term, f.df::BIGINT AS df, f.cf::BIGINT AS cf,
+       min(t.doc_id) AS first_doc, max(t.doc_id) AS last_doc
+FROM tf t JOIN df f USING (term)
+GROUP BY t.term, f.df, f.cf
+ORDER BY cf DESC, term ASC LIMIT {k}
+""".strip()
 
 
 def q_keyword_and_term(sf_dir: str, role: str, term: str) -> pa.Table:

@@ -36,8 +36,8 @@ from ..config import IndexConfig
 from ..util import read_json, term_shard
 from ..index.segments import SegmentReader
 from . import scorer as S
-from .filter import (And, Node, Not, Or, Prefix, Term, TimeRange, and_terms,
-                     collect_prefixes, collect_scoring_terms)
+from .filter import (And, Authz, Node, Not, Or, Prefix, Term, TimeRange,
+                     and_terms, collect_prefixes, collect_scoring_terms)
 from .parser import parse_query
 
 
@@ -216,6 +216,15 @@ class PartitionReader:
         if isinstance(node, TimeRange):
             ts = self.ts[pid]
             return (ts >= node.t0_us) & (ts <= node.t1_us)
+        if isinstance(node, Authz):
+            # composite ACL mask: OR of the principal's entry postings
+            # (MiruAuthzIndex / MiruAuthzUtils.getCompositeAuthz)
+            mask = np.zeros(count, bool)
+            for v in node.values:
+                p = self._postings(pid, f"{node.field}:{v}", cache)
+                if p is not None:
+                    mask[p[0] - base] = True
+            return mask
         if isinstance(node, And):
             mask = np.ones(count, bool)
             for c in node.children:

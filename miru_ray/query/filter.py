@@ -51,6 +51,23 @@ class TimeRange(Node):
 
 
 @dataclass(frozen=True)
+class Authz(Node):
+    """Authorization expression: the doc is visible iff its ACL list shares
+    at least one entry with the principal's ``values`` (reference:
+    ``MiruAuthzExpression`` — a list of authz strings whose per-entry
+    bitmaps are OR'd into a composite mask, ``MiruAuthzIndex`` /
+    ``MiruAuthzUtils.getCompositeAuthz``; ANDed into every answer at
+    ``FullTextCustomQuestion.java:106``).
+
+    Evaluates as OR over the ``field:value`` postings of a
+    ``list_keyword_fields`` column.  NEVER contributes scoring terms —
+    authz gates visibility, it does not rank.
+    """
+    values: tuple
+    field: str = "acl"
+
+
+@dataclass(frozen=True)
 class And(Node):
     children: tuple = field(default_factory=tuple)
 
