@@ -215,6 +215,49 @@ SELECT (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1 ORDER BY 1
 """.strip(),
+    # PEAKS strategy reproduced exactly in SQL: the PeakDet state machine
+    # (PeakDet.java:22-95 semantics, _peakdet above) walked by a recursive
+    # CTE over the zero-densified waveform; delta = 0.5 × mean(dense).
+    # All values are integer-valued doubles, so engine and SQL arithmetic
+    # are bit-identical.
+    "events_trending_peaks": f"""
+WITH RECURSIVE wf AS (
+  SELECT event_type,
+         (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+rng AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        FROM wf GROUP BY 1),
+series AS (
+  SELECT r.event_type, r.b0, u.i
+  FROM rng r, unnest(generate_series(r.b0, r.b1)) AS u(i)),
+dense AS (
+  SELECT s.event_type, s.i - s.b0 AS pos, COALESCE(w.n, 0)::DOUBLE AS v
+  FROM series s
+  LEFT JOIN wf w ON w.event_type = s.event_type AND w.bucket = s.i),
+d AS (SELECT event_type, 0.5 * avg(v) AS delta, max(pos) AS maxpos
+      FROM dense GROUP BY 1),
+walk(event_type, pos, mn, mx, look, peaks) AS (
+  SELECT event_type, -1, 1e308, -1e308, true, 0 FROM d
+  UNION ALL
+  SELECT w.event_type, w.pos + 1,
+         CASE WHEN w.look AND dd.v < greatest(w.mx, dd.v) - d.delta
+              THEN dd.v ELSE least(w.mn, dd.v) END,
+         CASE WHEN NOT w.look AND dd.v > least(w.mn, dd.v) + d.delta
+              THEN dd.v ELSE greatest(w.mx, dd.v) END,
+         CASE WHEN w.look AND dd.v < greatest(w.mx, dd.v) - d.delta
+              THEN false
+              WHEN NOT w.look AND dd.v > least(w.mn, dd.v) + d.delta
+              THEN true ELSE w.look END,
+         w.peaks + CASE WHEN w.look AND dd.v < greatest(w.mx, dd.v) - d.delta
+                        THEN 1 ELSE 0 END
+  FROM walk w
+  JOIN dense dd ON dd.event_type = w.event_type AND dd.pos = w.pos + 1
+  JOIN d ON d.event_type = w.event_type)
+SELECT w.event_type, w.peaks::BIGINT AS n_peaks
+FROM walk w JOIN d ON d.event_type = w.event_type AND w.pos = d.maxpos
+ORDER BY n_peaks DESC, w.event_type ASC LIMIT 3
+""".strip(),
     "events_trending": f"""
 WITH wf AS (
   SELECT event_type,

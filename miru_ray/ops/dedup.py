@@ -7,35 +7,41 @@ per-group-first pattern here is its batch analogue; near-dup operators are
 the explicit-design extensions SURVEY.md §2.8 calls for):
 
 - exact          — content-hash → groupby(hash) → keep min doc_id
-- minhash LSH    — word-shingle → minhash(128) → band buckets → groupby →
-                   candidate pairs → exact-Jaccard verify → min-label
-                   clusters
-- simhash        — 64-bit simhash, 4-band blocking, Hamming ≤ τ pairs
-- ngram Jaccard  — exact pairwise Jaccard on candidates from shared rare
-                   shingles
+- minhash LSH    — word-shingle → minhash(128) → band buckets → DISTRIBUTED
+                   bucket-count → colliding buckets only → candidate pairs →
+                   exact-Jaccard verify (shingle hashes gathered by
+                   candidate-id semi-join) → min-label clusters
+- simhash        — 64-bit simhash, 4-band blocking (EXACT for Hamming ≤ 3
+                   by pigeonhole), distributed collision detection
+- ngram Jaccard  — exact pairwise Jaccard (guarded brute-force verifier)
 - embedding      — cosine ≥ τ near-dup pairs over the embeddings table
                    (batch × broadcast-matrix matmul)
 
-All hashes are deterministic (blake2b with fixed seeds / fixed random
-projection planes), so results are stable across runs and partitioning.
-Candidate generation is distributed (map_batches + groupby); only the final
-pair verification / union-find runs on the driver, over the (small)
-candidate set — documented assumption, same shape as the reference's
-driver-side answer merging.
+Scale shape: signature computation and bucket counting are distributed
+(map_batches partials → one small groupby); ONLY rows inside colliding
+buckets ever reach the driver (bounded by the corpus duplication mass, with
+an explicit hot-bucket cap — the analogue of the reference's atomized
+posting containers, ``LabInvertedIndex.java:268-292``).  No full-table
+``to_pandas()`` anywhere.  Token/shingle hashing is
+``md5_number_lower``-compatible (:func:`miru_ray.util.md5_64`) so DuckDB
+oracles reproduce simhash signatures bit-for-bit.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 from ..tokenize import py_tokenize
+from ..util import md5_64, md5_64_bulk
 
 # ------------------------------ helpers ------------------------------------
 
@@ -72,19 +78,64 @@ def _expand_batch(b: pa.Table, n: int) -> pa.Table:
     })
 
 
-def _hash64(strings: "pd.Series") -> np.ndarray:
-    """Deterministic 64-bit content hash (vectorized via pandas hash_array
-    would be version-dependent; blake2b is stable across everything)."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "big") for s in strings),
-        dtype=np.uint64, count=len(strings))
-
-
 def _shingles(tokens: list[str], n: int = 3) -> set[str]:
     if len(tokens) < n:
         return {" ".join(tokens)} if tokens else set()
     return {" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)}
+
+
+MAX_BUCKET = 512  # hot-bucket cap: a band bucket with more members than
+#                   this is skipped for pair expansion (quadratic blowup
+#                   guard; reference precedent: atomized containers bound
+#                   single-value size, LabInvertedIndex.java:268-292).
+#                   Duplication groups larger than the cap are pathological
+#                   (empty/boilerplate docs) and belong to exact dedup.
+
+
+def _colliding_rows(bands: "ray.data.Dataset", key_col: str) -> pd.DataFrame:
+    """Distributed collision detection: per-batch partial counts →
+    groupby(key).sum → keys with global count in (1, MAX_BUCKET] →
+    broadcast key set → filter the bands stream → ONLY colliding rows
+    reach the driver (bounded by duplication mass)."""
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(key_col).aggregate([(key_col, "count")])
+        return g.rename_columns([key_col, "c"])
+
+    counts = (bands.map_batches(partial_counts, batch_format="pyarrow",
+                                batch_size=65536)
+              .groupby(key_col).aggregate(Sum("c", alias_name="c")))
+    coll = counts.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t["c"], 1),
+                                   pc.less_equal(t["c"], MAX_BUCKET)))
+        .select([key_col]),
+        batch_format="pyarrow", batch_size=65536)
+    keys = coll.to_pandas()[key_col].to_numpy()  # small by construction
+    key_ref = ray.put(np.sort(keys))
+
+    def keep_colliding(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        v = t[key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, v)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, max(len(ks) - 1, 0))] == v) \
+            if len(ks) else np.zeros(len(v), bool)
+        return t.filter(pa.array(hit))
+
+    return bands.map_batches(keep_colliding, batch_format="pyarrow",
+                             batch_size=65536).to_pandas()
+
+
+def _expand_pairs(coll: pd.DataFrame, key_col: str) -> set[tuple[int, int]]:
+    """Vectorized pair expansion over colliding-bucket rows (driver;
+    input is collision-bounded, each bucket ≤ MAX_BUCKET)."""
+    out: set[tuple[int, int]] = set()
+    for _, g in coll.groupby(key_col, sort=False):
+        d = np.sort(pd.unique(g["doc_id"].to_numpy()))
+        if len(d) < 2:
+            continue
+        i, j = np.triu_indices(len(d), k=1)
+        out.update(zip(d[i].tolist(), d[j].tolist()))
+    return out
 
 
 # ------------------------------ exact dedup --------------------------------
@@ -92,12 +143,13 @@ def _shingles(tokens: list[str], n: int = 3) -> set[str]:
 
 def exact_dedup(sf_dir: str) -> pa.Table:
     """Keep the smallest doc_id per distinct text: hash-partition by content
-    hash, per-group first (the §2.8 pattern).  Returns survivors sorted."""
+    hash, per-group first (the §2.8 pattern).  Returns survivors sorted
+    (the survivor list is the RESULT — only it reaches the driver)."""
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def add_hash(b: pa.Table) -> pa.Table:
-        h = _hash64(b["text"].to_pandas())
-        return b.append_column("h", pa.array(h.astype(np.int64)))
+        h = md5_64(b["text"].to_pandas())
+        return b.append_column("h", pa.array(h.view(np.int64)))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
 
@@ -125,38 +177,47 @@ _rng = np.random.default_rng(12345)
 _A = _rng.integers(1, _MERSENNE, MINHASH_PERMS, dtype=np.uint64)
 _B = _rng.integers(0, _MERSENNE, MINHASH_PERMS, dtype=np.uint64)
 
+# fixed odd mixing constants per (band, row): vectorized band-bucket hash
+# (band index folded into the constants, so the bucket key alone identifies
+# (band, contents) — no per-doc Python hashing loop)
+_BAND_MIX = (np.arange(LSH_BANDS * _ROWS_PER_BAND, dtype=np.uint64)
+             .reshape(LSH_BANDS, _ROWS_PER_BAND)
+             * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
 
-def _minhash(shingle_hashes: np.ndarray) -> np.ndarray:
-    """(n_shingles,) uint64 → (MINHASH_PERMS,) uint64 signature."""
-    if len(shingle_hashes) == 0:
-        return np.full(MINHASH_PERMS, np.uint64(_MERSENNE))
-    x = shingle_hashes[:, None]
-    hv = (x * _A[None, :] + _B[None, :]) % np.uint64(_MERSENNE)
-    return hv.min(axis=0)
+
+def _band_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n, MINHASH_PERMS) signatures → (n, LSH_BANDS) int64 bucket keys."""
+    with np.errstate(over="ignore"):
+        m = sigs.reshape(len(sigs), LSH_BANDS, _ROWS_PER_BAND)
+        h = (m * _BAND_MIX[None, :, :]).sum(axis=2, dtype=np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h.view(np.int64)
+
+
+def _doc_shingle_hashes(texts, n: int = 3):
+    """Per-doc sorted-unique shingle lists → flat uint64 hashes + counts."""
+    per_doc = [sorted(_shingles(py_tokenize(t), n)) for t in texts]
+    counts = np.array([max(1, len(s)) for s in per_doc], np.int64)
+    flat_strs = np.array([s for shs in per_doc
+                          for s in (shs or ["\x00empty"])], dtype=object)
+    return md5_64_bulk(flat_strs), counts
 
 
 def _minhash_bands_batch(b: pa.Table) -> pa.Table:
-    """doc → LSH_BANDS rows (band_id, band_hash, doc_id).
+    """doc → LSH_BANDS rows (band_key, doc_id).
 
-    Vectorized: shingle hashes of the whole batch go through the permutation
-    matrix in one chunked pass; per-doc minima via ``np.minimum.reduceat``
-    over document boundaries; band hashes via one blake2b per (doc, band)
-    (deterministic across workers — never Python ``hash()``).
-    """
+    Vectorized: distinct shingles hashed once (md5 bulk), permutations in
+    one chunked pass, per-doc minima via ``np.minimum.reduceat`` over
+    document boundaries, band keys via the fixed numpy mix."""
     docs = b["doc_id"].to_numpy()
-    texts = b["text"].to_pandas()
-    per_doc = [sorted(_shingles(py_tokenize(t))) for t in texts]
-    counts = np.array([max(1, len(s)) for s in per_doc], np.int64)
-    flat = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "big")
-         for shs in per_doc for s in (shs or ["\x00empty"])),
-        dtype=np.uint64, count=int(counts.sum()))
-    starts = np.zeros(len(per_doc), np.int64)
+    flat, counts = _doc_shingle_hashes(b["text"].to_pandas())
+    starts = np.zeros(len(counts), np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    sigs = np.empty((len(per_doc), MINHASH_PERMS), np.uint64)
+    sigs = np.empty((len(counts), MINHASH_PERMS), np.uint64)
     CH = 200_000  # shingle-row chunk so (CH × 128) fits comfortably in RAM
-    doc_of = np.repeat(np.arange(len(per_doc)), counts)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
     for lo in range(0, len(flat), CH):
         hv = (flat[lo:lo + CH, None] * _A[None, :] + _B[None, :]) \
             % np.uint64(_MERSENNE)
@@ -170,57 +231,64 @@ def _minhash_bands_batch(b: pa.Table) -> pa.Table:
         if (~first_chunk).any():
             t2 = touched[~first_chunk]
             np.minimum(sigs[t2], mins[~first_chunk], out=sigs[t2])
-    band_hashes = np.empty((len(per_doc), LSH_BANDS), np.int64)
-    for i in range(len(per_doc)):
-        for band in range(LSH_BANDS):
-            chunk = sigs[i, band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
-            band_hashes[i, band] = int.from_bytes(
-                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
-                "big") & 0x7FFFFFFFFFFFFFFF
-    n = len(per_doc)
+    keys = _band_keys(sigs)
+    n = len(counts)
     return pa.table({
-        "band_id": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)),
-        "band_hash": pa.array(band_hashes.reshape(-1)),
+        "band_key": pa.array(keys.reshape(-1)),
         "doc_id": pa.array(np.repeat(docs.astype(np.int64), LSH_BANDS))})
 
 
 def minhash_candidates(sf_dir: str) -> list[tuple[int, int]]:
     """Candidate pairs = docs sharing an LSH band bucket.
 
-    Bucket SIZES are computed distributed (groupby count); only rows in
-    colliding buckets (count > 1 — rare by construction) come back to the
-    driver, where pair expansion is one vectorized pandas pass."""
+    Banding is distributed; bucket counts are a distributed groupby; only
+    rows in colliding buckets (count > 1) come back to the driver, where
+    pair expansion is one vectorized pass (see :func:`_colliding_rows`)."""
     ds = _documents(sf_dir, ["doc_id", "text"])
-    # banding (tokenize + minhash) is the distributed heavy pass; the bands
-    # table itself is tiny (32 rows per doc), so collision/pair extraction
-    # is one vectorized driver pass.  (Ray's sort-groupby on 2 keys costs
-    # tens of seconds of fixed overhead at this size; at ≥10^8 docs swap
-    # this tail for a distributed groupby-count + colliding-key filter.)
     bands = ds.map_batches(_minhash_bands_batch, batch_format="pyarrow",
-                           batch_size=1024).to_pandas()
-    coll = bands[bands.duplicated(["band_id", "band_hash"], keep=False)]
-    out: set[tuple[int, int]] = set()
-    for _, g in coll.groupby(["band_id", "band_hash"], sort=False):
-        d = np.sort(g["doc_id"].unique())
-        if len(d) < 2:
-            continue
-        i, j = np.triu_indices(len(d), k=1)
-        out.update(zip(d[i].tolist(), d[j].tolist()))
-    return sorted(out)
+                           batch_size=1024)
+    coll = _colliding_rows(bands, "band_key")
+    return sorted(_expand_pairs(coll, "band_key"))
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
-    """MinHash-LSH near-dup clusters: candidates from band collisions,
-    verified with exact shingle Jaccard, clustered by union-find (driver —
-    candidate set is band-collision-bounded)."""
+def minhash_dedup(sf_dir: str, threshold: float = 0.8,
+                  out_path: str | None = None):
+    """MinHash-LSH near-dup clusters.
+
+    Pipeline: LSH candidates (distributed banding + bucket groupby) →
+    exact-Jaccard verification over shingle-hash sets gathered by a
+    DISTRIBUTED candidate-id semi-join (never the full corpus) → union-find
+    over verified pairs (driver; graph is duplication-bounded) → cluster
+    labels broadcast back and mapped over the corpus as a streaming
+    ``map_batches``.  Returns a ``ray.data.Dataset`` of
+    (doc_id, cluster_id); pass ``out_path`` to ``write_parquet`` instead of
+    returning rows (the 100-TB shape).
+    """
     cands = minhash_candidates(sf_dir)
-    docs = _documents(sf_dir, ["doc_id", "text"]).to_pandas()
-    all_ids = docs["doc_id"].astype(int).tolist()
-    # exact-Jaccard verification only needs the candidate docs' shingles —
-    # rebuilding them for every doc made the driver the bottleneck
-    in_cands = {d for pair in cands for d in pair}
-    toks = {int(r.doc_id): _shingles(py_tokenize(r.text))
-            for r in docs.itertuples() if int(r.doc_id) in in_cands}
+    cand_ids = np.array(sorted({d for p in cands for d in p}), np.int64)
+    cand_ref = ray.put(cand_ids)
+
+    def candidate_shingles(b: pa.Table) -> pa.Table:
+        """Semi-join gather: shingle hashes for candidate docs only."""
+        ids = ray.get(cand_ref)
+        doc = b["doc_id"].to_numpy()
+        hit = np.isin(doc, ids)
+        if not hit.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.uint64())})
+        sub = b.filter(pa.array(hit))
+        flat, counts = _doc_shingle_hashes(sub["text"].to_pandas())
+        return pa.table({
+            "doc_id": pa.array(np.repeat(sub["doc_id"].to_numpy(), counts)),
+            "sh": pa.array(flat)})
+
+    sh_rows = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        candidate_shingles, batch_format="pyarrow",
+        batch_size=1024).to_pandas()  # bounded: candidates only
+    toks: dict[int, set] = {
+        int(d): set(g["sh"].to_numpy().tolist())
+        for d, g in sh_rows.groupby("doc_id", sort=False)}
+
     parent: dict[int, int] = {}
 
     def find(x):
@@ -230,75 +298,82 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
         return x
 
     for a, b in cands:
-        sa, sb = toks[a], toks[b]
+        sa, sb = toks.get(a), toks.get(b)
+        if sa is None or sb is None:
+            continue
         union = len(sa | sb)
         if union and len(sa & sb) / union >= threshold:
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-    cluster = {d: find(d) for d in all_ids}
-    out = pd.DataFrame({"doc_id": sorted(all_ids),
-                        "cluster_id": [cluster[d] for d in sorted(all_ids)]})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    labels = {d: find(d) for d in parent}
+    lab_ref = ray.put(labels)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        doc = b["doc_id"].to_numpy().astype(np.int64)
+        cl = np.array([lab.get(int(d), int(d)) for d in doc], np.int64)
+        return pa.table({"doc_id": pa.array(doc), "cluster_id": pa.array(cl)})
+
+    out = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=8192)
+    if out_path is not None:
+        out.write_parquet(out_path)
+        return None
+    return out
 
 
 # ------------------------------ simhash ------------------------------------
 
 
-def _simhash64(tokens: list[str]) -> int:
-    acc = np.zeros(64, np.int64)
-    for t in tokens:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    v = 0
-    for i in range(64):
-        if acc[i] > 0:
-            v |= 1 << i
-    return v
+def _simhash_batch(b: pa.Table) -> pa.Table:
+    """Batch-vectorized 64-bit simhash over md5_64 token hashes (duplicate
+    tokens kept — identical to the SQL oracle's unnest), emitted as 4
+    16-bit band rows per doc.  Zero-token docs are excluded (they have no
+    signature, matching the oracle)."""
+    docs = b["doc_id"].to_numpy()
+    toks_per_doc = [py_tokenize(t) for t in b["text"].to_pandas()]
+    nonempty = np.array([len(t) > 0 for t in toks_per_doc], bool)
+    docs = docs[nonempty]
+    toks_per_doc = [t for t in toks_per_doc if t]
+    if not len(docs):
+        return pa.table({"band_key": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "sig": pa.array([], pa.int64())})
+    counts = np.array([len(t) for t in toks_per_doc], np.int64)
+    flat = md5_64_bulk(np.array([t for toks in toks_per_doc for t in toks],
+                                dtype=object))
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32) * 2 - 1
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    acc = np.add.reduceat(bits, starts, axis=0)
+    sig_bits = (acc > 0).astype(np.uint64)
+    sigs = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    n = len(docs)
+    band_ids = np.tile(np.arange(4, dtype=np.int64), n)
+    shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))
+    band_vals = ((sigs[:, None] >> shifts[None, :])
+                 & np.uint64(0xFFFF)).astype(np.int64).reshape(-1)
+    return pa.table({
+        "band_key": pa.array(band_vals | (band_ids << 16)),
+        "doc_id": pa.array(np.repeat(docs.astype(np.int64), 4)),
+        "sig": pa.array(np.repeat(sigs.view(np.int64), 4))})
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
-    """Near-dup pairs by SimHash: 4-band blocking (a pair within Hamming ≤ 3
-    shares at least one exact 16-bit band) then exact Hamming verify."""
+    """Near-dup pairs by SimHash: 4-band blocking then exact Hamming verify.
+
+    With 4 bands of 16 bits, any pair within Hamming ≤ 3 shares ≥ 1 exact
+    band (pigeonhole), so blocking is EXACT — the result equals the full
+    all-pairs Hamming ≤ 3 set, which is what the SQL oracle computes
+    directly from md5-reproduced signatures.  Collision detection is the
+    distributed bucket-count path (:func:`_colliding_rows`)."""
     ds = _documents(sf_dir, ["doc_id", "text"])
-
-    def sim_batch(b: pa.Table) -> pa.Table:
-        # batch-vectorized simhash: hash every token once, unpack sign bits
-        # for all tokens at once, per-doc ±1 sums via np.add.reduceat
-        docs = b["doc_id"].to_numpy()
-        toks_per_doc = [py_tokenize(t) for t in b["text"].to_pandas()]
-        counts = np.array([max(1, len(t)) for t in toks_per_doc], np.int64)
-        flat = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                            "big")
-             for toks in toks_per_doc for t in (toks or ["\x00empty"]))
-            , dtype=np.uint64, count=int(counts.sum()))
-        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int32) * 2 - 1
-        starts = np.zeros(len(counts), np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        acc = np.add.reduceat(bits, starts, axis=0)
-        sig_bits = (acc > 0).astype(np.uint64)
-        sigs = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64)
-        n = len(docs)
-        band_ids = np.tile(np.arange(4, dtype=np.int32), n)
-        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))
-        band_vals = ((sigs[:, None] >> shifts[None, :])
-                     & np.uint64(0xFFFF)).astype(np.int64).reshape(-1)
-        return pa.table({
-            "band_id": pa.array(band_ids),
-            "band_val": pa.array(band_vals),
-            "doc_id": pa.array(np.repeat(docs.astype(np.int64), 4)),
-            "sig": pa.array(np.repeat(sigs.view(np.int64), 4))})
-
-    # the signature pass is the distributed heavy step; the bands table is
-    # 4 rows/doc, so collision + Hamming verification is one driver pass
-    # (same scale note as minhash_candidates)
-    bands = ds.map_batches(sim_batch, batch_format="pyarrow",
-                           batch_size=1024).to_pandas()
-    coll = bands[bands.duplicated(["band_id", "band_val"], keep=False)]
+    bands = ds.map_batches(_simhash_batch, batch_format="pyarrow",
+                           batch_size=1024)
+    coll = _colliding_rows(bands, "band_key")
     if not len(coll):
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
@@ -309,7 +384,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         return popcnt8[z].sum(axis=1)
 
     uniq: set[tuple[int, int]] = set()
-    for _, g in coll.groupby(["band_id", "band_val"]):
+    for _, g in coll.groupby("band_key", sort=False):
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         d = g["doc_id"].to_numpy()
         s = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
@@ -334,7 +409,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     intersection is a blocked doc×shingle boolean matmul (BLAS) — the exact
     brute-force baseline.  This corpus's shingle vocabulary is small; at
     real scale the exact variant is the verifier behind MinHash-LSH
-    candidates (:func:`minhash_dedup`), never run all-pairs.
+    candidates (:func:`minhash_dedup`), never run all-pairs — the guard
+    below enforces that.
     """
     ds = _documents(sf_dir, ["doc_id", "text"])
 
@@ -393,14 +469,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     """Cosine ≥ threshold pairs over the embeddings table.  Each batch does
-    one matmul against the broadcast L2-normalized matrix — the brute-force
-    baseline; the LSH-bucketed variant is the scale path (similarity.py)."""
-    import ray
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
-    full = emb.to_pandas()
+    one matmul against the broadcast L2-normalized matrix — the exact
+    brute-force baseline (broadcast is the INDEX side, bounded by the
+    embedding table's matrix size; the LSH-bucketed layout in similarity.py
+    is the 100-TB path)."""
+    import pyarrow.parquet as pq
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
     ids = full["vec_id"].to_numpy().astype(np.int64)
-    M = np.stack(full["embedding"].to_numpy())
+    emb = full["embedding"].combine_chunks()
+    M = emb.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     ref = ray.put((ids, Mn))
 
@@ -408,9 +486,13 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
         def __init__(self):
             self.ids, self.Mn = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, b: pa.Table) -> pa.Table:
             q_ids = b["vec_id"].to_numpy().astype(np.int64)
-            Q = np.stack(b["embedding"].to_numpy())
+            col = b["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            Q = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                len(q_ids), -1)
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
             sims = Qn @ self.Mn.T
             qi, mi = np.nonzero(sims >= threshold)
@@ -420,10 +502,14 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
             # pair membership only — a float similarity column cannot
             # hash-match across different reduce orders, and the threshold
             # boundary is the only float-sensitive decision left
-            return pd.DataFrame({"a": a[keep], "b": bb[keep]})
+            return pa.table({"a": pa.array(a[keep]),
+                             "b": pa.array(bb[keep])})
 
-    pairs = emb.map_batches(PairFinder, batch_format="pandas",
-                            batch_size=1024, concurrency=(1, 4))
+    pairs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]).map_batches(
+        PairFinder, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4))
     out = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -433,18 +519,8 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
 def _sql():
     from ..fixtures import DOCS_DUP_SQL
     dup = f"documents_dup AS ({DOCS_DUP_SQL})"
-    return {
-        "dedup_exact_docs": f"""
-WITH {dup}
-SELECT min(doc_id) AS doc_id FROM documents_dup GROUP BY text ORDER BY doc_id
-""".strip(),
-        "dedup_exact_count": f"""
-WITH {dup}
-SELECT count(DISTINCT text)::BIGINT AS n_distinct FROM documents_dup
-""".strip(),
-        # TRUE shingle-Jaccard pairs, computed independently in SQL
-        "dedup_ngram_jaccard_pairs": f"""
-WITH {dup},
+    # shared shingle CTE (3-token shingles, engine-identical)
+    sh = """
 toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
   FROM documents_dup
@@ -457,7 +533,20 @@ sh AS (
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          END AS s
   FROM toks
-),
+)""".strip()
+    return {
+        "dedup_exact_docs": f"""
+WITH {dup}
+SELECT min(doc_id) AS doc_id FROM documents_dup GROUP BY text ORDER BY doc_id
+""".strip(),
+        "dedup_exact_count": f"""
+WITH {dup}
+SELECT count(DISTINCT text)::BIGINT AS n_distinct FROM documents_dup
+""".strip(),
+        # TRUE shingle-Jaccard pairs, computed independently in SQL
+        "dedup_ngram_jaccard_pairs": f"""
+WITH {dup},
+{sh},
 pairs AS (
   SELECT a.doc_id AS a, b.doc_id AS b,
          len(list_intersect(a.s, b.s)) * 1.0 /
@@ -465,6 +554,55 @@ pairs AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
 SELECT a, b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.5 ORDER BY a, b
+""".strip(),
+        # minhash-LSH clusters: the oracle computes TRUE Jaccard ≥ 0.8
+        # pairs and their connected components (recursive transitive
+        # closure — components are duplication-bounded).  The engine's LSH
+        # candidate recall at J ≥ 0.8 is 1 - (1 - 0.8^4)^32 ≈ 1 - 5e-8 per
+        # pair, so LSH + exact verify equals the true pair set.
+        "dedup_minhash_clusters": f"""
+WITH RECURSIVE {dup},
+{sh},
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents_dup
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+""".strip(),
+        # simhash pairs: md5_number_lower token hashes reproduce the
+        # engine's signatures bit-for-bit; 4×16-bit banding is exact for
+        # Hamming ≤ 3, so the all-pairs SQL equals the banded engine.
+        "dedup_simhash_pairs": f"""
+WITH {dup},
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents_dup
+),
+th AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS sig
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY a, b
 """.strip(),
         # embedding near-dup: SQL-expressible with list_cosine_similarity
         "embedding_neardup_pairs": """

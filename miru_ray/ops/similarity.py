@@ -4,9 +4,14 @@
   numpy matmul against a BROADCAST query matrix (``ray.put`` once, read in
   every task) and emits its local top-k; the driver merges per-batch
   partials — no shuffle, no full materialization.
-- :func:`ann_lsh_topk` — the scale path: signed-random-projection LSH
-  buckets (deterministic planes), probe the query's bucket ring only;
-  returns (recall vs exact) so the approximation is measured, not assumed.
+- :func:`build_ann_index` / :func:`ann_lsh_query` — the scale path: a
+  BUCKET-PARTITIONED vector layout (Parquet partitioned by
+  (table, LSH code); vectors replicated once per hash table — the standard
+  multi-table LSH storage trade) probed by reading ONLY the bucket files
+  within the query ring.  Codes are computed once at index-build time,
+  never per query.
+- :func:`ann_lsh_topk` — recall report: probe results vs the exact answer,
+  so the approximation is measured, not assumed.
 """
 
 from __future__ import annotations
@@ -20,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..util import atomic_write_json, input_fingerprint, read_json
+
 QUERY_VEC_IDS = [0, 1, 2, 3]  # deterministic query set: first four vectors
 
 
@@ -28,14 +35,23 @@ def _embeddings(sf_dir: str) -> "ray.data.Dataset":
                                  columns=["vec_id", "embedding"])
 
 
+def _matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = b["vec_id"].to_numpy().astype(np.int64)
+    col = b["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    M = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
+    return ids, M.astype(np.float64)
+
+
 def _query_matrix(sf_dir: str, vec_ids) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
+    ids, M = _matrix(t)
     sel = np.isin(ids, vec_ids)
     order = np.argsort(ids[sel])
-    Q = np.stack(t["embedding"].to_pandas()[sel].to_numpy())[order].astype(np.float64)
+    Q = M[sel][order]
     return ids[sel][order], Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
 
@@ -43,7 +59,7 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 10,
                         vec_ids=QUERY_VEC_IDS) -> pa.Table:
     """Exact cosine top-k per query vector.  Self-matches excluded.
 
-    Output: (query_id, vec_id, cos) ordered cos desc, vec_id asc per query.
+    Output: (query_id, rank, vec_id) ordered cos desc, vec_id asc per query.
     """
     q_ids, Qn = _query_matrix(sf_dir, vec_ids)
     ref = ray.put((q_ids, Qn))
@@ -52,12 +68,11 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 10,
         def __init__(self):
             self.q_ids, self.Qn = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            ids = b["vec_id"].to_numpy().astype(np.int64)
-            M = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, M = _matrix(b)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             sims = self.Qn @ Mn.T              # (nq, batch)
-            rows = []
+            qs, vs, cs = [], [], []
             for qi, qid in enumerate(self.q_ids):
                 s = sims[qi]
                 mask = ids != qid              # exclude self-match
@@ -65,13 +80,20 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 10,
                 if len(cand_ids) > k:
                     cut = np.argpartition(cand_s, len(cand_s) - k)[-k:]
                     cand_ids, cand_s = cand_ids[cut], cand_s[cut]
-                rows.append(pd.DataFrame({"query_id": qid, "vec_id": cand_ids,
-                                          "cos": cand_s}))
-            return pd.concat(rows, ignore_index=True)
+                qs.append(np.full(len(cand_ids), qid, np.int64))
+                vs.append(cand_ids)
+                cs.append(cand_s)
+            return pa.table({"query_id": pa.array(np.concatenate(qs)),
+                             "vec_id": pa.array(np.concatenate(vs)),
+                             "cos": pa.array(np.concatenate(cs))})
 
     partials = _embeddings(sf_dir).map_batches(
-        TopkPerBatch, batch_format="pandas", batch_size=2048,
+        TopkPerBatch, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, 4)).to_pandas()
+    return _rank_topk(partials, k)
+
+
+def _rank_topk(partials: pd.DataFrame, k: int) -> pa.Table:
     out = []
     for qid, g in partials.groupby("query_id"):
         g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
@@ -85,10 +107,14 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 10,
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
-# ------------------------------ LSH variant --------------------------------
+# ------------------------------ LSH index ----------------------------------
 
-_N_PLANES = 10   # bits per table
+_N_PLANES = 8    # bits per table (4 tables × 2^8 = 1024 bucket dirs — the
+#                  pyarrow partitioned-write ceiling; at larger corpora
+#                  raise bits and shard the write by table instead)
 _N_TABLES = 4    # independent tables — multi-probe union
+
+ANN_CACHE_ROOT = "/tmp/miru_ray_cache"
 
 
 def _planes(dim: int) -> np.ndarray:
@@ -103,56 +129,172 @@ def _codes(Mn: np.ndarray, P: np.ndarray) -> np.ndarray:
     return (bits * weights).sum(axis=2)
 
 
-def ann_lsh_topk(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
-                 max_hamming: int = 2) -> pa.Table:
-    """Signed-random-projection LSH ANN: 4 independent tables of 10-bit
-    sign codes; a vector is a candidate if ANY table puts it within
-    Hamming ≤ ``max_hamming`` of the query's code (multi-probe union).
-    Returns per-query recall@k against the exact answer — the honest
-    accuracy contract for the approximate path."""
-    exact = ann_bruteforce_topk(sf_dir, k, vec_ids).to_pandas()
+def _tcode(table: np.ndarray, code: np.ndarray) -> np.ndarray:
+    return (table.astype(np.int64) << _N_PLANES) | code.astype(np.int64)
+
+
+def build_ann_index(sf_dir: str) -> str:
+    """Bucket-partitioned LSH layout: each vector is written once per hash
+    table under ``tcode = (table << bits) | code`` (Parquet
+    ``partition_cols``).  A probe then READS ONLY the bucket files inside
+    the query's Hamming ring — candidate IO scales with ring mass, not
+    corpus size.  The ×_N_TABLES storage is the standard multi-table LSH
+    trade; bucket count (2^bits × tables) is sized so buckets stay
+    file-sized at the target corpus."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = input_fingerprint([src])[:16]
+    d = os.path.join(ANN_CACHE_ROOT, f"ann_{fp}_v1")
+    marker = os.path.join(d, "_DONE.json")
+    if os.path.exists(marker) and read_json(marker).get("fp") == fp:
+        return d
+
+    import pyarrow.parquet as pq
+    dim = len(pq.read_table(src, columns=["embedding"]).slice(0, 1)
+              ["embedding"][0])
+    P_ref = ray.put(_planes(dim))
+
+    def code_batch(b: pa.Table) -> pa.Table:
+        P = ray.get(P_ref)
+        ids, M = _matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        codes = _codes(Mn, P)  # (n, tables)
+        n = len(ids)
+        tables = np.tile(np.arange(_N_TABLES, dtype=np.int64), n)
+        rep = np.repeat(np.arange(n), _N_TABLES)
+        return pa.table({
+            "tcode": pa.array(_tcode(tables, codes[rep, tables])),
+            "vec_id": pa.array(ids[rep]),
+            "embedding": b["embedding"].take(pa.array(rep))})
+
+    _embeddings(sf_dir).map_batches(
+        code_batch, batch_format="pyarrow", batch_size=2048).write_parquet(
+        d, partition_cols=["tcode"], compression="zstd")
+    atomic_write_json(marker, {"fp": fp, "tables": _N_TABLES,
+                               "planes": _N_PLANES})
+    return d
+
+
+def _ring(code: int, max_hamming: int) -> list[int]:
+    """All codes within Hamming ≤ max_hamming of ``code`` (10-bit space)."""
+    out = [code]
+    if max_hamming >= 1:
+        out += [code ^ (1 << i) for i in range(_N_PLANES)]
+    if max_hamming >= 2:
+        out += [code ^ (1 << i) ^ (1 << j)
+                for i in range(_N_PLANES) for j in range(i + 1, _N_PLANES)]
+    return out
+
+
+def ann_lsh_query(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
+                  max_hamming: int = 2) -> tuple[pa.Table, dict]:
+    """Index-backed ANN: enumerate the query ring per (query, table), read
+    ONLY those bucket partitions, score candidates, merge top-k.  Returns
+    (result, io_stats) where io_stats proves the probe read a strict
+    subset of the index bytes."""
+    idx = build_ann_index(sf_dir)
     q_ids, Qn = _query_matrix(sf_dir, vec_ids)
-    P = _planes(Qn.shape[1])
-    q_codes = _codes(Qn, P)  # (nq, tables)
-    ref = ray.put((q_ids, Qn, P, q_codes))
+    q_codes = _codes(Qn, _planes(Qn.shape[1]))  # (nq, tables)
+
+    per_query_rings: list[np.ndarray] = []
+    probe: set[int] = set()
+    for qi in range(len(q_ids)):
+        ring = {int(_tcode(np.int64(t), np.int64(c)))
+                for t in range(_N_TABLES)
+                for c in _ring(int(q_codes[qi, t]), max_hamming)}
+        per_query_rings.append(np.array(sorted(ring), np.int64))
+        probe.update(ring)
+
+    all_dirs = [e for e in os.listdir(idx) if e.startswith("tcode=")]
+    hit_dirs = [os.path.join(idx, e) for e in all_dirs
+                if int(e.split("=", 1)[1]) in probe]
+    io_stats = {
+        "buckets_total": len(all_dirs),
+        "buckets_read": len(hit_dirs),
+        "bytes_total": _tree_bytes([os.path.join(idx, e) for e in all_dirs]),
+        "bytes_read": _tree_bytes(hit_dirs),
+    }
+    if not hit_dirs:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())}), io_stats
+
+    ref = ray.put((q_ids, Qn, per_query_rings))
 
     class Probe:
         def __init__(self):
-            self.q_ids, self.Qn, self.P, self.q_codes = ray.get(ref)
-            self.popcnt = np.array([bin(i).count("1")
-                                    for i in range(1 << _N_PLANES)],
-                                   dtype=np.int8)
+            self.q_ids, self.Qn, self.rings = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            ids = b["vec_id"].to_numpy().astype(np.int64)
-            M = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        def __call__(self, b: pa.Table) -> pa.Table:
+            # bucket id comes from the hive dir name (include_paths=True);
+            # few distinct paths per batch → decode once per distinct
+            import re
+            paths = np.asarray(b["path"].to_pandas(), dtype=object)
+            codes, uniq = pd.factorize(paths, sort=False)
+            uniq_t = np.array([int(re.search(r"tcode=(\d+)", p).group(1))
+                               for p in uniq], np.int64)
+            tcodes = uniq_t[codes]
+            b = b.drop_columns(["path"])
+            ids, M = _matrix(b)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            codes = _codes(Mn, self.P)  # (n, tables)
-            rows = []
+            qs, vs, cs = [], [], []
             for qi, qid in enumerate(self.q_ids):
-                ham = self.popcnt[codes ^ self.q_codes[qi][None, :]]
-                mask = (ham <= max_hamming).any(axis=1) & (ids != qid)
-                if not mask.any():
+                ring = self.rings[qi]
+                pos = np.searchsorted(ring, tcodes)
+                hit = (pos < len(ring)) & (
+                    ring[np.minimum(pos, len(ring) - 1)] == tcodes) \
+                    & (ids != qid)
+                if not hit.any():
                     continue
-                sims = Mn[mask] @ self.Qn[qi]
-                rows.append(pd.DataFrame({"query_id": qid,
-                                          "vec_id": ids[mask], "cos": sims}))
-            if not rows:
-                return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
-                                     "vec_id": pd.Series(dtype=np.int64),
-                                     "cos": pd.Series(dtype=np.float64)})
-            return pd.concat(rows, ignore_index=True)
+                sims = Mn[hit] @ self.Qn[qi]
+                qs.append(np.full(int(hit.sum()), qid, np.int64))
+                vs.append(ids[hit])
+                cs.append(sims)
+            if not qs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
+            return pa.table({"query_id": pa.array(np.concatenate(qs)),
+                             "vec_id": pa.array(np.concatenate(vs)),
+                             "cos": pa.array(np.concatenate(cs))})
 
-    partials = _embeddings(sf_dir).map_batches(
-        Probe, batch_format="pandas", batch_size=2048,
+    # only the ring's bucket FILES are handed to the reader — the probe's
+    # input IO is exactly `bytes_read` of the index, never the corpus
+    hit_files = [os.path.join(d, f) for d in hit_dirs
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    parts = ray.data.read_parquet(
+        hit_files, include_paths=True).map_batches(
+        Probe, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, 4)).to_pandas()
+    # a vector replicated across tables can surface multiple times — dedupe
+    parts = parts.drop_duplicates(["query_id", "vec_id"])
+    if len(parts):
+        return _rank_topk(parts, k), io_stats
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "rank": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64())}), io_stats
+
+
+def _tree_bytes(paths) -> int:
+    total = 0
+    for p in paths:
+        for root, _d, files in os.walk(p):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+    return total
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
+                 max_hamming: int = 2) -> pa.Table:
+    """Recall report: bucket-probe ANN vs the exact answer — the honest
+    accuracy contract for the approximate path."""
+    exact = ann_bruteforce_topk(sf_dir, k, vec_ids).to_pandas()
+    approx, _io = ann_lsh_query(sf_dir, k, vec_ids, max_hamming)
+    ap = approx.to_pandas()
     recs = []
-    for qid in q_ids:
-        g = partials[partials["query_id"] == qid]
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    for qid in sorted(set(exact["query_id"])):
+        got = set(ap[ap["query_id"] == qid]["vec_id"])
         truth = set(exact[exact["query_id"] == qid]["vec_id"])
-        got = set(g["vec_id"])
-        recs.append((int(qid), len(g),
+        recs.append((int(qid), len(got),
                      round(len(got & truth) / max(1, len(truth)), 6)))
     return pa.table({"query_id": pa.array([r[0] for r in recs], pa.int64()),
                      "n_results": pa.array([r[1] for r in recs], pa.int64()),

@@ -112,32 +112,32 @@ _LANG_PROFILES = {
 def langid(sf_dir: str) -> pa.Table:
     """Heuristic language ID vs the ``lang`` column: per-lang accuracy.
 
-    Trigram-vote heuristic + CJK codepoint check.  The synthetic corpus
+    Trigram-vote heuristic + CJK codepoint check, fully vectorized: one
+    ``str.contains`` pass per profile trigram (25 vectorized scans beats a
+    Python loop over rows by ~an order of magnitude).  The synthetic corpus
     draws every lang from one English-ish vocabulary, so this measures the
     plumbing (batch shape, vote logic), not linguistic accuracy.
     """
     ds = _documents(sf_dir, ["doc_id", "lang", "text"])
+    langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
 
-    class LangId:
-        def __init__(self):  # profiles compiled once per actor
-            self.profiles = {k: set(v) for k, v in _LANG_PROFILES.items()}
+    def langid_batch(b: pd.DataFrame) -> pd.DataFrame:
+        head = b["text"].str.slice(0, 500).str.lower()
+        votes = np.zeros((len(b), len(langs)), np.int64)
+        for li, lang in enumerate(langs):
+            for tri in _LANG_PROFILES[lang]:
+                votes[:, li] += head.str.contains(tri, regex=False).to_numpy()
+        # ties break to the alphabetically-first language (argmax rule)
+        pred = np.array(langs, dtype=object)[votes.argmax(axis=1)]
+        cjk = b["text"].str.slice(0, 200).str.contains(
+            "[一-鿿]", regex=True).to_numpy()
+        pred[cjk] = "zh"
+        b = b.copy()
+        b["pred"] = pred
+        return b
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            preds = []
-            for t in b["text"]:
-                if any("一" <= c <= "鿿" for c in t[:200]):
-                    preds.append("zh")
-                    continue
-                low = t.lower()
-                tri = {low[i:i + 3] for i in range(min(len(low), 500) - 2)}
-                votes = {k: len(tri & p) for k, p in self.profiles.items() if p}
-                preds.append(max(sorted(votes), key=lambda k: votes[k]))
-            b = b.copy()
-            b["pred"] = preds
-            return b
-
-    preds = ds.map_batches(LangId, batch_format="pandas", batch_size=4096,
-                           concurrency=(1, 4)).to_pandas()
+    preds = ds.map_batches(langid_batch, batch_format="pandas",
+                           batch_size=4096).to_pandas()
     preds["correct"] = (preds["pred"] == preds["lang"]).astype(np.int64)
     g = preds.groupby("lang", as_index=False).agg(
         n_docs=("pred", "size"), n_correct=("correct", "sum"))
@@ -153,43 +153,98 @@ _FP_WINDOW = 4
 
 
 def _winnow(tokens: list[str], w: int = _FP_WINDOW) -> list[int]:
-    """Winnowing fingerprints: min hash in each sliding window of token
-    3-gram hashes (rightmost-min rule), deduplicated, sorted."""
+    """Single-doc reference implementation (tests): winnowing fingerprints =
+    distinct min-hashes over sliding windows of token 3-gram hashes
+    (Schleimer et al., SIGMOD 2003).  Gram hash = md5_64 so a DuckDB oracle
+    reproduces values exactly."""
+    from ..util import md5_64
     grams = [" ".join(tokens[i:i + 3]) for i in range(max(0, len(tokens) - 2))]
     if not grams:
         return []
-    hs = [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-          for g in grams]
+    hs = md5_64(np.array(grams, dtype=object))
     if len(hs) <= w:
-        return sorted({min(hs)})
-    picks = set()
-    for i in range(len(hs) - w + 1):
-        win = hs[i:i + w]
-        m = min(win)
-        picks.add(m)
-    return sorted(picks)
+        return [int(hs.min())]
+    import numpy.lib.stride_tricks as st
+    wins = st.sliding_window_view(hs, w).min(axis=1)
+    return sorted(set(wins.tolist()))
+
+
+def _fp_batch(b: pa.Table) -> pa.Table:
+    """Vectorized winnowing over a batch: tokens via explode_tokens, grams
+    by shifted elementwise joins, gram hashes via md5 bulk (distinct grams
+    hashed once), window minima via one global sliding_window_view with
+    per-doc validity masks, distinct+XOR per doc via sort + reduceat —
+    no per-row Python loop."""
+    import numpy.lib.stride_tricks as st
+
+    from ..util import md5_64_bulk
+    ids = b["doc_id"].to_numpy()
+    n = b.num_rows
+    terms, rows, _dl = explode_tokens(b["text"])
+    t_np = np.asarray(terms.to_pandas(), dtype=object)
+    n_fp = np.zeros(n, np.int64)
+    fp_xor = np.zeros(n, np.uint64)
+    if len(t_np) >= 3:
+        same = rows[:-2] == rows[2:]
+        grams = (t_np[:-2][same] + " " + t_np[1:-1][same] + " "
+                 + t_np[2:][same])
+        gdoc = rows[:-2][same]
+        if len(grams):
+            hs = md5_64_bulk(grams)
+            gcnt = np.bincount(gdoc, minlength=n).astype(np.int64)
+            gstart = np.zeros(n, np.int64)
+            np.cumsum(gcnt[:-1], out=gstart[1:])
+            # window minima: global sliding windows, valid iff fully inside
+            # one doc with > _FP_WINDOW grams; docs with 1.._FP_WINDOW grams
+            # contribute their full-range min (reduceat)
+            parts_docs, parts_vals = [], []
+            big = gcnt > _FP_WINDOW
+            if big.any() and len(hs) >= _FP_WINDOW:
+                wins = st.sliding_window_view(hs, _FP_WINDOW).min(axis=1)
+                wdoc = gdoc[: len(wins)]
+                wpos = np.arange(len(wins))
+                ok = (wdoc == gdoc[np.minimum(wpos + _FP_WINDOW - 1,
+                                              len(gdoc) - 1)]) \
+                    & big[wdoc]
+                parts_docs.append(wdoc[ok])
+                parts_vals.append(wins[ok])
+            small = (gcnt > 0) & ~big
+            if small.any():
+                nz = np.flatnonzero(gcnt > 0)
+                full_min = np.minimum.reduceat(hs, gstart[nz])
+                sm = small[nz]
+                parts_docs.append(nz[sm])
+                parts_vals.append(full_min[sm])
+            if parts_docs:
+                wd = np.concatenate(parts_docs)
+                wv = np.concatenate(parts_vals)
+                order = np.lexsort((wv, wd))
+                wd, wv = wd[order], wv[order]
+                keep = np.ones(len(wd), bool)
+                keep[1:] = (wd[1:] != wd[:-1]) | (wv[1:] != wv[:-1])
+                wd, wv = wd[keep], wv[keep]
+                starts_u = np.flatnonzero(
+                    np.r_[True, wd[1:] != wd[:-1]]) if len(wd) else []
+                if len(wd):
+                    xors = np.bitwise_xor.reduceat(wv, starts_u)
+                    cnts = np.diff(np.r_[starts_u, len(wd)])
+                    n_fp[wd[starts_u]] = cnts
+                    fp_xor[wd[starts_u]] = xors
+    # low 32 bits of the XOR: full uint64 leaves the SQL side as a lossy
+    # float64 via pandas NULL-handling; 32 bits are exact in BIGINT
+    return pa.table({"doc_id": pa.array(ids),
+                     "n_fingerprints": pa.array(n_fp),
+                     "fp_xor": pa.array((fp_xor
+                                         & np.uint64(0xFFFFFFFF)).astype(np.int64))})
 
 
 def fingerprints(sf_dir: str) -> pa.Table:
-    """Per-doc winnowing fingerprint count + 16-hex digest of the sorted
-    fingerprint set (stable document identity for near-dup grouping)."""
+    """Per-doc winnowing fingerprint count + XOR of the distinct
+    fingerprint set (stable document identity for near-dup grouping;
+    XOR instead of a digest so the DuckDB oracle can reproduce it
+    UDF-free via md5_number_lower + bit_xor)."""
     ds = _documents(sf_dir, ["doc_id", "text"])
-
-    def fp(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        counts, digs = [], []
-        for t in b["text"].to_pandas():
-            fps = _winnow(py_tokenize(t))
-            counts.append(len(fps))
-            h = hashlib.blake2b(
-                b"".join(v.to_bytes(8, "big") for v in fps),
-                digest_size=8).hexdigest()
-            digs.append(h)
-        return pa.table({"doc_id": pa.array(ids),
-                         "n_fingerprints": pa.array(counts, pa.int64()),
-                         "digest": pa.array(digs, pa.string())})
-
-    out = ds.map_batches(fp, batch_format="pyarrow", batch_size=4096)
+    out = ds.map_batches(_fp_batch, batch_format="pyarrow", batch_size=4096)
     pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
@@ -223,5 +278,40 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        round(sum(sum_tok_len) * 1.0 / sum(n_tokens), 6) AS avg_token_len,
        round(sum(n_stop) * 1.0 / sum(n_tokens), 6) AS stopword_ratio
 FROM per_doc GROUP BY lang ORDER BY lang
+""".strip(),
+    # winnowing fingerprints reproduced UDF-free: md5_number_lower == the
+    # engine's md5_64 gram hash; window minima via least() over list
+    # positions; distinct + XOR via unnest + bit_xor
+    "text_fingerprints": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         END AS g
+  FROM toks),
+hs AS (
+  SELECT doc_id, list_transform(g, x -> md5_number_lower(x)) AS h
+  FROM grams),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN []::UBIGINT[]
+              WHEN len(h) <= {_FP_WINDOW} THEN [list_aggregate(h, 'min')]
+              ELSE list_transform(generate_series(1, len(h)-{_FP_WINDOW - 1}),
+                     i -> least(h[i], h[i+1], h[i+2], h[i+3]))
+         END AS w
+  FROM hs),
+fp AS (
+  SELECT doc_id, count(*)::BIGINT AS n_fingerprints, bit_xor(wv) AS fp_xor
+  FROM (SELECT doc_id, unnest(list_distinct(w)) AS wv FROM wins)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(fp.n_fingerprints, 0)::BIGINT AS n_fingerprints,
+       CAST(COALESCE(fp.fp_xor, 0::UBIGINT) & 4294967295 AS BIGINT) AS fp_xor
+FROM documents d LEFT JOIN fp USING (doc_id)
+ORDER BY d.doc_id
 """.strip(),
 }

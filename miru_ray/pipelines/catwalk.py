@@ -12,10 +12,16 @@ Reference semantics (SURVEY.md §2.5):
   (``StrutModelCache.java:36-140``) — our scorer actor pool receives the
   model via ``ray.put`` once and keeps it across batches.
 
-Concrete task: label = "user made a high-value purchase (value > 150)"; feature of a user = distinct
-(event_type @ hour-of-day) pairs of their non-purchase events; model scores
-P(labeled | feature); unlabeled users ranked by max feature score.  All
-counts are distinct-user integers, so the SQL oracle matches exactly.
+Concrete task: label = "user made a high-value purchase (value > 150)";
+feature of a user = distinct (event_type @ hour-of-day) pairs of their
+non-purchase events; model scores P(labeled | feature); unlabeled users
+ranked by max feature score.  All counts are distinct-user integers, so the
+SQL oracle matches exactly.
+
+Scale shape: the distinct (user, feature) pass, the labeled-user distinct,
+and the FeatureScore aggregation are ALL distributed groupbys; only the
+model table itself (one row per feature — the broadcast side by
+definition) and the final top-k ever reach the driver.
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 US_PER_HOUR = 3_600_000_000
 
@@ -44,14 +50,20 @@ LABEL_VALUE_THRESHOLD = 150  # splits the user population (~45% labeled)
 
 def _labeled_users(sf_dir: str) -> np.ndarray:
     """Users with a high-value purchase (value > threshold) — the labeled
-    set (small; broadcast)."""
-    import duckdb  # driver-side tiny scan — one distinct over one column
-    path = os.path.join(sf_dir, "events.parquet")
-    rows = duckdb.sql(
-        f"SELECT DISTINCT user_id FROM '{path}' "
-        f"WHERE event_type = 'purchase' AND value > {LABEL_VALUE_THRESHOLD}"
-    ).fetchall()
-    return np.array(sorted(r[0] for r in rows), np.int64)
+    set (small; broadcast).  One pruned distributed scan + distinct (the
+    oracle engine is NOT a production dependency)."""
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def high_value(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["event_type"], "purchase"),
+                    pc.greater(t["value"], LABEL_VALUE_THRESHOLD))
+        sub = t.filter(m)
+        return sub.select(["user_id"]).group_by("user_id").aggregate([])
+
+    users = (ds.map_batches(high_value, batch_format="pyarrow",
+                            batch_size=65536)
+             .unique("user_id"))
+    return np.array(sorted(users), np.int64)
 
 
 def _feature_batch(t: pa.Table) -> pa.Table:
@@ -68,7 +80,6 @@ def _feature_batch(t: pa.Table) -> pa.Table:
 
 
 def _distinct_user_features(sf_dir: str) -> "ray.data.Dataset":
-    from ray.data.aggregate import Count
     ds = _events(sf_dir, ["user_id", "event_type", "ts"])
     partials = ds.map_batches(_feature_batch, batch_format="pyarrow",
                               batch_size=65536)
@@ -79,25 +90,36 @@ def _distinct_user_features(sf_dir: str) -> "ray.data.Dataset":
     return agg.select_columns(["feature", "user_id"])
 
 
-def _model_from_pairs(pairs_pdf: pd.DataFrame, lab: np.ndarray) -> pd.DataFrame:
-    is_lab = np.isin(pairs_pdf["user_id"].to_numpy(), lab)
-    g = pairs_pdf.assign(is_lab=is_lab.astype(np.int64)).groupby(
-        "feature", as_index=False).agg(numerator=("is_lab", "sum"),
-                                       denominator=("is_lab", "size"))
-    g["numerator"] = g["numerator"].astype(np.int64)
-    g["denominator"] = g["denominator"].astype(np.int64)
-    return g.sort_values("feature").reset_index(drop=True)
+def _model_from_pairs(pairs: "ray.data.Dataset",
+                      lab: np.ndarray) -> pd.DataFrame:
+    """FeatureScore table via a DISTRIBUTED groupby(feature): numerator =
+    labeled distinct users, denominator = all distinct users.  The labeled
+    set is broadcast once; only the per-feature model rows (the broadcast
+    side of Strut scoring by definition) return to the driver."""
+    lab_ref = ray.put(lab)
+
+    def flag(t: pa.Table) -> pa.Table:
+        labs = ray.get(lab_ref)
+        is_lab = np.isin(t["user_id"].to_numpy(), labs).astype(np.int64)
+        return pa.table({"feature": t["feature"],
+                         "is_lab": pa.array(is_lab)})
+
+    g = (pairs.map_batches(flag, batch_format="pyarrow", batch_size=65536)
+         .groupby("feature").aggregate(
+             Sum("is_lab", alias_name="numerator"),
+             Count(alias_name="denominator")))
+    out = g.to_pandas()
+    out["numerator"] = out["numerator"].astype(np.int64)
+    out["denominator"] = out["denominator"].astype(np.int64)
+    return out.sort_values("feature").reset_index(drop=True)
 
 
 def catwalk_model(sf_dir: str) -> pa.Table:
-    """(feature, numerator, denominator) — FeatureScore table.
-
-    The distinct (user, feature) pairs are computed distributed (one pass);
-    the FeatureScore aggregation runs over that small table (≤ one row per
-    user-feature pair) on the driver — the reference's model store also
-    merges pre-counted FeatureScores (``CatwalkModelService:146-200``)."""
-    pairs_pdf = _distinct_user_features(sf_dir).to_pandas()
-    out = _model_from_pairs(pairs_pdf, _labeled_users(sf_dir))
+    """(feature, numerator, denominator) — FeatureScore table, computed
+    end-to-end distributed (distinct pass + grouped two-sided counts,
+    ``Catwalk.java:125-163``)."""
+    out = _model_from_pairs(_distinct_user_features(sf_dir),
+                            _labeled_users(sf_dir))
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -123,24 +145,24 @@ class StrutScorer:
 def strut_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Top-k unlabeled users by max feature score (MAX strategy).
 
-    The distinct-pairs dataset is computed ONCE; the model is derived from
-    it and broadcast to the scorer actor pool that re-consumes the same
-    pairs (no second distributed distinct pass)."""
+    The distinct-pairs Dataset is materialized ONCE in the object store
+    (never on the driver); the model is derived from it distributed,
+    broadcast, and the scorer actor pool re-consumes the same blocks."""
     lab = _labeled_users(sf_dir)
-    pairs_pdf = _distinct_user_features(sf_dir).to_pandas()
-    model = _model_from_pairs(pairs_pdf, lab)
+    pairs = _distinct_user_features(sf_dir).materialize()
+    model = _model_from_pairs(pairs, lab)
     model_ref = ray.put((np.asarray(model["feature"], object),
                          model["numerator"].to_numpy().astype(np.float64),
                          model["denominator"].to_numpy().astype(np.float64)))
     lab_ref = ray.put(lab)
-    pairs = ray.data.from_pandas(pairs_pdf)
     partials = pairs.map_batches(
         StrutScorer, batch_format="pandas", batch_size=65536,
         concurrency=(1, 4), fn_constructor_args=(model_ref, lab_ref))
-    out = partials.groupby("user_id").aggregate(
-        Max("s", alias_name="score")).to_pandas()
-    out = out.sort_values(["score", "user_id"],
-                          ascending=[False, True]).head(k)
+    scored = partials.groupby("user_id").aggregate(
+        Max("s", alias_name="score"))
+    # distributed top-k: sort + limit — only k rows reach the driver
+    out = scored.sort(["score", "user_id"],
+                      descending=[True, False]).limit(k).to_pandas()
     out["score"] = out["score"].round(6)
     out["user_id"] = out["user_id"].astype(np.int64)
     return pa.Table.from_pandas(out.reset_index(drop=True),

@@ -324,6 +324,64 @@ def q_highlight(sf_dir: str, terms: list[str], k: int = 5) -> pa.Table:
         merged[["doc_id", "score", "fragment"]], preserve_index=False)
 
 
+def highlight_sql(terms: list[str], k: int = 5, width: int = 20,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """SQL oracle for :func:`q_highlight`: BM25 top-k (AND) + the exact
+    token-window fragment rebuilt with list_slice/list_transform."""
+    tset = sorted(set(terms))
+    qvals = ", ".join(f"('{t}')" for t in tset)
+    inlist = ", ".join(f"'{t}'" for t in tset)
+    return f"""
+{SQL_PROLOGUE},
+q(term) AS (VALUES {qvals}),
+matched AS (
+  SELECT tf.doc_id FROM tf JOIN q USING (term)
+  GROUP BY tf.doc_id HAVING count(*) = {len(tset)}
+),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.doc_id
+),
+topk AS (SELECT doc_id, score FROM scores
+         ORDER BY score DESC, doc_id DESC LIMIT {k}),
+tok AS (
+  SELECT d.doc_id, regexp_extract_all(lower(d.text), '[a-z0-9]+') AS t
+  FROM docs d JOIN topk USING (doc_id)),
+pos AS (
+  SELECT tok.doc_id, u.i, tok.t[u.i] AS tk
+  FROM tok, unnest(generate_series(1, len(tok.t))) AS u(i)),
+win AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN tk IN ({inlist}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {width - 1} FOLLOWING) AS c
+  FROM pos),
+best AS (
+  SELECT doc_id, min(i) AS b FROM (
+    SELECT doc_id, i, c, max(c) OVER (PARTITION BY doc_id) AS mx FROM win)
+  WHERE c = mx GROUP BY doc_id),
+frag AS (
+  SELECT t.doc_id,
+         array_to_string(list_transform(
+           t.t[b.b : least(b.b + {width - 1}, len(t.t))],
+           x -> CASE WHEN x IN ({inlist})
+                     THEN '<b>' || x || '</b>' ELSE x END), ' ') AS fragment
+  FROM tok t JOIN best b USING (doc_id))
+SELECT tk.doc_id, round(tk.score, 6) AS score, f.fragment
+FROM topk tk JOIN frag f USING (doc_id)
+ORDER BY tk.score DESC, tk.doc_id DESC
+""".strip()
+
+
 def _ast(terms: list[str], mode: str):
     from ..query.filter import and_terms, or_terms
     return and_terms(sorted(set(terms))) if mode == "and" else or_terms(sorted(set(terms)))

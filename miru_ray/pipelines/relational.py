@@ -84,33 +84,52 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 
 def revenue_by_nation(sf_dir: str) -> pa.Table:
     """Revenue per customer nation: orders⋈customer⋈nation via a broadcast
-    dict (dimension side is tiny), then a grouped sum."""
+    join, then a grouped sum.
+
+    The broadcast side is (sorted custkey int64 array, nation-ID int8
+    array) — Arrow/NumPy-native and ~9 bytes/customer, read zero-copy from
+    the object store by every task with an ``np.searchsorted`` probe (the
+    ``AssignDocIds`` pattern).  Size bound: a broadcast join is right while
+    that pair fits comfortably in worker heap (≈1 GB per 10^8 customers);
+    beyond it, hash-partition both sides on custkey instead."""
     import pyarrow.parquet as pq
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
-    nmap = dict(zip(nation["n_nationkey"].to_numpy(),
-                    nation["n_name"].to_pylist()))
-    cust_nation = {int(c): nmap[int(n)] for c, n in
-                   zip(cust["c_custkey"].to_numpy(),
-                       cust["c_nationkey"].to_numpy())}
-    ref = ray.put(cust_nation)
+    n_keys = nation["n_nationkey"].to_numpy()
+    n_names = np.asarray(nation["n_name"].to_pandas(), dtype=object)
+    n_of_cust = n_names[np.searchsorted(np.sort(n_keys),
+                                        cust["c_nationkey"].to_numpy())]
+    ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ckeys)
+    # nation strings dictionary-encoded: broadcast carries an int8 code per
+    # customer plus the 25-entry name table
+    codes = pd.Categorical(n_of_cust[order])
+    ref = ray.put((ckeys[order], codes.codes.astype(np.int8),
+                   np.asarray(codes.categories, dtype=object)))
 
     class JoinNation:
         def __init__(self):
-            self.map = ray.get(ref)
+            self.ckeys, self.codes, self.names = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["n_name"] = b["o_custkey"].map(self.map)
-            b["cents"] = np.round(b["o_totalprice"] * 100.0).astype(np.int64)
-            g = b.groupby("n_name", as_index=False)["cents"].sum()
-            g["cnt"] = b.groupby("n_name").size().values
-            return g
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cust_k = b["o_custkey"].to_numpy()
+            pos = np.searchsorted(self.ckeys, cust_k)
+            code = self.codes[pos]
+            cents = np.round(
+                b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+            sums = np.bincount(code, weights=cents,
+                               minlength=len(self.names)).astype(np.int64)
+            cnts = np.bincount(code, minlength=len(self.names))
+            nz = np.flatnonzero(cnts)
+            return pa.table({
+                "n_name": pa.array(self.names[nz], pa.string()),
+                "cents": pa.array(sums[nz]),
+                "cnt": pa.array(cnts[nz].astype(np.int64))})
 
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    partials = orders.map_batches(JoinNation, batch_format="pandas",
+    partials = orders.map_batches(JoinNation, batch_format="pyarrow",
                                   batch_size=65536, concurrency=(1, 4))
     out = partials.groupby("n_name").aggregate(
         Sum("cents", alias_name="cents"),
@@ -121,48 +140,111 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _isin_sorted(values: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership against a broadcast SORTED key array."""
+    if not len(sorted_keys):
+        return np.zeros(len(values), bool)
+    pos = np.searchsorted(sorted_keys, values)
+    return (pos < len(sorted_keys)) & (
+        sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] == values)
+
+
+def _semi_join_keys(ds: "ray.data.Dataset", col: str, keys_ref,
+                    out_cols: list[str]) -> "ray.data.Dataset":
+    """Distributed semi-join: keep rows whose ``col`` hits the broadcast
+    sorted key array; per-batch distinct on ``out_cols``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        hit = _isin_sorted(t[col].to_numpy(), keys)
+        sub = t.filter(pa.array(hit)).select(out_cols)
+        return sub.group_by(out_cols).aggregate([]).rename_columns(out_cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
 def collaborative_filtering(sf_dir: str, custkey: int = 1,
                             k: int = 10) -> pa.Table:
     """3-hop reco: parts my customer ordered → other customers who ordered
-    those parts (contribution weight = #shared parts) → their OTHER parts
-    scored by Σ contributor weight; minus parts I already ordered; top-k by
-    (score desc, p_partkey asc).
+    those parts (contribution weight = #shared DISTINCT parts) → their
+    OTHER parts scored by Σ contributor weight; minus parts I already
+    ordered; top-k by (score desc, p_partkey asc).
 
-    Shape mirrors CollaborativeFiltering.java: hop 1/3 are semi-joins with a
-    broadcast key set; hop 2 is a grouped count — no large shuffle."""
-    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    Shape mirrors ``CollaborativeFiltering.java:59-233``: every broadcast
+    is MY neighborhood (my orders → my parts → orders touching my parts →
+    contributor weights → contributors' orders), each bounded like the
+    reference's termCount-capped term sets — never a full-table dict.  The
+    heavy passes are pruned-column lineitem scans with per-batch distinct
+    partials; the driver merges only those neighborhood-bounded partials
+    (the reference's driver-side answer-merge shape).  At extreme skew any
+    one np.unique merge swaps for a distributed groupby without changing
+    the pipeline.
+    """
+    def li():
+        return _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    # order → customer map is small at test scale; broadcast it
-    omap_df = orders.to_pandas()
-    o2c = dict(zip(omap_df["o_orderkey"], omap_df["o_custkey"]))
-    ref = ray.put(o2c)
+    # hop 0+1: my orders → my distinct parts (one orders scan + one
+    # lineitem scan; both results are one customer's neighborhood — tiny)
+    my_orders = np.unique(
+        orders.map_batches(
+            lambda t: t.filter(pc.equal(t["o_custkey"], custkey))
+            .select(["o_orderkey"]),
+            batch_format="pyarrow", batch_size=65536)
+        .to_pandas()["o_orderkey"].to_numpy()).astype(np.int64)
+    my_orders_ref = ray.put(my_orders)
+    mine = np.unique(
+        _semi_join_keys(li(), "l_orderkey", my_orders_ref, ["l_partkey"])
+        .to_pandas()["l_partkey"].to_numpy()).astype(np.int64)
+    mine_ref = ray.put(mine)
 
-    class AddCust:
-        def __init__(self):
-            self.o2c = ray.get(ref)
+    # hop 2: lineitems touching my parts → distinct (orderkey, partkey)
+    # partials (bounded by my parts' popularity — the reference bounds this
+    # hop with its top-contributor heap); orders of those lineitems give
+    # (orderkey → custkey); weights = distinct shared parts per customer
+    touch = (_semi_join_keys(li(), "l_partkey", mine_ref,
+                             ["l_orderkey", "l_partkey"])
+             .to_pandas().drop_duplicates())
+    touch_orders = np.unique(touch["l_orderkey"].to_numpy()).astype(np.int64)
+    o2c = _semi_join_keys(orders, "o_orderkey", ray.put(touch_orders),
+                          ["o_orderkey", "o_custkey"]).to_pandas()
+    shared = (touch.merge(o2c, left_on="l_orderkey", right_on="o_orderkey")
+              [["o_custkey", "l_partkey"]].drop_duplicates())
+    shared = shared[shared["o_custkey"] != custkey]
+    weight = shared.groupby("o_custkey").size()
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["custkey"] = b["l_orderkey"].map(self.o2c)
-            return b[["custkey", "l_partkey"]].drop_duplicates()
+    # hop 3: contributors' orders → their OTHER parts (distinct), scored
+    # by Σ contributor weight
+    contrib = np.sort(weight.index.to_numpy().astype(np.int64))
+    c_orders = _semi_join_keys(orders, "o_custkey", ray.put(contrib),
+                               ["o_orderkey", "o_custkey"]).to_pandas()
+    ck = c_orders["o_orderkey"].to_numpy()
+    corder = np.argsort(ck)
+    co_ref = ray.put((ck[corder], c_orders["o_custkey"].to_numpy()[corder]))
 
-    cust_part = li.map_batches(AddCust, batch_format="pandas",
-                               batch_size=65536, concurrency=(1, 4))
-    cp = cust_part.to_pandas().drop_duplicates()  # distinct (customer, part)
+    def their_parts(t: pa.Table) -> pa.Table:
+        ok_keys, ok_cust = ray.get(co_ref)
+        parts_mine = ray.get(mine_ref)
+        hit = _isin_sorted(t["l_orderkey"].to_numpy(), ok_keys) \
+            & ~_isin_sorted(t["l_partkey"].to_numpy(), parts_mine)
+        sub = t.filter(pa.array(hit))
+        pos = np.searchsorted(ok_keys, sub["l_orderkey"].to_numpy())
+        out = pa.table({"custkey": pa.array(ok_cust[pos]),
+                        "l_partkey": sub["l_partkey"]})
+        return out.group_by(["custkey", "l_partkey"]).aggregate([]) \
+            .rename_columns(["custkey", "l_partkey"])
 
-    mine = set(cp[cp["custkey"] == custkey]["l_partkey"])
-    # hop 2: contributors = customers sharing ≥1 of my parts, weighted
-    sharers = cp[cp["l_partkey"].isin(mine) & (cp["custkey"] != custkey)]
-    weight = sharers.groupby("custkey").size()  # shared-part count
-    # hop 3: contributors' other parts, scored by contributor weight
-    theirs = cp[cp["custkey"].isin(weight.index) & ~cp["l_partkey"].isin(mine)]
-    score = (theirs.assign(w=theirs["custkey"].map(weight))
-             .groupby("l_partkey")["w"].sum().reset_index()
+    theirs = (li().map_batches(their_parts, batch_format="pyarrow",
+                               batch_size=65536)
+              .to_pandas().drop_duplicates())  # contributors' catalog only
+    theirs["w"] = theirs["custkey"].map(weight).astype(np.int64)
+    score = (theirs.groupby("l_partkey", as_index=False)["w"].sum()
              .rename(columns={"l_partkey": "p_partkey", "w": "score"}))
     score = score.sort_values(["score", "p_partkey"],
                               ascending=[False, True]).head(k)
     score["score"] = score["score"].astype(np.int64)
+    score["p_partkey"] = score["p_partkey"].astype(np.int64)
     return pa.Table.from_pandas(score.reset_index(drop=True),
                                 preserve_index=False)
 

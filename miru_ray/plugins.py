@@ -1,0 +1,217 @@
+"""Plugin registry — the engine's operator-contribution contract.
+
+Reference analogue: a Miru plugin supplies an endpoint + injectable +
+remote-partition triple discovered by classpath scan
+(``miru-plugin/.../plugin/MiruPlugin.java:11-18``,
+``MiruReaderMain.java:661-664``), and each query family implements the
+Question / AnswerMerger / AnswerEvaluator contract
+(``miru-plugin/.../solution/Question.java``, ``MiruAnswerMerger.java``).
+
+Here an operator registers a named :class:`Op`:
+
+- ``query_fn(sf_dir) -> Table | DataFrame | Dataset`` — the ask-and-merge
+  path (per-partition work + driver merge live inside the callable, which
+  composes the engine surface: Searcher fan-out, Dataset pipelines, ...).
+- ``oracle_sql`` — the conformance oracle (ANSI SQL over the testdata
+  views); ``None`` marks a legitimately non-SQL-expressible op (approx
+  sketches, recall reports, stubs) that gets a rows-only check.
+
+``__ray_entry__.queries()`` / ``oracle_sql()`` are THIN views over this
+registry: contributing a new operator end-to-end is one ``register_op``
+call from any imported module — no driver-contract edits (see
+``tests/test_plugins.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class Op:
+    name: str
+    query_fn: Callable[[str], Any]
+    oracle_sql: str | None = None
+    tags: tuple = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Op] = {}
+_BUILTIN_LOADED = False
+
+
+def register_op(name: str, query_fn: Callable[[str], Any],
+                oracle_sql: str | None = None,
+                tags: tuple = ()) -> Callable[[str], Any]:
+    """Register an operator under ``name``.  Returns ``query_fn`` so it can
+    be used as a decorator-style one-liner.  Re-registering an existing
+    name raises — names are the public contract surface."""
+    if name in _REGISTRY:
+        raise ValueError(f"operator {name!r} already registered")
+    _REGISTRY[name] = Op(name, query_fn, oracle_sql, tuple(tags))
+    return query_fn
+
+
+def unregister_op(name: str) -> None:
+    _REGISTRY.pop(name, None)
+
+
+def registered_ops() -> dict[str, Op]:
+    load_builtin()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {n: op.query_fn for n, op in registered_ops().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: op.oracle_sql for n, op in registered_ops().items()
+            if op.oracle_sql is not None}
+
+
+def load_builtin() -> None:
+    """Register every built-in operator family (idempotent)."""
+    global _BUILTIN_LOADED
+    if _BUILTIN_LOADED:
+        return
+    _BUILTIN_LOADED = True
+
+    from .ops import analytics as A
+    from .ops import dedup as D
+    from .ops import similarity as Sim
+    from .ops import textstats as T
+    from .ops.sketches import approx_unique
+    from .pipelines import catwalk as C
+    from .pipelines import flagship as F
+    from .pipelines import relational as R
+    from .stages import multimodal as M
+
+    QUERY_TERMS = ["spark", "merge"]       # hot terms of the documents vocab
+    OR_TERMS = ["spark", "merge", "dup"]   # includes the rare term 'dup'
+
+    def reg(name, fn, sql=None, tags=()):
+        register_op(name, fn, sql, tags)
+
+    P = F.SQL_PROLOGUE
+    # ---- full-text index + scoring (SURVEY.md §2.12, §2.7) ----
+    reg("fulltext_bm25_and", lambda sf: F.q_bm25(sf, QUERY_TERMS, 10, "and"),
+        F.bm25_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))
+    reg("fulltext_bm25_or", lambda sf: F.q_bm25(sf, OR_TERMS, 10, "or"),
+        F.bm25_sql(OR_TERMS, 10, mode="or"), ("fulltext",))
+    reg("fulltext_bm25_wand", lambda sf: F.q_bm25_wand(sf, OR_TERMS, 10),
+        F.bm25_sql(OR_TERMS, 10, mode="or"), ("fulltext",))
+    reg("fulltext_reftfidf_and",
+        lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
+        F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))
+    reg("fulltext_time_top10", lambda sf: F.q_time(sf, QUERY_TERMS, 10), f"""
+{P}
+SELECT d.doc_id, d.ts FROM docs d
+JOIN tf a ON a.doc_id = d.doc_id AND a.term = 'merge'
+JOIN tf b ON b.doc_id = d.doc_id AND b.term = 'spark'
+ORDER BY d.ts DESC, d.doc_id DESC LIMIT 10
+""".strip(), ("fulltext",))
+    # ---- filter AST (§2.3) ----
+    reg("fulltext_and_count", lambda sf: F.q_count_and(sf, QUERY_TERMS), f"""
+{P}
+SELECT count(*)::BIGINT AS n_matched FROM (
+  SELECT doc_id FROM tf WHERE term IN ('merge', 'spark')
+  GROUP BY doc_id HAVING count(*) = 2)
+""".strip(), ("filter",))
+    reg("fulltext_or_not_docs",
+        lambda sf: F.q_or_not_docs(sf, "spark", "merge", "dup"), f"""
+{P}
+SELECT DISTINCT doc_id FROM tf
+WHERE term IN ('spark', 'merge')
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY doc_id
+""".strip(), ("filter",))
+    reg("fulltext_prefix_count", lambda sf: F.q_prefix_count(sf, "s"), f"""
+{P}
+SELECT count(DISTINCT doc_id)::BIGINT AS n_matched FROM tf
+WHERE term LIKE 's%'
+""".strip(), ("filter",))
+    reg("keyword_and_term_count",
+        lambda sf: F.q_keyword_and_term(sf, "user", "spark"), f"""
+{P}
+SELECT count(*)::BIGINT AS n_matched
+FROM docs d JOIN tf ON tf.doc_id = d.doc_id
+WHERE tf.term = 'spark' AND d.role = 'user'
+""".strip(), ("filter",))
+    # ---- authz / ACL composite filter (§2.3, MiruAuthzIndex) ----
+    reg("fulltext_authz_count", F.q_authz_count, F.authz_count_sql(),
+        ("authz",))
+    reg("fulltext_authz_topk", lambda sf: F.q_authz_topk(sf, QUERY_TERMS, 10),
+        F.bm25_sql(QUERY_TERMS, 10, mode="and", authz=F.AUTHZ_PRINCIPAL),
+        ("authz",))
+    # ---- index-side stats (§2.6 global tf/df + latest/first family) ----
+    reg("term_stats_top20", lambda sf: F.q_term_stats(sf, 20), f"""
+{P}
+SELECT term, df::BIGINT AS df, cf::BIGINT AS cf FROM df
+ORDER BY cf DESC, term ASC LIMIT 20
+""".strip(), ("stats",))
+    reg("terms_latest_top20", lambda sf: F.q_terms_latest(sf, 20),
+        F.terms_latest_sql(20), ("stats",))
+    reg("collection_stats", F.q_collection_stats, f"""
+{P}
+SELECT n::BIGINT AS n_docs,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_len,
+       round(avgdl, 6) AS avgdl
+FROM stats
+""".strip(), ("stats",))
+    reg("doc_lengths", F.q_doc_lengths, f"""
+{P}
+SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
+""".strip(), ("stats",))
+    reg("fulltext_highlight", lambda sf: F.q_highlight(sf, QUERY_TERMS, 5),
+        F.highlight_sql(QUERY_TERMS, 5), ("fulltext",))
+
+    # ---- analytics family (§2.6) over events ----
+    for name, fn in (("events_distincts", A.distincts),
+                     ("events_uniques", A.uniques),
+                     ("events_aggregate_counts", A.aggregate_counts),
+                     ("events_waveform", A.waveform),
+                     ("events_metrics", A.metrics),
+                     ("events_trending", A.trending),
+                     ("events_trending_peaks", A.trending_peaks)):
+        reg(name, fn, A.SQL.get(name), ("analytics",))
+    # ---- dedup family (§2.8 + training-data ops) ----
+    for name, fn in (("dedup_exact_docs", D.exact_dedup),
+                     ("dedup_exact_count", D.exact_dedup_count),
+                     ("dedup_ngram_jaccard_pairs", D.ngram_jaccard_pairs),
+                     ("dedup_minhash_clusters", D.minhash_dedup),
+                     ("dedup_simhash_pairs", D.simhash_pairs),
+                     ("embedding_neardup_pairs", D.embedding_neardup_pairs)):
+        reg(name, fn, D.SQL.get(name), ("dedup",))
+    # ---- similarity search ----
+    reg("ann_bruteforce_topk", Sim.ann_bruteforce_topk,
+        Sim.SQL.get("ann_bruteforce_topk"), ("similarity",))
+    reg("ann_lsh_recall", Sim.ann_lsh_topk, None, ("similarity", "approx"))
+    # ---- text analysis ----
+    for name, fn in (("text_token_count_by_source", T.token_count_by_source),
+                     ("text_quality_by_lang", T.quality_by_lang),
+                     ("text_langid", T.langid),
+                     ("text_fingerprints", T.fingerprints)):
+        reg(name, fn, T.SQL.get(name), ("textstats",))
+    # ---- relational / reco (§2.5, §2.6) ----
+    for name, fn in (("rel_pricing_summary", R.pricing_summary),
+                     ("rel_revenue_by_nation", R.revenue_by_nation),
+                     ("rel_collaborative_filtering",
+                      R.collaborative_filtering)):
+        reg(name, fn, R.SQL.get(name), ("relational",))
+    # ---- multimodal binary columns (stubbed codecs, real plumbing) ----
+    for name, fn in (("media_decode_dims", M.media_decode_dims),
+                     ("media_frame_sample_counts",
+                      M.media_frame_sample_counts),
+                     ("media_pipeline_features", M.media_pipeline_features)):
+        reg(name, fn, M.SQL.get(name), ("multimodal",))
+    # ---- catwalk model build + strut scoring (§2.5) ----
+    reg("catwalk_model", C.catwalk_model, C.SQL.get("catwalk_model"),
+        ("catwalk",))
+    reg("strut_topk_users", C.strut_topk, C.SQL.get("strut_topk_users"),
+        ("catwalk",))
+    # ---- sketches ----
+    reg("events_uniques_hll",
+        lambda sf: approx_unique(sf, "events", "user_id"), None,
+        ("sketches", "approx"))

@@ -5,55 +5,39 @@ query (``LuceneBackedQueryParser.highlight``,
 ``miru-plugin/.../query/LuceneBackedQueryParser.java:56-74`` — Lucene
 ``Highlighter`` + ``QueryScorer``, best fragment, ``<b>...</b>`` tags).
 
-Re-implementation: slide a fixed-width window over the tokenized text, pick
-the window containing the most query-term hits (earliest on ties), wrap the
-hits.  Deterministic; applied as a post-processing map over gathered rows.
+Re-implementation with EXACTLY SQL-reproducible semantics: the fragment is
+the best ``width``-token window of the LOWERED token stream (max query-term
+hits, earliest window on ties), hits wrapped, tokens joined with single
+spaces.  Working on tokens instead of raw character spans is a documented
+simplification that lets a DuckDB oracle rebuild the fragment byte-for-byte
+(list_slice + list_transform + array_to_string).
 """
 
 from __future__ import annotations
 
-import re
+import numpy as np
 
-from ..tokenize import TOKEN_PATTERN
-
-_TOKEN_RE = re.compile(TOKEN_PATTERN)
+from ..tokenize import py_tokenize
 
 
 def best_fragment(text: str, terms: set[str], width: int = 20,
                   pre: str = "<b>", post: str = "</b>") -> str:
     """Best ``width``-token window with query hits wrapped. Empty string if
     no term matches (the reference returns no fragment then)."""
-    matches = [(m.start(), m.end(), m.group().lower() in terms)
-               for m in _TOKEN_RE.finditer(text.lower())]
-    if not matches:
+    toks = py_tokenize(text)
+    if not toks:
         return ""
-    hits = [i for i, m in enumerate(matches) if m[2]]
-    if not hits:
+    hits = np.array([t in terms for t in toks], bool)
+    if not hits.any():
         return ""
-    # best window = max hits in any [i, i+width) token span, earliest wins
-    best_start, best_count = 0, -1
-    j = 0
-    for i in range(len(matches)):
-        while j < len(matches) and j < i + width:
-            j += 1
-        count = sum(1 for h in hits if i <= h < i + width)
-        if count > best_count:
-            best_start, best_count = i, count
-    lo = matches[best_start][0]
-    hi_idx = min(best_start + width, len(matches)) - 1
-    hi = matches[hi_idx][1]
-    frag = text[lo:hi]
-    # wrap hits inside the fragment (offsets relative to lo)
-    out = []
-    cursor = 0
-    for s, e, is_hit in matches:
-        if s < lo or e > hi or not is_hit:
-            continue
-        out.append(frag[cursor:s - lo])
-        out.append(pre + frag[s - lo:e - lo] + post)
-        cursor = e - lo
-    out.append(frag[cursor:])
-    return "".join(out)
+    # c[i] = hits in [i, i+width): suffix-window sums via cumsum; earliest
+    # argmax wins (the reference's first-best-fragment rule)
+    cs = np.r_[0, np.cumsum(hits)]
+    n = len(toks)
+    c = cs[np.minimum(np.arange(n) + width, n)] - cs[:n]
+    best = int(np.argmax(c))
+    frag = toks[best:best + width]
+    return " ".join(pre + t + post if t in terms else t for t in frag)
 
 
 def highlight_rows(texts, terms: list[str], width: int = 20) -> list[str]:

@@ -22,6 +22,23 @@ def term_shard(terms, num_shards: int) -> np.ndarray:
     return (pd.util.hash_array(arr) % np.uint64(num_shards)).astype(np.int64)
 
 
+def md5_64(strings) -> np.ndarray:
+    """uint64 hash per string == DuckDB ``md5_number_lower`` (little-endian
+    last 8 bytes of md5) — lets SQL oracles reproduce hash-derived values
+    (simhash signatures, winnowing fingerprints) bit-for-bit."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+         for s in strings), dtype=np.uint64, count=len(strings))
+
+
+def md5_64_bulk(strings: np.ndarray) -> np.ndarray:
+    """md5_64 with each DISTINCT string hashed once (token/shingle streams
+    repeat heavily — factorize first, then one digest per unique)."""
+    codes, uniques = pd.factorize(np.asarray(strings, dtype=object),
+                                  sort=False)
+    return md5_64(uniques)[codes]
+
+
 def atomic_write_bytes(path: str, data: bytes) -> None:
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
