@@ -51,6 +51,11 @@ class IndexConfig:
     #     the object store (measured ~3× slower here: the sort pays ~600
     #     CPU-s ordering 160M string-carrying rows it doesn't need ordered).
     shuffle_mode: str = "external"
+    # codec for the docstore + postings-spill parquet writes (execution
+    # knob: affects bytes on disk, never logical content).  zstd ~25%
+    # smaller than snappy on this text at ~5% more build CPU (BENCH.md
+    # codec A/B); pick snappy when build CPU is the scarce resource.
+    io_compression: str = "zstd"
     # run the doc-store write and the postings spill as concurrent Dataset
     # executions (spill assigns doc ids inline from the broadcast offsets).
     # Off by default: on a single box two streaming executors oversubscribe
@@ -70,7 +75,8 @@ class IndexConfig:
         are excluded so stage checkpoints remain valid across them —
         different shuffle paths must produce byte-identical segments."""
         d = self.to_dict()
-        for k in ("shuffle_mode", "overlap_stages", "k1", "b"):
+        for k in ("shuffle_mode", "overlap_stages", "k1", "b",
+                  "io_compression"):
             d.pop(k)
         return d
 

@@ -8,9 +8,13 @@ Ray-Data-first pipeline (SURVEY.md §7.1), four stages, all resumable:
                    ``MiruPartitionAccessor.java:594-650``, WITHOUT a global
                    sort: ``turn_idx`` is 0-based contiguous per conversation,
                    so doc_id = conv_offset + turn_idx; contiguity is asserted)
-[2] doc store      map_batches(assign doc_id + doc_len) → write_parquet
-                   partitioned by doc-partition (the forward/activity index,
-                   ``miru-service/.../index/lab/LabActivityIndex.java``)
+[2] doc store      map_batches(assign doc_id) → write_parquet partitioned
+                   by doc-partition (the forward/activity index,
+                   ``miru-service/.../index/lab/LabActivityIndex.java``).
+                   Doc lengths are NOT computed here — they fall out of
+                   stage [3]'s encode as per-cell ``doclen/`` sidecars
+                   (Σ tf per doc), so each build tokenizes the corpus
+                   exactly once
 [3] segments       map_batches(tokenize → (term, doc_id, tf) exact per-batch
                    partials) → shuffle keyed by gkey = (partition, shard) →
                    per-cell vectorized encode → atomic segment files.
@@ -189,19 +193,24 @@ def _get_offsets(ref):
 
 
 class AssignDocIds:
-    """Doc-id + doc-len assignment against the broadcast offsets table.
+    """Doc-id assignment against the broadcast offsets table.
 
     ``ray.put`` ships the (sorted conv array, offsets array) pair to the
     object store once; every worker process reads and caches it on first
     use (module-level cache), so this runs as cheap stateless tasks with
     full elasticity.  Lookup is a vectorized ``np.searchsorted``.
+
+    Doc LENGTHS are NOT computed here: they fall out of the postings
+    encode pass for free (Σ tf per doc — the doclen sidecars), so the
+    doc-store write never tokenizes and the corpus is tokenized exactly
+    once per build.
     """
 
     def __init__(self, offsets_ref, docs_per_partition: int,
-                 stopwords: frozenset | None):
+                 stopwords: frozenset | None = None):
         self.ref = offsets_ref
         self.dpp = docs_per_partition
-        self.stopwords = stopwords
+        self.stopwords = stopwords  # kept for config parity; unused here
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         convs, offs = _get_offsets(self.ref)
@@ -210,11 +219,9 @@ class AssignDocIds:
         if (pos >= len(convs)).any() or (convs[pos] != conv).any():
             raise ValueError("conv_id missing from offsets table")
         doc_id = offs[pos] + batch["turn_idx"].to_numpy().astype(np.int64)
-        _, _, doc_len = explode_tokens(batch["text"], self.stopwords)
         partition = doc_id // self.dpp
         return (batch
                 .append_column("doc_id", pa.array(doc_id))
-                .append_column("doc_len", pa.array(doc_len))
                 .append_column("partition", pa.array(partition)))
 
 
@@ -230,7 +237,7 @@ def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
     fn = AssignDocIds(ref, cfg.docs_per_partition, stop)
     out = ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
     out.write_parquet(docstore_dir, partition_cols=["partition"],
-                      compression="zstd")
+                      compression=cfg.io_compression)
     atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"), tag or {})
 
 
@@ -323,6 +330,23 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
     return to_postings
 
 
+def doclen_rel_path(pid: int, shard: int) -> str:
+    return f"doclen/p{pid:05d}_s{shard:03d}.parquet"
+
+
+def write_doclen_partial(doclen: pa.Table, index_dir: str, pid: int,
+                         shard: int) -> None:
+    """Write one cell's doc-length partial (Σ tf per doc over tokenized
+    terms — computed inside :func:`encode_segment_table` from the deduped
+    sorted arrays, i.e. for free).  A partition's doc lengths are the sum
+    of its shard partials.  Atomic + deterministic (resume-safe)."""
+    path = os.path.join(index_dir, doclen_rel_path(pid, shard))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(doclen, tmp)
+    os.replace(tmp, path)
+
+
 def make_segment_writer(index_dir: str, nsh: int):
     def encode_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -333,7 +357,10 @@ def make_segment_writer(index_dir: str, nsh: int):
         gkey = int(group["gkey"][0].as_py())
         pid, shard = gkey // nsh, gkey % nsh
         path = os.path.join(index_dir, segment_rel_path(pid, shard))
-        seg = encode_segment_table(group)
+        seg, dl = encode_segment_table(group, with_doclen=True)
+        if not os.path.exists(os.path.join(index_dir,
+                                           doclen_rel_path(pid, shard))):
+            write_doclen_partial(dl, index_dir, pid, shard)
         if not os.path.exists(path):  # resume: deterministic content → skip
             write_segment(seg, path)
         kw = pc.match_substring(seg["term"], ":")
@@ -373,23 +400,24 @@ def _build_segments_external(postings: "ray.data.Dataset", index_dir: str,
     ~3× faster (no comparison sort of the posting stream), and resumable at
     cell granularity: existing segment files are skipped.
     """
-    _spill_postings(postings, os.path.join(index_dir, "postings_spill"), tag)
+    _spill_postings(postings, os.path.join(index_dir, "postings_spill"), tag,
+                    cfg.io_compression)
     return _encode_cells(index_dir, cfg)
 
 
 def _spill_postings(postings: "ray.data.Dataset", spill_dir: str,
-                    tag: dict | None = None) -> None:
+                    tag: dict | None = None,
+                    compression: str = "zstd") -> None:
     done_marker = os.path.join(spill_dir, "_SPILL_DONE")
     if _stage_current(done_marker, tag or {}):
         return
     import shutil
     if os.path.exists(spill_dir):
         shutil.rmtree(spill_dir)
-    # zstd on the spill: postings rows are string-heavy (term column) and the
-    # spill is the build's dominant disk write — compression trades cheap CPU
-    # for the single-box IO ceiling (BENCH.md 8→32 scaling)
+    # compression on the spill: postings rows are string-heavy (term
+    # column) and the spill is the build's dominant disk write
     postings.write_parquet(spill_dir, partition_cols=["gkey"],
-                           compression="zstd")
+                           compression=compression)
     atomic_write_json(done_marker, tag or {})
 
 
@@ -406,9 +434,12 @@ def _encode_cells(index_dir: str, cfg: IndexConfig) -> list[dict]:
         t = pq.ParquetDataset(gdir).read()
         # (duplicate rows from a retried spill task are dropped by the
         # post-sort mask inside encode_segment_table)
-        seg = encode_segment_table(t)
+        seg, dl = encode_segment_table(t, with_doclen=True)
         pid, shard = gkey // nsh, gkey % nsh
         path = os.path.join(index_dir, segment_rel_path(pid, shard))
+        if not os.path.exists(os.path.join(index_dir,
+                                           doclen_rel_path(pid, shard))):
+            write_doclen_partial(dl, index_dir, pid, shard)
         if not os.path.exists(path):
             write_segment(seg, path)
         # collection-length contribution: Σ cf over tokenized terms (keyword
@@ -450,6 +481,7 @@ def _reset_stage_outputs(index_dir: str, docstore_dir: str, tag: dict,
     seg_meta = os.path.join(seg_dir, "_META.json")
     if overwrite or not _stage_current(seg_meta, tag):
         shutil.rmtree(seg_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "doclen"), ignore_errors=True)
         os.makedirs(seg_dir, exist_ok=True)
         atomic_write_json(seg_meta, tag)
     if overwrite or not _stage_current(
@@ -545,7 +577,7 @@ def build_index(input_path: str | list[str], index_dir: str,
         postings = ds.map_batches(make_postings_fn(cfg, ref),
                                   batch_format="pyarrow", batch_size=8192)
         _spill_postings(postings, os.path.join(index_dir, "postings_spill"),
-                        tag)
+                        tag, cfg.io_compression)
         return {"seconds": round(time.perf_counter() - t0, 3)}
 
     t0 = time.perf_counter()
@@ -749,7 +781,8 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
             cell = rows.filter(pa.array(gkeys == pid * nsh + shard))
             if cell.num_rows == 0:
                 continue
-            seg = _enc(cell)
+            seg, dl = _enc(cell, with_doclen=True)
+            write_doclen_partial(dl, index_dir, pid, shard)
             _write(seg, os.path.join(index_dir, segment_rel_path(pid, shard)))
             kw = _pc.match_substring(seg["term"], ":")
             cf_text = int(_pc.sum(_pc.if_else(kw, 0, seg["cf"])).as_py() or 0)

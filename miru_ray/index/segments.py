@@ -49,11 +49,16 @@ def segment_rel_path(pid: int, shard: int) -> str:
     return f"segments/p{pid:05d}_s{shard:03d}.parquet"
 
 
-def encode_segment_table(group: pa.Table) -> pa.Table:
+def encode_segment_table(group: pa.Table,
+                         with_doclen: bool = False):
     """(term, doc_id, tf) rows for ONE (partition, shard) → segment table.
 
     Sorts by (term, doc_id); every encode step is vectorized across all terms
     at once (:func:`miru_ray.codec.bulk_encode_postings`).
+
+    ``with_doclen=True`` additionally returns the (doc_id, dl) partial —
+    Σ tf per doc over TOKENIZED terms (no ``:``) — computed from the
+    already-deduped sorted arrays, i.e. for free relative to the encode.
     """
     import pandas as pd
 
@@ -90,7 +95,15 @@ def encode_segment_table(group: pa.Table) -> pa.Table:
     enc = bulk_encode_postings(doc_np, tf_np, starts)
     boff = enc["block_offsets"]
     ends = np.append(starts[1:], len(doc_np))
-    return pa.table({
+    doclen = None
+    if with_doclen:
+        is_kw = np.fromiter((":" in t for t in sorted_terms), bool,
+                            count=len(sorted_terms))
+        keep = ~is_kw[sorted_ranks]
+        d, inv = np.unique(doc_np[keep], return_inverse=True)
+        dls = np.bincount(inv, weights=tf_np[keep]).astype(np.int64)
+        doclen = pa.table({"doc_id": pa.array(d), "dl": pa.array(dls)})
+    seg = pa.table({
         "term": pa.array(sorted_terms, type=pa.string()),
         "df": pa.array(enc["df"]),
         "cf": pa.array(enc["cf"]),
@@ -105,12 +118,71 @@ def encode_segment_table(group: pa.Table) -> pa.Table:
             pa.array(boff, type=pa.int32()) if boff[-1] < 2**31 else pa.array(boff, type=pa.int64()),
             pa.array(enc["block_max_tf"], type=pa.int32())),
     }).cast(SEGMENT_SCHEMA)
+    return (seg, doclen) if with_doclen else seg
+
+
+BLOOM_K = 4          # probes per term
+_BLOOM_MAX_BITS = 1 << 23  # 1 MiB of bits per segment, cap
+
+
+def _bloom_params(n_terms: int) -> int:
+    """Bit-array size: ~10 bits/term rounded to a power of two (k=4 →
+    ≈2% false-positive rate), capped."""
+    m = 1 << max(10, int(np.ceil(np.log2(max(1, n_terms) * 10))))
+    return min(m, _BLOOM_MAX_BITS)
+
+
+def _bloom_probes(hashes: np.ndarray, m: int) -> np.ndarray:
+    """(n,) uint64 term hashes → (n, BLOOM_K) bit positions (double
+    hashing: h1 + i·h2 mod m)."""
+    h1 = (hashes & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = ((hashes >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
+    i = np.arange(BLOOM_K, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m
+
+
+def build_term_bloom(terms: np.ndarray) -> tuple[int, bytes]:
+    """Bloom filter over a segment's term set (zero false negatives by
+    construction — reference: per-field bloom index,
+    ``miru-service/.../stream/MiruIndexBloom.java:28``,
+    ``miru-plugin/.../index/BloomIndex.java``)."""
+    from ..util import md5_64
+    m = _bloom_params(len(terms))
+    bits = np.zeros(m, bool)
+    pos = _bloom_probes(md5_64(terms), m)
+    bits[pos.reshape(-1)] = True
+    return m, np.packbits(bits).tobytes()
+
+
+def bloom_may_contain(m: int, packed: np.ndarray, term: str) -> bool:
+    from ..util import md5_64
+    pos = _bloom_probes(md5_64(np.array([term], dtype=object)), m)[0]
+    return bool((packed[pos >> 3] & (1 << (7 - (pos & 7)))).all())
+
+
+def read_segment_bloom(path: str) -> tuple[int, np.ndarray] | None:
+    """Read ONLY the parquet footer: (m, packed bit bytes) or None for
+    segments written before blooms existed.  A footer read costs ~KB — the
+    point is skipping the full segment load for absent terms."""
+    import base64
+    md = pq.read_metadata(path).metadata or {}
+    if b"bloom_m" not in md:
+        return None
+    return (int(md[b"bloom_m"]),
+            np.frombuffer(base64.b64decode(md[b"bloom_b64"]), np.uint8))
 
 
 def write_segment(table: pa.Table, path: str) -> None:
+    import base64
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp, compression="zstd")
+    m, packed = build_term_bloom(
+        np.asarray(table["term"].to_pandas(), dtype=object))
+    meta = dict(table.schema.metadata or {})
+    meta[b"bloom_m"] = str(m).encode()
+    meta[b"bloom_b64"] = base64.b64encode(packed)
+    pq.write_table(table.replace_schema_metadata(meta), tmp,
+                   compression="zstd")
     os.replace(tmp, path)
 
 

@@ -1,0 +1,117 @@
+"""Index replication with durable progress + verification — the sync
+sender analogue.
+
+Reference: ``MiruSyncSender`` replicates tenant partitions across clusters
+with durable per-(tenant, partition) progress and cursors
+(``miru-sync-deployable/.../MiruSyncSender.java:74``, progress scan
+226-241, cursors 255-280).
+
+Here an index directory is a set of immutable content files plus one
+manifest: :func:`sync_index` copies every file with a sha256 recorded in a
+durable progress sidecar at the destination, skipping files already copied
+with a matching hash (resume), and commits the manifest LAST so a reader
+never sees a half-synced index.  :func:`verify_sync` re-hashes the
+destination against the recorded hashes — the segment-copy/verify tool the
+reference's operators run after replication.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from ..util import atomic_write_json, read_json
+
+PROGRESS = "sync_progress.json"
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while chunk := f.read(1 << 20):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _index_files(src_dir: str) -> list[str]:
+    """Every content file of an index, manifest EXCLUDED (committed last)."""
+    out = []
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            rel = os.path.relpath(os.path.join(root, f), src_dir)
+            if rel in ("manifest.json", PROGRESS):
+                continue
+            if rel.startswith(("postings_spill", "docstore_append_staging")):
+                continue  # transient build state, not index content
+            out.append(rel)
+    return sorted(out)
+
+
+def sync_index(src_dir: str, dst_dir: str) -> dict:
+    """Copy ``src_dir`` → ``dst_dir`` incrementally.  Returns stats.
+
+    Durable progress: ``sync_progress.json`` in the destination records
+    (relpath → sha256) of every completed copy; a re-run copies only
+    missing or changed files (the cursor semantics).  The manifest is
+    written last as the atomic commit.
+    """
+    if not os.path.exists(os.path.join(src_dir, "manifest.json")):
+        raise FileNotFoundError(f"no manifest in {src_dir}")
+    os.makedirs(dst_dir, exist_ok=True)
+    ppath = os.path.join(dst_dir, PROGRESS)
+    progress: dict[str, str] = (read_json(ppath)
+                                if os.path.exists(ppath) else {})
+    copied = skipped = 0
+    for rel in _index_files(src_dir):
+        sp = os.path.join(src_dir, rel)
+        dp = os.path.join(dst_dir, rel)
+        want = _sha256(sp)
+        # skip only when the DESTINATION bytes verify — a lost or corrupted
+        # replica file is repaired on the next sync pass
+        if os.path.exists(dp) and _sha256(dp) == want:
+            if progress.get(rel) != want:
+                progress[rel] = want
+                atomic_write_json(ppath, progress)
+            skipped += 1
+            continue
+        os.makedirs(os.path.dirname(dp), exist_ok=True)
+        tmp = dp + ".sync_tmp"
+        shutil.copyfile(sp, tmp)
+        if _sha256(tmp) != want:  # read/write verification
+            os.remove(tmp)
+            raise IOError(f"copy verification failed for {rel}")
+        os.replace(tmp, dp)
+        progress[rel] = want
+        atomic_write_json(ppath, progress)  # durable per-file cursor
+        copied += 1
+    # drop destination files that no longer exist at the source (e.g. a
+    # superseded segment) BEFORE committing the manifest
+    removed = 0
+    src_set = set(progress)
+    for rel in list(progress):
+        if not os.path.exists(os.path.join(src_dir, rel)):
+            p = os.path.join(dst_dir, rel)
+            if os.path.exists(p):
+                os.remove(p)
+            del progress[rel]
+            removed += 1
+    if removed:
+        atomic_write_json(ppath, progress)
+    shutil.copyfile(os.path.join(src_dir, "manifest.json"),
+                    os.path.join(dst_dir, "manifest.json.sync_tmp"))
+    os.replace(os.path.join(dst_dir, "manifest.json.sync_tmp"),
+               os.path.join(dst_dir, "manifest.json"))
+    _ = src_set
+    return {"copied": copied, "skipped": skipped, "removed": removed,
+            "n_files": len(progress)}
+
+
+def verify_sync(dst_dir: str) -> dict:
+    """Re-hash every synced file against the recorded progress hashes."""
+    progress = read_json(os.path.join(dst_dir, PROGRESS))
+    bad = [rel for rel, want in progress.items()
+           if not os.path.exists(os.path.join(dst_dir, rel))
+           or _sha256(os.path.join(dst_dir, rel)) != want]
+    return {"n_files": len(progress), "bad": sorted(bad),
+            "ok": not bad}

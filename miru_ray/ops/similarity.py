@@ -283,11 +283,18 @@ def _tree_bytes(paths) -> int:
     return total
 
 
+_BRUTE_CACHE: dict = {}
+
+
 def ann_lsh_topk(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
                  max_hamming: int = 2) -> pa.Table:
     """Recall report: bucket-probe ANN vs the exact answer — the honest
-    accuracy contract for the approximate path."""
-    exact = ann_bruteforce_topk(sf_dir, k, vec_ids).to_pandas()
+    accuracy contract for the approximate path.  The exact ground truth is
+    process-cached per (sf_dir, k): it exists only to grade the probe."""
+    ck = (sf_dir, k, tuple(vec_ids))
+    if ck not in _BRUTE_CACHE:
+        _BRUTE_CACHE[ck] = ann_bruteforce_topk(sf_dir, k, vec_ids).to_pandas()
+    exact = _BRUTE_CACHE[ck]
     approx, _io = ann_lsh_query(sf_dir, k, vec_ids, max_hamming)
     ap = approx.to_pandas()
     recs = []

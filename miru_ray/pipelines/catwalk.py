@@ -79,36 +79,37 @@ def _feature_batch(t: pa.Table) -> pa.Table:
         ["feature", "user_id"])
 
 
-def _distinct_user_features(sf_dir: str) -> "ray.data.Dataset":
+def _pair_partials(sf_dir: str) -> "ray.data.Dataset":
+    """Per-batch-distinct (feature, user_id) partials.  NOT globally
+    distinct — a pair can repeat across batches; consumers must be
+    duplicate-tolerant (per-feature nunique, per-user MAX)."""
     ds = _events(sf_dir, ["user_id", "event_type", "ts"])
-    partials = ds.map_batches(_feature_batch, batch_format="pyarrow",
-                              batch_size=65536)
-    # global distinct (feature, user) as an AGGREGATE — map_groups over one
-    # tiny group per pair is orders slower
-    agg = partials.groupby(["feature", "user_id"]).aggregate(
-        Count(alias_name="_c"))
-    return agg.select_columns(["feature", "user_id"])
+    return ds.map_batches(_feature_batch, batch_format="pyarrow",
+                          batch_size=65536)
 
 
 def _model_from_pairs(pairs: "ray.data.Dataset",
                       lab: np.ndarray) -> pd.DataFrame:
-    """FeatureScore table via a DISTRIBUTED groupby(feature): numerator =
-    labeled distinct users, denominator = all distinct users.  The labeled
-    set is broadcast once; only the per-feature model rows (the broadcast
-    side of Strut scoring by definition) return to the driver."""
+    """FeatureScore table via ONE distributed groupby(feature).map_groups:
+    numerator = labeled distinct users, denominator = all distinct users.
+    The group count is the (small) feature vocabulary — map_groups is cheap
+    here, and one shuffle of the pre-shrunk partials beats a global
+    distinct-pairs shuffle followed by a second aggregate.  Only the
+    per-feature model rows (the broadcast side of Strut scoring by
+    definition) return to the driver."""
     lab_ref = ray.put(lab)
 
-    def flag(t: pa.Table) -> pa.Table:
+    def feature_score(g: pd.DataFrame) -> pd.DataFrame:
         labs = ray.get(lab_ref)
-        is_lab = np.isin(t["user_id"].to_numpy(), labs).astype(np.int64)
-        return pa.table({"feature": t["feature"],
-                         "is_lab": pa.array(is_lab)})
+        users = pd.unique(g["user_id"].to_numpy())
+        return pd.DataFrame({
+            "feature": [g["feature"].iloc[0]],
+            "numerator": [int(np.isin(users, labs).sum())],
+            "denominator": [len(users)]})
 
-    g = (pairs.map_batches(flag, batch_format="pyarrow", batch_size=65536)
-         .groupby("feature").aggregate(
-             Sum("is_lab", alias_name="numerator"),
-             Count(alias_name="denominator")))
-    out = g.to_pandas()
+    out = (pairs.groupby("feature").map_groups(feature_score,
+                                               batch_format="pandas")
+           .to_pandas())
     out["numerator"] = out["numerator"].astype(np.int64)
     out["denominator"] = out["denominator"].astype(np.int64)
     return out.sort_values("feature").reset_index(drop=True)
@@ -118,8 +119,7 @@ def catwalk_model(sf_dir: str) -> pa.Table:
     """(feature, numerator, denominator) — FeatureScore table, computed
     end-to-end distributed (distinct pass + grouped two-sided counts,
     ``Catwalk.java:125-163``)."""
-    out = _model_from_pairs(_distinct_user_features(sf_dir),
-                            _labeled_users(sf_dir))
+    out = _model_from_pairs(_pair_partials(sf_dir), _labeled_users(sf_dir))
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -145,11 +145,12 @@ class StrutScorer:
 def strut_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Top-k unlabeled users by max feature score (MAX strategy).
 
-    The distinct-pairs Dataset is materialized ONCE in the object store
-    (never on the driver); the model is derived from it distributed,
-    broadcast, and the scorer actor pool re-consumes the same blocks."""
+    The pair partials are materialized ONCE in the object store (never on
+    the driver); the model is derived from them distributed, broadcast,
+    and the scorer actor pool re-consumes the same blocks.  MAX scoring is
+    duplicate-tolerant, so the partials need no global distinct pass."""
     lab = _labeled_users(sf_dir)
-    pairs = _distinct_user_features(sf_dir).materialize()
+    pairs = _pair_partials(sf_dir).materialize()
     model = _model_from_pairs(pairs, lab)
     model_ref = ray.put((np.asarray(model["feature"], object),
                          model["numerator"].to_numpy().astype(np.float64),

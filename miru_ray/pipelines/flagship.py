@@ -302,13 +302,21 @@ def q_collection_stats(sf_dir: str) -> pa.Table:
 
 
 def q_doc_lengths(sf_dir: str) -> pa.Table:
+    """Per-doc token counts from the doclen sidecars (Σ of the per-shard
+    encode partials); zero-token docs zero-filled from the doc-id list."""
     idir = index_dir_for(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(idir, "docstore"),
-                               columns=["doc_id", "doc_len"],
-                               file_extensions=["parquet"])
-    t = ds.sort("doc_id").to_pandas()
-    return pa.table({"doc_id": pa.array(t["doc_id"].to_numpy()),
-                     "doc_len": pa.array(t["doc_len"].to_numpy())})
+    from ray.data.aggregate import Sum
+    dl = (ray.data.read_parquet(os.path.join(idir, "doclen"))
+          .groupby("doc_id").aggregate(Sum("dl", alias_name="doc_len"))
+          .to_pandas())
+    ids = (ray.data.read_parquet(os.path.join(idir, "docstore"),
+                                 columns=["doc_id"],
+                                 file_extensions=["parquet"])
+           .to_pandas())
+    out = ids.merge(dl, on="doc_id", how="left")
+    out["doc_len"] = out["doc_len"].fillna(0).astype("int64")
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_highlight(sf_dir: str, terms: list[str], k: int = 5) -> pa.Table:

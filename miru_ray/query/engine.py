@@ -58,6 +58,7 @@ class PartitionReader:
         parts = {p["pid"]: p for p in manifest["partitions"]}
         self.parts = {pid: parts[pid] for pid in pids}
         self._seg_cache: dict[tuple[int, int], SegmentReader | None] = {}
+        self._bloom_cache: dict[tuple[int, int], tuple | None] = {}
         # decoded-postings LRU: hot query terms repeat, decode once
         # (reference: plugin term-feature cache, MiruPluginCacheProvider)
         self._post_cache: "dict[tuple[int, str], tuple | None]" = {}
@@ -71,16 +72,25 @@ class PartitionReader:
             self.load_tombstones(read_json(tpath))
         self.doclen: dict[int, np.ndarray] = {}
         self.ts: dict[int, np.ndarray] = {}
+        from ..index.build import doclen_rel_path
         for pid in pids:
             base, count = parts[pid]["base"], parts[pid]["count"]
-            t = self._docstore(pid).to_table(columns=["doc_id", "doc_len", "ts"])
-            dl = np.zeros(count, np.int64)
+            t = self._docstore(pid).to_table(columns=["doc_id", "ts"])
             tsa = np.zeros(count, np.int64)
             idx = t["doc_id"].to_numpy() - base
-            dl[idx] = t["doc_len"].to_numpy()
             tsa[idx] = t["ts"].cast(pa.int64()).to_numpy()
-            self.doclen[pid] = dl
             self.ts[pid] = tsa
+            # doc lengths: sum of the per-(pid, shard) doclen sidecars the
+            # encode stage emitted (docs with zero text tokens stay 0)
+            dl = np.zeros(count, np.int64)
+            for shard in range(self.cfg.num_shards):
+                p = os.path.join(index_dir, doclen_rel_path(pid, shard))
+                if os.path.exists(p):
+                    import pyarrow.parquet as pq
+                    part = pq.read_table(p)
+                    dl[part["doc_id"].to_numpy() - base] += \
+                        part["dl"].to_numpy()
+            self.doclen[pid] = dl
         # zone maps: per-partition ts min/max for time-range pruning
         # (reference: time index + partition pruning, MiruTimeIndex /
         # SURVEY.md §2.3 time-range mask mapping)
@@ -132,8 +142,27 @@ class PartitionReader:
             self._seg_cache[key] = SegmentReader(path) if os.path.exists(path) else None
         return self._seg_cache[key]
 
+    def _bloom(self, pid: int, shard: int):
+        """Footer-only bloom over the segment's terms (None = no bloom).
+        Lets a term lookup skip LOADING cold segments that cannot contain
+        the term (reference: per-segment bloom index, MiruIndexBloom)."""
+        key = (pid, shard)
+        if key not in self._bloom_cache:
+            path = os.path.join(self.index_dir,
+                                f"segments/p{pid:05d}_s{shard:03d}.parquet")
+            from ..index.segments import read_segment_bloom
+            self._bloom_cache[key] = (read_segment_bloom(path)
+                                      if os.path.exists(path) else None)
+        return self._bloom_cache[key]
+
     def _lookup(self, pid: int, term: str):
         shard = int(term_shard(np.array([term], object), self.cfg.num_shards)[0])
+        if (pid, shard) not in self._seg_cache:
+            bloom = self._bloom(pid, shard)
+            if bloom is not None:
+                from ..index.segments import bloom_may_contain
+                if not bloom_may_contain(bloom[0], bloom[1], term):
+                    return None, None  # definite miss — keep segment cold
         seg = self._segment(pid, shard)
         if seg is None:
             return None, None

@@ -29,8 +29,17 @@ def test_per_turn_text_equality(xs_index, xs_table):
 
 
 def test_doc_len(xs_index, xs_oracle):
-    ds = _docstore(xs_index).sort_values("doc_id")
-    assert (ds["doc_len"].to_numpy() == xs_oracle.doc_len).all()
+    """Doc lengths from the encode-stage doclen sidecars (summed across
+    shard partials, zero-filled) must equal the oracle's token counts."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    dl = np.zeros(xs_oracle.n_docs, np.int64)
+    for p in glob.glob(os.path.join(xs_index, "doclen", "*.parquet")):
+        t = pq.read_table(p)
+        dl[t["doc_id"].to_numpy()] += t["dl"].to_numpy()
+    assert (dl == xs_oracle.doc_len).all()
 
 
 def test_collection_stats(xs_index, xs_oracle):
