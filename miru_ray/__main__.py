@@ -7,6 +7,7 @@ Examples::
     python -m miru_ray search --index /data/idx --query "role:user spark*" \
         --strategy ref-tfidf --gather
     python -m miru_ray remove --index /data/idx --doc-ids 3,17,42
+    python -m miru_ray sync   --src /data/idx --dst /backup/idx
 
 Owns its Ray session (``ray.init(address="local", ...)``) — library code
 never calls ray.init (driver contract).
@@ -46,6 +47,11 @@ def main(argv=None) -> int:
     r = sub.add_parser("remove", help="tombstone documents")
     r.add_argument("--index", required=True)
     r.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
+
+    y = sub.add_parser("sync", help="replicate an index (resume + verify)")
+    y.add_argument("--src", required=True)
+    y.add_argument("--dst", required=True)
+    y.add_argument("--verify-only", action="store_true")
 
     args = p.parse_args(argv)
 
@@ -106,6 +112,17 @@ def _run(args) -> int:
         print(json.dumps({"tombstoned": n}))
         s.close()
         return 0
+
+    if args.cmd == "sync":
+        from .index.sync import sync_index, verify_sync
+        if args.verify_only:
+            v = verify_sync(args.dst)
+            print(json.dumps(v))
+            return 0 if v["ok"] else 1
+        st = sync_index(args.src, args.dst)
+        v = verify_sync(args.dst)
+        print(json.dumps({**st, "verified": v["ok"]}))
+        return 0 if v["ok"] else 1
     return 2
 
 
