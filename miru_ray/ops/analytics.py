@@ -148,6 +148,70 @@ def trending(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3) -> pa.Table:
                      "slope": pa.array([r[1] for r in rows], type=pa.float64())})
 
 
+#: event_type → log level (Stumptown maps app-log levels the same way:
+#: ``miru-stumptown-plugins/.../Stumptown.java:37-72`` — per-(bucket,
+#: level) waveforms + latest message gather)
+LEVEL_OF = {"error": "ERROR", "purchase": "INFO", "signup": "INFO",
+            "click": "DEBUG", "view": "DEBUG"}
+
+
+def stumptown(sf_dir: str, dt_us: int = US_PER_HOUR, k_latest: int = 3
+              ) -> pa.Table:
+    """Stumptown view: per-(level, bucket) counts + the level's newest
+    event ids (the "latest messages" gather) — level is a derived column,
+    exercising the §2.6 Stumptown shape end-to-end."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _bucket_batch(t, dt_us)
+        et = np.asarray(t["event_type"].to_pandas(), dtype=object)
+        level = np.array([LEVEL_OF.get(e, "INFO") for e in et], dtype=object)
+        out = pa.table({"level": pa.array(level, pa.string()),
+                        "bucket": t["bucket"],
+                        "event_id": t["event_id"]})
+        g = out.group_by(["level", "bucket"]).aggregate(
+            [("event_id", "count"), ("event_id", "max")])
+        return g.rename_columns(["level", "bucket", "cnt", "max_eid"])
+
+    partials = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["level", "bucket"]).aggregate(
+        Sum("cnt", alias_name="n_events"),
+        Max("max_eid", alias_name="latest_event_id")).to_pandas()
+    out = out.sort_values(["level", "bucket"]).reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["latest_event_id"] = out["latest_event_id"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def inbox_lookup(sf_dir: str, user_id: int = 1, k: int = 10) -> pa.Table:
+    """Per-user inbox: the user's newest ``k`` events, newest first
+    (reference: ``MiruInboxIndex`` — a per-user postings stream read
+    newest-first; here the 'inbox' is the user_id predicate + TIME
+    ordering, SURVEY §2.5 'postings on the user field')."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def mine(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["user_id"], user_id))
+        if sub.num_rows > k:  # per-batch top-k partial (bounded heap)
+            ts = pc.cast(sub["ts"], pa.int64()).to_numpy()
+            eid = sub["event_id"].to_numpy()
+            order = np.lexsort((eid, ts))[::-1][:k]
+            sub = sub.take(pa.array(np.sort(order)))
+        return sub
+
+    rows = ds.map_batches(mine, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    rows = rows.sort_values(["ts", "event_id"],
+                            ascending=[False, False]).head(k)
+    rows = rows[["event_id", "event_type", "ts"]].reset_index(drop=True)
+    return pa.Table.from_pandas(rows, preserve_index=False)
+
+
+_LEVEL_SQL = ("CASE event_type WHEN 'error' THEN 'ERROR' "
+              "WHEN 'purchase' THEN 'INFO' WHEN 'signup' THEN 'INFO' "
+              "ELSE 'DEBUG' END")
+
+
 def _peakdet(y: np.ndarray, delta: float) -> int:
     """Count peaks: local maxima that rise ≥ delta above the surrounding
     minima (reference: ``PeakDet.java:22-95``, the classic peakdet scan)."""
@@ -195,6 +259,18 @@ def trending_peaks(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3,
 SQL = {
     "events_distincts":
         "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "events_stumptown": f"""
+SELECT {_LEVEL_SQL} AS level,
+       (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
+       count(*)::BIGINT AS n_events,
+       max(event_id)::BIGINT AS latest_event_id
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip(),
+    "events_inbox_lookup": """
+SELECT event_id, event_type, ts FROM events
+WHERE user_id = 1
+ORDER BY ts DESC, event_id DESC LIMIT 10
+""".strip(),
     "events_uniques":
         "SELECT count(DISTINCT user_id)::BIGINT AS n_unique_users FROM events",
     "events_aggregate_counts": """
