@@ -236,12 +236,24 @@ def _band_keys(sigs: np.ndarray) -> np.ndarray:
 
 
 def _doc_shingle_hashes(texts, n: int = 3):
-    """Per-doc sorted-unique shingle lists → flat uint64 hashes + counts."""
-    per_doc = [sorted(_shingles(py_tokenize(t), n)) for t in texts]
-    counts = np.array([max(1, len(s)) for s in per_doc], np.int64)
-    flat_strs = np.array([s for shs in per_doc
-                          for s in (shs or ["\x00empty"])], dtype=object)
-    return md5_64_bulk(flat_strs), counts
+    """Per-doc distinct-shingle hashes, doc-contiguous: (flat uint64,
+    counts).  Fully vectorized via :func:`_make_shingle_rows`; zero-token
+    docs carry one sentinel hash so every doc has ≥1 row."""
+    texts = list(texts)
+    nd = len(texts)
+    b = pa.table({"doc_id": pa.array(np.arange(nd, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    rows = _make_shingle_rows(n)(b)
+    doc = rows["doc_id"].to_numpy()
+    h = md5_64_bulk(np.asarray(rows["shingle"].to_pandas(), dtype=object))
+    cnt0 = np.bincount(doc, minlength=nd).astype(np.int64)
+    cnt = np.maximum(cnt0, 1)
+    starts = np.r_[np.int64(0), np.cumsum(cnt)[:-1]]
+    sentinel = md5_64(np.array(["\x00empty"], dtype=object))[0]
+    flat = np.full(int(cnt.sum()), sentinel, np.uint64)
+    within = np.arange(len(doc)) - np.r_[np.int64(0), np.cumsum(cnt0)[:-1]][doc]
+    flat[starts[doc] + within] = h
+    return flat, cnt
 
 
 def _minhash_bands_batch(b: pa.Table) -> pa.Table:
@@ -440,6 +452,50 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 # ------------------------------ ngram jaccard ------------------------------
 
 
+def _make_shingle_rows(n: int = 3):
+    """Batch fn: distinct (doc_id, shingle) rows, fully vectorized —
+    tokens via explode_tokens, shingles by shifted elementwise joins,
+    per-doc dedupe via lexsort + shift-compare.  Semantics identical to
+    :func:`_shingles` per doc (including the short-doc whole-text
+    shingle)."""
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        from ..tokenize import explode_tokens
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        terms, rows, dl = explode_tokens(b["text"])
+        t_np = np.asarray(terms.to_pandas(), dtype=object)
+        parts_docs, parts_sh = [], []
+        if len(t_np) >= n:
+            same = rows[: -(n - 1)] == rows[n - 1:]
+            grams = t_np[: -(n - 1)][same]
+            for k in range(1, n):
+                tail = t_np[k: len(t_np) - (n - 1) + k]
+                grams = grams + " " + tail[same]
+            parts_docs.append(ids[rows[: -(n - 1)][same]])
+            parts_sh.append(grams)
+        short = (dl > 0) & (dl < n)  # whole text as the single shingle
+        if short.any():
+            sel = np.flatnonzero(short)
+            joined = pd.Series(t_np).groupby(rows).agg(" ".join)
+            sub = joined.loc[joined.index.intersection(sel)]
+            parts_docs.append(ids[sub.index.to_numpy()])
+            parts_sh.append(sub.to_numpy(dtype=object))
+        if not parts_docs:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle": pa.array([], pa.string())})
+        docs = np.concatenate(parts_docs)
+        shs = np.concatenate(parts_sh)
+        # per-doc distinct (a set in the reference implementation)
+        order = np.lexsort((shs, docs))
+        docs, shs = docs[order], shs[order]
+        keep = np.ones(len(docs), bool)
+        keep[1:] = (docs[1:] != docs[:-1]) | (shs[1:] != shs[:-1])
+        return pa.table({"doc_id": pa.array(docs[keep]),
+                         "shingle": pa.array(shs[keep], pa.string())})
+
+    return shingle_rows
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                         n: int = 3) -> pa.Table:
     """Exact all-pairs n-gram Jaccard ≥ threshold.
@@ -452,15 +508,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     below enforces that.
     """
     ds = _documents(sf_dir, ["doc_id", "text"])
-
-    def shingle_rows(b: pa.Table) -> pa.Table:
-        docs, shs = [], []
-        for d, t in zip(b["doc_id"].to_numpy(), b["text"].to_pandas()):
-            for s in _shingles(py_tokenize(t), n):
-                docs.append(int(d))
-                shs.append(s)
-        return pa.table({"doc_id": pa.array(docs, pa.int64()),
-                         "shingle": pa.array(shs, pa.string())})
+    shingle_rows = _make_shingle_rows(n)
 
     import ray as _ray
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow",

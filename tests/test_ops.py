@@ -68,6 +68,24 @@ def test_fingerprints_deterministic_and_copy_invariant():
     assert (a["n_fingerprints"] > 0).sum() > 450
 
 
+def test_shingle_rows_matches_reference():
+    """Vectorized shingle extraction == per-doc _shingles sets, including
+    short-doc and empty-doc edges."""
+    import pyarrow as pa
+
+    from miru_ray.ops.dedup import _make_shingle_rows, _shingles
+    from miru_ray.tokenize import py_tokenize
+    texts = ["a b c d e", "x y", "", "one", "p q r", "dup dup dup dup",
+             "Hello, WORLD!  hello world again"]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = _make_shingle_rows(3)(b).to_pandas()
+    got = {d: set(g["shingle"]) for d, g in out.groupby("doc_id")}
+    for i, t in enumerate(texts):
+        expect = _shingles(py_tokenize(t))
+        assert got.get(i, set()) == expect, (i, t)
+
+
 def test_fingerprints_batch_matches_reference():
     """The vectorized batch winnowing must equal the per-doc reference."""
     import numpy as np

@@ -14,11 +14,12 @@ from miru_ray.util import read_json
 
 def _file_hashes(index_dir):
     out = {}
-    for root, _dirs, files in os.walk(os.path.join(index_dir, "segments")):
-        for f in sorted(files):
-            p = os.path.join(root, f)
-            out[os.path.relpath(p, index_dir)] = hashlib.sha256(
-                open(p, "rb").read()).hexdigest()
+    for sub in ("segments", "doclen"):
+        for root, _dirs, files in os.walk(os.path.join(index_dir, sub)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, index_dir)] = hashlib.sha256(
+                    open(p, "rb").read()).hexdigest()
     return out
 
 
