@@ -55,12 +55,20 @@ def _query_matrix(sf_dir: str, vec_ids) -> tuple[np.ndarray, np.ndarray]:
     return ids[sel][order], Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
 
+_BRUTE_CACHE: dict = {}
+
+
 def ann_bruteforce_topk(sf_dir: str, k: int = 10,
                         vec_ids=QUERY_VEC_IDS) -> pa.Table:
     """Exact cosine top-k per query vector.  Self-matches excluded.
 
-    Output: (query_id, rank, vec_id) ordered cos desc, vec_id asc per query.
+    Output: (query_id, rank, vec_id) ordered cos desc, vec_id asc per
+    query.  Process-cached per (sf_dir, k, queries) — it doubles as the
+    recall ground truth for :func:`ann_lsh_topk`.
     """
+    ck = (sf_dir, k, tuple(vec_ids))
+    if ck in _BRUTE_CACHE:
+        return _BRUTE_CACHE[ck]
     q_ids, Qn = _query_matrix(sf_dir, vec_ids)
     ref = ray.put((q_ids, Qn))
 
@@ -90,7 +98,8 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 10,
     partials = _embeddings(sf_dir).map_batches(
         TopkPerBatch, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, 4)).to_pandas()
-    return _rank_topk(partials, k)
+    _BRUTE_CACHE[ck] = _rank_topk(partials, k)
+    return _BRUTE_CACHE[ck]
 
 
 def _rank_topk(partials: pd.DataFrame, k: int) -> pa.Table:
@@ -283,18 +292,12 @@ def _tree_bytes(paths) -> int:
     return total
 
 
-_BRUTE_CACHE: dict = {}
-
-
 def ann_lsh_topk(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
                  max_hamming: int = 2) -> pa.Table:
     """Recall report: bucket-probe ANN vs the exact answer — the honest
-    accuracy contract for the approximate path.  The exact ground truth is
-    process-cached per (sf_dir, k): it exists only to grade the probe."""
-    ck = (sf_dir, k, tuple(vec_ids))
-    if ck not in _BRUTE_CACHE:
-        _BRUTE_CACHE[ck] = ann_bruteforce_topk(sf_dir, k, vec_ids).to_pandas()
-    exact = _BRUTE_CACHE[ck]
+    accuracy contract for the approximate path (the ground truth is the
+    process-cached brute-force result)."""
+    exact = ann_bruteforce_topk(sf_dir, k, vec_ids).to_pandas()
     approx, _io = ann_lsh_query(sf_dir, k, vec_ids, max_hamming)
     ap = approx.to_pandas()
     recs = []
