@@ -239,6 +239,27 @@ WHERE tf.term = '{term}' AND list_has_any(d.acl, [{lst}])
 """.strip()
 
 
+def q_phrase_count(sf_dir: str, phrase: str = "spark merge") -> pa.Table:
+    """Docs containing the exact token-adjacent phrase (Phrase node: AND
+    candidates + stored-text verification)."""
+    from ..query.parser import parse_query
+    s = searcher_for(sf_dir)
+    ast = parse_query(f'"{phrase}"')
+    return pa.table({"n_matched": pa.array([s.count(ast)], type=pa.int64())})
+
+
+def phrase_count_sql(phrase: str = "spark merge") -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT count(*)::BIGINT AS n_matched FROM (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(lower(text),
+                                '[a-z0-9]+'), ' ') || ' ' AS ts
+  FROM docs)
+WHERE ts LIKE '% {phrase} %'
+""".strip()
+
+
 def q_terms_latest(sf_dir: str, k: int = 20) -> pa.Table:
     """Per-term global (df, cf, first_doc, last_doc) from the segment term
     dicts — the index-time latest/first family (``MiruIndexLatest.java:25``,

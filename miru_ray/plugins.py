@@ -139,6 +139,8 @@ SELECT count(*)::BIGINT AS n_matched
 FROM docs d JOIN tf ON tf.doc_id = d.doc_id
 WHERE tf.term = 'spark' AND d.role = 'user'
 """.strip(), ("filter",))
+    reg("fulltext_phrase_count", F.q_phrase_count, F.phrase_count_sql(),
+        ("fulltext",))
     # ---- authz / ACL composite filter (§2.3, MiruAuthzIndex) ----
     reg("fulltext_authz_count", F.q_authz_count, F.authz_count_sql(),
         ("authz",))

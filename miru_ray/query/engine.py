@@ -36,8 +36,9 @@ from ..config import IndexConfig
 from ..util import read_json, term_shard
 from ..index.segments import SegmentReader
 from . import scorer as S
-from .filter import (And, Authz, Node, Not, Or, Prefix, Term, TimeRange,
-                     and_terms, collect_prefixes, collect_scoring_terms)
+from .filter import (And, Authz, Node, Not, Or, Phrase, Prefix, Term,
+                     TimeRange, and_terms, collect_prefixes,
+                     collect_scoring_terms)
 from .parser import parse_query
 
 
@@ -245,6 +246,30 @@ class PartitionReader:
         if isinstance(node, TimeRange):
             ts = self.ts[pid]
             return (ts >= node.t0_us) & (ts <= node.t1_us)
+        if isinstance(node, Phrase):
+            # candidates: AND of the phrase terms' postings; verify
+            # token-adjacency against the stored text of candidates only
+            mask = np.ones(count, bool)
+            for t in node.terms:
+                tm = np.zeros(count, bool)
+                p = self._postings(pid, t, cache)
+                if p is not None:
+                    tm[p[0] - base] = True
+                mask &= tm
+                if not mask.any():
+                    return mask
+            cand = np.flatnonzero(mask) + base
+            t = self._docstore(pid).to_table(
+                columns=["doc_id", node.field],
+                filter=pads.field("doc_id").isin(cand.tolist()))
+            from ..tokenize import py_tokenize
+            needle = " " + node.token_string() + " "
+            ok_ids = [int(d) for d, txt in zip(t["doc_id"].to_pylist(),
+                                               t[node.field].to_pylist())
+                      if needle in " " + " ".join(py_tokenize(txt or "")) + " "]
+            mask = np.zeros(count, bool)
+            mask[np.asarray(ok_ids, np.int64) - base] = True
+            return mask
         if isinstance(node, Authz):
             # composite ACL mask: OR of the principal's entry postings
             # (MiruAuthzIndex / MiruAuthzUtils.getCompositeAuthz)

@@ -51,6 +51,21 @@ class TimeRange(Node):
 
 
 @dataclass(frozen=True)
+class Phrase(Node):
+    """Exact phrase over tokenized text: the terms must appear ADJACENT in
+    token order.  Evaluated as AND of the term postings (candidate mask)
+    followed by token-adjacency verification against the stored text —
+    the engine has no positional index (the reference defers phrases to
+    Lucene's parser; this is the documented equivalent that keeps the
+    segment format positions-free).  Scores like an AND of its terms."""
+    field: str
+    terms: tuple
+
+    def token_string(self) -> str:
+        return " ".join(self.terms)
+
+
+@dataclass(frozen=True)
 class Authz(Node):
     """Authorization expression: the doc is visible iff its ACL list shares
     at least one entry with the principal's ``values`` (reference:
@@ -107,6 +122,9 @@ def collect_scoring_terms(node: Node, counts: dict[str, int] | None = None,
     if isinstance(node, Term):
         k = node.term_key()
         counts[k] = counts.get(k, 0) + polarity
+    elif isinstance(node, Phrase):
+        for t in node.terms:  # scores like an AND of its terms
+            counts[t] = counts.get(t, 0) + polarity
     elif isinstance(node, (And, Or)):
         for c in node.children:
             collect_scoring_terms(c, counts, polarity)

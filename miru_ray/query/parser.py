@@ -9,8 +9,10 @@ operator AND; ``MUST`` → and, ``SHOULD`` → or, ``MUST_NOT`` → pButNotQ,
     clause  := ["-"|"NOT "] atom | atom "OR" atom ...
     atom    := [field ":"] term ["*"] | "(" query ")"
 
-Quoted phrases are treated as an AND of their terms (the engine has no
-positional index; documented deviation).
+Quoted multi-term strings parse to :class:`Phrase` — exact token-adjacency
+match, evaluated as AND candidates + verification against stored text (the
+engine keeps its segment format positions-free; the reference defers
+phrase semantics to Lucene's parser).
 """
 
 from __future__ import annotations
@@ -98,7 +100,9 @@ def _atom(tok: str, default_field: str) -> Node | None:
             return None
         if len(terms) == 1:
             return Term(default_field, terms[0])
-        return And(tuple(Term(default_field, t) for t in terms))
+        # exact phrase: AND candidates + token-adjacency verification
+        from .filter import Phrase
+        return Phrase(default_field, tuple(terms))
     field = default_field
     if ":" in tok:
         field, tok = tok.split(":", 1)

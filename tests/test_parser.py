@@ -38,9 +38,11 @@ def test_prefix():
     assert parse_query("tool:tool_0*") == Prefix("tool", "tool_0")
 
 
-def test_phrase_is_and():
+def test_phrase_node():
+    from miru_ray.query.filter import Phrase
     q = parse_query('"alpha beta"')
-    assert q == And((Term("text", "alpha"), Term("text", "beta")))
+    assert q == Phrase("text", ("alpha", "beta"))
+    assert parse_query('"alpha"') == Term("text", "alpha")
 
 
 def test_parens():

@@ -206,3 +206,29 @@ def test_time_range_partition_pruning(xs_searcher, xs_oracle):
     # fully out-of-range window → empty, everywhere pruned
     ast = And((Term("text", hot[0]), TimeRange(0, 10)))
     assert xs_searcher.count(ast) == 0
+
+
+def test_phrase_matches_bruteforce(xs_searcher, xs_table):
+    """Phrase = exact token adjacency; engine must equal a brute-force
+    scan, and be a strict subset of the AND of its terms."""
+    from miru_ray.query.filter import And, Phrase, Term
+    from miru_ray.tokenize import py_tokenize
+    df = xs_table.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                          kind="mergesort")
+    texts = df["text"].tolist()
+    # pick an actually-occurring bigram from the corpus
+    from collections import Counter
+    big = Counter()
+    for t in texts[:500]:
+        toks = py_tokenize(t)
+        big.update(zip(toks, toks[1:]))
+    (a, b), _n = big.most_common(1)[0]
+    expect = sorted(i for i, t in enumerate(texts)
+                    if f" {a} {b} " in " " + " ".join(py_tokenize(t)) + " ")
+    got = sorted(xs_searcher.match_docs(Phrase("text", (a, b))).tolist())
+    assert got == expect and len(expect) > 0
+    n_and = xs_searcher.count(And((Term("text", a), Term("text", b))))
+    assert len(got) <= n_and
+    # phrase participates in scoring like an AND of its terms
+    r = xs_searcher.topk(Phrase("text", (a, b)), 5, "bm25")
+    assert set(r["doc_id"].to_pylist()) <= set(expect)
