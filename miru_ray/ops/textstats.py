@@ -57,6 +57,45 @@ def token_count_by_source(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+BPE_CHUNK = 4  # chars per subword chunk in the BPE-ish estimator
+
+
+def bpe_token_estimate(sf_dir: str) -> pa.Table:
+    """Per-source BPE-ish token estimate: each word costs ⌈len/4⌉ subword
+    chunks, each punctuation mark costs 1 — the classic "~4 chars per
+    token" estimator a training-data pipeline uses when the real
+    tokenizer is too expensive to run at 100 TB.  Exactly reproducible in
+    SQL (len arithmetic over the same token lists)."""
+    ds = _documents(sf_dir, ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        terms, rows, _dl = explode_tokens(b["text"])
+        tl = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+        chunks = -(-tl // BPE_CHUNK)  # ceil division
+        n = b.num_rows
+        word_cost = np.zeros(n, np.int64)
+        np.add.at(word_cost, rows, chunks)
+        # punctuation marks: non-alnum, non-space chars of the lowered text
+        low = pc.utf8_lower(b["text"])
+        stripped = pc.replace_substring_regex(low, r"[a-z0-9\s]+", "")
+        punct = pc.utf8_length(stripped).to_numpy(zero_copy_only=False)
+        t = pa.table({"source": b["source"],
+                      "est": pa.array(word_cost + punct)})
+        g = t.group_by("source").aggregate([("est", "sum"),
+                                            ("est", "count")])
+        return g.rename_columns(["source", "est", "docs"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+    out = partials.groupby("source").aggregate(
+        Sum("est", alias_name="est_tokens"),
+        Sum("docs", alias_name="n_docs")).to_pandas()
+    out["est_tokens"] = out["est_tokens"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ------------------------- quality scoring ---------------------------------
 
 
@@ -254,6 +293,17 @@ def fingerprints(sf_dir: str) -> pa.Table:
 _STOPLIST = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
 
 SQL = {
+    "text_bpe_token_estimate": """
+WITH d AS (
+  SELECT source,
+         list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                  x -> (len(x) + 3) // 4))
+         + len(regexp_replace(lower(text), '[a-z0-9\\s]+', '', 'g')) AS est
+  FROM documents)
+SELECT source, COALESCE(sum(est), 0)::BIGINT AS est_tokens,
+       count(*)::BIGINT AS n_docs
+FROM d GROUP BY source ORDER BY source
+""".strip(),
     "text_token_count_by_source": """
 WITH d AS (
   SELECT source, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n

@@ -194,6 +194,7 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     reg("ann_lsh_recall", Sim.ann_lsh_topk, None, ("similarity", "approx"))
     # ---- text analysis ----
     for name, fn in (("text_token_count_by_source", T.token_count_by_source),
+                     ("text_bpe_token_estimate", T.bpe_token_estimate),
                      ("text_quality_by_lang", T.quality_by_lang),
                      ("text_langid", T.langid),
                      ("text_fingerprints", T.fingerprints)):

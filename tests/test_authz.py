@@ -87,3 +87,48 @@ def test_first_last_doc_columns(tmp_path):
     assert first["beta"] == 1 and last["beta"] == t.num_rows - 1
     assert first["acl:grp1"] == 1  # first doc with d%3==1
     assert last["acl:team3"] == t.num_rows - 1  # 99 % 4 == 3
+
+
+def test_append_preserves_list_keyword_fields(tmp_path):
+    """Incremental append with an ACL list field must equal a one-shot
+    build byte-for-byte (the flagship config appends with acl indexed)."""
+    import hashlib
+
+    t = _tiny_table(n_convs=30, turns=4)
+    df = t.to_pandas()
+    convs = sorted(df["conv_id"].unique())
+    first = set(convs[:15])
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(df[df["conv_id"].isin(first)],
+                                        preserve_index=False), a)
+    pq.write_table(pa.Table.from_pandas(df[~df["conv_id"].isin(first)],
+                                        preserve_index=False), b)
+    cfg = IndexConfig(docs_per_partition=40, num_shards=2,
+                      list_keyword_fields=("acl",))
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    m_full = build_index([a, b], full, cfg)
+    build_index([a], incr, cfg)
+    m_incr = build_index([a, b], incr, cfg)
+    assert "append" in m_incr["stages"]
+
+    def hashes(d):
+        out = {}
+        for sub in ("segments", "doclen"):
+            for root, _dirs, files in os.walk(os.path.join(d, sub)):
+                for f in sorted(files):
+                    if f.startswith("_"):
+                        continue
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, d)] = hashlib.sha256(
+                        open(p, "rb").read()).hexdigest()
+        return out
+
+    assert hashes(full) == hashes(incr)
+    s1 = Searcher(full, num_readers=1, use_actors=False)
+    s2 = Searcher(incr, num_readers=1, use_actors=False)
+    ast = And((Term("text", "beta"), Authz(("grp1", "team2"))))
+    assert s1.match_docs(ast).tolist() == s2.match_docs(ast).tolist()
+    assert s1.count(ast) > 0
+    s1.close()
+    s2.close()
