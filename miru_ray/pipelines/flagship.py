@@ -239,6 +239,29 @@ WHERE tf.term = '{term}' AND list_has_any(d.acl, [{lst}])
 """.strip()
 
 
+def q_paired_latest(sf_dir: str, role: str = "user",
+                    term: str = "spark") -> pa.Table:
+    """pairedLatest: the newest doc (max ordinal) carrying BOTH a keyword
+    term and a text term (reference: ``MiruIndexPairedLatest.java:31`` —
+    per-(term, otherTerm) latest-doc structures; here answered from the
+    postings intersection, with the single-term side served by the
+    index-time last_doc column)."""
+    from ..query.filter import And, Term
+    s = searcher_for(sf_dir)
+    docs = s.match_docs(And((Term("role", role), Term("text", term))))
+    last = int(docs.max()) if len(docs) else -1
+    return pa.table({"last_doc": pa.array([last], type=pa.int64())})
+
+
+def paired_latest_sql(role: str = "user", term: str = "spark") -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT COALESCE(max(d.doc_id), -1)::BIGINT AS last_doc
+FROM docs d JOIN tf ON tf.doc_id = d.doc_id
+WHERE tf.term = '{term}' AND d.role = '{role}'
+""".strip()
+
+
 def q_phrase_count(sf_dir: str, phrase: str = "spark merge") -> pa.Table:
     """Docs containing the exact token-adjacent phrase (Phrase node: AND
     candidates + stored-text verification)."""

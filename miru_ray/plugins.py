@@ -155,6 +155,9 @@ ORDER BY cf DESC, term ASC LIMIT 20
 """.strip(), ("stats",))
     reg("terms_latest_top20", lambda sf: F.q_terms_latest(sf, 20),
         F.terms_latest_sql(20), ("stats",))
+    reg("fulltext_paired_latest",
+        lambda sf: F.q_paired_latest(sf, "tool", "dup"),
+        F.paired_latest_sql("tool", "dup"), ("stats",))
     reg("collection_stats", F.q_collection_stats, f"""
 {P}
 SELECT n::BIGINT AS n_docs,
@@ -211,6 +214,10 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                       M.media_frame_sample_counts),
                      ("media_pipeline_features", M.media_pipeline_features)):
         reg(name, fn, M.SQL.get(name), ("multimodal",))
+    # ---- end-to-end curation (dedup ∧ quality ∧ token accounting) ----
+    from .pipelines import curate as Cu
+    reg("curation_summary", Cu.curation_summary,
+        Cu.SQL.get("curation_summary"), ("curation",))
     # ---- catwalk model build + strut scoring (§2.5) ----
     reg("catwalk_model", C.catwalk_model, C.SQL.get("catwalk_model"),
         ("catwalk",))
