@@ -30,6 +30,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -212,6 +213,58 @@ _LEVEL_SQL = ("CASE event_type WHEN 'error' THEN 'ERROR' "
               "ELSE 'DEBUG' END")
 
 
+def unread_counts(sf_dir: str) -> pa.Table:
+    """Per-user unread counts with read-watermark semantics: a user's
+    'click' events are read receipts, the watermark is their newest click,
+    and everything after it (or everything, for users who never clicked)
+    is unread (reference: per-user unread streams backfilled from a
+    lastReadTime watermark, ``MiruUnreadTrackingIndex`` /
+    ``MiruJustInTimeBackfillerizer.java:40-346``).
+
+    Two distributed passes: watermark partials → small groupby →
+    broadcast; then per-batch unread partials → groupby sum."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+
+    def wm_partial(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["event_type"], "click"))
+        g = pa.table({"user_id": sub["user_id"],
+                      "w": pc.cast(sub["ts"], pa.int64())}) \
+            .group_by("user_id").aggregate([("w", "max")])
+        return g.rename_columns(["user_id", "w"])
+
+    wm = (ds.map_batches(wm_partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby("user_id").aggregate(Max("w", alias_name="w"))
+          .to_pandas())  # one row per clicking user — the broadcast side
+    wk = wm["user_id"].to_numpy().astype(np.int64)
+    order = np.argsort(wk)
+    wm_ref = ray.put((wk[order], wm["w"].to_numpy().astype(np.int64)[order]))
+
+    def unread_partial(t: pa.Table) -> pa.Table:
+        keys, ws = ray.get(wm_ref)
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()
+        pos = np.searchsorted(keys, uid)
+        has_wm = (pos < len(keys)) & (
+            keys[np.minimum(pos, max(len(keys) - 1, 0))] == uid) \
+            if len(keys) else np.zeros(len(uid), bool)
+        w = np.where(has_wm, ws[np.minimum(pos, max(len(keys) - 1, 0))],
+                     np.int64(-2**62))
+        unread = (ts > w).astype(np.int64)
+        g = pa.table({"user_id": pa.array(uid), "u": pa.array(unread)}) \
+            .group_by("user_id").aggregate([("u", "sum")])
+        return g.rename_columns(["user_id", "u"])
+
+    out = (ds.map_batches(unread_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("user_id").aggregate(Sum("u", alias_name="n_unread"))
+           .to_pandas())
+    out = out.sort_values("user_id").reset_index(drop=True)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_unread"] = out["n_unread"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _peakdet(y: np.ndarray, delta: float) -> int:
     """Count peaks: local maxima that rise ≥ delta above the surrounding
     minima (reference: ``PeakDet.java:22-95``, the classic peakdet scan)."""
@@ -270,6 +323,16 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 SELECT event_id, event_type, ts FROM events
 WHERE user_id = 1
 ORDER BY ts DESC, event_id DESC LIMIT 10
+""".strip(),
+    "events_unread_counts": """
+WITH wm AS (
+  SELECT user_id, max(epoch_us(ts)) AS w FROM events
+  WHERE event_type = 'click' GROUP BY user_id)
+SELECT e.user_id,
+       count(*) FILTER (wm.w IS NULL OR epoch_us(e.ts) > wm.w)::BIGINT
+         AS n_unread
+FROM events e LEFT JOIN wm USING (user_id)
+GROUP BY e.user_id ORDER BY e.user_id
 """.strip(),
     "events_uniques":
         "SELECT count(DISTINCT user_id)::BIGINT AS n_unique_users FROM events",
