@@ -487,6 +487,11 @@ def _reset_stage_outputs(index_dir: str, docstore_dir: str, tag: dict,
     if overwrite or not _stage_current(
             os.path.join(docstore_dir, "_SUCCESS"), tag):
         shutil.rmtree(docstore_dir, ignore_errors=True)
+        # the removal mask belongs to the OLD index's doc-id space — a
+        # rebuild with different input/config must not inherit it
+        tpath = os.path.join(index_dir, "tombstones.json")
+        if os.path.exists(tpath):
+            os.remove(tpath)
     for d in ("postings_spill", "postings_spill_append"):
         sd = os.path.join(index_dir, d)
         if os.path.exists(sd) and (
@@ -723,8 +728,13 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     sidecar_path = os.path.join(index_dir, "pending_append.json")
     stale_tags = {tag}
     if os.path.exists(sidecar_path):
-        stale_tags.add(read_json(sidecar_path).get("tag", tag))
-    atomic_write_json(sidecar_path, {"tag": tag})
+        prev = read_json(sidecar_path)
+        stale_tags.update(prev.get("tags", []))
+        if prev.get("tag"):
+            stale_tags.add(prev["tag"])
+    # the sidecar accumulates EVERY pending tag (a crash between writing
+    # it and purging must not forget an older crashed attempt's tag)
+    atomic_write_json(sidecar_path, {"tags": sorted(stale_tags)})
     staging = os.path.join(index_dir, "docstore_append_staging")
     if os.path.exists(staging):
         shutil.rmtree(staging)
@@ -817,6 +827,12 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
         "segments": [{k: int(v) if isinstance(v, (int, np.integer)) else v
                       for k, v in s.items()} for s in segments],
     })
+    # rebuilt partitions lost any gather_terms enrichment — retract them
+    # from every gather watermark so a re-run re-enriches exactly those
+    # pids (the gatherer hook is idempotent per partition)
+    for gname, gstate in out.get("gather", {}).items():
+        gstate["done_pids"] = [p for p in gstate.get("done_pids", [])
+                               if p < first_pid]
     out.setdefault("stages", {})["append"] = {
         "seconds": round(time.perf_counter() - t_all, 3),
         "new_docs": int(cnt.sum()), "new_files": len(new_files)}

@@ -42,8 +42,11 @@ def _index_files(src_dir: str) -> list[str]:
             rel = os.path.relpath(os.path.join(root, f), src_dir)
             if rel in ("manifest.json", PROGRESS):
                 continue
-            if rel.startswith(("postings_spill", "docstore_append_staging")):
+            if rel.startswith(("postings_spill", "docstore_append_staging",
+                               "pending_append")):
                 continue  # transient build state, not index content
+            if ".tmp." in f or f.endswith(".sync_tmp"):
+                continue  # orphaned atomic-write temps from killed tasks
             out.append(rel)
     return sorted(out)
 
@@ -54,7 +57,15 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     Durable progress: ``sync_progress.json`` in the destination records
     (relpath → sha256) of every completed copy; a re-run copies only
     missing or changed files (the cursor semantics).  The manifest is
-    written last as the atomic commit.
+    written last as the atomic commit — a reader that arrives AFTER a sync
+    completes always sees a consistent index.
+
+    Consistency window: re-syncing onto a replica that is concurrently
+    SERVING queries can expose mixed-version segment files until the
+    final manifest write (same-path segments are replaced in place).
+    Quiesce readers during re-sync, or sync into a fresh directory and
+    swap — the reference likewise serves replicas that are offline while
+    rebuilding (``MiruPartitionState`` bootstrap→online).
     """
     if not os.path.exists(os.path.join(src_dir, "manifest.json")):
         raise FileNotFoundError(f"no manifest in {src_dir}")
@@ -109,7 +120,11 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
 
 def verify_sync(dst_dir: str) -> dict:
     """Re-hash every synced file against the recorded progress hashes."""
-    progress = read_json(os.path.join(dst_dir, PROGRESS))
+    ppath = os.path.join(dst_dir, PROGRESS)
+    if not os.path.exists(ppath):
+        return {"n_files": 0, "bad": [], "ok": False,
+                "error": "no sync progress found — destination never synced"}
+    progress = read_json(ppath)
     bad = [rel for rel, want in progress.items()
            if not os.path.exists(os.path.join(dst_dir, rel))
            or _sha256(os.path.join(dst_dir, rel)) != want]

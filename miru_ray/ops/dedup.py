@@ -84,19 +84,23 @@ def _shingles(tokens: list[str], n: int = 3) -> set[str]:
     return {" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)}
 
 
-MAX_BUCKET = 512  # hot-bucket cap: a band bucket with more members than
-#                   this is skipped for pair expansion (quadratic blowup
-#                   guard; reference precedent: atomized containers bound
-#                   single-value size, LabInvertedIndex.java:268-292).
-#                   Duplication groups larger than the cap are pathological
-#                   (empty/boilerplate docs) and belong to exact dedup.
+#: optional hot-bucket cap for :func:`_colliding_rows` (``max_bucket``):
+#: a band bucket with more members is SKIPPED for pair expansion — the
+#: quadratic-blowup guard for pathological duplication groups at true
+#: scale (reference precedent: atomized containers bound single-value
+#: size, LabInvertedIndex.java:268-292).  None (default) = exact: every
+#: colliding bucket expands, matching the SQL oracles bit-for-bit.  When
+#: a cap drops buckets it is LOGGED, never silent.
+MAX_BUCKET_DEFAULT = None
 
 
-def _colliding_rows(bands: "ray.data.Dataset", key_col: str) -> pd.DataFrame:
+def _colliding_rows(bands: "ray.data.Dataset", key_col: str,
+                    max_bucket: int | None = MAX_BUCKET_DEFAULT
+                    ) -> pd.DataFrame:
     """Distributed collision detection: per-batch partial counts →
-    groupby(key).sum → keys with global count in (1, MAX_BUCKET] →
-    broadcast key set → filter the bands stream → ONLY colliding rows
-    reach the driver (bounded by duplication mass).
+    groupby(key).sum → keys with global count > 1 (≤ ``max_bucket`` if
+    capped) → broadcast key set → filter the bands stream → ONLY colliding
+    rows reach the driver (bounded by duplication mass).
 
     ``bands`` is MATERIALIZED first: the count pass and the filter pass
     both consume it, and a lazy Dataset would re-run the whole signature
@@ -116,19 +120,25 @@ def _colliding_rows(bands: "ray.data.Dataset", key_col: str) -> pd.DataFrame:
     # threshold a vectorized driver merge wins by ~40× over a Ray sort
     # groupby's per-block scheduling overhead; above it (true 100-TB
     # runs) the distributed groupby path engages.
+    cap = np.iinfo(np.int64).max if max_bucket is None else int(max_bucket)
     if bands.count() <= _DRIVER_MERGE_ROWS:
         pc_df = partials.to_pandas()
         agg = pc_df.groupby(key_col, sort=False)["c"].sum()
-        keys = agg.index.to_numpy()[
-            (agg.to_numpy() > 1) & (agg.to_numpy() <= MAX_BUCKET)]
+        cvals = agg.to_numpy()
+        keys = agg.index.to_numpy()[(cvals > 1) & (cvals <= cap)]
+        n_skipped = int((cvals > cap).sum())
     else:
         counts = partials.groupby(key_col).aggregate(Sum("c", alias_name="c"))
-        coll = counts.map_batches(
-            lambda t: t.filter(pc.and_(pc.greater(t["c"], 1),
-                                       pc.less_equal(t["c"], MAX_BUCKET)))
-            .select([key_col]),
-            batch_format="pyarrow", batch_size=65536)
-        keys = coll.to_pandas()[key_col].to_numpy()  # small by construction
+        cdf = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["c"], 1)),
+            batch_format="pyarrow", batch_size=65536).to_pandas()
+        keys = cdf[key_col].to_numpy()[cdf["c"].to_numpy() <= cap]
+        n_skipped = int((cdf["c"].to_numpy() > cap).sum())
+    if n_skipped:  # no silent caps: dropped coverage must be visible
+        import logging
+        logging.getLogger(__name__).warning(
+            "collision detection skipped %d buckets over max_bucket=%d — "
+            "pairs inside them are NOT expanded", n_skipped, cap)
     key_ref = ray.put(np.sort(keys))
 
     def keep_colliding(t: pa.Table) -> pa.Table:
@@ -149,7 +159,7 @@ _DRIVER_MERGE_ROWS = 20_000_000  # swap point: driver count-merge vs
 
 def _expand_pairs(coll: pd.DataFrame, key_col: str) -> set[tuple[int, int]]:
     """Vectorized pair expansion over colliding-bucket rows (driver; input
-    is collision-bounded, each bucket ≤ MAX_BUCKET).  Groups are processed
+    is collision-bounded, buckets capped if max_bucket set).  Groups are processed
     per distinct SIZE so expansion is pure reshape+triu numpy — no Python
     loop over the (possibly many) buckets."""
     df = coll[[key_col, "doc_id"]].drop_duplicates()
@@ -237,8 +247,12 @@ def _band_keys(sigs: np.ndarray) -> np.ndarray:
 
 def _doc_shingle_hashes(texts, n: int = 3):
     """Per-doc distinct-shingle hashes, doc-contiguous: (flat uint64,
-    counts).  Fully vectorized via :func:`_make_shingle_rows`; zero-token
-    docs carry one sentinel hash so every doc has ≥1 row."""
+    counts, real_counts).  Fully vectorized via
+    :func:`_make_shingle_rows`; zero-token docs carry one sentinel hash
+    for array alignment — ``real_counts`` (0 for them) lets callers
+    exclude them from banding/pairing (they must never near-dup-match
+    each other, matching the SQL oracles where token-less docs have no
+    shingle rows at all)."""
     texts = list(texts)
     nd = len(texts)
     b = pa.table({"doc_id": pa.array(np.arange(nd, dtype=np.int64)),
@@ -253,7 +267,7 @@ def _doc_shingle_hashes(texts, n: int = 3):
     flat = np.full(int(cnt.sum()), sentinel, np.uint64)
     within = np.arange(len(doc)) - np.r_[np.int64(0), np.cumsum(cnt0)[:-1]][doc]
     flat[starts[doc] + within] = h
-    return flat, cnt
+    return flat, cnt, cnt0
 
 
 def _minhash_bands_batch(b: pa.Table) -> pa.Table:
@@ -261,9 +275,12 @@ def _minhash_bands_batch(b: pa.Table) -> pa.Table:
 
     Vectorized: distinct shingles hashed once (md5 bulk), permutations in
     one chunked pass, per-doc minima via ``np.minimum.reduceat`` over
-    document boundaries, band keys via the fixed numpy mix."""
+    document boundaries, band keys via the fixed numpy mix.  Zero-token
+    docs get NO bands (they have no shingles to be similar by — the SQL
+    oracle likewise gives them no pairs)."""
     docs = b["doc_id"].to_numpy()
-    flat, counts = _doc_shingle_hashes(b["text"].to_pandas())
+    flat, counts, real = _doc_shingle_hashes(b["text"].to_pandas())
+    nonempty = real > 0
     starts = np.zeros(len(counts), np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     sigs = np.empty((len(counts), MINHASH_PERMS), np.uint64)
@@ -282,11 +299,11 @@ def _minhash_bands_batch(b: pa.Table) -> pa.Table:
         if (~first_chunk).any():
             t2 = touched[~first_chunk]
             np.minimum(sigs[t2], mins[~first_chunk], out=sigs[t2])
-    keys = _band_keys(sigs)
-    n = len(counts)
+    keys = _band_keys(sigs[nonempty])
     return pa.table({
         "band_key": pa.array(keys.reshape(-1)),
-        "doc_id": pa.array(np.repeat(docs.astype(np.int64), LSH_BANDS))})
+        "doc_id": pa.array(np.repeat(docs[nonempty].astype(np.int64),
+                                     LSH_BANDS))})
 
 
 def minhash_candidates(sf_dir: str) -> list[tuple[int, int]]:
@@ -328,7 +345,7 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "sh": pa.array([], pa.uint64())})
         sub = b.filter(pa.array(hit))
-        flat, counts = _doc_shingle_hashes(sub["text"].to_pandas())
+        flat, counts, _real = _doc_shingle_hashes(sub["text"].to_pandas())
         return pa.table({
             "doc_id": pa.array(np.repeat(sub["doc_id"].to_numpy(), counts)),
             "sh": pa.array(flat)})

@@ -184,13 +184,16 @@ def build_ann_index(sf_dir: str) -> str:
 
 
 def _ring(code: int, max_hamming: int) -> list[int]:
-    """All codes within Hamming ≤ max_hamming of ``code`` (10-bit space)."""
-    out = [code]
-    if max_hamming >= 1:
-        out += [code ^ (1 << i) for i in range(_N_PLANES)]
-    if max_hamming >= 2:
-        out += [code ^ (1 << i) ^ (1 << j)
-                for i in range(_N_PLANES) for j in range(i + 1, _N_PLANES)]
+    """All codes within Hamming ≤ max_hamming of ``code`` (any radius over
+    the ``_N_PLANES``-bit space)."""
+    from itertools import combinations
+    out = []
+    for r in range(min(max_hamming, _N_PLANES) + 1):
+        for bits in combinations(range(_N_PLANES), r):
+            c = code
+            for b in bits:
+                c ^= 1 << b
+            out.append(c)
     return out
 
 

@@ -350,7 +350,8 @@ def q_doc_lengths(sf_dir: str) -> pa.Table:
     encode partials); zero-token docs zero-filled from the doc-id list."""
     idir = index_dir_for(sf_dir)
     from ray.data.aggregate import Sum
-    dl = (ray.data.read_parquet(os.path.join(idir, "doclen"))
+    dl = (ray.data.read_parquet(os.path.join(idir, "doclen"),
+                                file_extensions=["parquet"])
           .groupby("doc_id").aggregate(Sum("dl", alias_name="doc_len"))
           .to_pandas())
     ids = (ray.data.read_parquet(os.path.join(idir, "docstore"),

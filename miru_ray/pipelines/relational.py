@@ -99,8 +99,10 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
                            columns=["n_nationkey", "n_name"])
     n_keys = nation["n_nationkey"].to_numpy()
     n_names = np.asarray(nation["n_name"].to_pandas(), dtype=object)
-    n_of_cust = n_names[np.searchsorted(np.sort(n_keys),
-                                        cust["c_nationkey"].to_numpy())]
+    n_order = np.argsort(n_keys)  # align names with the sorted key array —
+    #                               parquet row order is NOT guaranteed
+    n_of_cust = n_names[n_order][np.searchsorted(
+        n_keys[n_order], cust["c_nationkey"].to_numpy())]
     ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
     order = np.argsort(ckeys)
     # nation strings dictionary-encoded: broadcast carries an int8 code per

@@ -72,12 +72,24 @@ def oracle_sql() -> dict[str, str]:
 
 
 def load_builtin() -> None:
-    """Register every built-in operator family (idempotent)."""
+    """Register every built-in operator family (idempotent; a failure
+    mid-registration leaves the flag unset and the partial registrations
+    rolled back, so the next call retries instead of silently serving a
+    truncated surface)."""
     global _BUILTIN_LOADED
     if _BUILTIN_LOADED:
         return
+    before = set(_REGISTRY)
+    try:
+        _load_builtin_ops()
+    except BaseException:
+        for name in set(_REGISTRY) - before:
+            del _REGISTRY[name]
+        raise
     _BUILTIN_LOADED = True
 
+
+def _load_builtin_ops() -> None:
     from .ops import analytics as A
     from .ops import dedup as D
     from .ops import similarity as Sim
