@@ -778,10 +778,9 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
 
     @ray.remote(num_cpus=1)
     def rebuild_partition(pid: int) -> list[tuple[int, int, int, int, int]]:
-        import pyarrow.compute as _pc
-
-        from .segments import encode_segment_table as _enc
-        from .segments import write_segment as _write
+        # NOTE: no runtime miru_ray imports here — the function body runs
+        # on workers that may not have the repo on sys.path; everything it
+        # needs is captured by value through the closure
         pdir = os.path.join(docstore_dir, f"partition={pid}")
         t = pq.ParquetDataset(pdir).read(columns=cols)
         rows = postings_fn(t)
@@ -791,11 +790,12 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
             cell = rows.filter(pa.array(gkeys == pid * nsh + shard))
             if cell.num_rows == 0:
                 continue
-            seg, dl = _enc(cell, with_doclen=True)
+            seg, dl = encode_segment_table(cell, with_doclen=True)
             write_doclen_partial(dl, index_dir, pid, shard)
-            _write(seg, os.path.join(index_dir, segment_rel_path(pid, shard)))
-            kw = _pc.match_substring(seg["term"], ":")
-            cf_text = int(_pc.sum(_pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
+            write_segment(seg,
+                          os.path.join(index_dir, segment_rel_path(pid, shard)))
+            kw = pc.match_substring(seg["term"], ":")
+            cf_text = int(pc.sum(pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
             out.append((pid, shard, seg.num_rows, cell.num_rows, cf_text))
         return out
 

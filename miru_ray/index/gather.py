@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..config import IndexConfig
-from ..util import atomic_write_json, read_json
+from ..util import atomic_write_json, read_json, term_shard
 from .segments import (encode_segment_table, segment_rel_path,
                        segment_to_rows, write_segment)
 
@@ -78,6 +78,8 @@ def gather_terms(index_dir: str,
 
     @ray.remote(num_cpus=1)
     def enrich_partition(pid: int) -> list[tuple[int, int, int, int, int]]:
+        # runtime imports limited to installed packages — workers may not
+        # have the repo on sys.path; miru_ray names arrive via the closure
         import cloudpickle as _cp
         import pyarrow.compute as _pc
         fn = _cp.loads(gatherer_payload)
@@ -89,7 +91,6 @@ def gather_terms(index_dir: str,
             if not all(":" in s for s in terms):
                 raise ValueError(
                     f"gather {name!r}: terms must be namespaced field:value")
-        from ..util import term_shard
         shard_of = term_shard(
             np.asarray(new["term"].to_pandas(), dtype=object), nsh) \
             if new.num_rows else np.empty(0, np.int64)

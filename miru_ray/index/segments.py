@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..codec import bulk_encode_postings, decode_doc_ids, decode_tfs
+from ..util import md5_64
 
 SEGMENT_SCHEMA = pa.schema([
     ("term", pa.string()),
@@ -146,7 +147,6 @@ def build_term_bloom(terms: np.ndarray) -> tuple[int, bytes]:
     construction — reference: per-field bloom index,
     ``miru-service/.../stream/MiruIndexBloom.java:28``,
     ``miru-plugin/.../index/BloomIndex.java``)."""
-    from ..util import md5_64
     m = _bloom_params(len(terms))
     bits = np.zeros(m, bool)
     pos = _bloom_probes(md5_64(terms), m)
@@ -155,7 +155,6 @@ def build_term_bloom(terms: np.ndarray) -> tuple[int, bytes]:
 
 
 def bloom_may_contain(m: int, packed: np.ndarray, term: str) -> bool:
-    from ..util import md5_64
     pos = _bloom_probes(md5_64(np.array([term], dtype=object)), m)[0]
     return bool((packed[pos >> 3] & (1 << (7 - (pos & 7)))).all())
 

@@ -40,7 +40,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..tokenize import py_tokenize
+from ..tokenize import explode_tokens, py_tokenize
 from ..util import md5_64, md5_64_bulk
 
 # ------------------------------ helpers ------------------------------------
@@ -477,7 +477,6 @@ def _make_shingle_rows(n: int = 3):
     shingle)."""
 
     def shingle_rows(b: pa.Table) -> pa.Table:
-        from ..tokenize import explode_tokens
         ids = b["doc_id"].to_numpy().astype(np.int64)
         terms, rows, dl = explode_tokens(b["text"])
         t_np = np.asarray(terms.to_pandas(), dtype=object)

@@ -27,6 +27,7 @@ import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
 from ..tokenize import EN_STOPWORDS, explode_tokens, py_tokenize
+from ..util import md5_64, md5_64_bulk
 
 
 def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
@@ -196,8 +197,8 @@ def _winnow(tokens: list[str], w: int = _FP_WINDOW) -> list[int]:
     distinct min-hashes over sliding windows of token 3-gram hashes
     (Schleimer et al., SIGMOD 2003).  Gram hash = md5_64 so a DuckDB oracle
     reproduces values exactly."""
-    from ..util import md5_64
-    grams = [" ".join(tokens[i:i + 3]) for i in range(max(0, len(tokens) - 2))]
+    grams = [" ".join(tokens[i:i + 3])
+             for i in range(max(0, len(tokens) - 2))]
     if not grams:
         return []
     hs = md5_64(np.array(grams, dtype=object))
@@ -215,8 +216,6 @@ def _fp_batch(b: pa.Table) -> pa.Table:
     per-doc validity masks, distinct+XOR per doc via sort + reduceat —
     no per-row Python loop."""
     import numpy.lib.stride_tricks as st
-
-    from ..util import md5_64_bulk
     ids = b["doc_id"].to_numpy()
     n = b.num_rows
     terms, rows, _dl = explode_tokens(b["text"])

@@ -33,8 +33,11 @@ import pyarrow.dataset as pads
 import ray
 
 from ..config import IndexConfig
-from ..util import read_json, term_shard
-from ..index.segments import SegmentReader
+from ..tokenize import py_tokenize
+from ..util import atomic_write_json, read_json, term_shard
+from ..index.build import doclen_rel_path
+from ..index.segments import (SegmentReader, bloom_may_contain,
+                              read_segment_bloom)
 from . import scorer as S
 from .filter import (And, Authz, Node, Not, Or, Phrase, Prefix, Term,
                      TimeRange, and_terms, collect_prefixes,
@@ -73,7 +76,6 @@ class PartitionReader:
             self.load_tombstones(read_json(tpath))
         self.doclen: dict[int, np.ndarray] = {}
         self.ts: dict[int, np.ndarray] = {}
-        from ..index.build import doclen_rel_path
         for pid in pids:
             base, count = parts[pid]["base"], parts[pid]["count"]
             t = self._docstore(pid).to_table(columns=["doc_id", "ts"])
@@ -151,7 +153,6 @@ class PartitionReader:
         if key not in self._bloom_cache:
             path = os.path.join(self.index_dir,
                                 f"segments/p{pid:05d}_s{shard:03d}.parquet")
-            from ..index.segments import read_segment_bloom
             self._bloom_cache[key] = (read_segment_bloom(path)
                                       if os.path.exists(path) else None)
         return self._bloom_cache[key]
@@ -161,7 +162,6 @@ class PartitionReader:
         if (pid, shard) not in self._seg_cache:
             bloom = self._bloom(pid, shard)
             if bloom is not None:
-                from ..index.segments import bloom_may_contain
                 if not bloom_may_contain(bloom[0], bloom[1], term):
                     return None, None  # definite miss — keep segment cold
         seg = self._segment(pid, shard)
@@ -262,7 +262,6 @@ class PartitionReader:
             t = self._docstore(pid).to_table(
                 columns=["doc_id", node.field],
                 filter=pads.field("doc_id").isin(cand.tolist()))
-            from ..tokenize import py_tokenize
             needle = " " + node.token_string() + " "
             ok_ids = [int(d) for d, txt in zip(t["doc_id"].to_pylist(),
                                                t[node.field].to_pylist())
@@ -647,7 +646,6 @@ class Searcher:
         """Tombstone documents (REMOVE semantics: the reference's removal
         index excludes them from every answer, ``MiruRemovalIndex``).
         Persists to tombstones.json and pushes to live readers."""
-        from ..util import atomic_write_json
         tpath = os.path.join(self.index_dir, "tombstones.json")
         existing = set(read_json(tpath)) if os.path.exists(tpath) else set()
         existing.update(int(d) for d in doc_ids)
