@@ -36,12 +36,16 @@ def _varint_nbytes(a: np.ndarray) -> np.ndarray:
     return nb
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized over values)."""
+def varint_encode(values: np.ndarray, return_nbytes: bool = False):
+    """LEB128-encode a uint64 array (vectorized over values).
+
+    ``return_nbytes=True`` also returns the per-value byte lengths —
+    callers that split the blob per group need them and should not pay
+    the length scan twice."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(a)
     if n == 0:
-        return b""
+        return (b"", np.empty(0, np.int64)) if return_nbytes else b""
     nb = _varint_nbytes(a)
     total = int(nb.sum())
     out = np.zeros(total, np.uint8)
@@ -60,7 +64,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         cur[m] >>= _U7
         idx[m] += 1
         remaining[m] -= 1
-    return out.tobytes()
+    return (out.tobytes(), nb) if return_nbytes else out.tobytes()
 
 
 def varint_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:
@@ -140,8 +144,7 @@ def decode_tfs(tf_bytes: bytes, df: int) -> np.ndarray:
 
 def _encode_and_split(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
     """Varint-encode a flat array once, then slice per-group byte ranges."""
-    blob = varint_encode(values)
-    nb = _varint_nbytes(np.ascontiguousarray(values, dtype=np.uint64))
+    blob, nb = varint_encode(values, return_nbytes=True)
     byte_off = np.zeros(len(values) + 1, np.int64)
     np.cumsum(nb, out=byte_off[1:])
     bounds = np.append(starts, len(values))

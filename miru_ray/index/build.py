@@ -225,12 +225,19 @@ class AssignDocIds:
                 .append_column("partition", pa.array(partition)))
 
 
-def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
-                   cfg: IndexConfig, tag: dict | None = None) -> None:
+def _offsets_ref(offsets_path: str):
+    """Broadcast the (sorted conv array, offsets) pair ONCE — shared by the
+    doc-store and spill consumers so the object store holds one copy and
+    the per-worker cache never alternates between duplicate refs."""
     off_t = pq.read_table(offsets_path)
-    convs = np.asarray(off_t["conv_id"].to_pandas(), dtype=object)
-    offs = off_t["offset"].to_numpy().astype(np.int64)
-    ref = ray.put((convs, offs))
+    return ray.put((np.asarray(off_t["conv_id"].to_pandas(), dtype=object),
+                    off_t["offset"].to_numpy().astype(np.int64)))
+
+
+def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
+                   cfg: IndexConfig, tag: dict | None = None,
+                   offsets_ref=None) -> None:
+    ref = offsets_ref if offsets_ref is not None else _offsets_ref(offsets_path)
     stop = EN_STOPWORDS if cfg.remove_stopwords else None
     # stateless tasks (fn INSTANCE, not class): no actor-pool ramp-up; the
     # broadcast is cached per worker process by _get_offsets
@@ -347,6 +354,27 @@ def write_doclen_partial(doclen: pa.Table, index_dir: str, pid: int,
     os.replace(tmp, path)
 
 
+def encode_cell_files(rows: pa.Table, index_dir: str, pid: int, shard: int,
+                      skip_if_exists: bool) -> dict:
+    """Encode ONE cell's (term, doc_id, tf) rows and write its segment +
+    doclen sidecar.  The single implementation behind the external
+    shuffle, the groupby shuffle and the append rebuild — deterministic
+    and atomic; ``skip_if_exists`` keeps present files (resume), else
+    they are replaced.  ``n_postings`` is Σ df of the ENCODED segment
+    (post-dedup — idempotent under retried upstream writes)."""
+    seg, dl = encode_segment_table(rows, with_doclen=True)
+    seg_path = os.path.join(index_dir, segment_rel_path(pid, shard))
+    dl_path = os.path.join(index_dir, doclen_rel_path(pid, shard))
+    if not (skip_if_exists and os.path.exists(dl_path)):
+        write_doclen_partial(dl, index_dir, pid, shard)
+    if not (skip_if_exists and os.path.exists(seg_path)):
+        write_segment(seg, seg_path)
+    kw = pc.match_substring(seg["term"], ":")
+    return {"pid": pid, "shard": shard, "n_terms": seg.num_rows,
+            "n_postings": int(pc.sum(seg["df"]).as_py() or 0),
+            "cf_text": int(pc.sum(pc.if_else(kw, 0, seg["cf"])).as_py() or 0)}
+
+
 def make_segment_writer(index_dir: str, nsh: int):
     def encode_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -355,20 +383,9 @@ def make_segment_writer(index_dir: str, nsh: int):
                              "n_terms": pa.array([], pa.int64()),
                              "n_postings": pa.array([], pa.int64())})
         gkey = int(group["gkey"][0].as_py())
-        pid, shard = gkey // nsh, gkey % nsh
-        path = os.path.join(index_dir, segment_rel_path(pid, shard))
-        seg, dl = encode_segment_table(group, with_doclen=True)
-        if not os.path.exists(os.path.join(index_dir,
-                                           doclen_rel_path(pid, shard))):
-            write_doclen_partial(dl, index_dir, pid, shard)
-        if not os.path.exists(path):  # resume: deterministic content → skip
-            write_segment(seg, path)
-        kw = pc.match_substring(seg["term"], ":")
-        cf_text = int(pc.sum(pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
-        return pa.table({"pid": pa.array([pid]), "shard": pa.array([shard]),
-                         "n_terms": pa.array([seg.num_rows]),
-                         "n_postings": pa.array([group.num_rows]),
-                         "cf_text": pa.array([cf_text])})
+        r = encode_cell_files(group, index_dir, gkey // nsh, gkey % nsh,
+                              skip_if_exists=True)
+        return pa.table({k: pa.array([v]) for k, v in r.items()})
     return encode_group
 
 
@@ -422,33 +439,18 @@ def _spill_postings(postings: "ray.data.Dataset", spill_dir: str,
 
 
 def _encode_cells(index_dir: str, cfg: IndexConfig) -> list[dict]:
-    import pyarrow.parquet as pq
-
-    from .segments import encode_segment_table, write_segment
-
     spill_dir = os.path.join(index_dir, "postings_spill")
     nsh = cfg.num_shards
 
     @ray.remote(num_cpus=1)
-    def encode_cell(gdir: str, gkey: int) -> tuple[int, int, int, int, int]:
-        t = pq.ParquetDataset(gdir).read()
+    def encode_cell(gdir: str, gkey: int) -> dict:
         # (duplicate rows from a retried spill task are dropped by the
-        # post-sort mask inside encode_segment_table)
-        seg, dl = encode_segment_table(t, with_doclen=True)
-        pid, shard = gkey // nsh, gkey % nsh
-        path = os.path.join(index_dir, segment_rel_path(pid, shard))
-        if not os.path.exists(os.path.join(index_dir,
-                                           doclen_rel_path(pid, shard))):
-            write_doclen_partial(dl, index_dir, pid, shard)
-        if not os.path.exists(path):
-            write_segment(seg, path)
-        # collection-length contribution: Σ cf over tokenized terms (keyword
-        # terms carry a ':' which the tokenizer can never emit) — lets the
-        # manifest skip a whole doc-store aggregation pass
-        import pyarrow.compute as _pc
-        kw = _pc.match_substring(seg["term"], ":")
-        cf_text = int(_pc.sum(_pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
-        return pid, shard, seg.num_rows, t.num_rows, cf_text
+        # post-sort mask inside encode_segment_table; no runtime miru_ray
+        # imports here — worker processes may not have the repo on
+        # sys.path, names arrive via the closure)
+        t = pq.ParquetDataset(gdir).read()
+        return encode_cell_files(t, index_dir, gkey // nsh, gkey % nsh,
+                                 skip_if_exists=True)
 
     futs = []
     for d in sorted(os.listdir(spill_dir)):
@@ -456,9 +458,7 @@ def _encode_cells(index_dir: str, cfg: IndexConfig) -> list[dict]:
             continue
         gkey = int(d.split("=", 1)[1])
         futs.append(encode_cell.remote(os.path.join(spill_dir, d), gkey))
-    rows = [{"pid": p, "shard": s, "n_terms": nt, "n_postings": np_,
-             "cf_text": ct}
-            for p, s, nt, np_, ct in ray.get(futs)]
+    rows = ray.get(futs)
     return sorted(rows, key=lambda r: (r["pid"], r["shard"]))
 
 
@@ -559,7 +559,11 @@ def build_index(input_path: str | list[str], index_dir: str,
     # [2] doc store ∥ [3a] postings spill — independent given the offsets
     # table (the spill assigns doc ids inline from the broadcast offsets),
     # so the two Dataset executions run concurrently from driver threads
-    # and fill each other's scheduling gaps.
+    # and fill each other's scheduling gaps.  ONE shared broadcast ref —
+    # duplicate refs would double object-store use and thrash the
+    # per-worker offsets cache when both jobs interleave.
+    shared_ref = _offsets_ref(offsets_path)
+
     def docstore_job():
         t0 = time.perf_counter()
         if _stage_current(os.path.join(docstore_dir, "_SUCCESS"), tag):
@@ -568,18 +572,15 @@ def build_index(input_path: str | list[str], index_dir: str,
         if os.path.exists(docstore_dir):
             shutil.rmtree(docstore_dir)
         build_docstore(_read_input(files), offsets_path, docstore_dir, cfg,
-                       tag)
+                       tag, offsets_ref=shared_ref)
         return {"seconds": round(time.perf_counter() - t0, 3)}
 
     def spill_job():
         t0 = time.perf_counter()
-        off_t = pq.read_table(offsets_path)
-        ref = ray.put((np.asarray(off_t["conv_id"].to_pandas(), dtype=object),
-                       off_t["offset"].to_numpy().astype(np.int64)))
         cols = (["conv_id", "turn_idx"] + list(cfg.text_fields)
                 + list(cfg.keyword_fields) + list(cfg.list_keyword_fields))
         ds = _read_input(files, columns=sorted(set(cols)))
-        postings = ds.map_batches(make_postings_fn(cfg, ref),
+        postings = ds.map_batches(make_postings_fn(cfg, shared_ref),
                                   batch_format="pyarrow", batch_size=8192)
         _spill_postings(postings, os.path.join(index_dir, "postings_spill"),
                         tag, cfg.io_compression)
@@ -732,6 +733,13 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
         stale_tags.update(prev.get("tags", []))
         if prev.get("tag"):
             stale_tags.add(prev["tag"])
+    # NEVER purge a COMMITTED append's files: a crash between the manifest
+    # commit and the sidecar removal leaves the committed tag in the
+    # sidecar, and deleting its docstore rows would be silent data loss —
+    # the manifest records every committed tag for exactly this exclusion
+    committed_tags = set(manifest.get("append_tags", []))
+    stale_tags -= committed_tags
+    stale_tags.add(tag)  # the CURRENT attempt is pending by definition
     # the sidecar accumulates EVERY pending tag (a crash between writing
     # it and purging must not forget an older crashed attempt's tag)
     atomic_write_json(sidecar_path, {"tags": sorted(stale_tags)})
@@ -777,7 +785,7 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
             + list(cfg.list_keyword_fields))
 
     @ray.remote(num_cpus=1)
-    def rebuild_partition(pid: int) -> list[tuple[int, int, int, int, int]]:
+    def rebuild_partition(pid: int) -> list[dict]:
         # NOTE: no runtime miru_ray imports here — the function body runs
         # on workers that may not have the repo on sys.path; everything it
         # needs is captured by value through the closure
@@ -789,23 +797,24 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
         for shard in range(nsh):
             cell = rows.filter(pa.array(gkeys == pid * nsh + shard))
             if cell.num_rows == 0:
+                # a crashed earlier attempt may have left files for a cell
+                # that is now empty — readers discover segments on disk, so
+                # stale files MUST go, not merely be skipped
+                for p in (segment_rel_path(pid, shard),
+                          doclen_rel_path(pid, shard)):
+                    fp_ = os.path.join(index_dir, p)
+                    if os.path.exists(fp_):
+                        os.remove(fp_)
                 continue
-            seg, dl = encode_segment_table(cell, with_doclen=True)
-            write_doclen_partial(dl, index_dir, pid, shard)
-            write_segment(seg,
-                          os.path.join(index_dir, segment_rel_path(pid, shard)))
-            kw = pc.match_substring(seg["term"], ":")
-            cf_text = int(pc.sum(pc.if_else(kw, 0, seg["cf"])).as_py() or 0)
-            out.append((pid, shard, seg.num_rows, cell.num_rows, cf_text))
+            r = encode_cell_files(cell, index_dir, pid, shard,
+                                  skip_if_exists=False)
+            out.append(r)
         return out
 
     futs = [rebuild_partition.remote(pid)
             for pid in range(first_pid, last_pid + 1)]
-    new_rows = [{"pid": p, "shard": s, "n_terms": nt, "n_postings": np_,
-                 "cf_text": ct,
-                 "path": segment_rel_path(p, s)}
-                for cells in ray.get(futs)
-                for p, s, nt, np_, ct in cells]
+    new_rows = [{**r, "path": segment_rel_path(r["pid"], r["shard"])}
+                for cells in ray.get(futs) for r in cells]
 
     # [4] manifest update: every cell of a rebuilt partition is replaced
     segments = [s for s in manifest["segments"]
@@ -836,6 +845,9 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     out.setdefault("stages", {})["append"] = {
         "seconds": round(time.perf_counter() - t_all, 3),
         "new_docs": int(cnt.sum()), "new_files": len(new_files)}
+    # record this append's tag as COMMITTED — the next append must never
+    # purge its docstore files even if the sidecar removal below is lost
+    out["append_tags"] = sorted(set(manifest.get("append_tags", [])) | {tag})
     atomic_write_json(os.path.join(index_dir, "manifest.json"), out)
     # keep the stage checkpoints consistent with the appended state so a
     # subsequent full-rebuild check doesn't wipe a valid index
@@ -848,6 +860,3 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     return out
 
 
-def pads_field(name: str):
-    import pyarrow.dataset as _pads
-    return _pads.field(name)

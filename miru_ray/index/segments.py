@@ -230,7 +230,10 @@ class SegmentReader:
         ``MiruTermComposer.prefixLowerInclusive/UpperExclusive``).
         """
         lo = int(np.searchsorted(self.terms, prefix))
-        hi = int(np.searchsorted(self.terms, prefix + "￿"))
+        # upper bound: append the MAX code point, side='right' — plain
+        # '￿' would exclude terms whose next char is outside the BMP
+        hi = int(np.searchsorted(self.terms, prefix + chr(0x10FFFF),
+                                 side="right"))
         return lo, hi
 
     def stats(self, row: int) -> tuple[int, int]:

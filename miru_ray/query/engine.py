@@ -33,7 +33,7 @@ import pyarrow.dataset as pads
 import ray
 
 from ..config import IndexConfig
-from ..tokenize import py_tokenize
+from ..tokenize import EN_STOPWORDS, py_tokenize
 from ..util import atomic_write_json, read_json, term_shard
 from ..index.build import doclen_rel_path
 from ..index.segments import (SegmentReader, bloom_may_contain,
@@ -263,9 +263,13 @@ class PartitionReader:
                 columns=["doc_id", node.field],
                 filter=pads.field("doc_id").isin(cand.tolist()))
             needle = " " + node.token_string() + " "
+            # adjacency over the SAME token stream the index saw (stopwords
+            # stripped when the index strips them — analyzer parity)
+            stop = EN_STOPWORDS if self.cfg.remove_stopwords else None
             ok_ids = [int(d) for d, txt in zip(t["doc_id"].to_pylist(),
                                                t[node.field].to_pylist())
-                      if needle in " " + " ".join(py_tokenize(txt or "")) + " "]
+                      if needle in
+                      " " + " ".join(py_tokenize(txt or "", stop)) + " "]
             mask = np.zeros(count, bool)
             mask[np.asarray(ok_ids, np.int64) - base] = True
             return mask
@@ -315,24 +319,28 @@ class PartitionReader:
         for pid in self.parts:
             if not self._may_match(ast, pid):
                 continue  # zone-map pruned
-            base = self.parts[pid]["base"]
             cache: dict = {}
-            mask = self._alive_mask(pid, self._eval(ast, pid, cache, expansions))
-            if not mask.any():
-                continue
             if (use_wand and after is None
                     and strategy in ("bm25", "ref-tfidf") and _is_pure_or(ast)
                     and self._tombstones.get(pid) is None):
-                # WAND scores straight from postings, so a partition with
-                # tombstones falls back to mask scoring — the removal mask
+                # WAND scores straight from postings — no candidate mask is
+                # materialized (that full-partition boolean union is exactly
+                # the work WAND exists to skip).  A partition with
+                # tombstones falls back to mask scoring: the removal mask
                 # must gate every answer (buildIndexMask semantics; ADVICE
-                # r01: WAND returned removed docs)
+                # r01: WAND returned removed docs).
                 d, s = self._wand_partition(pid, k, strategy, term_counts,
                                             global_stats, cache)
             else:
+                mask = self._alive_mask(
+                    pid, self._eval(ast, pid, cache, expansions))
+                if not mask.any():
+                    continue
                 d, s = self._score_partition(pid, mask, k, strategy,
                                              term_counts, global_stats, cache,
                                              after)
+            if not len(d):
+                continue
             out_docs.append(d)
             out_scores.append(s)
         if not out_docs:
@@ -521,8 +529,12 @@ class Searcher:
                             for r in self.readers])
         return [getattr(r, method)(*args, **kwargs) for r in self.readers]
 
-    def _prepare(self, ast: Node):
-        """Phase 1: global prefix expansion + global term stats (cached)."""
+    def _prepare(self, ast: Node, need_stats: bool = True):
+        """Phase 1: global prefix expansion + global term stats (cached).
+
+        ``need_stats=False`` (filter-only queries: count, match, TIME)
+        skips the term-stats fan-out round entirely — global df/cf matter
+        only to scoring."""
         expansions: dict[str, list[str]] = {}
         for p in collect_prefixes(ast):
             key = p.term_key_prefix()
@@ -538,6 +550,8 @@ class Searcher:
         for terms in expansions.values():
             for t in terms:
                 term_counts[t] = term_counts.get(t, 0) + 1
+        if not need_stats:
+            return expansions, term_counts, {}
         need = sorted(t for t, c in term_counts.items() if c != 0)
         missing = [t for t in need if t not in self._stats_cache]
         if missing:
@@ -603,7 +617,7 @@ class Searcher:
 
     def topk_time(self, query, k: int = 10) -> pa.Table:
         ast = self._to_ast(query)
-        expansions, _tc, _st = self._prepare(ast)
+        expansions, _tc, _st = self._prepare(ast, need_stats=False)
         parts = self._fanout("topk_time", ast, k, expansions)
         docs = np.concatenate([p["doc_ids"] for p in parts])
         ts = np.concatenate([p["ts"] for p in parts])
@@ -613,12 +627,12 @@ class Searcher:
 
     def count(self, query) -> int:
         ast = self._to_ast(query)
-        expansions, _tc, _st = self._prepare(ast)
+        expansions, _tc, _st = self._prepare(ast, need_stats=False)
         return sum(p["count"] for p in self._fanout("match", ast, expansions))
 
     def match_docs(self, query) -> np.ndarray:
         ast = self._to_ast(query)
-        expansions, _tc, _st = self._prepare(ast)
+        expansions, _tc, _st = self._prepare(ast, need_stats=False)
         parts = self._fanout("match", ast, expansions, True)
         return np.sort(np.concatenate([p["doc_ids"] for p in parts]))
 
@@ -657,9 +671,14 @@ class Searcher:
     def _to_ast(self, query) -> Node:
         if isinstance(query, Node):
             return query
+        # analyzer parity: the query side drops the same stopwords the
+        # index dropped (otherwise an AND containing a stopword matches
+        # nothing — its postings were never written)
+        stop = EN_STOPWORDS if self.cfg.remove_stopwords else None
         if isinstance(query, (list, tuple)):
-            return and_terms(list(query))
-        return parse_query(query)
+            terms = [t for t in query if not stop or t not in stop]
+            return and_terms(terms)
+        return parse_query(query, stopwords=stop)
 
     def close(self):
         if self.use_actors:

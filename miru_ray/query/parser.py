@@ -25,7 +25,12 @@ from .filter import And, Node, Not, Or, Prefix, Term
 _TOKEN_SPLIT = re.compile(r'\(|\)|"[^"]*"|\S+')
 
 
-def parse_query(q: str, default_field: str = "text") -> Node:
+def parse_query(q: str, default_field: str = "text",
+                stopwords: frozenset | None = None) -> Node:
+    """Parse a query string.  ``stopwords`` must be the INDEX's stopword
+    set when the index was built with ``remove_stopwords`` — the reference
+    runs the same analyzer chain on queries, so a stopword in an AND/phrase
+    is dropped rather than matching nothing (its postings don't exist)."""
     tokens = _TOKEN_SPLIT.findall(q)
     pos = 0
 
@@ -57,9 +62,9 @@ def parse_query(q: str, default_field: str = "text") -> Node:
                 continue
             elif t.startswith("-") and len(t) > 1:
                 negate_next = True
-                node = _atom(t[1:], default_field)
+                node = _atom(t[1:], default_field, stopwords)
             else:
-                node = _atom(t, default_field)
+                node = _atom(t, default_field, stopwords)
             if node is None:
                 negate_next = False
                 pending_or = False
@@ -90,12 +95,17 @@ def parse_query(q: str, default_field: str = "text") -> Node:
         return pos_node
 
     node = parse_group()
+    if isinstance(node, And) and not node.children:
+        # every clause dissolved (empty query / all-stopword phrase):
+        # match nothing, like Lucene — never the implicit match-all And(())
+        return Or(())
     return node
 
 
-def _atom(tok: str, default_field: str) -> Node | None:
+def _atom(tok: str, default_field: str,
+          stopwords: frozenset | None = None) -> Node | None:
     if tok.startswith('"') and tok.endswith('"'):
-        terms = py_tokenize(tok[1:-1])
+        terms = py_tokenize(tok[1:-1], stopwords)
         if not terms:
             return None
         if len(terms) == 1:
@@ -109,11 +119,11 @@ def _atom(tok: str, default_field: str) -> Node | None:
     if tok.endswith("*"):
         body = tok[:-1]
         if field == default_field:
-            toks = py_tokenize(body)
+            toks = py_tokenize(body)  # prefix body: no stopword drop (it's a prefix)
             body = toks[-1] if toks else ""
         return Prefix(field, body) if body else None
     if field == default_field:
-        terms = py_tokenize(tok)
+        terms = py_tokenize(tok, stopwords)
         if not terms:
             return None
         if len(terms) == 1:

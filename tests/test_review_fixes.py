@@ -126,3 +126,74 @@ def test_verify_sync_unsynced_dir_is_graceful(tmp_path):
     from miru_ray.index.sync import verify_sync
     out = verify_sync(str(tmp_path))
     assert out["ok"] is False and "never synced" in out["error"]
+
+
+def test_append_commit_window_never_purges_committed_files(xs_table, tmp_path):
+    """A crash AFTER the manifest commit but BEFORE sidecar removal leaves
+    the committed tag in pending_append.json; the next append must NOT
+    purge that committed append's docstore files."""
+    from miru_ray.util import atomic_write_json, read_json
+    cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+    df = xs_table.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                          kind="mergesort")
+    convs = sorted(df["conv_id"].unique())
+    third = len(convs) // 3
+    paths = []
+    for i, grp in enumerate((set(convs[:third]), set(convs[third:2 * third]),
+                             set(convs[2 * third:]))):
+        p = str(tmp_path / f"p{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(df[df["conv_id"].isin(grp)],
+                                            preserve_index=False), p)
+        paths.append(p)
+    d = str(tmp_path / "idx")
+    build_index([paths[0]], d, cfg)
+    m1 = build_index([paths[0], paths[1]], d, cfg)      # append B commits
+    assert "append" in m1["stages"] and m1["append_tags"]
+    # simulate the crash window: committed tag back in the sidecar
+    atomic_write_json(os.path.join(d, "pending_append.json"),
+                      {"tags": m1["append_tags"]})
+    m2 = build_index(paths, d, cfg)                     # append C
+    ds = pq.ParquetDataset(os.path.join(d, "docstore")).read()
+    ids = ds["doc_id"].to_numpy()
+    assert len(ids) == len(set(ids.tolist())) == m2["n_docs"]
+    full = str(tmp_path / "full")
+    m3 = build_index(paths, full, cfg)
+    assert m2["n_docs"] == m3["n_docs"] and m2["total_len"] == m3["total_len"]
+
+
+def test_query_side_stopword_parity(xs_path, tmp_path):
+    """On a stopword-stripped index, queries containing stopwords drop
+    them (analyzer parity) instead of matching nothing."""
+    d = str(tmp_path / "idx")
+    build_index(xs_path, d, IndexConfig(docs_per_partition=1000, num_shards=2,
+                                        remove_stopwords=True))
+    s = Searcher(d, num_readers=1, use_actors=False)
+    a = s.topk("the alpha", 10, "bm25")
+    b = s.topk("alpha", 10, "bm25")
+    assert a.equals(b) and len(a) > 0
+    assert s.count(["the", "alpha"]) == s.count(["alpha"]) > 0
+    # a pure-stopword phrase reduces to nothing → no matches, no crash
+    assert s.count('"the of and"') == 0
+    s.close()
+
+
+def test_prefix_range_non_bmp():
+    """Prefix upper bound must include terms whose next char is outside
+    the BMP (e.g. emoji keyword values)."""
+    import numpy as np
+
+    from miru_ray.index.segments import SegmentReader, encode_segment_table, \
+        write_segment
+    t = pa.table({
+        "term": pa.array(["tool:a", "tool:\U0001F600wrench", "tool:z"]),
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "tf": pa.array([1, 1, 1], pa.int64())})
+    seg = encode_segment_table(t)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "segments", "p00000_s000.parquet")
+        write_segment(seg, p)
+        r = SegmentReader(p)
+        lo, hi = r.prefix_range("tool:")
+        assert set(r.terms[lo:hi]) == {"tool:a", "tool:\U0001F600wrench",
+                                       "tool:z"}
