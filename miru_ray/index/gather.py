@@ -99,8 +99,10 @@ def gather_terms(index_dir: str,
             add = new.filter(pa.array(shard_of == shard)) if new.num_rows \
                 else new
             path = os.path.join(index_dir, segment_rel_path(pid, shard))
-            if add.num_rows == 0 and not os.path.exists(path):
-                continue
+            if add.num_rows == 0:
+                continue  # nothing to merge — the existing segment (and
+                #           its manifest entry) are already correct; a
+                #           decode/re-encode/rewrite would be pure waste
             rows = add.select(["term", "doc_id", "tf"])
             if os.path.exists(path):
                 rows = pa.concat_tables([segment_to_rows(path), rows])

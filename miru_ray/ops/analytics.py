@@ -154,6 +154,8 @@ def trending(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3) -> pa.Table:
 #: level) waveforms + latest message gather)
 LEVEL_OF = {"error": "ERROR", "purchase": "INFO", "signup": "INFO",
             "click": "DEBUG", "view": "DEBUG"}
+LEVEL_DEFAULT = "DEBUG"  # MUST match _LEVEL_SQL's ELSE branch — an unknown
+#                          event_type must bucket identically in both
 
 
 def stumptown(sf_dir: str, dt_us: int = US_PER_HOUR, k_latest: int = 3
@@ -166,7 +168,8 @@ def stumptown(sf_dir: str, dt_us: int = US_PER_HOUR, k_latest: int = 3
     def prep(t: pa.Table) -> pa.Table:
         t = _bucket_batch(t, dt_us)
         et = np.asarray(t["event_type"].to_pandas(), dtype=object)
-        level = np.array([LEVEL_OF.get(e, "INFO") for e in et], dtype=object)
+        level = np.array([LEVEL_OF.get(e, LEVEL_DEFAULT) for e in et],
+                         dtype=object)
         out = pa.table({"level": pa.array(level, pa.string()),
                         "bucket": t["bucket"],
                         "event_id": t["event_id"]})
@@ -244,12 +247,12 @@ def unread_counts(sf_dir: str) -> pa.Table:
         keys, ws = ray.get(wm_ref)
         uid = t["user_id"].to_numpy().astype(np.int64)
         ts = pc.cast(t["ts"], pa.int64()).to_numpy()
-        pos = np.searchsorted(keys, uid)
-        has_wm = (pos < len(keys)) & (
-            keys[np.minimum(pos, max(len(keys) - 1, 0))] == uid) \
-            if len(keys) else np.zeros(len(uid), bool)
-        w = np.where(has_wm, ws[np.minimum(pos, max(len(keys) - 1, 0))],
-                     np.int64(-2**62))
+        w = np.full(len(uid), np.int64(-2**62))  # no watermark → all unread
+        if len(keys):
+            pos = np.searchsorted(keys, uid)
+            safe = np.minimum(pos, len(keys) - 1)
+            has_wm = (pos < len(keys)) & (keys[safe] == uid)
+            w[has_wm] = ws[safe[has_wm]]
         unread = (ts > w).astype(np.int64)
         g = pa.table({"user_id": pa.array(uid), "u": pa.array(unread)}) \
             .group_by("user_id").aggregate([("u", "sum")])

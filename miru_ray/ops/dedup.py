@@ -481,7 +481,10 @@ def _make_shingle_rows(n: int = 3):
         terms, rows, dl = explode_tokens(b["text"])
         t_np = np.asarray(terms.to_pandas(), dtype=object)
         parts_docs, parts_sh = [], []
-        if len(t_np) >= n:
+        if n == 1:  # unigram shingles: every token is its own shingle
+            parts_docs.append(ids[rows])
+            parts_sh.append(t_np)
+        elif len(t_np) >= n:
             same = rows[: -(n - 1)] == rows[n - 1:]
             grams = t_np[: -(n - 1)][same]
             for k in range(1, n):
@@ -491,11 +494,11 @@ def _make_shingle_rows(n: int = 3):
             parts_sh.append(grams)
         short = (dl > 0) & (dl < n)  # whole text as the single shingle
         if short.any():
-            sel = np.flatnonzero(short)
-            joined = pd.Series(t_np).groupby(rows).agg(" ".join)
-            sub = joined.loc[joined.index.intersection(sel)]
-            parts_docs.append(ids[sub.index.to_numpy()])
-            parts_sh.append(sub.to_numpy(dtype=object))
+            tok_sel = short[rows]  # only the short docs' tokens join
+            joined = pd.Series(t_np[tok_sel]).groupby(
+                rows[tok_sel]).agg(" ".join)
+            parts_docs.append(ids[joined.index.to_numpy()])
+            parts_sh.append(joined.to_numpy(dtype=object))
         if not parts_docs:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "shingle": pa.array([], pa.string())})

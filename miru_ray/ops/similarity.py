@@ -156,10 +156,14 @@ def build_ann_index(sf_dir: str) -> str:
     marker = os.path.join(d, "_DONE.json")
     if os.path.exists(marker) and read_json(marker).get("fp") == fp:
         return d
+    if os.path.exists(d):  # half-written index from a crashed build —
+        import shutil      # appending a second copy would double buckets
+        shutil.rmtree(d)
 
     import pyarrow.parquet as pq
-    dim = len(pq.read_table(src, columns=["embedding"]).slice(0, 1)
-              ["embedding"][0])
+    first = next(pq.ParquetFile(src).iter_batches(batch_size=1,
+                                                  columns=["embedding"]))
+    dim = len(first["embedding"][0])
     P_ref = ray.put(_planes(dim))
 
     def code_batch(b: pa.Table) -> pa.Table:

@@ -18,6 +18,8 @@ Rules (deterministic, SQL-reproducible — the conformance contract):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -53,12 +55,18 @@ def _survivors(sf_dir: str) -> np.ndarray:
 def curation_summary(sf_dir: str, out_path: str | None = None):
     """(n_kept, total_tokens, n_dropped_dup, n_dropped_quality) after the
     full curation pass.  ``out_path``: also write the kept (doc_id,
-    n_tokens) table as Parquet instead of discarding it (the 100-TB
-    sink)."""
+    n_tokens) rows as Parquet (the 100-TB sink) — written as a per-batch
+    side effect of the SAME traversal, so the corpus is expanded,
+    tokenized and gated exactly once.  ``out_path`` must not already
+    exist (export semantics: one directory per run)."""
+    if out_path is not None:
+        if os.path.exists(out_path):
+            raise FileExistsError(f"curation out_path exists: {out_path}")
+        os.makedirs(out_path)
     surv_ref = ray.put(_survivors(sf_dir))
     stop_arr = pa.array(sorted(EN_STOPWORDS), type=pa.string())
 
-    def gate(b: pa.Table) -> pa.Table:
+    def gate_batch(b: pa.Table) -> pa.Table:
         surv = ray.get(surv_ref)
         ids = b["doc_id"].to_numpy().astype(np.int64)
         pos = np.searchsorted(surv, ids)
@@ -74,29 +82,23 @@ def curation_summary(sf_dir: str, out_path: str | None = None):
         quality = (dl >= MIN_TOKENS) & (dl <= MAX_TOKENS) \
             & (ratio <= MAX_STOP_RATIO)
         keep = is_surv & quality
+        if out_path is not None and keep.any():
+            import uuid
+
+            import pyarrow.parquet as pq
+            kept = pa.table({"doc_id": pa.array(ids[keep]),
+                             "n_tokens": pa.array(dl[keep])})
+            pq.write_table(kept, os.path.join(
+                out_path, f"part-{uuid.uuid4().hex}.parquet"),
+                compression="zstd")
         return pa.table({
-            "doc_id": pa.array(ids[keep]),
-            "n_tokens": pa.array(dl[keep]),
-            # summary partial columns (constant per row is wasteful; emit
-            # one partial row per batch instead via the second fn below)
-        }), pa.table({
             "n_kept": pa.array([int(keep.sum())]),
             "tokens": pa.array([int(dl[keep].sum())]),
             "drop_dup": pa.array([int((~is_surv).sum())]),
             "drop_quality": pa.array([int((is_surv & ~quality).sum())])})
 
-    def gate_rows(b: pa.Table) -> pa.Table:
-        return gate(b)[0]
-
-    def gate_summary(b: pa.Table) -> pa.Table:
-        return gate(b)[1]
-
     ds = _documents(sf_dir, ["doc_id", "text"])
-    if out_path is not None:
-        ds.map_batches(gate_rows, batch_format="pyarrow",
-                       batch_size=8192).write_parquet(out_path,
-                                                      compression="zstd")
-    agg = (ds.map_batches(gate_summary, batch_format="pyarrow",
+    agg = (ds.map_batches(gate_batch, batch_format="pyarrow",
                           batch_size=8192)
            .aggregate(Sum("n_kept", alias_name="n_kept"),
                       Sum("tokens", alias_name="total_tokens"),
@@ -106,17 +108,11 @@ def curation_summary(sf_dir: str, out_path: str | None = None):
                      for k, v in agg.items()})
 
 
+from ..fixtures import DOCS_DUP_SQL  # single source of the dup derivation
+
 SQL = {
     "curation_summary": f"""
-WITH documents_dup AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + (SELECT count(*) FROM documents), text
-  FROM documents WHERE doc_id % 5 = 3
-  UNION ALL
-  SELECT doc_id + 2 * (SELECT count(*) FROM documents),
-         regexp_replace(text, '^[a-z0-9]+', 'xdup') AS text
-  FROM documents WHERE doc_id % 5 = 1),
+WITH documents_dup AS ({DOCS_DUP_SQL}),
 surv AS (SELECT min(doc_id) AS doc_id FROM documents_dup GROUP BY text),
 feat AS (
   SELECT d.doc_id,

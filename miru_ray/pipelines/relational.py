@@ -118,9 +118,14 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
         def __call__(self, b: pa.Table) -> pa.Table:
             cust_k = b["o_custkey"].to_numpy()
             pos = np.searchsorted(self.ckeys, cust_k)
-            code = self.codes[pos]
+            safe = np.minimum(pos, len(self.ckeys) - 1)
+            # inner-join semantics: orders whose custkey is missing from
+            # customer are DROPPED (matches the SQL oracle's JOIN — a
+            # neighbor-bucket assignment would silently misattribute)
+            hit = self.ckeys[safe] == cust_k
+            code = self.codes[safe[hit]]
             cents = np.round(
-                b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+                b["o_totalprice"].to_numpy()[hit] * 100.0).astype(np.int64)
             sums = np.bincount(code, weights=cents,
                                minlength=len(self.names)).astype(np.int64)
             cnts = np.bincount(code, minlength=len(self.names))
