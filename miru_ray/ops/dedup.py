@@ -388,7 +388,9 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
     if out_path is not None:
         out.write_parquet(out_path)
         return None
-    return out
+    # deterministic row order: the conformance gate may hash rows in the
+    # order a Dataset materializes them
+    return out.sort("doc_id")
 
 
 # ------------------------------ simhash ------------------------------------

@@ -123,3 +123,39 @@ def test_sync_copies_resumes_and_verifies(xs_index, tmp_path):
     assert not v["ok"] and v["bad"] == [victim]
     sync_index(xs_index, dst)  # detected hash mismatch → re-copied
     assert verify_sync(dst)["ok"]
+
+
+def test_sync_replicates_gathered_and_tombstoned_state(xs_index, tmp_path):
+    """Sync after enrichment + removals: the replica serves identical
+    answers including gathered terms and tombstones."""
+    import numpy as np
+    import pyarrow as pa
+
+    from miru_ray.query.filter import Term
+    src = str(tmp_path / "src")
+    shutil.copytree(xs_index, src)
+
+    def g(t: pa.Table) -> pa.Table:
+        docs = t["doc_id"].to_pylist()
+        return pa.table({"term": pa.array(["g:x"] * len(docs)),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "tf": pa.array(np.ones(len(docs), np.int64))})
+
+    gather_terms(src, g, "gx")
+    s0 = Searcher(src, num_readers=1, use_actors=False)
+    victim = int(s0.topk(["alpha"], 1, "bm25")["doc_id"][0].as_py())
+    s0.remove_docs([victim])
+    s0.close()
+
+    dst = str(tmp_path / "dst")
+    sync_index(src, dst)
+    assert verify_sync(dst)["ok"]
+    s1 = Searcher(src, num_readers=1, use_actors=False)
+    s2 = Searcher(dst, num_readers=1, use_actors=False)
+    assert s1.count(Term("g", "x")) == s2.count(Term("g", "x")) > 0
+    a = s1.topk(["alpha"], 10, "bm25")
+    b = s2.topk(["alpha"], 10, "bm25")
+    assert a.equals(b)
+    assert victim not in b["doc_id"].to_pylist()
+    s1.close()
+    s2.close()
