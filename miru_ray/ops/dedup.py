@@ -190,10 +190,16 @@ def _expand_pairs(coll: pd.DataFrame, key_col: str) -> set[tuple[int, int]]:
 # ------------------------------ exact dedup --------------------------------
 
 
+_EXACT_CACHE: dict = {}
+
+
 def exact_dedup(sf_dir: str) -> pa.Table:
     """Keep the smallest doc_id per distinct text: hash-partition by content
     hash, per-group first (the §2.8 pattern).  Returns survivors sorted
-    (the survivor list is the RESULT — only it reaches the driver)."""
+    (the survivor list is the RESULT — only it reaches the driver;
+    process-cached per sf_dir since the count query re-asks)."""
+    if sf_dir in _EXACT_CACHE:
+        return _EXACT_CACHE[sf_dir]
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def add_hash(b: pa.Table) -> pa.Table:
@@ -208,7 +214,8 @@ def exact_dedup(sf_dir: str) -> pa.Table:
     kept = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
     out = kept.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
     out["doc_id"] = out["doc_id"].astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    _EXACT_CACHE[sf_dir] = pa.Table.from_pandas(out, preserve_index=False)
+    return _EXACT_CACHE[sf_dir]
 
 
 def exact_dedup_count(sf_dir: str) -> pa.Table:
