@@ -9,7 +9,8 @@ postings shuffle → segment encode → manifest) over the deterministic
 synthetic transcripts fixture (FIXTURES.md F1, scale `m` ≈ 750k turns,
 seed 42) — the authoritative input shape from BASELINE.json.  Also runs the
 driver-visible queries() pipelines over $GRAFT_SF_DIR and a query-latency
-loop (p50 of top-10 BM25 over the reference-style query set).
+loop; `query_p50_ms` is the median over a 50:50 bm25/ref-tfidf top-10 mix
+(stable across rounds — don't compare it against a single-strategy p50).
 
 `--scaling`: run the same build at two parallelism levels in fresh
 processes (sandbox substitute for N and 4N nodes — BASELINE.md) and report
@@ -65,7 +66,9 @@ def run_bench() -> dict:
     build_sec = time.perf_counter() - t0
     n_turns = manifest["n_docs"]
 
-    # ---- query latency: p50 of top-10 BM25 over seeded query set
+    # ---- query latency: p50 of top-10 queries over the seeded query set,
+    # alternating bm25 / ref-tfidf 50:50 (query_p50_ms is the MIXED median
+    # — keep the mix stable across rounds or the metric shifts)
     s = Searcher(idx_dir, num_readers=min(8, NUM_CPUS),
                  preload_segments=True)
     rng = np.random.default_rng(7)

@@ -94,10 +94,15 @@ def _run(args) -> int:
                          ["conv_id", "turn_idx", "text"]).to_pandas()
             out = out.merge(g, on="doc_id", how="left")
             if args.highlight:
-                from .query.filter import collect_scoring_terms
                 from .query.highlight import highlight_rows
-                terms = [t for t in collect_scoring_terms(s._to_ast(args.query))
-                         if ":" not in t]
+                # highlight with the SAME term set the engine scored with —
+                # including prefix EXPANSIONS and phrase terms (a bare
+                # collect over the AST would miss every `foo*` match)
+                ast = s._to_ast(args.query)
+                expansions, term_counts, _ = s._prepare(ast,
+                                                        need_stats=False)
+                terms = [t for t, c in term_counts.items()
+                         if c > 0 and ":" not in t]
                 out["fragment"] = highlight_rows(out["text"], terms)
                 out = out.drop(columns=["text"])
         for rec in out.to_dict(orient="records"):

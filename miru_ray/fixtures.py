@@ -120,7 +120,9 @@ def transcripts_path(scale: str = "xs", seed: int = SEED,
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, f"transcripts_{scale}_{seed}_v3")
     if not os.path.exists(os.path.join(path, "_DONE")):
-        tmp = path + ".tmp"
+        # pid-suffixed staging dir: concurrent first builds (pytest + bench,
+        # parallel workers) must not interleave writes into one tmp dir
+        tmp = path + f".tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         table = generate_transcripts(scale, seed)
         per_file = 64 * 1024

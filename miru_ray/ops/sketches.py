@@ -10,7 +10,6 @@ Flajolet et al., AMC 2007; public algorithm).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -19,20 +18,17 @@ import pyarrow as pa
 
 import ray.data
 
+from ..util import md5_64_bulk
+
 P = 12                     # 2^12 = 4096 registers, ~1.6% standard error
 M = 1 << P
 _ALPHA = 0.7213 / (1 + 1.079 / M)
 
 
-def _hash64(values: pd.Series) -> np.ndarray:
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
-                        "big") for v in values),
-        dtype=np.uint64, count=len(values))
-
-
 def hll_add(registers: np.ndarray, values: pd.Series) -> np.ndarray:
-    h = _hash64(values)
+    # shared md5_64 hashing, each DISTINCT value hashed once — user ids
+    # repeat heavily per batch, and HLL only needs per-distinct ranks
+    h = md5_64_bulk(np.asarray(values.astype(str), dtype=object))
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
     rest = (h << np.uint64(P)) | np.uint64(1 << (P - 1))  # sentinel bit
     # rank = leading zeros of remaining bits + 1, vectorized via log2

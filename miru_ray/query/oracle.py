@@ -20,7 +20,7 @@ from collections import Counter
 import numpy as np
 import pyarrow as pa
 
-from ..tokenize import py_tokenize
+from ..tokenize import explode_tokens
 
 
 class OracleIndex:
@@ -30,7 +30,14 @@ class OracleIndex:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
         self.df = df
         self.n_docs = len(df)
-        self.tokens = [py_tokenize(t, stopwords) for t in df["text"]]
+        # one batched tokenize over the whole column (identical semantics
+        # to per-string py_tokenize, which delegates to the same kernels)
+        terms, rows, _dl = explode_tokens(
+            pa.array(df["text"].tolist(), type=pa.string()), stopwords)
+        flat = terms.to_pylist()
+        self.tokens = [[] for _ in range(self.n_docs)]
+        for r, t in zip(rows.tolist(), flat):
+            self.tokens[r].append(t)
         self.doc_len = np.array([len(t) for t in self.tokens], np.int64)
         self.avgdl = float(self.doc_len.sum()) / max(1, self.n_docs)
         self.tf: list[Counter] = [Counter(t) for t in self.tokens]

@@ -109,15 +109,13 @@ class _FakeCodec:
 class ImageDecoder:
     """Actor-pool stage: decode → (media_id, kind, width, height, n_frames).
 
-    ``__init__`` (once per actor) would load the real codec; here it probes
-    for PIL and falls back to the stub."""
+    ``__init__`` (once per actor) is where a real deployment loads its
+    codec; this container has no image libraries, so the stage is
+    UNCONDITIONALLY the clearly-marked stub codec for the synthetic
+    payload format — swapping in a real codec is replacing ``self.codec``
+    here, nothing else changes."""
 
     def __init__(self):
-        try:  # pragma: no cover - PIL absent in this container
-            import PIL.Image  # noqa: F401
-            self.real = True
-        except ImportError:
-            self.real = False
         self.codec = _FakeCodec()
 
     def __call__(self, b: pa.Table) -> pa.Table:
@@ -226,12 +224,21 @@ def media_decode_dims(sf_dir: str) -> pa.Table:
 
 
 def media_frame_sample_counts(sf_dir: str) -> pa.Table:
-    """Frames sampled per video (every FRAME_STEP-th frame)."""
+    """Frames sampled per video (every FRAME_STEP-th frame).  The count
+    is aggregated PER BATCH before collection — the driver never sees the
+    expanded frame rows, only one row per video (a video's frames never
+    span batches: expansion happens inside one map_batches call)."""
+    def counts(b: pa.Table) -> pa.Table:
+        g = b.select(["media_id"]).group_by("media_id").aggregate(
+            [("media_id", "count")])
+        return g.rename_columns(["media_id", "n_sampled"])
+
     frames = media_dataset(sf_dir).map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 4))
+        concurrency=(1, 4)).map_batches(counts, batch_format="pyarrow",
+                                        batch_size=65536)
     pdf = frames.to_pandas().groupby("media_id", as_index=False).agg(
-        n_sampled=("frame_idx", "size"))
+        n_sampled=("n_sampled", "sum"))  # batch partials → per-video total
     pdf["n_sampled"] = pdf["n_sampled"].astype(np.int64)
     return pa.Table.from_pandas(pdf.sort_values("media_id").reset_index(drop=True),
                                 preserve_index=False)

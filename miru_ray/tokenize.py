@@ -41,11 +41,15 @@ EN_STOPWORDS = frozenset(
 
 
 def py_tokenize(text: str, stopwords: frozenset[str] | None = None) -> list[str]:
-    """Single-string oracle tokenizer — must match :func:`explode_tokens`."""
-    toks = _PY_TOKEN_RE.findall(text.lower())
-    if stopwords:
-        toks = [t for t in toks if t not in stopwords]
-    return toks
+    """Single-string tokenizer — BYTE-IDENTICAL to :func:`explode_tokens`
+    by construction: it delegates to the same Arrow kernels.  (A pure
+    ``str.lower()`` re-implementation diverges on full-vs-simple Unicode
+    case mapping — e.g. U+0130 'İ' lowers to 'i' + combining dot in
+    Python, splitting the token — which would break phrase verification
+    and highlighting against the Arrow-built index.)"""
+    terms, _rows, _dl = explode_tokens(pa.array([text], type=pa.string()),
+                                       stopwords)
+    return terms.to_pylist()
 
 
 def explode_tokens(
