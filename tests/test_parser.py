@@ -53,3 +53,41 @@ def test_parens():
 
 def test_parser_normalizes_case():
     assert parse_query("AlPhA") == Term("text", "alpha")
+
+
+def test_parser_never_crashes_on_arbitrary_input():
+    """Fuzz: parse_query must return an AST (or match-none) for ANY string
+    — query strings come from users."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from miru_ray.query.filter import Node
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def run(q):
+        node = parse_query(q)
+        assert isinstance(node, Node)
+
+    run()
+
+
+def test_parser_fuzz_query_shapes_evaluate(xs_searcher):
+    """Fuzzed queries built from realistic fragments must parse AND
+    evaluate without crashing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.sampled_from(["alpha", "beta", "-gamma", "role:user", "(",
+                            ")", "OR", "AND", "NOT", '"alpha beta"',
+                            "quer*", "tool:tool_0*", "-", '""', ":",
+                            "a:b:c", "-role:tool"])
+
+    @given(st.lists(frag, min_size=1, max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def run(parts):
+        q = " ".join(parts)
+        n = xs_searcher.count(q)
+        assert n >= 0
+
+    run()
