@@ -41,7 +41,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..tokenize import explode_tokens, py_tokenize
-from ..util import md5_64, md5_64_bulk
+from ..util import input_fingerprint, md5_64, md5_64_bulk
 
 # ------------------------------ helpers ------------------------------------
 
@@ -95,8 +95,8 @@ MAX_BUCKET_DEFAULT = None
 
 
 def _colliding_rows(bands: "ray.data.Dataset", key_col: str,
-                    max_bucket: int | None = MAX_BUCKET_DEFAULT
-                    ) -> pd.DataFrame:
+                    max_bucket: int | None = MAX_BUCKET_DEFAULT,
+                    driver_merge_rows: int | None = None) -> pd.DataFrame:
     """Distributed collision detection: per-batch partial counts →
     groupby(key).sum → keys with global count > 1 (≤ ``max_bucket`` if
     capped) → broadcast key set → filter the bands stream → ONLY colliding
@@ -121,7 +121,9 @@ def _colliding_rows(bands: "ray.data.Dataset", key_col: str,
     # groupby's per-block scheduling overhead; above it (true 100-TB
     # runs) the distributed groupby path engages.
     cap = np.iinfo(np.int64).max if max_bucket is None else int(max_bucket)
-    if bands.count() <= _DRIVER_MERGE_ROWS:
+    if driver_merge_rows is None:
+        driver_merge_rows = _DRIVER_MERGE_ROWS
+    if bands.count() <= driver_merge_rows:
         pc_df = partials.to_pandas()
         agg = pc_df.groupby(key_col, sort=False)["c"].sum()
         cvals = agg.to_numpy()
@@ -193,29 +195,49 @@ def _expand_pairs(coll: pd.DataFrame, key_col: str) -> set[tuple[int, int]]:
 _EXACT_CACHE: dict = {}
 
 
-def exact_dedup(sf_dir: str) -> pa.Table:
-    """Keep the smallest doc_id per distinct text: hash-partition by content
-    hash, per-group first (the §2.8 pattern).  Returns survivors sorted
-    (the survivor list is the RESULT — only it reaches the driver;
-    process-cached per sf_dir since the count query re-asks)."""
-    if sf_dir in _EXACT_CACHE:
-        return _EXACT_CACHE[sf_dir]
+def _exact_survivor_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed survivor computation: hash-partition by content hash,
+    per-group first (min doc_id) as an AGGREGATE — map_groups over one
+    tiny pandas group per distinct text is orders slower.  Nothing
+    materializes on the driver here; consumers either write the stream
+    (``out_path``) or collect it as the query RESULT."""
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def add_hash(b: pa.Table) -> pa.Table:
         h = md5_64(b["text"].to_pandas())
-        return b.append_column("h", pa.array(h.view(np.int64)))
+        return pa.table({"h": pa.array(h.view(np.int64)),
+                         "doc_id": b["doc_id"]})
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
-
-    # per-group-first as an AGGREGATE (min doc_id per hash) — map_groups
-    # over one tiny pandas group per distinct text is orders slower
     from ray.data.aggregate import Min
-    kept = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
-    out = kept.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    return (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+            .groupby("h").aggregate(Min("doc_id", alias_name="doc_id")))
+
+
+def exact_dedup(sf_dir: str, out_path: str | None = None):
+    """Keep the smallest doc_id per distinct text (the §2.8 pattern).
+
+    ``out_path``: write the survivor ids as partitioned Parquet straight
+    from the grouped stream — the 100-TB sink; NOTHING reaches the driver.
+    Without it, returns the survivors sorted — the survivor list is the
+    query RESULT (inherently O(N_distinct) output), which is the only
+    collect in the exact-dedup family; the curation pipeline
+    (``pipelines/curate.py``) gates inside the same shuffle instead and
+    never takes this path.  Process-cached per input FINGERPRINT (content,
+    not path — regenerating the parquet in place invalidates) since the
+    count query re-asks."""
+    surv = _exact_survivor_ds(sf_dir)
+    if out_path is not None:
+        surv.map_batches(lambda t: t.select(["doc_id"]),
+                         batch_format="pyarrow",
+                         batch_size=65536).write_parquet(out_path)
+        return None
+    ck = input_fingerprint([os.path.join(sf_dir, "documents.parquet")])
+    if ck in _EXACT_CACHE:
+        return _EXACT_CACHE[ck]
+    out = surv.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
     out["doc_id"] = out["doc_id"].astype(np.int64)
-    _EXACT_CACHE[sf_dir] = pa.Table.from_pandas(out, preserve_index=False)
-    return _EXACT_CACHE[sf_dir]
+    _EXACT_CACHE[ck] = pa.Table.from_pandas(out, preserve_index=False)
+    return _EXACT_CACHE[ck]
 
 
 def exact_dedup_count(sf_dir: str) -> pa.Table:
@@ -381,13 +403,20 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-    labels = {d: find(d) for d in parent}
-    lab_ref = ray.put(labels)
+    # labels as parallel sorted arrays: assignment is one searchsorted
+    # substitution per batch (duplication-bounded broadcast, no row loop)
+    lk = np.array(sorted(parent), np.int64)
+    lv = np.array([find(int(k)) for k in lk], np.int64)
+    lab_ref = ray.put((lk, lv))
 
     def assign(b: pa.Table) -> pa.Table:
-        lab = ray.get(lab_ref)
+        lk, lv = ray.get(lab_ref)
         doc = b["doc_id"].to_numpy().astype(np.int64)
-        cl = np.array([lab.get(int(d), int(d)) for d in doc], np.int64)
+        if len(lk):
+            pos = np.minimum(np.searchsorted(lk, doc), len(lk) - 1)
+            cl = np.where(lk[pos] == doc, lv[pos], doc)
+        else:
+            cl = doc
         return pa.table({"doc_id": pa.array(doc), "cluster_id": pa.array(cl)})
 
     out = _documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -460,19 +489,35 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         z = (x ^ y).view(np.uint8).reshape(len(x), 8)
         return popcnt8[z].sum(axis=1)
 
-    uniq: set[tuple[int, int]] = set()
-    for _, g in coll.groupby("band_key", sort=False):
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        d = g["doc_id"].to_numpy()
-        s = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
-        if len(d) < 2:
+    # size-grouped vectorized expansion (the _expand_pairs pattern, with
+    # the signature column riding along): buckets of equal size expand as
+    # one reshape + triu + XOR-popcount pass — no per-bucket Python loop
+    df = coll[["band_key", "doc_id", "sig"]].drop_duplicates(
+        ["band_key", "doc_id"]).sort_values(["band_key", "doc_id"],
+                                            kind="mergesort")
+    keys = df["band_key"].to_numpy()
+    docs = df["doc_id"].to_numpy().astype(np.int64)
+    sigs = df["sig"].to_numpy().astype(np.int64).view(np.uint64)
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    sizes = np.diff(np.r_[starts, len(keys)])
+    packed = []
+    shift = np.int64(32)
+    for s in np.unique(sizes):
+        if s < 2:
             continue
-        i, j = np.triu_indices(len(d), k=1)
-        keep = _hamming(s[i], s[j]) <= max_hamming
-        uniq.update(zip(d[i][keep].tolist(), d[j][keep].tolist()))
-    pairs = sorted(uniq)
-    return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
-                     "b": pa.array([p[1] for p in pairs], pa.int64())})
+        gsel = starts[sizes == s]
+        idx = gsel[:, None] + np.arange(s)[None, :]
+        M, Sg = docs[idx], sigs[idx]
+        i, j = np.triu_indices(int(s), k=1)
+        keep = _hamming(Sg[:, i].ravel(), Sg[:, j].ravel()) <= max_hamming
+        a, bb = M[:, i].ravel()[keep], M[:, j].ravel()[keep]
+        packed.append((a << shift) | bb)
+    if not packed:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    uniq = np.unique(np.concatenate(packed))
+    return pa.table({"a": pa.array(uniq >> shift, pa.int64()),
+                     "b": pa.array(uniq & np.int64(0xFFFFFFFF), pa.int64())})
 
 
 # ------------------------------ ngram jaccard ------------------------------

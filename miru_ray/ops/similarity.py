@@ -66,7 +66,10 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 10,
     query.  Process-cached per (sf_dir, k, queries) — it doubles as the
     recall ground truth for :func:`ann_lsh_topk`.
     """
-    ck = (sf_dir, k, tuple(vec_ids))
+    # cache key includes the input FINGERPRINT: regenerating the parquet
+    # in place within one process must not serve stale results
+    fp = input_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
+    ck = (fp, k, tuple(vec_ids))
     if ck in _BRUTE_CACHE:
         return _BRUTE_CACHE[ck]
     q_ids, Qn = _query_matrix(sf_dir, vec_ids)
@@ -152,10 +155,15 @@ def build_ann_index(sf_dir: str) -> str:
     file-sized at the target corpus."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     fp = input_fingerprint([src])[:16]
-    d = os.path.join(ANN_CACHE_ROOT, f"ann_{fp}_v1")
+    d = os.path.join(ANN_CACHE_ROOT, f"ann_{fp}_v2")  # v2: bucket catalog
     marker = os.path.join(d, "_DONE.json")
-    if os.path.exists(marker) and read_json(marker).get("fp") == fp:
-        return d
+    if os.path.exists(marker):
+        m = read_json(marker)
+        # reuse ONLY a layout built with the current geometry — a stale
+        # tables/planes layout would probe wrong rings with no error
+        if (m.get("fp") == fp and m.get("tables") == _N_TABLES
+                and m.get("planes") == _N_PLANES):
+            return d
     if os.path.exists(d):  # half-written index from a crashed build —
         import shutil      # appending a second copy would double buckets
         shutil.rmtree(d)
@@ -182,8 +190,17 @@ def build_ann_index(sf_dir: str) -> str:
     _embeddings(sf_dir).map_batches(
         code_batch, batch_format="pyarrow", batch_size=2048).write_parquet(
         d, partition_cols=["tcode"], compression="zstd")
+    # record the bucket → file-list catalog in the marker: probes resolve
+    # buckets from METADATA, never a directory listing (object stores have
+    # no cheap listdir; the catalog is written once at build commit)
+    buckets: dict[str, list[str]] = {}
+    for e in sorted(os.listdir(d)):
+        if e.startswith("tcode="):
+            files = sorted(f for f in os.listdir(os.path.join(d, e))
+                           if f.endswith(".parquet"))
+            buckets[e.split("=", 1)[1]] = [f"{e}/{f}" for f in files]
     atomic_write_json(marker, {"fp": fp, "tables": _N_TABLES,
-                               "planes": _N_PLANES})
+                               "planes": _N_PLANES, "buckets": buckets})
     return d
 
 
@@ -220,16 +237,20 @@ def ann_lsh_query(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
         per_query_rings.append(np.array(sorted(ring), np.int64))
         probe.update(ring)
 
-    all_dirs = [e for e in os.listdir(idx) if e.startswith("tcode=")]
-    hit_dirs = [os.path.join(idx, e) for e in all_dirs
-                if int(e.split("=", 1)[1]) in probe]
+    # bucket catalog comes from the build-time marker METADATA — no
+    # directory listing at query time (works on object stores)
+    catalog = read_json(os.path.join(idx, "_DONE.json"))["buckets"]
+    hit_files = [os.path.join(idx, rel) for c, rels in catalog.items()
+                 if int(c) in probe for rel in rels]
+    all_files = [os.path.join(idx, rel) for rels in catalog.values()
+                 for rel in rels]
     io_stats = {
-        "buckets_total": len(all_dirs),
-        "buckets_read": len(hit_dirs),
-        "bytes_total": _tree_bytes([os.path.join(idx, e) for e in all_dirs]),
-        "bytes_read": _tree_bytes(hit_dirs),
+        "buckets_total": len(catalog),
+        "buckets_read": sum(int(c) in probe for c in catalog),
+        "bytes_total": sum(os.path.getsize(f) for f in all_files),
+        "bytes_read": sum(os.path.getsize(f) for f in hit_files),
     }
-    if not hit_dirs:
+    if not hit_files:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64())}), io_stats
@@ -275,8 +296,6 @@ def ann_lsh_query(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
 
     # only the ring's bucket FILES are handed to the reader — the probe's
     # input IO is exactly `bytes_read` of the index, never the corpus
-    hit_files = [os.path.join(d, f) for d in hit_dirs
-                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
     parts = ray.data.read_parquet(
         hit_files, include_paths=True).map_batches(
         Probe, batch_format="pyarrow", batch_size=2048,
@@ -288,15 +307,6 @@ def ann_lsh_query(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
     return pa.table({"query_id": pa.array([], pa.int64()),
                      "rank": pa.array([], pa.int64()),
                      "vec_id": pa.array([], pa.int64())}), io_stats
-
-
-def _tree_bytes(paths) -> int:
-    total = 0
-    for p in paths:
-        for root, _d, files in os.walk(p):
-            total += sum(os.path.getsize(os.path.join(root, f))
-                         for f in files)
-    return total
 
 
 def ann_lsh_topk(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,

@@ -2,12 +2,16 @@
 for — exact dedup ∧ quality gates ∧ token accounting as ONE streaming
 pass over the corpus.
 
-Shape at 100 TB: a first pruned pass computes the content-hash survivor
-set (distributed groupby, only (hash → min doc) survivors leave it); the
-second pass streams every batch through the survivor filter + vectorized
-quality gates and either writes the kept rows as partitioned Parquet
-(``out_path``) or folds them into per-batch summary partials.  Nothing
-materializes on the driver except the final summary row.
+Shape at 100 TB — fully shuffle-side, NO driver round-trip: a single
+map_batches pass computes per-doc (content_hash, n_tokens, n_stop); exact
+duplicates have IDENTICAL text, so those features are group-constant
+per hash and the whole curation collapses into ONE distributed
+``groupby(hash)`` with Min/Count aggregates (the shuffle-side semi-join —
+reference precedent: dedup happens inside the partition accessor, not at
+a coordinator, ``MiruPartitionAccessor.handleActivities:563-578``).  The
+grouped stream is then gated batch-by-batch: kept rows go straight to
+partitioned Parquet (``out_path``), summary partials fold into one row.
+Nothing O(N_docs) is ever collected to or broadcast from the driver.
 
 Rules (deterministic, SQL-reproducible — the conformance contract):
 - exact dedup: keep the smallest doc_id per distinct text
@@ -24,9 +28,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..ops.dedup import _documents
 from ..tokenize import EN_STOPWORDS, explode_tokens
@@ -36,76 +39,83 @@ MIN_TOKENS = 40
 MAX_TOKENS = 5000
 MAX_STOP_RATIO = 0.08
 
+_STOP_ARR = pa.array(sorted(EN_STOPWORDS), type=pa.string())
 
-def _survivors(sf_dir: str) -> np.ndarray:
-    """Exact-dedup survivor ids (min doc per content hash) — distributed
-    groupby; only the survivor list leaves it."""
-    ds = _documents(sf_dir, ["doc_id", "text"])
 
-    def add_hash(b: pa.Table) -> pa.Table:
-        h = md5_64(b["text"].to_pandas())
-        return pa.table({"h": pa.array(h.view(np.int64)),
-                         "doc_id": b["doc_id"]})
+def _doc_stats_batch(b: pa.Table) -> pa.Table:
+    """Row-local features: content hash + token/stopword counts.  These are
+    the ONLY columns that cross the shuffle — text never does."""
+    h = md5_64(b["text"].to_pandas()).view(np.int64)
+    terms, rows, dl = explode_tokens(b["text"])
+    is_stop = pc.is_in(terms, value_set=_STOP_ARR).to_numpy(
+        zero_copy_only=False)
+    n_stop = np.zeros(b.num_rows, np.int64)
+    np.add.at(n_stop, rows, is_stop.astype(np.int64))
+    return pa.table({"h": pa.array(h),
+                     "doc_id": b["doc_id"],
+                     "n_tokens": pa.array(dl.astype(np.int64)),
+                     "n_stop": pa.array(n_stop)})
 
-    kept = (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
-            .groupby("h").aggregate(Min("doc_id", alias_name="doc_id")))
-    return np.sort(kept.to_pandas()["doc_id"].to_numpy().astype(np.int64))
+
+def _grouped_survivors(sf_dir: str) -> "ray.data.Dataset":
+    """One distributed groupby(hash): survivor doc (min), group size, and
+    the group-constant quality features (identical text ⇒ identical token
+    stats, so Min is just "pick the group's value")."""
+    stats = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _doc_stats_batch, batch_format="pyarrow", batch_size=8192)
+    return stats.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="group_n"),
+        Min("n_tokens", alias_name="n_tokens"),
+        Min("n_stop", alias_name="n_stop"))
 
 
 def curation_summary(sf_dir: str, out_path: str | None = None):
     """(n_kept, total_tokens, n_dropped_dup, n_dropped_quality) after the
     full curation pass.  ``out_path``: also write the kept (doc_id,
-    n_tokens) rows as Parquet (the 100-TB sink) — written as a per-batch
-    side effect of the SAME traversal, so the corpus is expanded,
-    tokenized and gated exactly once.  ``out_path`` must not already
-    exist (export semantics: one directory per run)."""
+    n_tokens) rows as Parquet (the 100-TB sink) — written from the SAME
+    grouped stream, so the corpus is expanded, tokenized and shuffled
+    exactly once.  Part files are named deterministically from the batch's
+    doc-id range, so a re-executed Ray task (failure retry / lineage
+    recompute) OVERWRITES its own output instead of appending a duplicate.
+    ``out_path`` must not already exist (export semantics: one directory
+    per run)."""
     if out_path is not None:
         if os.path.exists(out_path):
             raise FileExistsError(f"curation out_path exists: {out_path}")
         os.makedirs(out_path)
-    surv_ref = ray.put(_survivors(sf_dir))
-    stop_arr = pa.array(sorted(EN_STOPWORDS), type=pa.string())
 
-    def gate_batch(b: pa.Table) -> pa.Table:
-        surv = ray.get(surv_ref)
-        ids = b["doc_id"].to_numpy().astype(np.int64)
-        pos = np.searchsorted(surv, ids)
-        is_surv = (pos < len(surv)) & (
-            surv[np.minimum(pos, len(surv) - 1)] == ids)
-        terms, rows, dl = explode_tokens(b["text"])
-        is_stop = pc.is_in(terms, value_set=stop_arr).to_numpy(
-            zero_copy_only=False)
-        n_stop = np.zeros(b.num_rows, np.int64)
-        np.add.at(n_stop, rows, is_stop.astype(np.int64))
+    def gate_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        gn = t["group_n"].to_numpy().astype(np.int64)
+        nt = t["n_tokens"].to_numpy().astype(np.int64)
+        ns = t["n_stop"].to_numpy().astype(np.int64)
         with np.errstate(invalid="ignore"):
-            ratio = np.where(dl > 0, n_stop / np.maximum(dl, 1), 1.0)
-        quality = (dl >= MIN_TOKENS) & (dl <= MAX_TOKENS) \
+            ratio = np.where(nt > 0, ns / np.maximum(nt, 1), 1.0)
+        quality = (nt >= MIN_TOKENS) & (nt <= MAX_TOKENS) \
             & (ratio <= MAX_STOP_RATIO)
-        keep = is_surv & quality
-        if out_path is not None and keep.any():
-            import uuid
-
+        if out_path is not None and quality.any():
             import pyarrow.parquet as pq
-            kept = pa.table({"doc_id": pa.array(ids[keep]),
-                             "n_tokens": pa.array(dl[keep])})
-            pq.write_table(kept, os.path.join(
-                out_path, f"part-{uuid.uuid4().hex}.parquet"),
-                compression="zstd")
+            kept = pa.table({"doc_id": pa.array(ids[quality]),
+                             "n_tokens": pa.array(nt[quality])})
+            name = f"part-{int(ids.min()):012d}-{int(ids.max()):012d}.parquet"
+            pq.write_table(kept, os.path.join(out_path, name),
+                           compression="zstd")
         return pa.table({
-            "n_kept": pa.array([int(keep.sum())]),
-            "tokens": pa.array([int(dl[keep].sum())]),
-            "drop_dup": pa.array([int((~is_surv).sum())]),
-            "drop_quality": pa.array([int((is_surv & ~quality).sum())])})
+            "n_kept": pa.array([int(quality.sum())]),
+            "tokens": pa.array([int(nt[quality].sum())]),
+            "drop_dup": pa.array([int((gn - 1).sum())]),
+            "drop_quality": pa.array([int((~quality).sum())])})
 
-    ds = _documents(sf_dir, ["doc_id", "text"])
-    agg = (ds.map_batches(gate_batch, batch_format="pyarrow",
-                          batch_size=8192)
+    agg = (_grouped_survivors(sf_dir)
+           .map_batches(gate_batch, batch_format="pyarrow", batch_size=8192)
            .aggregate(Sum("n_kept", alias_name="n_kept"),
                       Sum("tokens", alias_name="total_tokens"),
                       Sum("drop_dup", alias_name="n_dropped_dup"),
                       Sum("drop_quality", alias_name="n_dropped_quality")))
-    return pa.table({k: pa.array([int(v)], pa.int64())
-                     for k, v in agg.items()})
+    return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
+                     for k in ("n_kept", "total_tokens", "n_dropped_dup",
+                               "n_dropped_quality")})
 
 
 from ..fixtures import DOCS_DUP_SQL  # single source of the dup derivation

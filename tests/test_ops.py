@@ -163,3 +163,56 @@ def test_trending_peaks():
     assert len(out) == 3 and (out["n_peaks"] >= 0).all()
     # deterministic
     assert trending_peaks(SF).equals(trending_peaks(SF))
+
+
+def test_colliding_rows_distributed_branch_matches_driver_merge():
+    """The at-scale branch of collision counting (distributed
+    groupby(key).aggregate(Sum)) must produce the identical colliding-row
+    set as the small-scale driver partial-merge branch (VERDICT r02 #3:
+    an untested scale path is a claimed path)."""
+    from miru_ray.ops import dedup as D
+    ds = D._documents(SF, ["doc_id", "text"])
+    bands = ds.map_batches(D._simhash_batch, batch_format="pyarrow",
+                           batch_size=1024)
+    via_driver = D._colliding_rows(bands, "band_key",
+                                   driver_merge_rows=10**9)
+    via_dist = D._colliding_rows(bands, "band_key", driver_merge_rows=0)
+    key = ["band_key", "doc_id"]
+    a = via_driver[key].drop_duplicates().sort_values(key).reset_index(drop=True)
+    b = via_dist[key].drop_duplicates().sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_exact_dedup_out_path_streams_survivors(tmp_path):
+    """exact_dedup(out_path=...) writes the survivor stream without a
+    driver collect; rows equal the collected gate result."""
+    import pandas as pd
+
+    from miru_ray.ops.dedup import exact_dedup
+    out = str(tmp_path / "surv")
+    assert exact_dedup(SF, out_path=out) is None
+    import pyarrow.dataset as pads
+    written = pads.dataset(out).to_table().to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    gate = exact_dedup(SF).to_pandas()
+    pd.testing.assert_frame_equal(written[["doc_id"]], gate)
+
+
+def test_curation_out_path_deterministic_parts(tmp_path):
+    """Kept-row export uses deterministic part names (doc-id range), so a
+    re-executed task overwrites instead of duplicating (ADVICE r02)."""
+    from miru_ray.pipelines.curate import curation_summary
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    s1 = curation_summary(SF, out_path=out1)
+    s2 = curation_summary(SF, out_path=out2)
+    assert s1.equals(s2)
+    import pyarrow.dataset as pads
+    t1 = pads.dataset(out1).to_table().to_pandas().sort_values("doc_id")
+    t2 = pads.dataset(out2).to_table().to_pandas().sort_values("doc_id")
+    assert len(t1) == int(s1["n_kept"][0].as_py())
+    assert t1.reset_index(drop=True).equals(t2.reset_index(drop=True))
+    names = sorted(os.listdir(out1))
+    assert all(n.startswith("part-") for n in names)
+    # deterministic naming: re-running produces the same file set
+    assert names == sorted(os.listdir(out2))

@@ -2,7 +2,8 @@
 entry and its oracle_sql() side-by-side with DuckDB, compare row count,
 column names, and order-insensitive values.
 
-Usage: python tools/check_oracles.py [sf_dir]
+Usage: python tools/check_oracles.py [sf_dir] [only]
+  only: comma-separated query names or substring patterns — run just those
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01"):
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -64,6 +65,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if only:
+        pats = only.split(",")
+        qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
     n_ok = n_fail = 0
     for name, fn in qs.items():
         t0 = time.perf_counter()
