@@ -627,51 +627,203 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 # ------------------------------ embedding near-dup -------------------------
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
-    """Cosine ≥ threshold pairs over the embeddings table.  Each batch does
-    one matmul against the broadcast L2-normalized matrix — the exact
-    brute-force baseline (broadcast is the INDEX side, bounded by the
-    embedding table's matrix size; the LSH-bucketed layout in similarity.py
-    is the 100-TB path)."""
+def _emb_block_plan(path: str, target_rows: int = 65536):
+    """Pack the parquet row groups into ~target_rows blocks (metadata
+    only).  Returns a list of row-group index lists — each block is read
+    independently inside a task, never on the driver."""
     import pyarrow.parquet as pq
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    ids = full["vec_id"].to_numpy().astype(np.int64)
-    emb = full["embedding"].combine_chunks()
-    M = emb.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((ids, Mn))
+    md = pq.read_metadata(path)
+    blocks, cur, cur_rows = [], [], 0
+    for g in range(md.num_row_groups):
+        cur.append(g)
+        cur_rows += md.row_group(g).num_rows
+        if cur_rows >= target_rows:
+            blocks.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        blocks.append(cur)
+    return blocks
 
-    class PairFinder:
+
+def _read_emb_block(path: str, row_groups: list[int]):
+    import pyarrow.parquet as pq
+    t = pq.ParquetFile(path).read_row_groups(
+        row_groups, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    M = t["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).reshape(len(ids), -1)
+    return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """EXACT cosine ≥ threshold pairs: distributed blocked all-pairs.
+
+    Each task reads TWO row-group blocks straight from Parquet (pruned
+    columns; the driver ships only row-group indices, never vectors) and
+    emits its block-pair's matches — no full-matrix driver read, no
+    O(corpus) broadcast.  Total work is inherently O(n²·d/blocks²·...)
+    compute with O(n·√tasks) IO; the op exists for thresholds where the
+    exact pair set IS the contract.
+
+    Why not the LSH index here (measured on this corpus, see
+    :func:`embedding_neardup_lsh`): at τ = 0.4 a random pair collides
+    within Hamming ≤ 3 of an 8-bit code in some of 4 tables with
+    p ≈ 0.84, i.e. LSH prunes almost nothing, while full recall needs
+    ring radius 4 (reads 64 % of every table ≈ 2.5× corpus).  Low-τ
+    near-dup is a range scan; LSH pays off at production thresholds
+    (τ ≈ 0.9 → ring 1, 3.5 % of buckets/table).  The LSH-served variant
+    with its measured-recall contract is the scale path for those."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    blocks = _emb_block_plan(path)
+
+    @ray.remote(num_cpus=1)
+    def block_pair(gi: list[int], gj: list[int], diagonal: bool):
+        ia, A = _read_emb_block(path, gi)
+        if diagonal:
+            ib, B = ia, A
+        else:
+            ib, B = _read_emb_block(path, gj)
+        sims = A @ B.T
+        ai, bi = np.nonzero(sims >= threshold)
+        a, b = ia[ai], ib[bi]
+        keep = a < b
+        return a[keep], b[keep]
+
+    futs = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            futs.append(block_pair.remote(blocks[i], blocks[j], i == j))
+    parts = ray.get(futs)
+    if parts:
+        a = np.concatenate([p[0] for p in parts])
+        b = np.concatenate([p[1] for p in parts])
+    else:
+        a = b = np.empty(0, np.int64)
+    order = np.lexsort((b, a))
+    return pa.table({"a": pa.array(a[order], pa.int64()),
+                     "b": pa.array(b[order], pa.int64())})
+
+
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
+                          max_hamming: int = 3):
+    """Near-dup pairs SERVED FROM the bucket-partitioned ANN index
+    (similarity.build_ann_index): per-batch ring probe + exact-cosine
+    verify on candidates only.  Each worker caches bucket matrices as it
+    probes, so a bucket's files are read at most once per actor.
+
+    Returns ``(pairs_table, io_stats)``.  Approximate by construction —
+    recall is MEASURED, not assumed (see
+    :func:`embedding_neardup_lsh_report`): with 4 tables × 8 planes and
+    ring ≤ 3, every τ ≥ 0.4 pair is recovered on the sf0.001/sf0.01
+    fixtures and 909/920 on sf0.1.  At production thresholds the ring
+    shrinks (τ ≈ 0.9 → ring 1 reads 3.5 % of buckets/table) and this is
+    the 100-TB path; at τ = 0.4 it reads most of the index (the docstring
+    of :func:`embedding_neardup_pairs` has the measured futility bound).
+    """
+    from .similarity import _N_PLANES, _N_TABLES, _codes, _planes, _ring, \
+        _tcode, build_ann_index
+    from ..util import read_json
+    idx = build_ann_index(sf_dir)
+    catalog = {int(c): rels
+               for c, rels in read_json(
+                   os.path.join(idx, "_DONE.json"))["buckets"].items()}
+    cat_ref = ray.put(catalog)
+
+    class RingProber:
+        """Bucket-cache probe actor: planes + catalog loaded once."""
+
         def __init__(self):
-            self.ids, self.Mn = ray.get(ref)
+            self.catalog = ray.get(cat_ref)
+            self.planes = None
+            self.cache: dict[int, tuple] = {}
+
+        def _bucket(self, tc: int):
+            if tc not in self.cache:
+                rels = self.catalog.get(tc, ())
+                if not rels:
+                    self.cache[tc] = (np.empty(0, np.int64),
+                                      np.empty((0, 1)))
+                else:
+                    import pyarrow.parquet as pq
+                    ts = [pq.read_table(os.path.join(idx, r),
+                                        columns=["vec_id", "embedding"])
+                          for r in rels]
+                    t = pa.concat_tables(ts)
+                    ids = t["vec_id"].to_numpy().astype(np.int64)
+                    M = t["embedding"].combine_chunks().flatten().to_numpy(
+                        zero_copy_only=False).reshape(len(ids), -1)
+                    self.cache[tc] = (
+                        ids, M / np.linalg.norm(M, axis=1, keepdims=True))
+            return self.cache[tc]
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            q_ids = b["vec_id"].to_numpy().astype(np.int64)
+            ids = b["vec_id"].to_numpy().astype(np.int64)
             col = b["embedding"]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             Q = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                len(q_ids), -1)
+                len(ids), -1)
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            sims = Qn @ self.Mn.T
-            qi, mi = np.nonzero(sims >= threshold)
-            a = q_ids[qi]
-            bb = self.ids[mi]
+            if self.planes is None:
+                self.planes = _planes(Qn.shape[1])
+            codes = _codes(Qn, self.planes)  # (n, tables)
+            ring_tcodes = sorted({
+                int(_tcode(np.int64(t), np.int64(c)))
+                for qi in range(len(ids)) for t in range(_N_TABLES)
+                for c in _ring(int(codes[qi, t]), max_hamming)})
+            cids, cms = [], []
+            for tc in ring_tcodes:
+                ci, cm = self._bucket(tc)
+                if len(ci):
+                    cids.append(ci)
+                    cms.append(cm)
+            if not cids:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+            cand_ids = np.concatenate(cids)
+            # a vector appears once per table (and per touched bucket):
+            # verify each candidate once
+            cand_ids, first = np.unique(cand_ids, return_index=True)
+            C = np.concatenate(cms, axis=0)[first]
+            sims = Qn @ C.T
+            qi, cj = np.nonzero(sims >= threshold)
+            a, bb = ids[qi], cand_ids[cj]
             keep = a < bb
-            # pair membership only — a float similarity column cannot
-            # hash-match across different reduce orders, and the threshold
-            # boundary is the only float-sensitive decision left
             return pa.table({"a": pa.array(a[keep]),
                              "b": pa.array(bb[keep])})
 
     pairs = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"]).map_batches(
-        PairFinder, batch_format="pyarrow", batch_size=1024,
+        RingProber, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, 4))
-    out = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    out = pairs.to_pandas().drop_duplicates(["a", "b"]).sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    # io accounting from the build catalog: ring mass vs the full index
+    n_ring = len(_ring(0, max_hamming))
+    io_stats = {
+        "buckets_total": 2 ** _N_PLANES * _N_TABLES,
+        "ring_buckets_per_query": n_ring * _N_TABLES,
+        "ring_fraction": n_ring / 2 ** _N_PLANES,
+    }
+    return pa.Table.from_pandas(out, preserve_index=False), io_stats
+
+
+def embedding_neardup_lsh_report(sf_dir: str, threshold: float = 0.4,
+                                 max_hamming: int = 3) -> pa.Table:
+    """Measured-recall contract for the index-served near-dup path:
+    LSH-probed pairs vs the exact blocked all-pairs answer."""
+    exact = embedding_neardup_pairs(sf_dir, threshold)
+    approx, io = embedding_neardup_lsh(sf_dir, threshold, max_hamming)
+    et = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    at = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    return pa.table({
+        "n_exact": pa.array([len(et)], pa.int64()),
+        "n_lsh": pa.array([len(at)], pa.int64()),
+        "recall": pa.array([round(len(et & at) / max(1, len(et)), 6)],
+                           pa.float64()),
+        "ring_fraction": pa.array([round(io["ring_fraction"], 6)],
+                                  pa.float64())})
 
 
 # --------------------------- SQL oracles -----------------------------------

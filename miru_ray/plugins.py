@@ -204,6 +204,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("dedup_simhash_pairs", D.simhash_pairs),
                      ("embedding_neardup_pairs", D.embedding_neardup_pairs)):
         reg(name, fn, D.SQL.get(name), ("dedup",))
+    reg("embedding_neardup_lsh_recall", D.embedding_neardup_lsh_report,
+        None, ("dedup", "approx"))
     # ---- similarity search ----
     reg("ann_bruteforce_topk", Sim.ann_bruteforce_topk,
         Sim.SQL.get("ann_bruteforce_topk"), ("similarity",))

@@ -216,3 +216,17 @@ def test_curation_out_path_deterministic_parts(tmp_path):
     assert all(n.startswith("part-") for n in names)
     # deterministic naming: re-running produces the same file set
     assert names == sorted(os.listdir(out2))
+
+
+def test_embedding_neardup_lsh_served_from_index():
+    """Index-probed near-dup equals the exact blocked all-pairs answer on
+    this fixture (ring ≤ 3 recall is measured 1.0 here), and the probe's
+    ring is a strict subset of the bucket space."""
+    from miru_ray.ops.dedup import (embedding_neardup_lsh,
+                                    embedding_neardup_pairs)
+    exact = embedding_neardup_pairs(SF)
+    approx, io = embedding_neardup_lsh(SF)
+    assert exact.num_rows > 0
+    assert approx.equals(exact)
+    assert io["ring_buckets_per_query"] < io["buckets_total"]
+    assert 0 < io["ring_fraction"] < 1
