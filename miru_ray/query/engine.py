@@ -442,12 +442,22 @@ class PartitionReader:
         return {"count": total,
                 "doc_ids": np.concatenate(docs) if docs else np.empty(0, np.int64)}
 
+    def zone_maps(self) -> dict[int, tuple[int, int]]:
+        """Per-partition (min_ts, max_ts) — the driver's newest-first visit
+        order and early-exit bound come from these."""
+        return dict(self._ts_range)
+
     def topk_time(self, ast: Node, k: int,
-                  expansions: dict | None = None) -> dict:
-        """TIME strategy: newest-first matches (ts desc, doc_id desc)."""
+                  expansions: dict | None = None,
+                  pids: list[int] | None = None) -> dict:
+        """TIME strategy: newest-first matches (ts desc, doc_id desc).
+        ``pids`` limits evaluation to a subset of this reader's partitions
+        (the driver's newest-first wave)."""
         expansions = expansions or {}
         all_docs, all_ts = [], []
-        for pid in self.parts:
+        visit = self.parts if pids is None else \
+            [p for p in pids if p in self.parts]
+        for pid in visit:
             if not self._may_match(ast, pid):
                 continue  # zone-map pruned
             base = self.parts[pid]["base"]
@@ -514,20 +524,66 @@ class Searcher:
         # MiruPluginCacheProvider, plays the same role)
         self._stats_cache: dict[str, tuple[int, int]] = {}
         self._expansion_cache: dict[tuple[str, int], list[str]] = {}
+        self._assignment = assignment
+        self._num_cpus = num_cpus
+        self._preload = preload_segments
+        #: seconds before a reader is declared hung and respawned from the
+        #: manifest (the reference races replicas against slow solvers,
+        #: ``MiruLowestLatencySolver.java:94-120`` — here retries replace
+        #: racing: Ray restarts the actor's state from the index files)
+        self.fanout_timeout_s: float | None = 60.0
+        #: partitions actually evaluated by the last TIME query (the
+        #: early-exit observability hook; tests assert it shrinks)
+        self.last_time_partitions_evaluated = 0
         if use_actors:
-            cls = ray.remote(num_cpus=num_cpus)(PartitionReader)
-            self.readers = [cls.remote(index_dir, a, preload_segments)
-                            for a in assignment]
+            self.readers = [self._spawn(i) for i in range(n)]
         else:
             self.readers = [PartitionReader(index_dir, a, preload_segments)
                             for a in assignment]
 
+    def _spawn(self, i: int):
+        cls = ray.remote(num_cpus=self._num_cpus)(PartitionReader)
+        return cls.remote(self.index_dir, self._assignment[i], self._preload)
+
     # -------------- fan-out helper --------------
-    def _fanout(self, method: str, *args, **kwargs) -> list:
-        if self.use_actors:
-            return ray.get([getattr(r, method).remote(*args, **kwargs)
-                            for r in self.readers])
-        return [getattr(r, method)(*args, **kwargs) for r in self.readers]
+    def _fanout(self, method: str, *args, readers: list[int] | None = None,
+                **kwargs) -> list:
+        """Call ``method`` on every reader (or the ``readers`` subset) in
+        parallel.  A dead or hung actor is respawned from the manifest and
+        its call retried once — a failed replica must not stall the query
+        (reference role: replica racing / lowest-latency solver)."""
+        idxs = list(readers) if readers is not None \
+            else list(range(len(self.readers)))
+        if not self.use_actors:
+            return [getattr(self.readers[i], method)(*args, **kwargs)
+                    for i in idxs]
+        return self._recoverable_get(
+            idxs, lambda i: getattr(self.readers[i], method).remote(
+                *args, **kwargs))
+
+    def _recoverable_get(self, idxs: list[int], make_ref) -> list:
+        """ray.get over per-reader refs; a dead/hung reader is killed,
+        respawned, and its call re-issued once (``make_ref`` re-reads
+        ``self.readers``, so the retry binds the fresh actor)."""
+        refs = [make_ref(i) for i in idxs]
+        try:
+            return ray.get(refs, timeout=self.fanout_timeout_s)
+        except (ray.exceptions.RayActorError, ray.exceptions.GetTimeoutError):
+            pass
+        out = []
+        for pos, ref in zip(idxs, refs):
+            try:
+                out.append(ray.get(ref, timeout=self.fanout_timeout_s))
+            except (ray.exceptions.RayActorError,
+                    ray.exceptions.GetTimeoutError):
+                try:  # a hung (not dead) actor must be torn down first
+                    ray.kill(self.readers[pos])
+                except Exception:
+                    pass
+                self.readers[pos] = self._spawn(pos)
+                out.append(ray.get(make_ref(pos),
+                                   timeout=self.fanout_timeout_s))
+        return out
 
     def _prepare(self, ast: Node, need_stats: bool = True):
         """Phase 1: global prefix expansion + global term stats (cached).
@@ -615,15 +671,69 @@ class Searcher:
             "score": pa.array(np.round(np.concatenate([s for _, s in pages]), 6)),
         })
 
+    def _zone_maps(self) -> dict[int, tuple[int, int]]:
+        if not hasattr(self, "_zone_cache"):
+            zm: dict[int, tuple[int, int]] = {}
+            for res in self._fanout("zone_maps"):
+                zm.update(res)
+            self._zone_cache = zm
+        return self._zone_cache
+
     def topk_time(self, query, k: int = 10) -> pa.Table:
+        """TIME strategy with newest-first early termination: partitions
+        are visited in descending max-ts order, one reader-wide wave at a
+        time, and the walk STOPS once k results are in hand whose k-th ts
+        strictly beats the best possible ts of every unvisited partition
+        (the reference evaluates newest partitions first and stops when
+        the answer is satisfied: ``FullTextAnswerEvaluator.java:19-40``,
+        loop ``MiruService.askAndMerge:147-179``).  Ties on the bound
+        continue — doc_id tie-break could still be won by an older
+        partition."""
         ast = self._to_ast(query)
         expansions, _tc, _st = self._prepare(ast, need_stats=False)
-        parts = self._fanout("topk_time", ast, k, expansions)
-        docs = np.concatenate([p["doc_ids"] for p in parts])
-        ts = np.concatenate([p["ts"] for p in parts])
-        order = np.lexsort((docs, ts))[::-1][:k]
-        return pa.table({"doc_id": pa.array(docs[order]),
-                         "ts": pa.array(ts[order]).cast(pa.timestamp("us"))})
+        zm = self._zone_maps()
+        order = sorted(zm, key=lambda p: zm[p][1], reverse=True)
+        pid_reader = self._pid_to_reader()
+        n_wave = max(1, len(self.readers))
+        docs = np.empty(0, np.int64)
+        ts = np.empty(0, np.int64)
+        evaluated = 0
+        pos = 0
+        while pos < len(order):
+            wave = order[pos:pos + n_wave]
+            pos += len(wave)
+            evaluated += len(wave)
+            by_reader: dict[int, list[int]] = defaultdict(list)
+            for p in wave:
+                by_reader[pid_reader[p]].append(p)
+            ridx = sorted(by_reader)
+            if self.use_actors:
+                parts = self._recoverable_get(
+                    ridx, lambda i: self.readers[i].topk_time.remote(
+                        ast, k, expansions, by_reader[i]))
+            else:
+                parts = [self.readers[i].topk_time(ast, k, expansions,
+                                                   by_reader[i])
+                         for i in ridx]
+            docs = np.concatenate([docs] + [p["doc_ids"] for p in parts])
+            ts = np.concatenate([ts] + [p["ts"] for p in parts])
+            sel = np.lexsort((docs, ts))[::-1][:k]
+            docs, ts = docs[sel], ts[sel]
+            if len(docs) == k and pos < len(order):
+                next_bound = zm[order[pos]][1]
+                if int(ts[-1]) > next_bound:
+                    break  # no unvisited partition can alter the top-k
+        self.last_time_partitions_evaluated = evaluated
+        return pa.table({"doc_id": pa.array(docs),
+                         "ts": pa.array(ts).cast(pa.timestamp("us"))})
+
+    def _pid_to_reader(self) -> dict[int, int]:
+        if not hasattr(self, "_pid_reader_cache"):
+            self._pid_reader_cache = {
+                pid: i for i, pids in enumerate(self._assignment)
+                for pid in pids}
+        return self._pid_reader_cache
+
 
     def count(self, query) -> int:
         ast = self._to_ast(query)
@@ -677,7 +787,10 @@ class Searcher:
         stop = EN_STOPWORDS if self.cfg.remove_stopwords else None
         if isinstance(query, (list, tuple)):
             terms = [t for t in query if not stop or t not in stop]
-            return and_terms(terms)
+            # all-stopword queries match NOTHING (Lucene semantics; the
+            # parser path returns Or(()) for the same effective query —
+            # And(()) would be match-ALL)
+            return and_terms(terms) if terms else Or(())
         return parse_query(query, stopwords=stop)
 
     def close(self):

@@ -232,3 +232,62 @@ def test_phrase_matches_bruteforce(xs_searcher, xs_table):
     # phrase participates in scoring like an AND of its terms
     r = xs_searcher.topk(Phrase("text", (a, b)), 5, "bm25")
     assert set(r["doc_id"].to_pylist()) <= set(expect)
+
+
+def test_time_early_exit_visits_fewer_partitions(xs_searcher, xs_oracle):
+    """A query satisfiable from the newest partitions must stop the
+    newest-first walk early (FullTextAnswerEvaluator semantics) while
+    returning the identical answer."""
+    hot = _hot(xs_oracle)
+    total = len(xs_searcher.manifest["partitions"])
+    assert total > 2
+    # single hot term: matches everywhere, so the newest wave satisfies k
+    res = xs_searcher.topk([hot[0]], 5, "time")
+    assert res.num_rows == 5
+    assert xs_searcher.last_time_partitions_evaluated < total
+    d_o = xs_oracle.topk_time([hot[0]], 5)
+    assert (res["doc_id"].to_numpy() == d_o).all()
+    # rare enough to need every partition: count stays exhaustive-correct
+    for terms in ([hot[0], hot[1]],):
+        res = xs_searcher.topk(terms, 10, "time")
+        assert (res["doc_id"].to_numpy() == xs_oracle.topk_time(terms, 10)).all()
+
+
+def test_reader_failure_respawns_and_answers(xs_index, xs_oracle):
+    """Killing a reader actor mid-session must not stall the query: the
+    fan-out detects the dead actor, respawns it from the manifest, and
+    the query answers identically (the reference's replica-racing role)."""
+    import ray as _ray
+
+    from miru_ray.query.engine import Searcher
+    s = Searcher(xs_index, num_readers=2)
+    try:
+        hot = _hot(xs_oracle)
+        before = s.topk([hot[0], hot[1]], 10, "bm25")
+        _ray.kill(s.readers[0])
+        after = s.topk([hot[0], hot[1]], 10, "bm25")
+        assert after.equals(before)
+        # TIME path (per-reader waves) recovers too
+        t1 = s.topk([hot[0]], 5, "time")
+        _ray.kill(s.readers[1])
+        t2 = s.topk([hot[0]], 5, "time")
+        assert t2.equals(t1)
+    finally:
+        s.close()
+
+
+def test_all_stopword_list_query_matches_none(xs_path, tmp_path):
+    """List queries whose every term is a stopword must match NOTHING
+    (parser parity: Or(()) not And(())) when the index strips stopwords."""
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    from miru_ray.query.engine import Searcher
+    d = str(tmp_path / "idx_stop")
+    build_index(xs_path, d, IndexConfig(docs_per_partition=1000, num_shards=2,
+                                        remove_stopwords=True))
+    s = Searcher(d, num_readers=1)
+    try:
+        assert s.count(["the", "and"]) == 0
+        assert s.topk(["the"], 5, "bm25").num_rows == 0
+    finally:
+        s.close()
