@@ -48,15 +48,34 @@ def _events(sf_dir: str, columns=None) -> "ray.data.Dataset":
 LABEL_VALUE_THRESHOLD = 150  # splits the user population (~45% labeled)
 
 
-def _labeled_users(sf_dir: str) -> np.ndarray:
+def _ts_mask(t: pa.Table, t0_us: int | None, t1_us: int | None):
+    """Half-open ingest window mask (t0_us, t1_us] over the ts column;
+    None bounds are unbounded."""
+    if t0_us is None and t1_us is None:
+        return None
+    ts = pc.cast(t["ts"], pa.int64())
+    m = None
+    if t0_us is not None:
+        m = pc.greater(ts, t0_us)
+    if t1_us is not None:
+        hi = pc.less_equal(ts, t1_us)
+        m = hi if m is None else pc.and_(m, hi)
+    return m
+
+
+def _labeled_users(sf_dir: str, t0_us: int | None = None,
+                   t1_us: int | None = None) -> np.ndarray:
     """Users with a high-value purchase (value > threshold) — the labeled
     set (small; broadcast).  One pruned distributed scan + distinct (the
     oracle engine is NOT a production dependency)."""
-    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+    ds = _events(sf_dir, ["user_id", "event_type", "value", "ts"])
 
     def high_value(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(t["event_type"], "purchase"),
                     pc.greater(t["value"], LABEL_VALUE_THRESHOLD))
+        w = _ts_mask(t, t0_us, t1_us)
+        if w is not None:
+            m = pc.and_(m, w)
         sub = t.filter(m)
         return sub.select(["user_id"]).group_by("user_id").aggregate([])
 
@@ -66,8 +85,12 @@ def _labeled_users(sf_dir: str) -> np.ndarray:
     return np.array(sorted(users), np.int64)
 
 
-def _feature_batch(t: pa.Table) -> pa.Table:
+def _feature_batch(t: pa.Table, t0_us: int | None = None,
+                   t1_us: int | None = None) -> pa.Table:
     """events batch → distinct (user_id, feature) partials."""
+    w = _ts_mask(t, t0_us, t1_us)
+    if w is not None:
+        t = t.filter(w)
     t = t.filter(pc.not_equal(t["event_type"], "purchase"))
     ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
     hour = (ts // US_PER_HOUR) % 24
@@ -79,13 +102,14 @@ def _feature_batch(t: pa.Table) -> pa.Table:
         ["feature", "user_id"])
 
 
-def _pair_partials(sf_dir: str) -> "ray.data.Dataset":
+def _pair_partials(sf_dir: str, t0_us: int | None = None,
+                   t1_us: int | None = None) -> "ray.data.Dataset":
     """Per-batch-distinct (feature, user_id) partials.  NOT globally
     distinct — a pair can repeat across batches; consumers must be
     duplicate-tolerant (per-feature nunique, per-user MAX)."""
     ds = _events(sf_dir, ["user_id", "event_type", "ts"])
-    return ds.map_batches(_feature_batch, batch_format="pyarrow",
-                          batch_size=65536)
+    return ds.map_batches(lambda t: _feature_batch(t, t0_us, t1_us),
+                          batch_format="pyarrow", batch_size=65536)
 
 
 def _model_from_pairs(pairs: "ray.data.Dataset",
@@ -170,6 +194,118 @@ def strut_topk(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+# ------------------------- durable model store -----------------------------
+#
+# Reference: CatwalkModelService persists FeatureScore models and merges
+# incremental updates into them (``miru-catwalk-service/.../
+# CatwalkModelService.java:45,146-200``).  The Ray-Data analogue stores the
+# model at (feature, user) PAIR granularity so the merge stays EXACT: the
+# distinct-user numerator/denominator of a merged window cannot be derived
+# from two windows' counts (users overlap), but it can from the union of
+# their pre-shrunk pair partials.  The store is duplicate-tolerant (pair
+# partials may repeat across files), so a crash between the delta append
+# and the watermark update only causes a harmless re-append on retry.
+
+
+def _store_meta_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_META.json")
+
+
+def _events_max_ts(sf_dir: str) -> int:
+    """Max event ts from Parquet row-group STATISTICS — metadata only,
+    no data scan."""
+    import pyarrow.parquet as pq
+    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    col = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts"]
+    hi = max(md.row_group(g).column(col).statistics.max
+             for g in range(md.num_row_groups))
+    return int(pa.scalar(hi).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+
+
+def model_store_init(sf_dir: str, store_dir: str,
+                     upto_us: int | None = None) -> dict:
+    """Create a durable model store from events with ts ≤ ``upto_us``
+    (None = everything).  Layout: ``pairs/`` + ``labeled/`` Parquet
+    (streamed via write_parquet — never driver-materialized) and a
+    watermark in ``_META.json`` (written LAST: commit point)."""
+    from ..util import atomic_write_json
+    if upto_us is None:
+        upto_us = _events_max_ts(sf_dir)
+    os.makedirs(store_dir, exist_ok=True)
+    _pair_partials(sf_dir, None, upto_us).write_parquet(
+        os.path.join(store_dir, "pairs"))
+    lab = _labeled_users(sf_dir, None, upto_us)
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.join(store_dir, "labeled"), exist_ok=True)
+    pq.write_table(pa.table({"user_id": pa.array(lab, pa.int64())}),
+                   os.path.join(store_dir, "labeled", "part-init.parquet"))
+    meta = {"watermark_us": int(upto_us), "merges": 0}
+    atomic_write_json(_store_meta_path(store_dir), meta)
+    return meta
+
+
+def model_store_merge(sf_dir: str, store_dir: str,
+                      upto_us: int | None = None) -> dict:
+    """Fold new events (watermark < ts ≤ upto_us) into the store: one
+    pruned delta scan, pair/labeled partials APPENDED (merge-by-union —
+    the pair store is the sort-merge substrate, no old events re-read),
+    watermark advanced last."""
+    from ..util import atomic_write_json, read_json
+    meta = read_json(_store_meta_path(store_dir))
+    t0 = meta["watermark_us"]
+    if upto_us is None:
+        upto_us = _events_max_ts(sf_dir)
+    if upto_us <= t0:  # nothing new past the watermark — a true no-op
+        return meta
+    _pair_partials(sf_dir, t0, upto_us).write_parquet(
+        os.path.join(store_dir, "pairs"))
+    lab = _labeled_users(sf_dir, t0, upto_us)
+    if len(lab):
+        import pyarrow.parquet as pq
+        pq.write_table(
+            pa.table({"user_id": pa.array(lab, pa.int64())}),
+            os.path.join(store_dir, "labeled",
+                         f"part-m{meta['merges']:04d}.parquet"))
+    meta = {"watermark_us": int(upto_us), "merges": meta["merges"] + 1}
+    atomic_write_json(_store_meta_path(store_dir), meta)
+    return meta
+
+
+def model_store_model(store_dir: str) -> pa.Table:
+    """FeatureScore model recomputed from the stored pair partials —
+    O(distinct pairs), not O(events): the point of the durable store."""
+    import pyarrow.dataset as pads
+    lab_t = pads.dataset(os.path.join(store_dir, "labeled")).to_table()
+    lab = np.unique(lab_t["user_id"].to_numpy().astype(np.int64))
+    pairs = ray.data.read_parquet(os.path.join(store_dir, "pairs"))
+    out = _model_from_pairs(pairs, lab)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def catwalk_model_incremental(sf_dir: str) -> pa.Table:
+    """Demonstrates the store contract end-to-end: build a store from the
+    OLDER half of the event stream, merge the newer half as a delta, and
+    return the merged model — which must hash-match the full-rebuild SQL
+    oracle (merged == rebuilt is the model-merge conformance bar)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    ts = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["ts"])["ts"]
+    ts_i = pc.cast(ts, pa.int64())
+    lo, hi = pc.min(ts_i).as_py(), pc.max(ts_i).as_py()
+    split = (lo + hi) // 2
+    store = tempfile.mkdtemp(prefix="catwalk_store_")
+    try:
+        shutil.rmtree(store, ignore_errors=True)
+        model_store_init(sf_dir, store, upto_us=split)
+        model_store_merge(sf_dir, store, upto_us=None)
+        return model_store_model(store)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 _F_SQL = """
 f AS (
   SELECT DISTINCT user_id,
@@ -187,6 +323,13 @@ model AS (
 
 SQL = {
     "catwalk_model": f"""
+WITH {_F_SQL}
+SELECT feature, numerator::BIGINT AS numerator,
+       denominator::BIGINT AS denominator
+FROM model ORDER BY feature
+""".strip(),
+    # incremental store+merge must equal the full rebuild — same oracle
+    "catwalk_model_incremental": f"""
 WITH {_F_SQL}
 SELECT feature, numerator::BIGINT AS numerator,
        denominator::BIGINT AS denominator

@@ -236,6 +236,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     # ---- catwalk model build + strut scoring (§2.5) ----
     reg("catwalk_model", C.catwalk_model, C.SQL.get("catwalk_model"),
         ("catwalk",))
+    reg("catwalk_model_incremental", C.catwalk_model_incremental,
+        C.SQL.get("catwalk_model_incremental"), ("catwalk",))
     reg("strut_topk_users", C.strut_topk, C.SQL.get("strut_topk_users"),
         ("catwalk",))
     # ---- sketches ----

@@ -230,3 +230,28 @@ def test_embedding_neardup_lsh_served_from_index():
     assert approx.equals(exact)
     assert io["ring_buckets_per_query"] < io["buckets_total"]
     assert 0 < io["ring_fraction"] < 1
+
+
+def test_catwalk_store_merge_equals_full_rebuild(tmp_path):
+    """Durable model store: init on the older event half, merge the newer
+    half as a delta — the merged model must EQUAL the one-shot build
+    (CatwalkModelService merge semantics), and a second idempotent merge
+    must not change it."""
+    from miru_ray.pipelines import catwalk as C
+    full = C.catwalk_model(SF)
+    inc = C.catwalk_model_incremental(SF)
+    assert inc.equals(full)
+    # explicit store lifecycle with idempotent re-merge
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    ts = pq.read_table(f"{SF}/events.parquet", columns=["ts"])["ts"]
+    ts_i = pc.cast(ts, "int64")
+    split = (pc.min(ts_i).as_py() + pc.max(ts_i).as_py()) // 2
+    store = str(tmp_path / "store")
+    C.model_store_init(SF, store, upto_us=split)
+    partial = C.model_store_model(store)
+    assert not partial.equals(full)  # the older half alone differs
+    C.model_store_merge(SF, store, upto_us=None)
+    assert C.model_store_model(store).equals(full)
+    C.model_store_merge(SF, store, upto_us=None)  # watermark → empty delta
+    assert C.model_store_model(store).equals(full)
