@@ -130,6 +130,59 @@ def metrics(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+ANOMALY_EVENT_TYPE = "error"  # the filtered metric stream under watch
+ANOMALY_TOPK = 5
+
+
+def anomaly(sf_dir: str, dt_us: int = US_PER_HOUR,
+            k: int = ANOMALY_TOPK) -> pa.Table:
+    """Anomaly detection over the Metrics substrate (the reference's
+    Anomaly plugin is a filtered metric waveform inspected for deviation,
+    ``miru-anomaly-plugins/.../Anomaly.java:22-131``): bucket the
+    ``value`` stream of one event type, then surface the k buckets whose
+    sum deviates most from the stream's per-bucket mean.
+
+    Exactness contract: sums are ×1e6 integer-scaled (reduce-order
+    independent) and the deviation ranking uses the INTEGER score
+    ``|n_buckets·sum − total|`` — the same ordering as |sum − mean| with
+    no float comparisons anywhere near the cut; the reported ``deviation``
+    column divides exact integers identically in both engines."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], ANOMALY_EVENT_TYPE))
+        t = _bucket_batch(t, dt_us)
+        v6 = pc.cast(pc.round(pc.multiply(t["value"], 1e6)), pa.int64())
+        g = pa.table({"bucket": t["bucket"], "v6": v6}).group_by(
+            "bucket").aggregate([("v6", "sum"), ("v6", "count")])
+        return g.rename_columns(["bucket", "v6", "n"])
+
+    per_bucket = (ds.map_batches(prep, batch_format="pyarrow",
+                                 batch_size=65536)
+                  .groupby("bucket").aggregate(
+                      Sum("v6", alias_name="sv6"),
+                      Sum("n", alias_name="n_events"))
+                  .to_pandas())  # bounded: one row per time bucket
+    nb = len(per_bucket)
+    if not nb:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "sum_value": pa.array([], pa.float64()),
+                         "deviation": pa.array([], pa.float64())})
+    sv6 = per_bucket["sv6"].to_numpy().astype(np.int64)
+    total = int(sv6.sum())
+    score = np.abs(nb * sv6 - total)  # exact-integer |sum - mean| ordering
+    per_bucket["score"] = score
+    out = per_bucket.sort_values(["score", "bucket"],
+                                 ascending=[False, True]).head(k)
+    dev = np.abs(out["sv6"].to_numpy() - total / nb) / 1e6
+    return pa.table({
+        "bucket": pa.array(out["bucket"].to_numpy().astype(np.int64)),
+        "n_events": pa.array(out["n_events"].to_numpy().astype(np.int64)),
+        "sum_value": pa.array(np.round(out["sv6"].to_numpy() / 1e6, 6)),
+        "deviation": pa.array(np.round(dev, 6))})
+
+
 def trending(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3) -> pa.Table:
     """Top-k event types by linear-regression slope of their waveform
     (Trending LINEAR_REGRESSION strategy).  Waveform aggregation is
@@ -399,6 +452,20 @@ walk(event_type, pos, mn, mx, look, peaks) AS (
 SELECT w.event_type, w.peaks::BIGINT AS n_peaks
 FROM walk w JOIN d ON d.event_type = w.event_type AND w.pos = d.maxpos
 ORDER BY n_peaks DESC, w.event_type ASC LIMIT 3
+""".strip(),
+    "events_anomaly": f"""
+WITH b AS (
+  SELECT (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
+         sum(CAST(round(value * 1e6) AS BIGINT)) AS sv6,
+         count(*) AS n_events
+  FROM events WHERE event_type = '{ANOMALY_EVENT_TYPE}' GROUP BY 1),
+tot AS (SELECT sum(sv6) AS total, count(*) AS nb FROM b)
+SELECT bucket, n_events::BIGINT AS n_events,
+       round(sv6 / 1e6, 6) AS sum_value,
+       round(abs(sv6 - total * 1.0 / nb) / 1e6, 6) AS deviation
+FROM b, tot
+ORDER BY abs(nb * sv6 - total) DESC, bucket ASC
+LIMIT {ANOMALY_TOPK}
 """.strip(),
     "events_trending": f"""
 WITH wf AS (

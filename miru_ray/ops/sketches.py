@@ -25,10 +25,10 @@ M = 1 << P
 _ALPHA = 0.7213 / (1 + 1.079 / M)
 
 
-def hll_add(registers: np.ndarray, values: pd.Series) -> np.ndarray:
+def hll_add(registers: np.ndarray, values) -> np.ndarray:
     # shared md5_64 hashing, each DISTINCT value hashed once — user ids
     # repeat heavily per batch, and HLL only needs per-distinct ranks
-    h = md5_64_bulk(np.asarray(values.astype(str), dtype=object))
+    h = md5_64_bulk(np.asarray(pd.Series(values).astype(str), dtype=object))
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
     rest = (h << np.uint64(P)) | np.uint64(1 << (P - 1))  # sentinel bit
     # rank = leading zeros of remaining bits + 1, vectorized via log2
@@ -53,11 +53,12 @@ def approx_unique(sf_dir: str, table: str = "events",
     ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                                columns=[column])
 
-    def sketch(b: pd.DataFrame) -> pd.DataFrame:
-        regs = hll_add(np.zeros(M, np.uint8), b[column])
-        return pd.DataFrame({"regs": [regs.tobytes()]})
+    def sketch(b: pa.Table) -> pa.Table:
+        regs = hll_add(np.zeros(M, np.uint8),
+                       b[column].to_numpy(zero_copy_only=False))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
-    parts = ds.map_batches(sketch, batch_format="pandas",
+    parts = ds.map_batches(sketch, batch_format="pyarrow",
                            batch_size=65536).to_pandas()
     merged = np.zeros(M, np.uint8)
     for blob in parts["regs"]:

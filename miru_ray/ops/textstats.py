@@ -152,38 +152,46 @@ _LANG_PROFILES = {
 def langid(sf_dir: str) -> pa.Table:
     """Heuristic language ID vs the ``lang`` column: per-lang accuracy.
 
-    Trigram-vote heuristic + CJK codepoint check, fully vectorized: one
-    ``str.contains`` pass per profile trigram (25 vectorized scans beats a
-    Python loop over rows by ~an order of magnitude).  The synthetic corpus
-    draws every lang from one English-ish vocabulary, so this measures the
-    plumbing (batch shape, vote logic), not linguistic accuracy.
+    Trigram-vote heuristic + CJK codepoint check, Arrow-native and fully
+    vectorized: one ``pc.match_substring`` pass per profile trigram (25
+    vectorized scans beats a Python loop over rows by ~an order of
+    magnitude), then per-batch count partials merged by one tiny
+    groupby.  Deterministic and SQL-expressible (contains + CASE + the
+    alphabetical argmax tie-break), so it carries an exact DuckDB oracle.
+    The synthetic corpus draws every lang from one English-ish
+    vocabulary, so accuracy measures the plumbing, not linguistics.
     """
     ds = _documents(sf_dir, ["doc_id", "lang", "text"])
     langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
 
-    def langid_batch(b: pd.DataFrame) -> pd.DataFrame:
-        head = b["text"].str.slice(0, 500).str.lower()
-        votes = np.zeros((len(b), len(langs)), np.int64)
+    def langid_partial(b: pa.Table) -> pa.Table:
+        head = pc.utf8_lower(pc.utf8_slice_codeunits(b["text"], 0, 500))
+        votes = np.zeros((b.num_rows, len(langs)), np.int64)
         for li, lang in enumerate(langs):
             for tri in _LANG_PROFILES[lang]:
-                votes[:, li] += head.str.contains(tri, regex=False).to_numpy()
+                votes[:, li] += pc.match_substring(head, tri).to_numpy(
+                    zero_copy_only=False)
         # ties break to the alphabetically-first language (argmax rule)
         pred = np.array(langs, dtype=object)[votes.argmax(axis=1)]
-        cjk = b["text"].str.slice(0, 200).str.contains(
-            "[一-鿿]", regex=True).to_numpy()
+        cjk = pc.match_substring_regex(
+            pc.utf8_slice_codeunits(b["text"], 0, 200),
+            "[一-鿿]").to_numpy(zero_copy_only=False)
         pred[cjk] = "zh"
-        b = b.copy()
-        b["pred"] = pred
-        return b
+        t = pa.table({"lang": b["lang"],
+                      "correct": pa.array(
+                          (pred == np.asarray(b["lang"].to_pandas(),
+                                              dtype=object)).astype(np.int64))})
+        g = t.group_by("lang").aggregate([("correct", "sum"),
+                                          ("correct", "count")])
+        return g.rename_columns(["lang", "n_correct", "n_docs"])
 
-    preds = ds.map_batches(langid_batch, batch_format="pandas",
-                           batch_size=4096).to_pandas()
-    preds["correct"] = (preds["pred"] == preds["lang"]).astype(np.int64)
-    g = preds.groupby("lang", as_index=False).agg(
-        n_docs=("pred", "size"), n_correct=("correct", "sum"))
+    g = (ds.map_batches(langid_partial, batch_format="pyarrow",
+                        batch_size=4096)
+         .to_pandas().groupby("lang", as_index=False).sum())
     g["n_docs"] = g["n_docs"].astype(np.int64)
     g["accuracy"] = (g["n_correct"] / g["n_docs"]).round(6)
-    g = g.drop(columns=["n_correct"]).sort_values("lang").reset_index(drop=True)
+    g = g[["lang", "n_docs", "accuracy"]].sort_values(
+        "lang").reset_index(drop=True)
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
@@ -364,3 +372,44 @@ FROM documents d LEFT JOIN fp USING (doc_id)
 ORDER BY d.doc_id
 """.strip(),
 }
+
+
+def _langid_sql() -> str:
+    """Exact SQL reproduction of :func:`langid` — the trigram vote, the
+    first-index argmax tie-break (CASE order = alphabetical lang order),
+    and the CJK codepoint override are all deterministic."""
+    langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
+    votes = ",\n         ".join(
+        "(" + " + ".join(
+            f"CASE WHEN contains(head, '{t}') THEN 1 ELSE 0 END"
+            for t in _LANG_PROFILES[lang]) + f") AS v_{lang}"
+        for lang in langs)
+    branches = "\n    ".join(
+        "WHEN " + " AND ".join(f"v_{lang} >= v_{o}"
+                               for o in langs if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs[:-1])
+    return f"""
+WITH feat AS (
+  SELECT lang,
+         lower(substr(text, 1, 500)) AS head,
+         regexp_matches(substr(text, 1, 200), '[一-鿿]') AS cjk
+  FROM documents),
+votes AS (
+  SELECT lang, cjk,
+         {votes}
+  FROM feat),
+pred AS (
+  SELECT lang,
+         CASE WHEN cjk THEN 'zh'
+    {branches}
+    ELSE '{langs[-1]}' END AS p
+  FROM votes)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(sum(CASE WHEN p = lang THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS accuracy
+FROM pred GROUP BY lang ORDER BY lang
+""".strip()
+
+
+SQL["text_langid"] = _langid_sql()

@@ -148,22 +148,44 @@ def catwalk_model(sf_dir: str) -> pa.Table:
 
 
 class StrutScorer:
-    """Actor-pool scorer: model dict loaded ONCE per actor from the object
-    store (StrutModelCache analogue), applied per batch of (user, feature)
-    pairs → per-user max feature score partials."""
+    """Actor-pool scorer: model loaded ONCE per actor from the object
+    store (StrutModelCache analogue) as parallel sorted arrays, applied
+    per batch of (user, feature) pairs → per-user max feature score
+    partials.  Arrow-native: lookups are searchsorted substitutions, the
+    per-user max is a lexsort + reduceat — no pandas hop."""
 
     def __init__(self, model_ref, labeled_ref):
         feats, nums, dens = ray.get(model_ref)
-        self.score = dict(zip(feats, (nums / dens)))
-        self.labeled = set(ray.get(labeled_ref).tolist())
+        order = np.argsort(feats)
+        self.fk = feats[order]
+        self.fv = (nums / dens)[order]
+        self.labeled = np.sort(ray.get(labeled_ref))
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        b = b[~b["user_id"].isin(self.labeled)].copy()
-        if not len(b):
-            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
-                                 "s": pd.Series(dtype=np.float64)})
-        b["s"] = b["feature"].map(self.score).fillna(0.0)
-        return b.groupby("user_id", as_index=False)["s"].max()
+    def __call__(self, b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        if len(self.labeled):
+            pos = np.minimum(np.searchsorted(self.labeled, uid),
+                             len(self.labeled) - 1)
+            keep = self.labeled[pos] != uid
+        else:
+            keep = np.ones(len(uid), bool)
+        uid = uid[keep]
+        if not len(uid):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        feats = np.asarray(b["feature"].to_pandas(), dtype=object)[keep]
+        if len(self.fk):
+            fpos = np.minimum(np.searchsorted(self.fk, feats),
+                              len(self.fk) - 1)
+            s = np.where(self.fk[fpos] == feats, self.fv[fpos], 0.0)
+        else:
+            s = np.zeros(len(feats))
+        order = np.lexsort((s, uid))
+        uid, s = uid[order], s[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "s": pa.array(np.maximum.reduceat(s, starts))})
 
 
 def strut_topk(sf_dir: str, k: int = 10) -> pa.Table:
@@ -181,7 +203,7 @@ def strut_topk(sf_dir: str, k: int = 10) -> pa.Table:
                          model["denominator"].to_numpy().astype(np.float64)))
     lab_ref = ray.put(lab)
     partials = pairs.map_batches(
-        StrutScorer, batch_format="pandas", batch_size=65536,
+        StrutScorer, batch_format="pyarrow", batch_size=65536,
         concurrency=(1, 4), fn_constructor_args=(model_ref, lab_ref))
     scored = partials.groupby("user_id").aggregate(
         Max("s", alias_name="score"))

@@ -190,6 +190,7 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("events_aggregate_counts", A.aggregate_counts),
                      ("events_waveform", A.waveform),
                      ("events_metrics", A.metrics),
+                     ("events_anomaly", A.anomaly),
                      ("events_trending", A.trending),
                      ("events_trending_peaks", A.trending_peaks),
                      ("events_stumptown", A.stumptown),
