@@ -12,11 +12,11 @@ def test_builtin_registry_covers_driver_surface():
     qs, oracles = E.queries(), E.oracle_sql()
     assert len(qs) >= 44
     assert set(oracles) <= set(qs)
-    # the four legitimately-approximate ops are rows-only, everything else
+    # the legitimately-approximate ops are rows-only, everything else
     # carries a SQL oracle
     assert set(qs) - set(oracles) == {
-        "ann_lsh_recall", "text_langid", "media_pipeline_features",
-        "events_uniques_hll"}
+        "ann_lsh_recall", "embedding_neardup_lsh_recall",
+        "media_pipeline_features", "events_uniques_hll"}
     ops = plugins.registered_ops()
     assert all(o.name == n for n, o in ops.items())
 
