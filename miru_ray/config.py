@@ -28,6 +28,13 @@ class IndexConfig:
     # user — each ACL entry gets its own postings, queries OR a principal's
     # entries, MiruAuthzExpression)
     list_keyword_fields: tuple[str, ...] = ()
+    # int64 columns indexed as `field:<lex>` terms where <lex> is the
+    # order-preserving fixed-width encoding (miru_ray.lexnum) — numeric
+    # range queries become contiguous term-dict range scans (reference:
+    # numeric prefix type, MiruTermComposer.writePrefixBytes:130-141 via
+    # UtilLexMarshaller sign-flipped big-endian;
+    # prefixLowerInclusive/prefixUpperExclusive:176-240)
+    numeric_fields: tuple[str, ...] = ()
     # docs per index partition (reference: partition rollover by capacity,
     # MiruPartitioner.java:92-108; "millions of ordered documents" README:12).
     # Tests use small values; at 100 TB size this to a few million docs so a
@@ -83,7 +90,7 @@ class IndexConfig:
     def to_dict(self) -> dict:
         d = asdict(self)
         for k in ("text_fields", "keyword_fields", "list_keyword_fields",
-                  "id_fields"):
+                  "numeric_fields", "id_fields"):
             d[k] = list(d[k])
         return d
 
@@ -91,7 +98,8 @@ class IndexConfig:
     def from_dict(cls, d: dict) -> "IndexConfig":
         d = dict(d)
         d.setdefault("list_keyword_fields", ())
+        d.setdefault("numeric_fields", ())
         for k in ("text_fields", "keyword_fields", "list_keyword_fields",
-                  "id_fields"):
+                  "numeric_fields", "id_fields"):
             d[k] = tuple(d[k])
         return cls(**d)

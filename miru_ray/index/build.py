@@ -64,6 +64,7 @@ from ray.data.aggregate import Max as RMax
 from ray.data.aggregate import Sum as RSum
 
 from ..config import IndexConfig
+from ..lexnum import lex_encode_array
 from ..tokenize import EN_STOPWORDS, explode_tokens
 from ..util import (atomic_write_json, input_fingerprint, list_parquet_files,
                     read_json, term_shard)
@@ -266,6 +267,7 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
     text_fields = cfg.text_fields
     kw_fields = cfg.keyword_fields
     list_kw_fields = cfg.list_keyword_fields
+    num_fields = cfg.numeric_fields
 
     def to_postings(batch: pa.Table) -> pa.Table:
         if offsets_ref is not None:
@@ -298,6 +300,22 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
                 continue
             v = np.asarray(vals.to_pandas(), dtype=object)[keep]
             kterm = np.array([f + ":"], dtype=object) + v
+            parts.append(pa.table({
+                "term": pa.array(kterm, type=pa.string()),
+                "doc_id": pa.array(doc_id[keep]),
+                "tf": pa.array(np.ones(int(keep.sum()), np.int64))}))
+        for f in num_fields:
+            # numeric fields: one `field:<lex>` term per row where <lex> is
+            # the order-preserving encoding — range queries scan the sorted
+            # term dict (reference: numeric prefix composer,
+            # MiruTermComposer.writePrefixBytes:130-141)
+            vals = pc.cast(batch[f], pa.int64())
+            keep = pc.is_valid(vals).to_numpy(zero_copy_only=False).astype(bool)
+            if not keep.any():
+                continue
+            v = pc.fill_null(vals, 0).to_numpy(zero_copy_only=False)[keep]
+            kterm = (np.array([f + ":"], dtype=object)
+                     + lex_encode_array(v).astype(object))
             parts.append(pa.table({
                 "term": pa.array(kterm, type=pa.string()),
                 "doc_id": pa.array(doc_id[keep]),
@@ -391,8 +409,9 @@ def make_segment_writer(index_dir: str, nsh: int):
 
 def build_segments(docstore_dir: str, index_dir: str, cfg: IndexConfig,
                    tag: dict | None = None) -> list[dict]:
-    cols = ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields) \
-        + list(cfg.list_keyword_fields)
+    cols = list(dict.fromkeys(
+        ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
+        + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)))
     docs = ray.data.read_parquet(docstore_dir, columns=cols,
                                  file_extensions=["parquet"])
     postings = docs.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
@@ -578,7 +597,8 @@ def build_index(input_path: str | list[str], index_dir: str,
     def spill_job():
         t0 = time.perf_counter()
         cols = (["conv_id", "turn_idx"] + list(cfg.text_fields)
-                + list(cfg.keyword_fields) + list(cfg.list_keyword_fields))
+                + list(cfg.keyword_fields) + list(cfg.list_keyword_fields)
+                + list(cfg.numeric_fields))
         ds = _read_input(files, columns=sorted(set(cols)))
         postings = ds.map_batches(make_postings_fn(cfg, shared_ref),
                                   batch_format="pyarrow", batch_size=8192)
@@ -781,8 +801,9 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     first_pid = old_n // dpp
     last_pid = (n_docs - 1) // dpp
     postings_fn = make_postings_fn(cfg)
-    cols = (["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
-            + list(cfg.list_keyword_fields))
+    cols = list(dict.fromkeys(
+        ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
+        + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)))
 
     @ray.remote(num_cpus=1)
     def rebuild_partition(pid: int) -> list[dict]:

@@ -28,7 +28,8 @@ CACHE_ROOT = "/tmp/miru_ray_cache"
 _SEARCHERS: dict[str, Searcher] = {}
 
 FLAGSHIP_CFG = IndexConfig(docs_per_partition=2000, num_shards=2,
-                           list_keyword_fields=("acl",))
+                           list_keyword_fields=("acl",),
+                           numeric_fields=("turn_idx",))
 
 
 def transcripts_from_documents(sf_dir: str) -> "ray.data.Dataset":
@@ -98,7 +99,8 @@ stats AS (
 
 
 def bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
-             mode: str = "or", authz: tuple | None = None) -> str:
+             mode: str = "or", authz: tuple | None = None,
+             num_range: tuple | None = None) -> str:
     qvals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
     authz_pred = ""
@@ -106,6 +108,10 @@ def bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
         lst = ", ".join(f"'{a}'" for a in authz)
         authz_pred = (f"JOIN docs ad ON ad.doc_id = tf.doc_id "
                       f"AND list_has_any(ad.acl, [{lst}])")
+    if num_range:
+        nf, lo, hi = num_range
+        authz_pred += (f" JOIN docs nd ON nd.doc_id = tf.doc_id "
+                       f"AND nd.{nf} BETWEEN {lo} AND {hi}")
     return f"""
 {SQL_PROLOGUE},
 q(term) AS (VALUES {qvals}),
@@ -201,6 +207,27 @@ def q_prefix_count(sf_dir: str, prefix: str) -> pa.Table:
     s = searcher_for(sf_dir)
     return pa.table({"n_matched": pa.array([s.count(Prefix("text", prefix))],
                                            type=pa.int64())})
+
+
+def q_numeric_range_count(sf_dir: str, term: str, lo: int, hi: int) -> pa.Table:
+    """Docs matching ``term`` AND ``turn_idx ∈ [lo, hi]`` — the numeric
+    range evaluates as a lex-encoded term-dict range scan (reference:
+    numeric prefix filters, ``MiruTermComposer.java:176-240``)."""
+    from ..query.filter import And, NumericRange, Term
+    s = searcher_for(sf_dir)
+    ast = And((Term("text", term), NumericRange("turn_idx", lo, hi)))
+    return pa.table({"n_matched": pa.array([s.count(ast)], type=pa.int64())})
+
+
+def q_numeric_range_topk(sf_dir: str, terms: list, lo: int, hi: int,
+                         k: int = 10) -> pa.Table:
+    """BM25 top-k gated by a numeric range (constant-score gate: only the
+    text terms rank, mirroring Lucene's constant-score numeric ranges)."""
+    from ..query.filter import And, NumericRange, and_terms
+    s = searcher_for(sf_dir)
+    ast = And((and_terms(sorted(set(terms))),
+               NumericRange("turn_idx", lo, hi)))
+    return s.topk(ast, k, "bm25")
 
 
 AUTHZ_PRINCIPAL = ("grp3", "team5")  # deterministic test principal

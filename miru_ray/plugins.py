@@ -144,6 +144,19 @@ ORDER BY doc_id
 SELECT count(DISTINCT doc_id)::BIGINT AS n_matched FROM tf
 WHERE term LIKE 's%'
 """.strip(), ("filter",))
+    # ---- numeric-range term encoding (§2.9, MiruTermComposer numeric) ----
+    reg("fulltext_numeric_range_count",
+        lambda sf: F.q_numeric_range_count(sf, "spark", 2, 5), f"""
+{P}
+SELECT count(*)::BIGINT AS n_matched
+FROM docs d JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark') m
+  ON m.doc_id = d.doc_id
+WHERE d.turn_idx BETWEEN 2 AND 5
+""".strip(), ("filter",))
+    reg("fulltext_numeric_range_topk",
+        lambda sf: F.q_numeric_range_topk(sf, QUERY_TERMS, 1, 6, 10),
+        F.bm25_sql(QUERY_TERMS, 10, mode="and",
+                   num_range=("turn_idx", 1, 6)), ("fulltext",))
     reg("keyword_and_term_count",
         lambda sf: F.q_keyword_and_term(sf, "user", "spark"), f"""
 {P}

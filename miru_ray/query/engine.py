@@ -39,8 +39,9 @@ from ..index.build import doclen_rel_path
 from ..index.segments import (SegmentReader, bloom_may_contain,
                               read_segment_bloom)
 from . import scorer as S
-from .filter import (And, Authz, Node, Not, Or, Phrase, Prefix, Term,
-                     TimeRange, and_terms, collect_prefixes,
+from .filter import (And, Authz, Node, Not, NumericRange, Or, Phrase, Prefix,
+                     Term, TimeRange, and_terms, collect_prefixes,
+                     collect_ranges,
                      collect_scoring_terms)
 from .parser import parse_query
 
@@ -200,6 +201,22 @@ class PartitionReader:
                 found.update(seg.terms[lo:min(hi, lo + cap)])
         return sorted(found)[:cap]
 
+    def expand_range(self, lo_key: str, hi_key: str, cap: int) -> list[str]:
+        """Numeric-range expansion: contiguous [lo_key, hi_key] INCLUSIVE
+        slice of the sorted term dict (reference:
+        ``MiruTermComposer.prefixLowerInclusive/prefixUpperExclusive``
+        feeding a key-range stream over the sorted term index)."""
+        found: set[str] = set()
+        for pid in self.parts:
+            for shard in range(self.cfg.num_shards):
+                seg = self._segment(pid, shard)
+                if seg is None:
+                    continue
+                lo = int(np.searchsorted(seg.terms, lo_key, side="left"))
+                hi = int(np.searchsorted(seg.terms, hi_key, side="right"))
+                found.update(seg.terms[lo:min(hi, lo + cap)])
+        return sorted(found)[:cap]
+
     # ---------------- phase 2: evaluation + scoring ----------------------
 
     def _postings(self, pid: int, term: str, cache: dict):
@@ -239,6 +256,14 @@ class PartitionReader:
         if isinstance(node, Prefix):
             mask = np.zeros(count, bool)
             for t in expansions.get(node.term_key_prefix(), []):
+                p = self._postings(pid, t, cache)
+                if p is not None:
+                    mask[p[0] - base] = True
+            return mask
+        if isinstance(node, NumericRange):
+            # OR of the expanded term-range postings — a gate, never scored
+            mask = np.zeros(count, bool)
+            for t in expansions.get(node.expansion_key(), []):
                 p = self._postings(pid, t, cache)
                 if p is not None:
                     mask[p[0] - base] = True
@@ -601,9 +626,25 @@ class Searcher:
                     found.update(res)
                 self._expansion_cache[ck] = sorted(found)[:p.max_expansion]
             expansions[key] = self._expansion_cache[ck]
+        range_keys: set[str] = set()
+        for r in collect_ranges(ast):
+            key = r.expansion_key()
+            range_keys.add(key)
+            ck = (key, r.max_expansion)
+            if ck not in self._expansion_cache:
+                lo_key, hi_key = r.range_keys()
+                found = set()
+                for res in self._fanout("expand_range", lo_key, hi_key,
+                                        r.max_expansion):
+                    found.update(res)
+                self._expansion_cache[ck] = sorted(found)[:r.max_expansion]
+            expansions[key] = self._expansion_cache[ck]
         term_counts = collect_scoring_terms(ast)
-        # expanded prefix terms join the scoring set with multiplicity 1
-        for terms in expansions.values():
+        # expanded prefix terms join the scoring set with multiplicity 1;
+        # numeric-range expansions are gates and never score (filter.py)
+        for key, terms in expansions.items():
+            if key in range_keys:
+                continue
             for t in terms:
                 term_counts[t] = term_counts.get(t, 0) + 1
         if not need_stats:

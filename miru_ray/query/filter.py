@@ -43,6 +43,32 @@ class Prefix(Node):
 
 
 @dataclass(frozen=True)
+class NumericRange(Node):
+    """Inclusive numeric range ``field:[lo TO hi]`` over an int64 field
+    indexed with the order-preserving lex encoding
+    (:mod:`miru_ray.lexnum`).  Evaluates as a contiguous term-dictionary
+    range scan — the reference's numeric-prefix range filter
+    (``MiruTermComposer.prefixLowerInclusive/prefixUpperExclusive:176-240``
+    over ``UtilLexMarshaller`` sign-flipped big-endian terms).
+
+    Like :class:`Authz`, a range is a GATE: its expanded terms never join
+    the scoring set (Lucene numeric ranges are constant-score).
+    """
+    field: str
+    lo: int
+    hi: int
+    max_expansion: int = 100_000
+
+    def range_keys(self) -> tuple[str, str]:
+        from ..lexnum import lex_encode
+        return (f"{self.field}:{lex_encode(self.lo)}",
+                f"{self.field}:{lex_encode(self.hi)}")
+
+    def expansion_key(self) -> str:
+        return f"{self.field}:[{self.lo} TO {self.hi}]"
+
+
+@dataclass(frozen=True)
 class TimeRange(Node):
     """Inclusive [t0, t1] in epoch microseconds (reference: the time-range
     mask, ``MiruBitmapsRoaring.buildTimeRangeMask``, ``MiruTimeIndex``)."""
@@ -149,4 +175,20 @@ def collect_prefixes(node: Node, out: list[Prefix] | None = None) -> list[Prefix
         collect_prefixes(node.positive, out)
         for c in node.negatives:
             collect_prefixes(c, out)
+    return out
+
+
+def collect_ranges(node: Node,
+                   out: "list[NumericRange] | None" = None) -> "list[NumericRange]":
+    if out is None:
+        out = []
+    if isinstance(node, NumericRange):
+        out.append(node)
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            collect_ranges(c, out)
+    elif isinstance(node, Not):
+        collect_ranges(node.positive, out)
+        for c in node.negatives:
+            collect_ranges(c, out)
     return out

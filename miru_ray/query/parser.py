@@ -20,9 +20,13 @@ from __future__ import annotations
 import re
 
 from ..tokenize import py_tokenize
-from .filter import And, Node, Not, Or, Prefix, Term
+from .filter import And, Node, Not, NumericRange, Or, Prefix, Term
 
-_TOKEN_SPLIT = re.compile(r'\(|\)|"[^"]*"|\S+')
+# bracket ranges (`field:[10 TO 20]`) tokenize as ONE atom — the inner
+# space must not split them
+_TOKEN_SPLIT = re.compile(r'\(|\)|"[^"]*"|\S+:\[[^\]]*\]|\S+')
+
+_RANGE = re.compile(r'^(-?\d+)\s+TO\s+(-?\d+)$', re.IGNORECASE)
 
 
 def parse_query(q: str, default_field: str = "text",
@@ -116,6 +120,13 @@ def _atom(tok: str, default_field: str,
     field = default_field
     if ":" in tok:
         field, tok = tok.split(":", 1)
+    if tok.startswith("[") and tok.endswith("]") and field != default_field:
+        # numeric range `field:[lo TO hi]` (inclusive, Lucene syntax) —
+        # constant-score gate over the lex-encoded term range
+        m = _RANGE.match(tok[1:-1].strip())
+        if m:
+            return NumericRange(field, int(m.group(1)), int(m.group(2)))
+        return None  # malformed range: dissolve the clause
     if tok.endswith("*"):
         body = tok[:-1]
         if field == default_field:
