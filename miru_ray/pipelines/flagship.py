@@ -230,6 +230,31 @@ def q_numeric_range_topk(sf_dir: str, terms: list, lo: int, hi: int,
     return s.topk(ast, k, "bm25")
 
 
+def q_siphon_route_counts(sf_dir: str) -> pa.Table:
+    """Run the built-in role-routing siphon over the flagship index's WAL
+    (the doc store) and report activities flushed per destination tenant —
+    the typed ``MiruSiphonPlugin`` path end-to-end (contract + cursor +
+    tenant-partitioned flush; ``AmzaSiphoner.java:111-180``).  The cursor
+    makes re-asks a no-op: counts are read back from the flushed files."""
+    import pyarrow.parquet as pq
+
+    from ..index.siphon import RoleRouteSiphon, run_siphon
+    idir = index_dir_for(sf_dir)
+    out = os.path.join(os.path.dirname(idir), "siphon_role_route")
+    run_siphon(idir, RoleRouteSiphon(), out)
+    tenants, counts = [], []
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("tenant="):
+            continue
+        n = sum(pq.read_metadata(os.path.join(out, d, f)).num_rows
+                for f in os.listdir(os.path.join(out, d))
+                if f.endswith(".parquet"))
+        tenants.append(d.split("=", 1)[1])
+        counts.append(n)
+    return pa.table({"tenant": pa.array(tenants, pa.string()),
+                     "n_activities": pa.array(counts, pa.int64())})
+
+
 AUTHZ_PRINCIPAL = ("grp3", "team5")  # deterministic test principal
 
 

@@ -157,6 +157,12 @@ WHERE d.turn_idx BETWEEN 2 AND 5
         lambda sf: F.q_numeric_range_topk(sf, QUERY_TERMS, 1, 6, 10),
         F.bm25_sql(QUERY_TERMS, 10, mode="and",
                    num_range=("turn_idx", 1, 6)), ("fulltext",))
+    # ---- typed siphon contract (§2.1, MiruSiphonPlugin) ----
+    reg("siphon_route_counts", F.q_siphon_route_counts, f"""
+{P}
+SELECT role AS tenant, count(*)::BIGINT AS n_activities
+FROM docs GROUP BY role ORDER BY tenant
+""".strip(), ("siphon",))
     reg("keyword_and_term_count",
         lambda sf: F.q_keyword_and_term(sf, "user", "spark"), f"""
 {P}
