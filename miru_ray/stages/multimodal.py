@@ -88,8 +88,33 @@ def media_dataset(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
-# decode / resize / frame-sample / feature-extract — actor-pool stages
+# decode / resize / frame-sample / feature-extract stages
 # ---------------------------------------------------------------------------
+
+def _use_actors() -> bool:
+    """Actor pools vs stateless task pools for the media stages.
+
+    An actor pool amortizes an EXPENSIVE ``__init__`` (real codec /model
+    load) across a stage's lifetime — the right shape for production
+    multimodal decode.  The stub codec has zero load cost, so paying a
+    fresh actor-pool launch per query (~1.2 s fixed on a 32-CPU box —
+    the entirety of the round-2 media bench regression, BENCH.md) buys
+    nothing: by default the stages run the same callable classes as
+    stateless tasks (instance pickled per task, ``__init__`` still the
+    only place codec state lives).  Set ``MIRU_MEDIA_ACTORS=1`` — or
+    swap in a real codec — to flip every stage to actor pools; nothing
+    else changes."""
+    return os.environ.get("MIRU_MEDIA_ACTORS", "0") == "1"
+
+
+def media_stage(ds: "ray.data.Dataset", cls, batch_size: int = 1024,
+                **init_kw) -> "ray.data.Dataset":
+    if _use_actors():
+        return ds.map_batches(cls, fn_constructor_kwargs=init_kw or None,
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=(1, 4))
+    return ds.map_batches(cls(**init_kw), batch_format="pyarrow",
+                          batch_size=batch_size)
 
 class _FakeCodec:
     """STUB decoder for the synthetic payload format (no PIL/ffmpeg in this
@@ -216,9 +241,7 @@ def media_decode_dims(sf_dir: str) -> pa.Table:
     """Decode metadata out of the binary payloads (proves the binary column
     round-trips through Ray/Arrow intact — SQL oracle recomputes the dims
     formula directly)."""
-    ds = media_dataset(sf_dir).map_batches(
-        ImageDecoder, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 4))
+    ds = media_stage(media_dataset(sf_dir), ImageDecoder)
     out = ds.to_pandas().sort_values("media_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -233,10 +256,8 @@ def media_frame_sample_counts(sf_dir: str) -> pa.Table:
             [("media_id", "count")])
         return g.rename_columns(["media_id", "n_sampled"])
 
-    frames = media_dataset(sf_dir).map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 4)).map_batches(counts, batch_format="pyarrow",
-                                        batch_size=65536)
+    frames = media_stage(media_dataset(sf_dir), FrameSampler).map_batches(
+        counts, batch_format="pyarrow", batch_size=65536)
     pdf = frames.to_pandas().groupby("media_id", as_index=False).agg(
         n_sampled=("n_sampled", "sum"))  # batch partials → per-video total
     pdf["n_sampled"] = pdf["n_sampled"].astype(np.int64)
@@ -247,11 +268,8 @@ def media_frame_sample_counts(sf_dir: str) -> pa.Table:
 def media_pipeline_features(sf_dir: str) -> pa.Table:
     """decode → resize → feature-extract chained actor pools; returns
     per-media feature dimensionality + resized dims (rows-only check)."""
-    ds = media_dataset(sf_dir)
-    resized = ds.map_batches(Resizer, batch_format="pyarrow", batch_size=1024,
-                             concurrency=(1, 4))
-    feats = resized.map_batches(FeatureExtractor, batch_format="pyarrow",
-                                batch_size=1024, concurrency=(1, 4))
+    resized = media_stage(media_dataset(sf_dir), Resizer)
+    feats = media_stage(resized, FeatureExtractor)
     pdf = feats.to_pandas()
     pdf["feature_dim"] = pdf["feature"].map(len).astype(np.int64)
     pdf = pdf[["media_id", "feature_dim"]].sort_values("media_id")
