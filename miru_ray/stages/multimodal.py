@@ -221,14 +221,19 @@ class FeatureExtractor:
         self.codec = _FakeCodec()
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        feats = []
+        feats, widths, heights = [], [], []
         for payload in b["payload"].to_pylist():
-            h = hashlib.blake2b(payload, digest_size=self.DIM * 4).digest()
-            v = np.frombuffer(h, np.uint32).astype(np.float64)
+            _, w, h, _ = self.codec.decode_header(payload)
+            widths.append(w)
+            heights.append(h)
+            d = hashlib.blake2b(payload, digest_size=self.DIM * 4).digest()
+            v = np.frombuffer(d, np.uint32).astype(np.float64)
             v = (v / 2**32) * 2.0 - 1.0
             feats.append(v.astype(np.float32))
         return pa.table({
             "media_id": b["media_id"],
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
             "feature": pa.array([f.tolist() for f in feats],
                                 pa.list_(pa.float32()))})
 
@@ -266,13 +271,18 @@ def media_frame_sample_counts(sf_dir: str) -> pa.Table:
 
 
 def media_pipeline_features(sf_dir: str) -> pa.Table:
-    """decode → resize → feature-extract chained actor pools; returns
-    per-media feature dimensionality + resized dims (rows-only check)."""
+    """decode → resize → feature-extract chained stages; returns the
+    RESIZED dims (decoded back out of the transformed payload headers —
+    proving the resize math and the binary round-trip) + feature
+    dimensionality.  The feature VALUES are hash-derived (non-SQL) but
+    the resized dims and dim count are formula-exact, so the whole output
+    is oracle-checkable."""
     resized = media_stage(media_dataset(sf_dir), Resizer)
     feats = media_stage(resized, FeatureExtractor)
     pdf = feats.to_pandas()
     pdf["feature_dim"] = pdf["feature"].map(len).astype(np.int64)
-    pdf = pdf[["media_id", "feature_dim"]].sort_values("media_id")
+    pdf = pdf[["media_id", "width", "height", "feature_dim"]] \
+        .sort_values("media_id")
     return pa.Table.from_pandas(pdf.reset_index(drop=True),
                                 preserve_index=False)
 
@@ -283,5 +293,22 @@ SQL = {
 SELECT doc_id AS media_id,
        CAST(ceil((8 + doc_id % 24) * 1.0 / {FRAME_STEP}) AS BIGINT) AS n_sampled
 FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id
+""".strip(),
+    # resize formula mirrored op-for-op (scale = min(1, 32/max(w,h));
+    # trunc == floor since everything is positive) so doubles agree bitwise
+    "media_pipeline_features": """
+WITH m AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 97 AS DOUBLE) AS w,
+         CAST(16 + doc_id % 53 AS DOUBLE) AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(greatest(1, floor(w * least(1.0, 32.0 / greatest(w, h))))
+         AS BIGINT) AS width,
+       CAST(greatest(1, floor(h * least(1.0, 32.0 / greatest(w, h))))
+         AS BIGINT) AS height,
+       CAST(16 AS BIGINT) AS feature_dim
+FROM m ORDER BY media_id
 """.strip(),
 }

@@ -16,7 +16,7 @@ def test_builtin_registry_covers_driver_surface():
     # carries a SQL oracle
     assert set(qs) - set(oracles) == {
         "ann_lsh_recall", "embedding_neardup_lsh_recall",
-        "media_pipeline_features", "events_uniques_hll"}
+        "events_uniques_hll"}
     ops = plugins.registered_ops()
     assert all(o.name == n for n, o in ops.items())
 
