@@ -8,6 +8,8 @@ Examples::
         --strategy ref-tfidf --gather
     python -m miru_ray remove --index /data/idx --doc-ids 3,17,42
     python -m miru_ray sync   --src /data/idx --dst /backup/idx
+    python -m miru_ray siphon --index /data/idx --out /export/acts \
+        --plugin role_route
 
 Owns its Ray session (``ray.init(address="local", ...)``) — library code
 never calls ray.init (driver contract).
@@ -52,6 +54,15 @@ def main(argv=None) -> int:
     y.add_argument("--src", required=True)
     y.add_argument("--dst", required=True)
     y.add_argument("--verify-only", action="store_true")
+
+    si = sub.add_parser("siphon", help="run a siphon plugin over the index "
+                                       "WAL (resumable, idempotent flush)")
+    si.add_argument("--index", required=True)
+    si.add_argument("--out", required=True, help="destination root "
+                    "(tenant-partitioned parquet + resume cursor)")
+    si.add_argument("--plugin", default="role_route",
+                    help="built-in plugin name, or module:Class of a "
+                         "SiphonPlugin subclass")
 
     args = p.parse_args(argv)
 
@@ -116,6 +127,20 @@ def _run(args) -> int:
         n = s.remove_docs([int(x) for x in args.doc_ids.split(",")])
         print(json.dumps({"tombstoned": n}))
         s.close()
+        return 0
+
+    if args.cmd == "siphon":
+        import dataclasses
+
+        from .index.siphon import RoleRouteSiphon, run_siphon
+        if args.plugin == "role_route":
+            plug = RoleRouteSiphon()
+        else:
+            import importlib
+            modname, clsname = args.plugin.split(":", 1)
+            plug = getattr(importlib.import_module(modname), clsname)()
+        res = run_siphon(args.index, plug, args.out)
+        print(json.dumps(dataclasses.asdict(res)))
         return 0
 
     if args.cmd == "sync":

@@ -29,6 +29,22 @@ def test_lex_encoding_is_order_preserving():
     assert (vals[order_lex] == vals[order_num]).all()
 
 
+try:
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.integers(min_value=-(2 ** 63),
+                                max_value=2 ** 63 - 1),
+                    min_size=2, max_size=50))
+    def test_lex_order_property(vals):
+        enc = [lex_encode(v) for v in vals]
+        assert (sorted(range(len(vals)), key=lambda i: vals[i])
+                == sorted(range(len(vals)), key=lambda i: enc[i]))
+        assert [lex_decode(e) for e in enc] == vals
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_parser_range_syntax():
     ast = parse_query("spark turn_idx:[2 TO 5]")
     assert ast == And((Term("text", "spark"), NumericRange("turn_idx", 2, 5)))
