@@ -95,6 +95,13 @@ class PartitionReader:
                     dl[part["doc_id"].to_numpy() - base] += \
                         part["dl"].to_numpy()
             self.doclen[pid] = dl
+        # query-independent BM25 doc-length factor, one array per
+        # partition (saves three elementwise ops per posting per query;
+        # bit-identical to computing it inline — see bm25_tf_weight_pre)
+        self._dl_norm = {
+            pid: 1.0 - self.cfg.b + self.cfg.b * dl.astype(np.float64)
+            / self.avgdl
+            for pid, dl in self.doclen.items()}
         # zone maps: per-partition ts min/max for time-range pruning
         # (reference: time index + partition pruning, MiruTimeIndex /
         # SURVEY.md §2.3 time-range mask mapping)
@@ -104,6 +111,25 @@ class PartitionReader:
             for pid in pids:  # rule: do one-time work once, not per query)
                 for shard in range(self.cfg.num_shards):
                     self._segment(pid, shard)
+
+    def call_packed(self, method: str, packed: tuple):
+        """Dispatch trampoline for the packed fan-out: the driver
+        ``ray.put``s ``(args, kwargs)`` ONCE per query and ships the
+        ObjectRef to every reader; Ray resolves it actor-side from the
+        object store.  Without this, cloudpickle re-serializes the query
+        AST by value per submission (the package is registered
+        pickle-by-value for driver-cwd independence), costing ~0.4 ms ×
+        n_readers × fan-out rounds per query.  On a real cluster this is
+        also one object-store copy per node instead of per call."""
+        args, kwargs = packed
+        return getattr(self, method)(*args, **kwargs)
+
+    def topk_time_packed(self, shared: tuple, pids: list[int]):
+        """``topk_time`` with the wave-invariant args (ast, k, expansions)
+        shipped once as an ObjectRef; only the per-reader pid list is
+        serialized per call."""
+        ast, k, expansions = shared
+        return self.topk_time(ast, k, expansions, pids)
 
     def _may_match(self, node: Node, pid: int) -> bool:
         """Conservative partition pruning: False only if NO doc in the
@@ -383,6 +409,7 @@ class PartitionReader:
         base = self.parts[pid]["base"]
         count = self.parts[pid]["count"]
         dl = self.doclen[pid]
+        dn = self._dl_norm[pid]
         cfg = self.cfg
         acc = np.zeros(count, np.float64)
         for term in sorted(global_stats):
@@ -395,8 +422,13 @@ class PartitionReader:
             docs, tfs = p
             idx = docs - base
             df, cf = global_stats[term]
-            w = S.term_weight_arrays(strategy, qc, df, cf, self.n_docs,
-                                     self.avgdl, cfg.k1, cfg.b, tfs, dl[idx])
+            if strategy == "bm25":
+                w = S.bm25_idf(float(df), self.n_docs) * S.bm25_tf_weight_pre(
+                    tfs.astype(np.float64), dn[idx], cfg.k1)
+            else:
+                w = S.term_weight_arrays(strategy, qc, df, cf, self.n_docs,
+                                         self.avgdl, cfg.k1, cfg.b, tfs,
+                                         dl[idx])
             acc[idx] += w
         sel = np.flatnonzero(mask)
         docs, scores = sel + base, acc[sel]
@@ -582,9 +614,14 @@ class Searcher:
         if not self.use_actors:
             return [getattr(self.readers[i], method)(*args, **kwargs)
                     for i in idxs]
+        if args or kwargs:
+            # serialize the (possibly AST-bearing) args once, fan out refs
+            packed = ray.put((args, kwargs))
+            return self._recoverable_get(
+                idxs,
+                lambda i: self.readers[i].call_packed.remote(method, packed))
         return self._recoverable_get(
-            idxs, lambda i: getattr(self.readers[i], method).remote(
-                *args, **kwargs))
+            idxs, lambda i: getattr(self.readers[i], method).remote())
 
     def _recoverable_get(self, idxs: list[int], make_ref) -> list:
         """ray.get over per-reader refs; a dead/hung reader is killed,
@@ -736,6 +773,7 @@ class Searcher:
         order = sorted(zm, key=lambda p: zm[p][1], reverse=True)
         pid_reader = self._pid_to_reader()
         n_wave = max(1, len(self.readers))
+        shared = ray.put((ast, k, expansions)) if self.use_actors else None
         docs = np.empty(0, np.int64)
         ts = np.empty(0, np.int64)
         evaluated = 0
@@ -750,8 +788,8 @@ class Searcher:
             ridx = sorted(by_reader)
             if self.use_actors:
                 parts = self._recoverable_get(
-                    ridx, lambda i: self.readers[i].topk_time.remote(
-                        ast, k, expansions, by_reader[i]))
+                    ridx, lambda i: self.readers[i].topk_time_packed.remote(
+                        shared, by_reader[i]))
             else:
                 parts = [self.readers[i].topk_time(ast, k, expansions,
                                                    by_reader[i])

@@ -40,6 +40,15 @@ def bm25_tf_weight(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def bm25_tf_weight_pre(tf: np.ndarray, dl_norm: np.ndarray, k1: float
+                       ) -> np.ndarray:
+    """``bm25_tf_weight`` with the query-independent doc-length factor
+    ``dl_norm = 1 - b + b*dl/avgdl`` precomputed once per partition
+    (bit-identical: ``k1 * dl_norm`` reproduces the original inner
+    expression exactly, elementwise ops commute with the gather)."""
+    return tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+
+
 def term_weight_arrays(strategy: str, qcount: int, df: int, cf: int,
                        n_docs: int, avgdl: float, k1: float, b: float,
                        tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
