@@ -22,10 +22,16 @@ Ray-Data-native equivalent:
   DETERMINISTIC file names (``tenant=<t>/p<pid>.parquet``) so a retried
   or re-executed flush overwrites instead of duplicating.
 - The cursor is ``siphon.<name>.json`` next to the OUTPUT (destination-
-  scoped, like the reference's per-siphoner-instance cursor row): the set
-  of flushed partition ids (partitions are immutable once built, so
-  pid-granularity is the exact analogue of member→txid watermarks).  A
-  crashed run resumes at the first unflushed partition; a completed run
+  scoped, like the reference's per-siphoner-instance cursor row): a map
+  ``pid -> (doc_count, tombstone_count)`` fingerprint taken at flush
+  time.  A partition is skipped only while its fingerprint still
+  matches — ``append_index`` rebuilds the partially-filled boundary
+  partition in place (its doc count grows) and ``remove_docs`` adds
+  tombstones, and either change re-flushes that partition (the
+  deterministic per-tenant file name makes the re-flush an overwrite,
+  never a duplicate).  This is the watermark-retraction rule the gather
+  hook applies on append, enforced from the destination side.  A crashed
+  run resumes at the first unflushed partition; a completed run
   re-invoked is a no-op; a fresh destination exports from scratch.
 
 Scale: one flush task per index partition (the reference's batchSize maps
@@ -115,11 +121,24 @@ def run_siphon(index_dir: str, plugin: SiphonPlugin, out_root: str,
     manifest = read_json(os.path.join(index_dir, "manifest.json"))
     state = (read_json(_cursor_path(out_root, plugin.name))
              if os.path.exists(_cursor_path(out_root, plugin.name))
-             else {"done_pids": [], "flushed": 0})
-    done = set(state["done_pids"])
+             else {"done": {}, "flushed": 0})
+    # legacy bare-pid cursors carry no fingerprint: treat as empty (the
+    # re-export is an idempotent overwrite, never a duplicate)
+    done: dict[str, list] = dict(state.get("done", {}))
     tomb = np.array(sorted(read_json(os.path.join(index_dir, "tombstones.json")))
                     if os.path.exists(os.path.join(index_dir, "tombstones.json"))
                     else [], np.int64)
+
+    def _fp(part: dict) -> list:
+        """Per-partition change fingerprint: (doc count, tombstones in
+        range).  append_index only ever grows a partition's count and
+        remove only ever adds tombstones, so equality ⇔ unchanged."""
+        base, count = part["base"], part["count"]
+        n_dead = int(np.searchsorted(tomb, base + count)
+                     - np.searchsorted(tomb, base)) if len(tomb) else 0
+        return [count, n_dead]
+
+    fps = {p["pid"]: _fp(p) for p in manifest["partitions"]}
     cols = ["doc_id"] + [c for c in plugin.columns if c != "doc_id"]
     out_schema = plugin.schema()
     pids = [p["pid"] for p in manifest["partitions"]]
@@ -169,6 +188,7 @@ def run_siphon(index_dir: str, plugin: SiphonPlugin, out_root: str,
                                for n in schema.names],
             names=want)
         n_flushed = 0
+        written = set()
         for tenant in pc.unique(out["tenant"]).to_pylist():
             rows = out.filter(pc.equal(out["tenant"], tenant))
             tdir = os.path.join(out_root, f"tenant={tenant}")
@@ -178,11 +198,21 @@ def run_siphon(index_dir: str, plugin: SiphonPlugin, out_root: str,
             tmp = os.path.join(tdir, f".p{pid:05d}.parquet.tmp")
             pq.write_table(rows.drop(["tenant"]), tmp)
             os.replace(tmp, os.path.join(tdir, f"p{pid:05d}.parquet"))
+            written.add(str(tenant))
             n_flushed += rows.num_rows
+        # a RE-flush (partition grew / rows tombstoned) may route zero
+        # rows to a tenant that previously got some: drop this pid's
+        # stale file there (each task touches only its own pid's files,
+        # so concurrent flushes never race)
+        for d in os.listdir(out_root):
+            if d.startswith("tenant=") and d.split("=", 1)[1] not in written:
+                stale = os.path.join(out_root, d, f"p{pid:05d}.parquet")
+                if os.path.exists(stale):
+                    os.remove(stale)
         return len(did), n_flushed
 
     called = siphoned = flushed = 0
-    todo = [p for p in pids if p not in done]
+    todo = [p for p in pids if done.get(str(p)) != fps[p]]
     n_skipped = len(pids) - len(todo)
     if _crash_after_pids is not None:
         todo = todo[:_crash_after_pids]
@@ -197,8 +227,8 @@ def run_siphon(index_dir: str, plugin: SiphonPlugin, out_root: str,
         called += 1
         siphoned += n_in
         flushed += n_out
-        done.add(pid)
+        done[str(pid)] = fps[pid]
         atomic_write_json(_cursor_path(out_root, plugin.name),
-                          {"done_pids": sorted(done),
+                          {"done": done,
                            "flushed": state["flushed"] + flushed})
     return SiphonResult(called, siphoned, flushed, n_skipped)

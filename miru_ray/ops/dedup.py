@@ -686,8 +686,16 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
         sims = A @ B.T
         ai, bi = np.nonzero(sims >= threshold)
         a, b = ia[ai], ib[bi]
-        keep = a < b
-        return a[keep], b[keep]
+        if diagonal:
+            keep = a < b
+            return a[keep], b[keep]
+        # off-diagonal: each unordered pair is seen by exactly ONE task
+        # (i < j block pairs), so canonicalize instead of filtering —
+        # `a < b` would silently drop pairs whenever vec_id order does
+        # not follow parquet row-group order
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return np.minimum(a, b), np.maximum(a, b)
 
     futs = []
     for i in range(len(blocks)):

@@ -584,11 +584,19 @@ class Searcher:
         self._assignment = assignment
         self._num_cpus = num_cpus
         self._preload = preload_segments
-        #: seconds before a reader is declared hung and respawned from the
-        #: manifest (the reference races replicas against slow solvers,
+        #: LAST-RESORT watchdog: seconds before a reader that returns
+        #: nothing is declared HUNG and respawned from the manifest (the
+        #: reference races replicas against slow solvers,
         #: ``MiruLowestLatencySolver.java:94-120`` — here retries replace
-        #: racing: Ray restarts the actor's state from the index files)
-        self.fanout_timeout_s: float | None = 60.0
+        #: racing: Ray restarts the actor's state from the index files).
+        #: A DEAD reader needs no timeout — its pending calls raise
+        #: RayActorError immediately.  The default is deliberately far
+        #: above any legitimate query latency: wall clock is the only
+        #: in-band signal that can distinguish hung from slow (actor
+        #: tasks queue serially, so a ping would queue behind the stuck
+        #: call), and killing a merely-slow reader discards its warm
+        #: caches and triples the work.  Set to None to wait forever.
+        self.fanout_timeout_s: float | None = 600.0
         #: partitions actually evaluated by the last TIME query (the
         #: early-exit observability hook; tests assert it shrinks)
         self.last_time_partitions_evaluated = 0
@@ -828,12 +836,7 @@ class Searcher:
     def gather(self, doc_ids, columns=("conv_id", "turn_idx", "text")) -> pa.Table:
         dpp = self.cfg.docs_per_partition
         by_reader = defaultdict(list)
-        pid_to_reader = {}
-        n = len(self.readers)
-        pids = [p["pid"] for p in self.manifest["partitions"]]
-        for i in range(n):
-            for pid in pids[i::n]:
-                pid_to_reader[pid] = i
+        pid_to_reader = self._pid_to_reader()
         for d in np.asarray(doc_ids):
             by_reader[pid_to_reader[int(d) // dpp]].append(int(d))
         if self.use_actors:

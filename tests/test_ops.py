@@ -232,6 +232,26 @@ def test_embedding_neardup_lsh_served_from_index():
     assert 0 < io["ring_fraction"] < 1
 
 
+def test_embedding_neardup_pairs_row_order_invariant(tmp_path):
+    """The blocked all-pairs answer must not depend on parquet row order:
+    off-diagonal block tasks canonicalize (min, max) rather than filter
+    a < b (regression: a shuffled table silently lost every cross-block
+    pair whose vec_id order opposed row-group order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from miru_ray.ops.dedup import embedding_neardup_pairs
+    src = os.path.join(SF, "embeddings.parquet")
+    t = pq.read_table(src)
+    rng = np.random.default_rng(7)
+    shuf = t.take(pa.array(rng.permutation(t.num_rows)))
+    sdir = str(tmp_path / "shuffled")
+    os.makedirs(sdir)
+    # small row groups force many blocks → many off-diagonal tasks
+    pq.write_table(shuf, os.path.join(sdir, "embeddings.parquet"),
+                   row_group_size=max(64, t.num_rows // 16))
+    assert embedding_neardup_pairs(sdir).equals(embedding_neardup_pairs(SF))
+
+
 def test_catwalk_store_merge_equals_full_rebuild(tmp_path):
     """Durable model store: init on the older event half, merge the newer
     half as a delta — the merged model must EQUAL the one-shot build
