@@ -405,8 +405,8 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """.strip(),
     "events_metrics": f"""
 SELECT (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
-       round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 6) AS sum_value,
-       round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6 / count(*), 6) AS avg_value,
+       round_even(sum(CAST(round_even(value * 1e6, 0) AS BIGINT)) / 1e6, 6) AS sum_value,
+       round_even(sum(CAST(round_even(value * 1e6, 0) AS BIGINT)) / 1e6 / count(*), 6) AS avg_value,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1 ORDER BY 1
 """.strip(),
@@ -456,13 +456,13 @@ ORDER BY n_peaks DESC, w.event_type ASC LIMIT 3
     "events_anomaly": f"""
 WITH b AS (
   SELECT (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
-         sum(CAST(round(value * 1e6) AS BIGINT)) AS sv6,
+         sum(CAST(round_even(value * 1e6, 0) AS BIGINT)) AS sv6,
          count(*) AS n_events
   FROM events WHERE event_type = '{ANOMALY_EVENT_TYPE}' GROUP BY 1),
 tot AS (SELECT sum(sv6) AS total, count(*) AS nb FROM b)
 SELECT bucket, n_events::BIGINT AS n_events,
-       round(sv6 / 1e6, 6) AS sum_value,
-       round(abs(sv6 - total * 1.0 / nb) / 1e6, 6) AS deviation
+       round_even(sv6 / 1e6, 6) AS sum_value,
+       round_even(abs(sv6 - total * 1.0 / nb) / 1e6, 6) AS deviation
 FROM b, tot
 ORDER BY abs(nb * sv6 - total) DESC, bucket ASC
 LIMIT {ANOMALY_TOPK}
@@ -473,7 +473,7 @@ WITH wf AS (
          (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
          count(*) AS n_events
   FROM events GROUP BY 1, 2)
-SELECT event_type, round(regr_slope(n_events, bucket), 6) AS slope
+SELECT event_type, round_even(regr_slope(n_events, bucket), 6) AS slope
 FROM wf GROUP BY event_type
 ORDER BY slope DESC, event_type ASC LIMIT 3
 """.strip(),

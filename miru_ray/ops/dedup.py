@@ -873,7 +873,7 @@ pairs AS (
          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
-SELECT a, b, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.5 ORDER BY a, b
+SELECT a, b, round_even(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.5 ORDER BY a, b
 """.strip(),
         # minhash-LSH clusters: the oracle computes TRUE Jaccard ≥ 0.8
         # pairs and their connected components (recursive transitive

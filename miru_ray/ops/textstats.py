@@ -316,7 +316,7 @@ WITH d AS (
   SELECT source, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
   FROM documents)
 SELECT source, sum(n)::BIGINT AS total_tokens, count(*)::BIGINT AS n_docs,
-       round(sum(n) * 1.0 / count(*), 6) AS avg_tokens
+       round_even(sum(n) * 1.0 / count(*), 6) AS avg_tokens
 FROM d GROUP BY source ORDER BY source
 """.strip(),
     "text_quality_by_lang": f"""
@@ -331,9 +331,9 @@ per_doc AS (
   FROM toks GROUP BY 1, 2)
 SELECT lang, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS total_tokens,
-       round(sum(n_tokens) * 1.0 / count(*), 6) AS avg_tokens,
-       round(sum(sum_tok_len) * 1.0 / sum(n_tokens), 6) AS avg_token_len,
-       round(sum(n_stop) * 1.0 / sum(n_tokens), 6) AS stopword_ratio
+       round_even(sum(n_tokens) * 1.0 / count(*), 6) AS avg_tokens,
+       round_even(sum(sum_tok_len) * 1.0 / sum(n_tokens), 6) AS avg_token_len,
+       round_even(sum(n_stop) * 1.0 / sum(n_tokens), 6) AS stopword_ratio
 FROM per_doc GROUP BY lang ORDER BY lang
 """.strip(),
     # winnowing fingerprints reproduced UDF-free: md5_number_lower == the
@@ -406,7 +406,7 @@ pred AS (
     ELSE '{langs[-1]}' END AS p
   FROM votes)
 SELECT lang, count(*)::BIGINT AS n_docs,
-       round(sum(CASE WHEN p = lang THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+       round_even(sum(CASE WHEN p = lang THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
          AS accuracy
 FROM pred GROUP BY lang ORDER BY lang
 """.strip()

@@ -364,7 +364,7 @@ scores AS (
   FROM f JOIN model m USING (feature)
   WHERE f.user_id NOT IN (SELECT user_id FROM lab)
   GROUP BY f.user_id)
-SELECT user_id, round(s, 6) AS score FROM scores
+SELECT user_id, round_even(s, 6) AS score FROM scores
 ORDER BY s DESC, user_id ASC LIMIT 10
 """.strip(),
 }

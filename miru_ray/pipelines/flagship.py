@@ -132,7 +132,7 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY m.doc_id
 )
-SELECT doc_id, round(score, 6) AS score
+SELECT doc_id, round_even(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id DESC LIMIT {k}
 """.strip()
 
@@ -155,7 +155,7 @@ scores AS (
   JOIN df ON df.term = tf.term
   GROUP BY m.doc_id
 )
-SELECT doc_id, round(score, 6) AS score
+SELECT doc_id, round_even(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id DESC LIMIT {k}
 """.strip()
 
@@ -481,7 +481,7 @@ frag AS (
            x -> CASE WHEN x IN ({inlist})
                      THEN '<b>' || x || '</b>' ELSE x END), ' ') AS fragment
   FROM tok t JOIN best b USING (doc_id))
-SELECT tk.doc_id, round(tk.score, 6) AS score, f.fragment
+SELECT tk.doc_id, round_even(tk.score, 6) AS score, f.fragment
 FROM topk tk JOIN frag f USING (doc_id)
 ORDER BY tk.score DESC, tk.doc_id DESC
 """.strip()

@@ -262,24 +262,24 @@ SQL = {
     "rel_pricing_summary": """
 WITH li AS (
   SELECT l_returnflag, l_linestatus,
-         CAST(round(l_quantity) AS BIGINT) AS qty,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-         CAST(round(l_discount * 100) AS BIGINT) AS d100
+         CAST(round_even(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(round_even(l_discount * 100, 0) AS BIGINT) AS d100
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
 SELECT l_returnflag, l_linestatus,
        sum(qty)::BIGINT AS sum_qty,
-       round(sum(cents) / 100.0, 2) AS sum_base_price,
-       round(sum(cents * (100 - d100)) / 10000.0, 4) AS sum_disc_price,
+       round_even(sum(cents) / 100.0, 2) AS sum_base_price,
+       round_even(sum(cents * (100 - d100)) / 10000.0, 4) AS sum_disc_price,
        count(*)::BIGINT AS count_order,
-       round(sum(qty) * 1.0 / count(*), 6) AS avg_qty,
-       round(sum(cents) / 100.0 / count(*), 6) AS avg_price,
-       round(sum(d100) / 100.0 / count(*), 6) AS avg_disc
+       round_even(sum(qty) * 1.0 / count(*), 6) AS avg_qty,
+       round_even(sum(cents) / 100.0 / count(*), 6) AS avg_price,
+       round_even(sum(d100) / 100.0 / count(*), 6) AS avg_disc
 FROM li GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """.strip(),
     "rel_revenue_by_nation": """
 SELECT n.n_name,
-       round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue,
+       round_even(sum(CAST(round_even(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS revenue,
        count(*)::BIGINT AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey

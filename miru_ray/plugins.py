@@ -193,7 +193,7 @@ ORDER BY cf DESC, term ASC LIMIT 20
 {P}
 SELECT n::BIGINT AS n_docs,
        (SELECT sum(dl) FROM dl)::BIGINT AS total_len,
-       round(avgdl, 6) AS avgdl
+       round_even(avgdl, 6) AS avgdl
 FROM stats
 """.strip(), ("stats",))
     reg("doc_lengths", F.q_doc_lengths, f"""

@@ -231,7 +231,13 @@ class PartitionReader:
         """Numeric-range expansion: contiguous [lo_key, hi_key] INCLUSIVE
         slice of the sorted term dict (reference:
         ``MiruTermComposer.prefixLowerInclusive/prefixUpperExclusive``
-        feeding a key-range stream over the sorted term index)."""
+        feeding a key-range stream over the sorted term index).
+
+        Returns up to ``cap + 1`` terms: unlike a wildcard (where the
+        reference's ``maxWildcardExpansion`` silently truncates), a range
+        that overflows its cap must FAIL the query, not silently narrow
+        it — the +1 sentinel lets the merging Searcher detect overflow
+        even when each segment individually stays under the cap."""
         found: set[str] = set()
         for pid in self.parts:
             for shard in range(self.cfg.num_shards):
@@ -240,8 +246,8 @@ class PartitionReader:
                     continue
                 lo = int(np.searchsorted(seg.terms, lo_key, side="left"))
                 hi = int(np.searchsorted(seg.terms, hi_key, side="right"))
-                found.update(seg.terms[lo:min(hi, lo + cap)])
-        return sorted(found)[:cap]
+                found.update(seg.terms[lo:min(hi, lo + cap + 1)])
+        return sorted(found)[:cap + 1]
 
     # ---------------- phase 2: evaluation + scoring ----------------------
 
@@ -682,7 +688,15 @@ class Searcher:
                 for res in self._fanout("expand_range", lo_key, hi_key,
                                         r.max_expansion):
                     found.update(res)
-                self._expansion_cache[ck] = sorted(found)[:r.max_expansion]
+                if len(found) > r.max_expansion:
+                    # a truncated range is a silently WRONG filter (docs in
+                    # range would be dropped) — fail loudly instead
+                    raise ValueError(
+                        f"numeric range {key} expands to more than "
+                        f"max_expansion={r.max_expansion} distinct terms; "
+                        f"raise NumericRange.max_expansion or narrow the "
+                        f"range")
+                self._expansion_cache[ck] = sorted(found)
             expansions[key] = self._expansion_cache[ck]
         term_counts = collect_scoring_terms(ast)
         # expanded prefix terms join the scoring set with multiplicity 1;

@@ -95,6 +95,21 @@ def test_numeric_range_composes_with_terms(num_index, xs_table):
     assert (got == want).all()
 
 
+def test_numeric_range_overflow_raises(num_index, xs_table):
+    """A range whose distinct-term expansion exceeds max_expansion must
+    raise, never silently truncate (a truncated range is a silently
+    NARROWED filter — regression from review round 3)."""
+    hi_all = int(xs_table["turn_idx"].to_numpy().max())
+    n_distinct = len(np.unique(xs_table["turn_idx"].to_numpy()))
+    assert n_distinct > 3
+    with pytest.raises(ValueError, match="max_expansion"):
+        num_index.count(NumericRange("turn_idx", 0, hi_all,
+                                     max_expansion=2))
+    # at exactly the cap it still answers (cap is inclusive)
+    ok = NumericRange("turn_idx", 0, hi_all, max_expansion=n_distinct)
+    assert num_index.count(ok) == len(_brute(xs_table, 0, hi_all))
+
+
 def test_numeric_range_is_constant_score_gate(num_index, xs_table):
     """A range covering every doc must leave BM25 ranks AND scores
     untouched — ranges gate, they never score (Lucene constant-score
