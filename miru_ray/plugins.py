@@ -261,6 +261,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     reg("strut_topk_users", C.strut_topk, C.SQL.get("strut_topk_users"),
         ("catwalk",))
     # ---- sketches ----
+    # "approximate" but DETERMINISTIC given the md5 hash, so fully oracled
+    from .ops.sketches import hll_oracle_sql
     reg("events_uniques_hll",
-        lambda sf: approx_unique(sf, "events", "user_id"), None,
-        ("sketches", "approx"))
+        lambda sf: approx_unique(sf, "events", "user_id"),
+        hll_oracle_sql("events", "user_id"), ("sketches", "approx"))

@@ -141,6 +141,22 @@ def test_hll_within_error():
     assert abs(got - exact) / max(1, exact) < 0.1, (got, exact)
 
 
+def test_hll_sql_oracle_matches_both_estimator_paths():
+    """The HLL sketch is deterministic given md5, so its SQL oracle must
+    match BIT-FOR-BIT — on the small-range-corrected path (few distinct)
+    AND the raw-estimator path (distinct >> registers)."""
+    import duckdb
+    from miru_ray.ops.sketches import M, hll_add, hll_estimate, hll_oracle_sql
+    for n in (100, 100_000):
+        regs = hll_add(np.zeros(M, np.uint8), np.arange(n))
+        eng = int(round(hll_estimate(regs)))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT range AS v FROM range({n})")
+        got = con.execute(hll_oracle_sql("t", "v")).fetchone()[0]
+        assert eng == got, (n, eng, got)
+        assert abs(eng - n) / n < 0.05  # and it is a GOOD estimate
+
+
 def test_highlighter():
     from miru_ray.query.highlight import best_fragment, highlight_rows
     # fragments are built from the LOWERED token stream (SQL-reproducible

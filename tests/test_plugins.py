@@ -12,11 +12,12 @@ def test_builtin_registry_covers_driver_surface():
     qs, oracles = E.queries(), E.oracle_sql()
     assert len(qs) >= 44
     assert set(oracles) <= set(qs)
-    # the legitimately-approximate ops are rows-only, everything else
-    # carries a SQL oracle
+    # the legitimately-approximate ops (LSH recall reports — defined by
+    # comparison against a ground truth, not by a dataset expression) are
+    # rows-only; everything else, including the deterministic-given-its-
+    # hash HLL sketch, carries a SQL oracle
     assert set(qs) - set(oracles) == {
-        "ann_lsh_recall", "embedding_neardup_lsh_recall",
-        "events_uniques_hll"}
+        "ann_lsh_recall", "embedding_neardup_lsh_recall"}
     ops = plugins.registered_ops()
     assert all(o.name == n for n, o in ops.items())
 
