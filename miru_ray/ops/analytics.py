@@ -321,6 +321,110 @@ def unread_counts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+#: inactivity gap that closes a session (classic 30-minute web-session rule)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessions(sf_dir: str, gap_us: int = SESSION_GAP_US,
+             _batch_size: int = 65536) -> pa.Table:
+    """Per-user sessionization: a user's events sorted by time split into
+    sessions wherever the inactivity gap exceeds ``gap_us``.  Output: one
+    row per user — (user_id, n_events, n_sessions), all exact ints.
+
+    Scale shape: ONE all-to-all (``sort(user_id, ts)``), then everything
+    is batch-local vectorized work.  A session start is an event whose
+    same-user predecessor (in the global sort order) is absent or more
+    than ``gap_us`` older; each batch counts its starts locally, treating
+    its first event as a start, and emits one tiny boundary row —
+    the driver then retracts the O(n_batches) starts whose predecessor
+    lives in the previous batch.  No per-group Python (``map_groups``
+    would pay Ray's per-group overhead at one call per user) and no
+    driver pass over events.  The SQL oracle is the lag() window
+    formulation of the same rule."""
+    ds = _events(sf_dir, ["user_id", "ts"]).sort(["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "kind": pa.array([], pa.int8()),
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_starts": pa.array([], pa.int64()),
+            "b_first_uid": pa.array([], pa.int64()),
+            "b_first_ts": pa.array([], pa.int64()),
+            "b_last_uid": pa.array([], pa.int64()),
+            "b_last_ts": pa.array([], pa.int64())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()
+        # the boundary-retraction scheme is only sound if each batch is a
+        # CONTIGUOUS slice of the global (user_id, ts) sort order — make a
+        # violated assumption loud, never silently wrong
+        ooo = (uid[1:] < uid[:-1]) | ((uid[1:] == uid[:-1])
+                                      & (ts[1:] < ts[:-1]))
+        if ooo.any():
+            raise AssertionError("sessionize: batch is not sorted by "
+                                 "(user_id, ts) — sort contract violated")
+        start = np.ones(n, bool)
+        start[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        g = (pa.table({"user_id": pa.array(uid),
+                       "s": pa.array(start.astype(np.int64))})
+             .group_by("user_id")
+             .aggregate([("s", "sum"), ("s", "count")]))
+        m = g.num_rows
+        z = np.zeros(m, np.int64)
+        rows = pa.table({
+            "kind": pa.array(np.zeros(m, np.int8)),
+            "user_id": g["user_id"],
+            "n_events": g["s_count"],
+            "n_starts": g["s_sum"],
+            "b_first_uid": pa.array(z), "b_first_ts": pa.array(z),
+            "b_last_uid": pa.array(z), "b_last_ts": pa.array(z)})
+        bnd = pa.table({
+            "kind": pa.array([np.int8(1)]),
+            "user_id": pa.array([np.int64(-1)]),
+            "n_events": pa.array([np.int64(0)]),
+            "n_starts": pa.array([np.int64(0)]),
+            "b_first_uid": pa.array([uid[0]]),
+            "b_first_ts": pa.array([ts[0]]),
+            "b_last_uid": pa.array([uid[-1]]),
+            "b_last_ts": pa.array([ts[-1]])})
+        return pa.concat_tables([rows.cast(empty.schema),
+                                 bnd.cast(empty.schema)])
+
+    # partials are O(users-per-batch + 1) rows per batch; materialize so
+    # the two consumers below never re-execute the sort
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=_batch_size).materialize()
+    per_user = (agg.filter(expr="kind == 0")
+                .groupby("user_id")
+                .aggregate(Sum("n_events", alias_name="n_events"),
+                           Sum("n_starts", alias_name="n_starts"))
+                .to_pandas())
+    bnd = agg.filter(expr="kind == 1").to_pandas()
+    # retract the start over-counted at each batch seam that continues a
+    # session: O(n_batches) rows, trivially driver-side
+    bnd = bnd.sort_values(["b_first_uid", "b_first_ts"]).reset_index(drop=True)
+    corrections: dict[int, int] = {}
+    for i in range(1, len(bnd)):
+        prev_u = int(bnd["b_last_uid"][i - 1])
+        if (prev_u == int(bnd["b_first_uid"][i])
+                and int(bnd["b_first_ts"][i]) - int(bnd["b_last_ts"][i - 1])
+                <= gap_us):
+            corrections[prev_u] = corrections.get(prev_u, 0) + 1
+    per_user = per_user.sort_values("user_id").reset_index(drop=True)
+    uids = per_user["user_id"].to_numpy().astype(np.int64)
+    n_sessions = per_user["n_starts"].to_numpy().astype(np.int64)
+    for u, c in corrections.items():
+        n_sessions[np.searchsorted(uids, u)] -= c
+    return pa.table({
+        "user_id": pa.array(uids),
+        "n_events": pa.array(per_user["n_events"].to_numpy()
+                             .astype(np.int64)),
+        "n_sessions": pa.array(n_sessions)})
+
+
 def _peakdet(y: np.ndarray, delta: float) -> int:
     """Count peaks: local maxima that rise ≥ delta above the surrounding
     minima (reference: ``PeakDet.java:22-95``, the classic peakdet scan)."""
@@ -368,6 +472,18 @@ def trending_peaks(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3,
 SQL = {
     "events_distincts":
         "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    # lag() window formulation of the inactivity-gap rule; ties in ts are
+    # benign (any tie order gives gap 0 ⇒ same session)
+    "events_sessions": f"""
+WITH l AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN pt IS NULL OR t - pt > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+FROM l GROUP BY user_id ORDER BY user_id
+""".strip(),
     "events_stumptown": f"""
 SELECT {_LEVEL_SQL} AS level,
        (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,

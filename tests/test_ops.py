@@ -132,6 +132,30 @@ def test_langid_shape():
     assert ((out["accuracy"] >= 0) & (out["accuracy"] <= 1)).all()
 
 
+def test_sessions_boundary_corrections():
+    """Sessionization must be invariant to the batch tiling of the sorted
+    stream: 64-row batches force many batch seams (every seam inside a
+    session over-counts a start that the boundary retraction must undo),
+    and a tiny gap multiplies session count.  Both must equal the lag()
+    SQL oracle."""
+    import duckdb
+    from miru_ray.ops.analytics import SESSION_GAP_US, SQL, sessions
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    for gap in (SESSION_GAP_US, 3_600_000_000 * 24):
+        small = sessions(SF, gap_us=gap, _batch_size=64).to_pandas()
+        big = sessions(SF, gap_us=gap).to_pandas()
+        assert small.equals(big), f"tiling changed the answer (gap={gap})"
+        want = con.execute(SQL["events_sessions"].replace(
+            str(SESSION_GAP_US), str(gap))).fetchdf()
+        assert (small.astype("int64").reset_index(drop=True)
+                .equals(want.astype("int64"))), gap
+    # sanity: the big gap yields strictly fewer sessions than a tiny one
+    tiny = sessions(SF, gap_us=1, _batch_size=64).to_pandas()
+    assert tiny["n_sessions"].sum() > big["n_sessions"].sum()
+    assert (big["n_sessions"] >= 1).all()
+
+
 def test_hll_within_error():
     from miru_ray.ops.sketches import approx_unique
     import duckdb
