@@ -295,6 +295,100 @@ def fingerprints(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+# --------------------------- PII / pattern scrub ---------------------------
+
+#: (name, RE2 pattern) — both pyarrow.compute and DuckDB regexp_* are RE2,
+#: so match counts and global replacement are EXACTLY mirrored in SQL (no
+#: backrefs / lookaround, which RE2 lacks, may appear here)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+#: replacement token — must itself match none of the patterns above
+PII_REDACTION = "[PII]"
+#: a content pattern that DOES fire on ordinary prose, so the oracle
+#: comparison exercises nonzero counts even on a PII-free corpus
+_VOWEL_PAIR = "[aeiou]{2}"
+
+
+def pii_scan(sf_dir: str) -> pa.Table:
+    """Per-source PII scan + scrub verification (training-data content
+    filter): counts of each PII pattern, docs flagged (any PII hit),
+    double-vowel occurrences (nonzero control), and the residual PII
+    count AFTER globally scrubbing every pattern in order — proving the
+    redaction transform, not just the scan.  All-int output; one
+    vectorized RE2 pass per pattern inside ``map_batches`` and a tiny
+    per-source groupby."""
+    ds = _documents(sf_dir, ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        cols = {"source": b["source"]}
+        flagged = np.zeros(b.num_rows, bool)
+        for name, pat in PII_PATTERNS:
+            c = pc.count_substring_regex(txt, pattern=pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cols[f"n_{name}"] = pa.array(c)
+            flagged |= c > 0
+        scrub = txt
+        for _, pat in PII_PATTERNS:
+            scrub = pc.replace_substring_regex(scrub, pattern=pat,
+                                               replacement=PII_REDACTION)
+        resid = np.zeros(b.num_rows, np.int64)
+        for _, pat in PII_PATTERNS:
+            resid += pc.count_substring_regex(scrub, pattern=pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        cols["n_vowel_pairs"] = pa.array(
+            pc.count_substring_regex(txt, pattern=_VOWEL_PAIR).to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        cols["n_docs_flagged"] = pa.array(flagged.astype(np.int64))
+        cols["n_residual_after_scrub"] = pa.array(resid)
+        cols["n_docs"] = pa.array(np.ones(b.num_rows, np.int64))
+        aggs = [(c, "sum") for c in cols if c != "source"]
+        g = pa.table(cols).group_by("source").aggregate(aggs)
+        return g.rename_columns(["source"] + [c for c in cols
+                                              if c != "source"])
+
+    names = ([f"n_{n}" for n, _ in PII_PATTERNS]
+             + ["n_vowel_pairs", "n_docs_flagged",
+                "n_residual_after_scrub", "n_docs"])
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("source")
+           .aggregate(*[Sum(c, alias_name=c) for c in names])
+           .to_pandas())
+    out = out.sort_values("source").reset_index(drop=True)
+    for c in names:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out[["source"] + names],
+                                preserve_index=False)
+
+
+def _pii_scan_sql() -> str:
+    pats = dict(PII_PATTERNS)
+    scrubbed = "text"
+    for _, pat in PII_PATTERNS:
+        # replacement strings are LITERAL in both engines (RE2 specials
+        # are only \1..\9 and \\), so no escaping of '['
+        scrubbed = (f"regexp_replace({scrubbed}, '{pat}', "
+                    f"'{PII_REDACTION}', 'g')")
+    count = lambda expr, pat: f"length(regexp_extract_all({expr}, '{pat}'))"
+    resid = " + ".join(count("s.scrubbed", p) for p in pats.values())
+    flag = " OR ".join(f"regexp_matches(text, '{p}')" for p in pats.values())
+    cols = ",\n       ".join(
+        f"sum({count('text', p)})::BIGINT AS n_{n}" for n, p in PII_PATTERNS)
+    return f"""
+WITH s AS (SELECT source, text, {scrubbed} AS scrubbed FROM documents)
+SELECT source,
+       {cols},
+       sum({count('text', _VOWEL_PAIR)})::BIGINT AS n_vowel_pairs,
+       sum(CASE WHEN {flag} THEN 1 ELSE 0 END)::BIGINT AS n_docs_flagged,
+       sum({resid})::BIGINT AS n_residual_after_scrub,
+       count(*)::BIGINT AS n_docs
+FROM s GROUP BY source ORDER BY source
+""".strip()
+
+
 # --------------------------- SQL oracles -----------------------------------
 
 _STOPLIST = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
@@ -413,3 +507,5 @@ FROM pred GROUP BY lang ORDER BY lang
 
 
 SQL["text_langid"] = _langid_sql()
+
+SQL["text_pii_scan"] = _pii_scan_sql()

@@ -132,6 +132,37 @@ def test_langid_shape():
     assert ((out["accuracy"] >= 0) & (out["accuracy"] <= 1)).all()
 
 
+def test_pii_scan_planted_pii_matches_oracle(tmp_path):
+    """Plant real PII (emails, phones, IPs) in a copy of the documents
+    table: counts, flags and the post-scrub residual must match the RE2
+    SQL oracle exactly, and every planted hit must be found."""
+    import duckdb
+    import pyarrow as pa
+    from miru_ray.ops.textstats import SQL, pii_scan
+    t = pq.read_table(os.path.join(SF, "documents.parquet"))
+    txt = t["text"].to_pylist()
+    txt[0] += " contact bob.smith+x@example.co.uk or 555-867-5309 x"
+    txt[1] += " from 10.0.0.1 and 192.168.001.100 mail a@b.io"
+    txt[2] += " call +1 415.555.2671 twice 415.555.2671"
+    t = t.set_column(t.schema.get_field_index("text"), "text",
+                     pa.array(txt, pa.string()))
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = pii_scan(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{d}/documents.parquet'")
+    want = con.execute(SQL["text_pii_scan"]).fetchdf()
+    assert got.reset_index(drop=True).equals(want), (got, want)
+    assert got["n_email"].sum() == 2
+    assert got["n_phone"].sum() >= 2
+    assert got["n_ipv4"].sum() == 2
+    assert got["n_docs_flagged"].sum() == 3
+    assert got["n_residual_after_scrub"].sum() == 0
+    assert got["n_vowel_pairs"].sum() > 0
+
+
 def test_sessions_boundary_corrections():
     """Sessionization must be invariant to the batch tiling of the sorted
     stream: 64-row batches force many batch seams (every seam inside a
