@@ -295,6 +295,79 @@ def fingerprints(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+# ----------------------- repetition quality signals ------------------------
+
+
+def repetition_stats(sf_dir: str) -> pa.Table:
+    """Per-doc repetition signals (the Gopher/C4-style quality rules:
+    most-common-word fraction and duplicated-n-gram fraction, Rae et al.
+    2021 §A1.1 — public literature): token count, distinct tokens, the
+    top token's count and the top 2-gram's count, all exact ints (the
+    fractions are derivable ratios; ints keep the oracle hash exact).
+
+    Purely batch-local (per-doc stats never cross batches): one
+    vectorized ``map_batches``, no shuffle at all."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy().astype(np.int64)
+        n = b.num_rows
+        terms, rows, dl = explode_tokens(b["text"])
+        enc = pc.dictionary_encode(terms.combine_chunks()
+                                   if isinstance(terms, pa.ChunkedArray)
+                                   else terms)
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(enc.dictionary)) + 1
+        n_distinct = np.zeros(n, np.int64)
+        max_tok = np.zeros(n, np.int64)
+        if len(code):
+            key = rows * V + code
+            uk, cnt = np.unique(key, return_counts=True)
+            krow = uk // V
+            np.add.at(n_distinct, krow, 1)
+            np.maximum.at(max_tok, krow, cnt)
+        max_bg = np.zeros(n, np.int64)
+        same = rows[1:] == rows[:-1]
+        if same.any():
+            l, r, br = code[:-1][same], code[1:][same], rows[1:][same]
+            bkey = (br * V + l) * V + r
+            ub, cb = np.unique(bkey, return_counts=True)
+            np.maximum.at(max_bg, (ub // V) // V, cb)
+        return pa.table({"doc_id": pa.array(doc),
+                         "n_tokens": pa.array(dl),
+                         "n_distinct": pa.array(n_distinct),
+                         "max_token_count": pa.array(max_tok),
+                         "max_2gram_count": pa.array(max_bg)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+u AS (SELECT doc_id, unnest(t) AS term FROM tok),
+tc AS (SELECT doc_id, term, count(*) AS c FROM u GROUP BY 1, 2),
+per AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+               max(c) AS max_tok FROM tc GROUP BY 1),
+bg AS (SELECT tok.doc_id, t[i] || ' ' || t[i + 1] AS g
+       FROM tok, unnest(range(1, len(t))) AS r(i)),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bper AS (SELECT doc_id, max(c) AS max_bg FROM bc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(per.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(per.max_tok, 0)::BIGINT AS max_token_count,
+       coalesce(bper.max_bg, 0)::BIGINT AS max_2gram_count
+FROM documents d
+LEFT JOIN per ON d.doc_id = per.doc_id
+LEFT JOIN bper ON d.doc_id = bper.doc_id
+ORDER BY d.doc_id
+""".strip()
+
+
 # --------------------------- PII / pattern scrub ---------------------------
 
 #: (name, RE2 pattern) — both pyarrow.compute and DuckDB regexp_* are RE2,
@@ -509,3 +582,4 @@ FROM pred GROUP BY lang ORDER BY lang
 SQL["text_langid"] = _langid_sql()
 
 SQL["text_pii_scan"] = _pii_scan_sql()
+SQL["text_repetition_stats"] = _REPETITION_SQL

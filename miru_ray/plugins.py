@@ -237,7 +237,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("text_quality_by_lang", T.quality_by_lang),
                      ("text_langid", T.langid),
                      ("text_fingerprints", T.fingerprints),
-                     ("text_pii_scan", T.pii_scan)):
+                     ("text_pii_scan", T.pii_scan),
+                     ("text_repetition_stats", T.repetition_stats)):
         reg(name, fn, T.SQL.get(name), ("textstats",))
     # ---- relational / reco (§2.5, §2.6) ----
     for name, fn in (("rel_pricing_summary", R.pricing_summary),

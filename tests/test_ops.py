@@ -132,6 +132,31 @@ def test_langid_shape():
     assert ((out["accuracy"] >= 0) & (out["accuracy"] <= 1)).all()
 
 
+def test_repetition_stats_edge_cases(tmp_path):
+    """Empty docs, single-token docs and a planted repeated phrase must
+    all match the SQL oracle (LEFT JOINs zero-fill what the engine
+    zero-initializes)."""
+    import duckdb
+    import pyarrow as pa
+    from miru_ray.ops.textstats import SQL, repetition_stats
+    texts = ["", "word", "spam spam spam ham spam eggs",
+             "a b a b a b c", "  --  ", "one two one two three"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = repetition_stats(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{d}/documents.parquet'")
+    want = con.execute(SQL["text_repetition_stats"]).fetchdf()
+    assert got.astype("int64").equals(want.astype("int64")), (got, want)
+    assert got.loc[2, "max_token_count"] == 4      # 'spam' ×4
+    assert got.loc[3, "max_2gram_count"] == 3      # 'a b' ×3
+    assert got.loc[0, "n_tokens"] == 0 == got.loc[4, "n_tokens"]
+
+
 def test_pii_scan_planted_pii_matches_oracle(tmp_path):
     """Plant real PII (emails, phones, IPs) in a copy of the documents
     table: counts, flags and the post-scrub residual must match the RE2
