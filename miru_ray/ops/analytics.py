@@ -107,6 +107,37 @@ def waveform(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def rolling_counts(sf_dir: str, dt_us: int = US_PER_HOUR,
+                   window: int = 24) -> pa.Table:
+    """Trailing-window aggregate (the "streaming window" custom-operator
+    family): per (event_type, bucket), events in the last ``window``
+    buckets inclusive — e.g. the rolling-24h volume behind rate alerting.
+
+    Scale shape: the heavy reduction (N events → types × buckets rows) is
+    the distributed :func:`waveform`; the window pass is then a
+    prefix-sum + value-range ``searchsorted`` over OUTPUT-sized data —
+    the same driver-finishing precedent as trending's slope.  Missing
+    buckets contribute zero by construction (value-range window, matching
+    SQL RANGE framing).  All exact ints."""
+    wf = waveform(sf_dir, dt_us).to_pandas()
+    types, buckets, rolls = [], [], []
+    for et, g in wf.groupby("event_type", sort=True):
+        b = g["bucket"].to_numpy().astype(np.int64)   # sorted by waveform
+        n = g["n_events"].to_numpy().astype(np.int64)
+        csum = np.cumsum(n)
+        lo = np.searchsorted(b, b - (window - 1), side="left")
+        roll = csum - np.where(lo > 0, csum[lo - 1], 0)
+        types.extend([et] * len(b))
+        buckets.append(b)
+        rolls.append(roll)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "bucket": pa.array(np.concatenate(buckets) if buckets
+                           else np.empty(0, np.int64)),
+        "n_events_24h": pa.array(np.concatenate(rolls) if rolls
+                                 else np.empty(0, np.int64))})
+
+
 def metrics(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
     """Per-bucket sum/avg of ``value`` (Metrics/Anomaly waveforms).
 
@@ -483,6 +514,19 @@ SELECT user_id, count(*)::BIGINT AS n_events,
        sum(CASE WHEN pt IS NULL OR t - pt > {SESSION_GAP_US}
                 THEN 1 ELSE 0 END)::BIGINT AS n_sessions
 FROM l GROUP BY user_id ORDER BY user_id
+""".strip(),
+    # RANGE framing sums by bucket VALUE (missing buckets = 0), exactly
+    # the engine's value-range searchsorted window
+    "events_rolling_counts": f"""
+WITH wf AS (
+  SELECT event_type, (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, bucket,
+       sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)::BIGINT
+         AS n_events_24h
+FROM wf ORDER BY event_type, bucket
 """.strip(),
     "events_stumptown": f"""
 SELECT {_LEVEL_SQL} AS level,

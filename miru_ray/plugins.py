@@ -215,7 +215,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("events_stumptown", A.stumptown),
                      ("events_inbox_lookup", A.inbox_lookup),
                      ("events_unread_counts", A.unread_counts),
-                     ("events_sessions", A.sessions)):
+                     ("events_sessions", A.sessions),
+                     ("events_rolling_counts", A.rolling_counts)):
         reg(name, fn, A.SQL.get(name), ("analytics",))
     # ---- dedup family (§2.8 + training-data ops) ----
     for name, fn in (("dedup_exact_docs", D.exact_dedup),

@@ -188,6 +188,33 @@ def test_pii_scan_planted_pii_matches_oracle(tmp_path):
     assert got["n_vowel_pairs"].sum() > 0
 
 
+def test_rolling_counts_window_semantics(tmp_path):
+    """Value-range window: a bucket 24h past its predecessor must NOT see
+    it; inside 24h it must.  Hand-built buckets + SQL oracle."""
+    import duckdb
+    import pyarrow as pa
+    from miru_ray.ops.analytics import SQL, T0_US, US_PER_HOUR, rolling_counts
+    hours = [0, 1, 23, 24, 50, 73, 74]   # 50→73 gap only 23h: included
+    ts = pa.array([T0_US + h * US_PER_HOUR + 5 for h in hours],
+                  pa.timestamp("us"))
+    t = pa.table({"event_type": pa.array(["x"] * len(hours)), "ts": ts})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    got = rolling_counts(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.execute(SQL["events_rolling_counts"]).fetchdf()
+    want["bucket"] = want["bucket"].astype("int64")
+    want["n_events_24h"] = want["n_events_24h"].astype("int64")
+    assert got.equals(want.reset_index(drop=True)), (got, want)
+    # bucket 0,1,23: within one window of each other; 24 sees 1,23 not 0;
+    # 50 sees nothing prior (50-23=27 > 24); 73 sees 50; 74 sees 50+73...
+    # wait 74-23=51 > 50, so 74 sees only 73 — and itself
+    assert got.set_index("bucket")["n_events_24h"].to_dict() == {
+        0: 1, 1: 2, 23: 3, 24: 3, 50: 1, 73: 2, 74: 2}
+
+
 def test_sessions_boundary_corrections():
     """Sessionization must be invariant to the batch tiling of the sorted
     stream: 64-row batches force many batch seams (every seam inside a
