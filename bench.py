@@ -154,7 +154,9 @@ def run_scaling() -> dict:
         "turns_per_sec": [tput_lo, tput_hi],
         "n_turns": r_lo["n_turns"],
         "queries": {},
-        "sf": r_lo["sf"],
+        # the scaling job builds from the deterministic transcripts
+        # fixture, not an sf dir (sf queries are skipped in the children)
+        "sf": f"fixture_{scale}",
         "num_cpus": hi,
     }
 
