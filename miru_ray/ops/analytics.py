@@ -134,8 +134,33 @@ def rolling_counts(sf_dir: str, dt_us: int = US_PER_HOUR,
         "event_type": pa.array(types, pa.string()),
         "bucket": pa.array(np.concatenate(buckets) if buckets
                            else np.empty(0, np.int64)),
-        "n_events_24h": pa.array(np.concatenate(rolls) if rolls
-                                 else np.empty(0, np.int64))})
+        _rolling_col(dt_us, window): pa.array(
+            np.concatenate(rolls) if rolls else np.empty(0, np.int64))})
+
+
+def _rolling_col(dt_us: int, window: int) -> str:
+    """Column name derived from the actual window, so a non-default call
+    can never mislabel its output (review round 3)."""
+    if dt_us == US_PER_HOUR:
+        return f"n_events_{window}h"
+    return f"n_events_{window}x{dt_us}us"
+
+
+def rolling_counts_sql(dt_us: int = US_PER_HOUR, window: int = 24) -> str:
+    """Oracle generator matching :func:`rolling_counts` for ANY window —
+    the registry entry uses the defaults; parameterized callers build
+    the matching oracle here."""
+    return f"""
+WITH wf AS (
+  SELECT event_type, (epoch_us(ts) - {T0_US}) // {dt_us} AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, bucket,
+       sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                    RANGE BETWEEN {window - 1} PRECEDING AND CURRENT ROW)::BIGINT
+         AS {_rolling_col(dt_us, window)}
+FROM wf ORDER BY event_type, bucket
+""".strip()
 
 
 def metrics(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
@@ -515,19 +540,6 @@ SELECT user_id, count(*)::BIGINT AS n_events,
                 THEN 1 ELSE 0 END)::BIGINT AS n_sessions
 FROM l GROUP BY user_id ORDER BY user_id
 """.strip(),
-    # RANGE framing sums by bucket VALUE (missing buckets = 0), exactly
-    # the engine's value-range searchsorted window
-    "events_rolling_counts": f"""
-WITH wf AS (
-  SELECT event_type, (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
-         count(*) AS n
-  FROM events GROUP BY 1, 2)
-SELECT event_type, bucket,
-       sum(n) OVER (PARTITION BY event_type ORDER BY bucket
-                    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)::BIGINT
-         AS n_events_24h
-FROM wf ORDER BY event_type, bucket
-""".strip(),
     "events_stumptown": f"""
 SELECT {_LEVEL_SQL} AS level,
        (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
@@ -638,3 +650,8 @@ FROM wf GROUP BY event_type
 ORDER BY slope DESC, event_type ASC LIMIT 3
 """.strip(),
 }
+
+# RANGE framing sums by bucket VALUE (missing buckets = 0), exactly the
+# engine's value-range searchsorted window; generated so parameterized
+# callers share one definition with the default registry entry
+SQL["events_rolling_counts"] = rolling_counts_sql()

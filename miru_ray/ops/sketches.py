@@ -27,7 +27,10 @@ _ALPHA = 0.7213 / (1 + 1.079 / M)
 
 def hll_add(registers: np.ndarray, values) -> np.ndarray:
     # shared md5_64 hashing, each DISTINCT value hashed once — user ids
-    # repeat heavily per batch, and HLL only needs per-distinct ranks
+    # repeat heavily per batch, and HLL only needs per-distinct ranks.
+    # ``values`` must be null-free: callers drop nulls at the Arrow level
+    # (count-DISTINCT semantics; a pandas null-cast would also turn int
+    # columns float and hash '123.0' where SQL CAST yields '123')
     h = md5_64_bulk(np.asarray(pd.Series(values).astype(str), dtype=object))
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
     rest = (h << np.uint64(P)) | np.uint64(1 << (P - 1))  # sentinel bit
@@ -67,8 +70,13 @@ def approx_unique(sf_dir: str, table: str = "events",
                                columns=[column])
 
     def sketch(b: pa.Table) -> pa.Table:
+        # NULLs are excluded (count-DISTINCT semantics, matching the
+        # oracle's IS NOT NULL) — and dropping them at the Arrow level
+        # keeps int columns int (a pandas null-cast to float would hash
+        # '123.0' where SQL CAST yields '123')
+        col = b[column].combine_chunks().drop_null()
         regs = hll_add(np.zeros(M, np.uint8),
-                       b[column].to_numpy(zero_copy_only=False))
+                       col.to_numpy(zero_copy_only=False))
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     parts = ds.map_batches(sketch, batch_format="pyarrow",
@@ -90,7 +98,7 @@ def hll_oracle_sql(table: str, column: str) -> str:
     :func:`hll_estimate` does."""
     return f"""
 WITH h AS (SELECT DISTINCT md5_number_lower(CAST({column} AS VARCHAR)) AS hv
-           FROM {table}),
+           FROM {table} WHERE {column} IS NOT NULL),
 b AS (SELECT hv >> {64 - P} AS idx, hv & {(1 << (64 - P)) - 1} AS x FROM h),
 p1 AS (SELECT idx, x | (x >> 1) AS x FROM b),
 p2 AS (SELECT idx, x | (x >> 2) AS x FROM p1),
@@ -100,7 +108,7 @@ p5 AS (SELECT idx, x | (x >> 16) AS x FROM p4),
 p6 AS (SELECT idx, x | (x >> 32) AS x FROM p5),
 regs AS (SELECT idx, max({64 - P + 1} - bit_count(x)) AS reg FROM p6
          GROUP BY idx),
-agg AS (SELECT sum(1::BIGINT << ({64 - P + 1} - reg)) AS s_hit,
+agg AS (SELECT coalesce(sum(1::BIGINT << ({64 - P + 1} - reg)), 0) AS s_hit,
                count(*) AS n_hit FROM regs),
 est AS (SELECT (0.7213 / (1 + 1.079 / {M})) * {M} * {M} /
                (CAST(s_hit + ({M} - n_hit)::HUGEINT *

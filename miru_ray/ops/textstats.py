@@ -330,9 +330,21 @@ def repetition_stats(sf_dir: str) -> pa.Table:
         same = rows[1:] == rows[:-1]
         if same.any():
             l, r, br = code[:-1][same], code[1:][same], rows[1:][same]
-            bkey = (br * V + l) * V + r
-            ub, cb = np.unique(bkey, return_counts=True)
-            np.maximum.at(max_bg, (ub // V) // V, cb)
+            # two-stage key: first factorize the bigram (l, r) — l*V+r
+            # needs V^2 < 2^63, i.e. V < 3e9, unreachable for one batch —
+            # then pair the compact bigram id with the row, which needs
+            # only rows × distinct-bigrams < 2^63.  The naive triple
+            # product rows*V^2 overflows silently at V ≈ 3.4e7, a value a
+            # batch of long documents CAN reach.
+            if int(V) * int(V) >= 2 ** 63:
+                raise OverflowError("repetition_stats: batch vocabulary "
+                                    "too large for int64 bigram keys — "
+                                    "reduce batch_size")
+            _, bg_id = np.unique(l * V + r, return_inverse=True)
+            W = np.int64(bg_id.max()) + 1
+            assert int(n) * int(W) < 2 ** 63  # rows × bigram ids
+            ub, cb = np.unique(br * W + bg_id, return_counts=True)
+            np.maximum.at(max_bg, ub // W, cb)
         return pa.table({"doc_id": pa.array(doc),
                          "n_tokens": pa.array(dl),
                          "n_distinct": pa.array(n_distinct),

@@ -213,6 +213,17 @@ def test_rolling_counts_window_semantics(tmp_path):
     # wait 74-23=51 > 50, so 74 sees only 73 — and itself
     assert got.set_index("bucket")["n_events_24h"].to_dict() == {
         0: 1, 1: 2, 23: 3, 24: 3, 50: 1, 73: 2, 74: 2}
+    # non-default window: column is labeled from the actual window and
+    # the generated oracle matches (review round 3: no silent mislabel)
+    from miru_ray.ops.analytics import rolling_counts_sql
+    got48 = rolling_counts(d, window=48).to_pandas()
+    assert "n_events_48h" in got48.columns
+    want48 = con.execute(rolling_counts_sql(window=48)).fetchdf()
+    want48["bucket"] = want48["bucket"].astype("int64")
+    want48["n_events_48h"] = want48["n_events_48h"].astype("int64")
+    assert got48.equals(want48.reset_index(drop=True))
+    # [3, 50] now includes 23 and 24
+    assert got48.set_index("bucket")["n_events_48h"][50] == 3
 
 
 def test_sessions_boundary_corrections():
@@ -246,6 +257,25 @@ def test_hll_within_error():
     exact = duckdb.sql(
         f"select count(distinct user_id) from '{SF}/events.parquet'").fetchone()[0]
     assert abs(got - exact) / max(1, exact) < 0.1, (got, exact)
+
+
+def test_hll_nulls_excluded_and_oracle_parity(tmp_path):
+    """NULLs are excluded (count-DISTINCT semantics) on BOTH sides — the
+    engine must not hash a null placeholder (review round 3: engine 50 vs
+    oracle 51 on a nulled column before the fix)."""
+    import duckdb
+    import pyarrow as pa
+    from miru_ray.ops.sketches import approx_unique, hll_oracle_sql
+    t = pa.table({"user_id": pa.array(list(range(50)) + [None] * 3,
+                                      pa.int64())})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    got = approx_unique(d, "events", "user_id")["approx_unique"][0].as_py()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.execute(hll_oracle_sql("events", "user_id")).fetchone()[0]
+    assert got == want == 50
 
 
 def test_hll_sql_oracle_matches_both_estimator_paths():
