@@ -7,6 +7,8 @@ Examples::
     python -m miru_ray search --index /data/idx --query "role:user spark*" \
         --strategy ref-tfidf --gather
     python -m miru_ray remove --index /data/idx --doc-ids 3,17,42
+    python -m miru_ray compact --src /data/idx --dst /data/idx2 \
+        --docs-per-partition 1000000
     python -m miru_ray sync   --src /data/idx --dst /backup/idx
     python -m miru_ray siphon --index /data/idx --out /export/acts \
         --plugin role_route
@@ -54,6 +56,15 @@ def main(argv=None) -> int:
     y.add_argument("--src", required=True)
     y.add_argument("--dst", required=True)
     y.add_argument("--verify-only", action="store_true")
+
+    c = sub.add_parser("compact", help="merge partitions + expunge "
+                                       "tombstones into a new index")
+    c.add_argument("--src", required=True)
+    c.add_argument("--dst", required=True)
+    c.add_argument("--docs-per-partition", type=int, default=None,
+                   help="new partition size (default: keep the source's)")
+    c.add_argument("--num-shards", type=int, default=None)
+    c.add_argument("--overwrite", action="store_true")
 
     si = sub.add_parser("siphon", help="run a siphon plugin over the index "
                                        "WAL (resumable, idempotent flush)")
@@ -127,6 +138,18 @@ def _run(args) -> int:
         n = s.remove_docs([int(x) for x in args.doc_ids.split(",")])
         print(json.dumps({"tombstoned": n}))
         s.close()
+        return 0
+
+    if args.cmd == "compact":
+        from .index.compact import compact_index
+        m = compact_index(args.src, args.dst,
+                          docs_per_partition=args.docs_per_partition,
+                          num_shards=args.num_shards,
+                          overwrite=args.overwrite)
+        print(json.dumps({k: m[k] for k in
+                          ("n_docs", "n_convs", "total_len", "avgdl")}
+                         | {"segments": len(m["segments"]),
+                            "compaction": m["compaction"]}))
         return 0
 
     if args.cmd == "siphon":
