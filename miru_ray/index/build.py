@@ -66,7 +66,8 @@ from ray.data.aggregate import Sum as RSum
 from ..config import IndexConfig
 from ..lexnum import lex_encode_array
 from ..tokenize import EN_STOPWORDS, explode_tokens
-from ..util import (atomic_write_json, input_fingerprint, list_parquet_files,
+from ..util import (atomic_write_json, broadcast_get, input_fingerprint,
+                    list_parquet_files,
                     read_json, term_shard)
 from .segments import encode_segment_table, segment_rel_path, write_segment
 
@@ -179,18 +180,10 @@ def build_conv_offsets(files: list[str], offsets_path: str) -> dict:
 # stage 2 — doc store (doc_id + doc_len assignment, partitioned write)
 # ---------------------------------------------------------------------------
 
-# per-worker-process cache of the broadcast offsets object: stateless map
-# tasks scale instantly (no actor-pool ramp-up) while each worker still
-# deserializes the (conv array, offsets) pair exactly once
-_OFFSETS_CACHE: dict = {}
-
-
-def _get_offsets(ref):
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if key not in _OFFSETS_CACHE:
-        _OFFSETS_CACHE.clear()
-        _OFFSETS_CACHE[key] = ray.get(ref)
-    return _OFFSETS_CACHE[key]
+# the broadcast offsets object rides the shared per-worker cache
+# (util.broadcast_get): stateless map tasks scale instantly while each
+# worker still deserializes the (conv array, offsets) pair exactly once
+_get_offsets = broadcast_get
 
 
 class AssignDocIds:

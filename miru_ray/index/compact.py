@@ -49,25 +49,17 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..codec import decode_doc_ids, decode_tfs
 from ..config import IndexConfig
-from ..util import atomic_write_json, read_json, term_shard
+from ..util import atomic_write_json, broadcast_get, read_json, term_shard
 from .build import (MANIFEST_VERSION, _build_tag, _cleanup_spill,
                     _encode_cells, _spill_postings)
+from .segments import segment_rows_table
 
 logger = logging.getLogger(__name__)
 
-# per-worker cache of the broadcast tombstone array (same pattern as
-# build._get_offsets: stateless map tasks, one deserialize per worker)
-_TOMBS_CACHE: dict = {}
-
-
-def _get_tombs(ref) -> np.ndarray:
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if key not in _TOMBS_CACHE:
-        _TOMBS_CACHE.clear()
-        _TOMBS_CACHE[key] = ray.get(ref)
-    return _TOMBS_CACHE[key]
+# the broadcast tombstone array rides the shared per-worker cache
+# (util.broadcast_get): stateless map tasks, one deserialize per worker
+_get_tombs = broadcast_get
 
 
 def _alive_renumber(doc: np.ndarray, tombs: np.ndarray):
@@ -117,16 +109,10 @@ def _make_decode_fn(tombs_ref, dpp: int, nsh: int):
 
     def decode_batch(b: pa.Table) -> pa.Table:
         tombs = _get_tombs(tombs_ref)
-        dfs = b["df"].to_numpy()
-        terms = np.asarray(b["term"].to_pandas(), dtype=object)
-        docs_l, tfs_l = [], []
-        for i in range(b.num_rows):
-            df = int(dfs[i])
-            docs_l.append(decode_doc_ids(b["doc_bytes"][i].as_py(), df))
-            tfs_l.append(decode_tfs(b["tf_bytes"][i].as_py(), df))
-        docs = (np.concatenate(docs_l) if docs_l else np.empty(0, np.int64))
-        tfs = (np.concatenate(tfs_l) if tfs_l else np.empty(0, np.int64))
-        term_rep = np.repeat(terms, dfs)
+        rows = segment_rows_table(b)  # the one shared decode primitive
+        docs = rows["doc_id"].to_numpy().astype(np.int64)
+        tfs = rows["tf"].to_numpy().astype(np.int64)
+        term_rep = np.asarray(rows["term"].to_pandas(), dtype=object)
         keep, docs = _alive_renumber(docs, tombs)
         if keep is not None:
             tfs, term_rep = tfs[keep], term_rep[keep]
@@ -171,18 +157,37 @@ def compact_index(src_dir: str, dst_dir: str, *,
         raise ValueError(f"cannot compact manifest version {m.get('version')}")
     src_cfg = IndexConfig.from_dict(m["config"])
     import dataclasses
-    cfg = dataclasses.replace(
-        src_cfg,
-        docs_per_partition=docs_per_partition or src_cfg.docs_per_partition,
-        num_shards=num_shards or src_cfg.num_shards)
+    dpp_new = (src_cfg.docs_per_partition if docs_per_partition is None
+               else int(docs_per_partition))
+    nsh_new = src_cfg.num_shards if num_shards is None else int(num_shards)
+    if dpp_new <= 0 or nsh_new <= 0:
+        raise ValueError("docs_per_partition and num_shards must be "
+                         f"positive (got {dpp_new}, {nsh_new})")
+    cfg = dataclasses.replace(src_cfg, docs_per_partition=dpp_new,
+                              num_shards=nsh_new)
 
+    # Destination safety: never delete anything that is not an index (or
+    # this function's own crashed debris), and never let the destination
+    # alias or contain the source we are about to read from.
+    src_abs = os.path.realpath(src_dir)
+    dst_abs = os.path.realpath(dst_dir)
+    if dst_abs == src_abs or src_abs.startswith(dst_abs + os.sep):
+        raise ValueError("dst_dir must not be the source index or an "
+                         f"ancestor of it ({dst_dir!r} vs {src_dir!r})")
     dst_manifest = os.path.join(dst_dir, "manifest.json")
-    if os.path.exists(dst_manifest) and not overwrite:
-        raise FileExistsError(f"{dst_dir} already holds an index "
-                              "(pass overwrite=True)")
+    in_progress = os.path.join(dst_dir, "_COMPACTING.json")
     if os.path.exists(dst_dir):
+        if os.path.exists(dst_manifest):
+            if not overwrite:
+                raise FileExistsError(f"{dst_dir} already holds an index "
+                                      "(pass overwrite=True)")
+        elif os.listdir(dst_dir) and not os.path.exists(in_progress):
+            raise FileExistsError(
+                f"{dst_dir} exists and is not an index — refusing to "
+                "delete it (choose an empty/new destination)")
         shutil.rmtree(dst_dir)
     os.makedirs(dst_dir)
+    atomic_write_json(in_progress, {"src": os.path.abspath(src_dir)})
 
     tpath = os.path.join(src_dir, "tombstones.json")
     tombs = np.array(sorted(set(read_json(tpath))) if os.path.exists(tpath)
@@ -193,10 +198,23 @@ def compact_index(src_dir: str, dst_dir: str, *,
     stages: dict[str, dict] = {}
     fp = m["fingerprint"]
     tag = _build_tag(fp, cfg)
+    if len(tombs):
+        # purged outputs are FILTERED bytes: they must never satisfy a
+        # full-build checkpoint for the same (fingerprint, config), so the
+        # purge set is folded into the stage tag (build.py's tag contract:
+        # a mismatched tag means "different build" and is cleared first)
+        import hashlib
+        tag = {**tag, "purged_docs": int(len(tombs)),
+               "purged_md5": hashlib.md5(tombs.tobytes()).hexdigest()}
 
-    # [1] conv offsets in the dense numbering
+    # [1] conv offsets in the dense numbering.  A purged offsets table is
+    # FILTERED bytes too — its meta must not claim the full-input
+    # fingerprint, or build_index's offsets skip-check would adopt the
+    # purged n_docs into a "fresh full build" (same reasoning as the
+    # stage-tag purge marker above).
+    meta_fp = fp if not len(tombs) else f"{fp}+purged:{tag['purged_md5']}"
     t0 = time.perf_counter()
-    meta1 = _rewrite_conv_offsets(src_dir, dst_dir, tombs, fp)
+    meta1 = _rewrite_conv_offsets(src_dir, dst_dir, tombs, meta_fp)
     n_docs = meta1["n_docs"]
     stages["offsets"] = {"seconds": round(time.perf_counter() - t0, 3),
                          **meta1}
@@ -268,6 +286,7 @@ def compact_index(src_dir: str, dst_dir: str, *,
                        "src_n_partitions": len(m["partitions"])},
     }
     atomic_write_json(dst_manifest, manifest)
+    os.remove(in_progress)  # committed — dst is a complete index now
     _cleanup_spill(dst_dir)
     logger.info("compacted %s → %s: %d partitions → %d, purged %d docs",
                 src_dir, dst_dir, len(m["partitions"]), n_parts, len(tombs))

@@ -185,26 +185,34 @@ def write_segment(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
-def segment_to_rows(path: str) -> pa.Table:
-    """Decode a whole segment back to (term, doc_id, tf) rows — the input
-    side of a segment merge/compaction (reference: LAB compaction,
-    ``compactOnClosedWriters``)."""
-    t = pq.read_table(path, columns=["term", "df", "doc_bytes", "tf_bytes"])
-    terms_out, docs_out, tfs_out = [], [], []
+def segment_rows_table(t: pa.Table) -> pa.Table:
+    """Decode term-dict rows (term, df, doc_bytes, tf_bytes) into flat
+    (term, doc_id, tf) posting rows — THE segment decode primitive.  Both
+    whole-file decode (:func:`segment_to_rows`) and the compaction stream
+    (``index.compact``) go through here, so a postings-codec or schema
+    change has exactly one decode site to update."""
     dfs = t["df"].to_numpy()
-    terms = t["term"].to_pylist()
+    terms = np.asarray(t["term"].to_pandas(), dtype=object)
+    docs_out, tfs_out = [], []
     for i in range(t.num_rows):
         df = int(dfs[i])
         docs_out.append(decode_doc_ids(t["doc_bytes"][i].as_py(), df))
         tfs_out.append(decode_tfs(t["tf_bytes"][i].as_py(), df))
-        terms_out.extend([terms[i]] * df)
     return pa.table({
-        "term": pa.array(terms_out, pa.string()),
+        "term": pa.array(np.repeat(terms, dfs), pa.string()),
         "doc_id": pa.array(np.concatenate(docs_out) if docs_out
                            else np.empty(0, np.int64)),
         "tf": pa.array(np.concatenate(tfs_out) if tfs_out
                        else np.empty(0, np.int64)),
     })
+
+
+def segment_to_rows(path: str) -> pa.Table:
+    """Decode a whole segment back to (term, doc_id, tf) rows — the input
+    side of a segment merge/compaction (reference: LAB compaction,
+    ``compactOnClosedWriters``)."""
+    return segment_rows_table(
+        pq.read_table(path, columns=["term", "df", "doc_bytes", "tf_bytes"]))
 
 
 class SegmentReader:

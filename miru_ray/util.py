@@ -39,6 +39,25 @@ def md5_64_bulk(strings: np.ndarray) -> np.ndarray:
     return md5_64(uniques)[codes]
 
 
+# per-worker-process cache of ray.put broadcast objects: stateless map
+# tasks scale instantly (no actor-pool ramp-up) while each worker still
+# deserializes a given broadcast exactly once.  Cleared on a new ref so
+# stale broadcasts never accumulate across jobs — a worker serves one
+# broadcast-consuming stage at a time (concurrent stages share one ref,
+# see build_index's shared_ref).
+_BROADCAST_CACHE: dict = {}
+
+
+def broadcast_get(ref):
+    """Fetch a ``ray.put`` broadcast object through the per-worker cache."""
+    import ray
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
 def atomic_write_bytes(path: str, data: bytes) -> None:
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as f:

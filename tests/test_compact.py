@@ -169,6 +169,72 @@ def test_compact_refuses_dirty_destination(xs_index, tmp_path):
     assert m["n_docs"] > 0
 
 
+def test_compact_destination_safety(xs_index, tmp_path):
+    """The destination guard never deletes non-index data and never lets
+    dst alias/contain the source index it is reading from."""
+    import pytest
+    # dst == src: refused before anything is touched
+    with pytest.raises(ValueError, match="source index"):
+        compact_index(xs_index, xs_index, overwrite=True)
+    # dst an ancestor of src: refused
+    with pytest.raises(ValueError, match="source index"):
+        compact_index(xs_index, os.path.dirname(xs_index), overwrite=True)
+    # a non-empty directory that is NOT an index: refused even with
+    # overwrite=True (it could be anything — a typo'd home directory)
+    junk = tmp_path / "precious"
+    junk.mkdir()
+    (junk / "notes.txt").write_text("do not delete")
+    with pytest.raises(FileExistsError, match="not an index"):
+        compact_index(xs_index, str(junk), overwrite=True)
+    assert (junk / "notes.txt").read_text() == "do not delete"
+    # crashed-compaction debris (_COMPACTING marker, no manifest) is this
+    # function's own output: a re-run clears it without overwrite
+    crashed = tmp_path / "crashed"
+    crashed.mkdir()
+    (crashed / "_COMPACTING.json").write_text("{}")
+    (crashed / "docstore").mkdir()
+    m = compact_index(xs_index, str(crashed))
+    assert m["n_docs"] > 0
+    assert not os.path.exists(crashed / "_COMPACTING.json")
+
+
+def test_compact_rejects_bad_layout_knobs(xs_index, tmp_path):
+    import pytest
+    for kw in ({"docs_per_partition": 0}, {"docs_per_partition": -5},
+               {"num_shards": 0}, {"num_shards": -1}):
+        with pytest.raises(ValueError, match="positive"):
+            compact_index(xs_index, str(tmp_path / "x"), **kw)
+
+
+def test_purged_stages_never_satisfy_full_build(xs_table, tmp_path):
+    """Tag contract: compaction stamps tombstone-FILTERED outputs with a
+    purge-marked tag, so a later build_index over the FULL input (config
+    differing only in an execution knob → full-rebuild path with the same
+    content tag) clears them instead of adopting purged segments/offsets
+    as a fresh full build."""
+    cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+    src_path = str(tmp_path / "in.parquet")
+    pq.write_table(xs_table, src_path)
+    src_idx = str(tmp_path / "src")
+    full_m = build_index([src_path], src_idx, cfg)
+    s = Searcher(src_idx, num_readers=1, use_actors=False)
+    s.remove_docs([0, 1, 2])
+    s.close()
+
+    dst = str(tmp_path / "dst")
+    m_comp = compact_index(src_idx, dst)
+    assert m_comp["n_docs"] == full_m["n_docs"] - 3
+
+    # io_compression is in to_dict (manifest mismatch → rebuild path) but
+    # NOT in content_dict (stage tags would match absent the purge marker)
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, io_compression="snappy")
+    m2 = build_index([src_path], dst, cfg2)
+    assert "append" not in m2.get("stages", {})
+    assert m2["n_docs"] == full_m["n_docs"]  # purged docs are BACK
+    assert m2["total_len"] == full_m["total_len"]
+
+
 def test_compact_mid_conversation_removal(xs_index, tmp_path):
     """Mid-conversation tombstones (no fresh-build analogue) still
     compact correctly: answers equal the tombstone-masked source."""
