@@ -523,9 +523,151 @@ def trending_peaks(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3,
                      "n_peaks": pa.array([r[1] for r in rows[:k]], pa.int64())})
 
 
+# ------------------------------ as-of join ---------------------------------
+
+
+def asof_join(sf_dir: str, left_type: str = "purchase",
+              right_type: str = "click",
+              _batch_size: int = 65536) -> pa.Table:
+    """As-of join: each ``left_type`` event joined to the most recent
+    STRICTLY-earlier ``right_type`` event by the same user (the classic
+    purchase ← latest-prior-click attribution).  Ray Data has no as-of
+    join; this is the sessions-style composition — ONE all-to-all
+    ``sort(user_id, ts, kind)``, then every batch resolves its joins
+    locally with a vectorized running-max scan and emits O(users+1) tiny
+    seam rows; the driver resolves only the cross-batch leftovers with a
+    ``merge_asof`` over those smalls.  Output is the query result
+    (O(matched left events)); lefts with no prior right are dropped
+    (inner-asof semantics, matching the SQL oracle).
+
+    Correctness of the seam scheme: batches are contiguous slices of the
+    global sort (asserted).  A left event unresolved in its own batch can
+    only be satisfied by rights in EARLIER batches, all of which are
+    strictly earlier in time (equal (user, ts) rights sort after lefts,
+    so they can never precede one across a batch boundary) — hence the
+    per-(batch, user) last-right seam rows plus a strict backward
+    merge_asof reproduce the exact join."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_l = pc.equal(t["event_type"], left_type)
+        is_r = pc.equal(t["event_type"], right_type)
+        t = t.filter(pc.or_(is_l, is_r))
+        # lefts (kind 0) sort BEFORE rights (kind 1) at equal (user, ts):
+        # a same-timestamp right must not satisfy the strict < contract
+        kind = pc.cast(pc.equal(t["event_type"], right_type), pa.int8())
+        return pa.table({"user_id": t["user_id"],
+                         "ts": pc.cast(t["ts"], pa.int64()),
+                         "kind": kind,
+                         "event_id": t["event_id"]})
+
+    srt = (ds.map_batches(prep, batch_format="pyarrow",
+                          batch_size=_batch_size)
+           .sort(["user_id", "ts", "kind"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"mk": pa.array([], pa.int8()),
+                          "event_id": pa.array([], pa.int64()),
+                          "ts": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "rts": pa.array([], pa.int64())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].to_numpy()
+        kind = t["kind"].to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ok = ((uid[1:] > uid[:-1])
+              | ((uid[1:] == uid[:-1])
+                 & ((ts[1:] > ts[:-1])
+                    | ((ts[1:] == ts[:-1]) & (kind[1:] >= kind[:-1])))))
+        if not ok.all():
+            raise AssertionError("asof_join: batch not sorted by "
+                                 "(user_id, ts, kind) — sort contract "
+                                 "violated")
+        is_r = kind == 1
+        last = np.maximum.accumulate(np.where(is_r, np.arange(n), -1))
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        seg_starts = np.flatnonzero(new_u)
+        first_of = seg_starts[np.cumsum(new_u) - 1]
+        valid = last >= first_of
+        ans = ~is_r & valid
+        pend = ~is_r & ~valid
+        parts = []
+        if ans.any():
+            m = int(ans.sum())
+            parts.append(pa.table({
+                "mk": pa.array(np.zeros(m, np.int8)),
+                "event_id": pa.array(eid[ans]),
+                "ts": pa.array(ts[ans]),
+                "user_id": pa.array(uid[ans]),
+                "rts": pa.array(ts[last[ans]])}))
+        if pend.any():
+            m = int(pend.sum())
+            parts.append(pa.table({
+                "mk": pa.array(np.ones(m, np.int8)),
+                "event_id": pa.array(eid[pend]),
+                "ts": pa.array(ts[pend]),
+                "user_id": pa.array(uid[pend]),
+                "rts": pa.array(np.full(m, -1, np.int64))}))
+        seg_ends = np.r_[seg_starts[1:], n] - 1
+        le = last[seg_ends]
+        has = le >= seg_starts
+        if has.any():
+            m = int(has.sum())
+            parts.append(pa.table({
+                "mk": pa.array(np.full(m, 2, np.int8)),
+                "event_id": pa.array(np.full(m, -1, np.int64)),
+                "ts": pa.array(np.full(m, -1, np.int64)),
+                "user_id": pa.array(uid[seg_starts][has]),
+                "rts": pa.array(ts[le[has]])}))
+        if not parts:
+            return empty
+        return pa.concat_tables([p.cast(empty.schema) for p in parts])
+
+    agg = srt.map_batches(partial, batch_format="pyarrow",
+                          batch_size=_batch_size).to_pandas()
+    ans = agg[agg["mk"] == 0][["event_id", "ts", "rts"]]
+    pend = agg[agg["mk"] == 1][["event_id", "ts", "user_id"]]
+    bnd = agg[agg["mk"] == 2][["user_id", "rts"]]
+    if len(pend) and len(bnd):
+        res = pd.merge_asof(
+            pend.sort_values("ts", kind="mergesort"),
+            bnd.rename(columns={"rts": "b_rts"})
+               .sort_values("b_rts", kind="mergesort"),
+            left_on="ts", right_on="b_rts", by="user_id",
+            allow_exact_matches=False)
+        res = res.dropna(subset=["b_rts"])
+        if len(res):
+            res = res.rename(columns={"b_rts": "rts"})
+            res["rts"] = res["rts"].astype(np.int64)
+            ans = pd.concat([ans[["event_id", "ts", "rts"]],
+                             res[["event_id", "ts", "rts"]]],
+                            ignore_index=True)
+    ans = ans.sort_values("event_id").reset_index(drop=True)
+    out_col = f"{right_type}_ts"
+    return pa.table({
+        "event_id": pa.array(ans["event_id"].to_numpy().astype(np.int64)),
+        "ts": pa.array(ans["ts"].to_numpy().astype(np.int64))
+              .cast(pa.timestamp("us")),
+        out_col: pa.array(ans["rts"].to_numpy().astype(np.int64))
+                 .cast(pa.timestamp("us"))})
+
+
 # --------------------------- SQL oracles -----------------------------------
 
 SQL = {
+    # strictly-prior latest click per purchase; the group-max self-join is
+    # the unambiguous relational statement of the as-of contract
+    "events_asof_purchase_click": """
+SELECT p.event_id, p.ts, max(c.ts) AS click_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.ts
+ORDER BY p.event_id
+""".strip(),
     "events_distincts":
         "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     # lag() window formulation of the inactivity-gap rule; ties in ts are

@@ -295,6 +295,67 @@ def fingerprints(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+# ----------------------- benchmark decontamination -------------------------
+
+#: docs with doc_id % MOD == 0 form the deterministic stand-in for an eval
+#: benchmark (no external data allowed); everything else is "training"
+DECON_BENCH_MOD = 29
+_DECON_N = 3  # word-shingle width, shared with the dedup family's oracles
+
+
+def decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: training docs that share any word
+    {n}-gram with the benchmark set, with their overlap counts — the
+    flag-and-drop input of a curation pass (public precedent: the n-gram
+    overlap decontamination of GPT-3 appendix C and the Llama reports).
+
+    Scale shape: the benchmark side is SMALL (an eval suite), so its
+    distinct shingle hashes are gathered in one filtered streaming pass
+    and broadcast once (``ray.put``); the training side is one
+    shuffle-free ``map_batches`` pass — membership is a ``searchsorted``
+    against the sorted broadcast, never a join.  Output is bounded by the
+    contaminated set."""
+    from .dedup import _make_shingle_rows
+    shingle_rows = _make_shingle_rows(_DECON_N)
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def bench_hashes(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy()
+        sub = b.filter(pa.array(doc % DECON_BENCH_MOD == 0))
+        if sub.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        rows = shingle_rows(sub)
+        h = md5_64_bulk(np.asarray(rows["shingle"].to_pandas(), dtype=object))
+        return pa.table({"h": pa.array(np.unique(h))})
+
+    bh = docs.map_batches(bench_hashes, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()  # benchmark-bounded
+    bench = np.unique(bh["h"].to_numpy().astype(np.uint64))
+    bench_ref = ray.put(bench)
+
+    def overlap(b: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        doc = b["doc_id"].to_numpy()
+        sub = b.filter(pa.array(doc % DECON_BENCH_MOD != 0))
+        if sub.num_rows == 0 or not len(bench):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_overlap": pa.array([], pa.int64())})
+        rows = shingle_rows(sub)  # per-doc DISTINCT shingles
+        h = md5_64_bulk(np.asarray(rows["shingle"].to_pandas(), dtype=object))
+        pos = np.searchsorted(bench, h)
+        hit = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)]
+                                    == h)
+        d = rows["doc_id"].to_numpy()[hit]
+        ids, cnt = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n_overlap": pa.array(cnt.astype(np.int64))})
+
+    out = docs.map_batches(overlap, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ----------------------- repetition quality signals ------------------------
 
 
@@ -590,6 +651,33 @@ SELECT lang, count(*)::BIGINT AS n_docs,
 FROM pred GROUP BY lang ORDER BY lang
 """.strip()
 
+
+# engine-identical shingles (same tokenizer regex + short-doc rule as the
+# dedup family); benchmark = doc_id % 29 == 0, training = the rest; a
+# training doc's overlap count = |distinct shingles ∩ benchmark shingles|
+SQL["text_decontaminate"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+          WHERE doc_id % {DECON_BENCH_MOD} = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh
+       WHERE doc_id % {DECON_BENCH_MOD} <> 0)
+SELECT tr.doc_id, count(*)::BIGINT AS n_overlap
+FROM tr JOIN bench ON tr.g = bench.g
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+""".strip()
 
 SQL["text_langid"] = _langid_sql()
 

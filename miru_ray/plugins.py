@@ -216,7 +216,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("events_inbox_lookup", A.inbox_lookup),
                      ("events_unread_counts", A.unread_counts),
                      ("events_sessions", A.sessions),
-                     ("events_rolling_counts", A.rolling_counts)):
+                     ("events_rolling_counts", A.rolling_counts),
+                     ("events_asof_purchase_click", A.asof_join)):
         reg(name, fn, A.SQL.get(name), ("analytics",))
     # ---- dedup family (§2.8 + training-data ops) ----
     for name, fn in (("dedup_exact_docs", D.exact_dedup),
@@ -239,8 +240,13 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("text_langid", T.langid),
                      ("text_fingerprints", T.fingerprints),
                      ("text_pii_scan", T.pii_scan),
-                     ("text_repetition_stats", T.repetition_stats)):
+                     ("text_repetition_stats", T.repetition_stats),
+                     ("text_decontaminate", T.decontaminate)):
         reg(name, fn, T.SQL.get(name), ("textstats",))
+    # ---- deterministic mixture sampling (training-data mixing) ----
+    from .ops import mixing as Mx
+    reg("mix_sample_counts", Mx.mixture_sample,
+        Mx.SQL.get("mix_sample_counts"), ("mixing",))
     # ---- relational / reco (§2.5, §2.6) ----
     for name, fn in (("rel_pricing_summary", R.pricing_summary),
                      ("rel_revenue_by_nation", R.revenue_by_nation),

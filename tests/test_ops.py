@@ -428,3 +428,89 @@ def test_catwalk_store_merge_equals_full_rebuild(tmp_path):
     assert C.model_store_model(store).equals(full)
     C.model_store_merge(SF, store, upto_us=None)  # watermark → empty delta
     assert C.model_store_model(store).equals(full)
+
+
+def test_asof_join_seam_invariance_and_oracle():
+    """The as-of join must be invariant to the batch tiling of the sorted
+    stream (64-row batches force pending purchases whose prior click lives
+    several batches back) and must equal the strict-< group-max SQL
+    oracle, including the same-timestamp exclusion."""
+    import duckdb
+
+    from miru_ray.ops.analytics import SQL, asof_join
+    small = asof_join(SF, _batch_size=64).to_pandas()
+    big = asof_join(SF).to_pandas()
+    assert small.equals(big), "tiling changed the as-of answer"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.execute(SQL["events_asof_purchase_click"]).fetchdf()
+    assert len(want) > 0
+    got = small.reset_index(drop=True)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["ts"].to_numpy() == want["ts"].to_numpy()).all()
+    assert (got["click_ts"].to_numpy() == want["click_ts"].to_numpy()).all()
+
+
+def test_asof_join_strictness_and_no_prior():
+    """Planted micro-case: same-ts click never matches, purchases with no
+    prior click drop, cross-batch carry picks the LATEST earlier click."""
+    import pyarrow as pa
+
+    from miru_ray.ops import analytics as A
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "event_type": pa.array(["click", "click", "purchase",
+                                "click", "purchase", "purchase", "click"]),
+        "ts": pa.array([100, 200, 300, 500, 500, 700, 800], pa.int64())
+              .cast(pa.timestamp("us")),
+        "value": pa.array([0.0] * 7), "props": pa.array([""] * 7)})
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pqw
+        pqw.write_table(t, os.path.join(d, "events.parquet"))
+        for bs in (2, 65536):
+            out = A.asof_join(d, _batch_size=bs).to_pandas()
+            # user 1: purchase@300 ← click@200 (latest prior)
+            # user 2: purchase@500 has only a SAME-ts click → dropped
+            # user 3: purchase@700 precedes its click → dropped
+            assert out["event_id"].tolist() == [3], bs
+            assert int(out["click_ts"].astype("int64").iloc[0]) == 200
+
+
+def test_mixture_sample_out_path_matches_counts(tmp_path):
+    """The exported kept rows must agree with the accounting pass (one
+    shared keep definition), and rates must be per-source stable."""
+    import pyarrow.parquet as pq
+
+    from miru_ray.ops.mixing import RATE_MILLIONTHS, mixture_sample
+    out_dir = str(tmp_path / "mix")
+    counts = mixture_sample(SF, out_path=out_dir).to_pandas()
+    kept = pq.ParquetDataset(out_dir).read().to_pandas()
+    per_src = kept.groupby("source").size()
+    for _, row in counts.iterrows():
+        assert per_src.get(row["source"], 0) == row["n_kept"], row["source"]
+        assert row["rate_millionths"] in RATE_MILLIONTHS
+        assert 0 <= row["n_kept"] <= row["n_total"]
+    # at least two different rate buckets hit on the 20-source fixture
+    assert counts["rate_millionths"].nunique() >= 2
+
+
+def test_decontaminate_brute_force(docs_dup):
+    """Engine decontamination equals the brute-force shingle-set overlap
+    computed directly on the raw documents table."""
+    import pyarrow.parquet as pq
+
+    from miru_ray.ops.dedup import _shingles
+    from miru_ray.ops.textstats import DECON_BENCH_MOD, decontaminate
+    from miru_ray.tokenize import py_tokenize
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sh = {int(d): _shingles(py_tokenize(x))
+          for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    bench = set().union(*(s for d, s in sh.items()
+                          if d % DECON_BENCH_MOD == 0))
+    want = {d: len(s & bench) for d, s in sh.items()
+            if d % DECON_BENCH_MOD != 0 and s & bench}
+    got = decontaminate(SF).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_overlap"])) == want
