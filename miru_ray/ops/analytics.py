@@ -534,11 +534,16 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
     purchase ← latest-prior-click attribution).  Ray Data has no as-of
     join; this is the sessions-style composition — ONE all-to-all
     ``sort(user_id, ts, kind)``, then every batch resolves its joins
-    locally with a vectorized running-max scan and emits O(users+1) tiny
-    seam rows; the driver resolves only the cross-batch leftovers with a
-    ``merge_asof`` over those smalls.  Output is the query result
-    (O(matched left events)); lefts with no prior right are dropped
-    (inner-asof semantics, matching the SQL oracle).
+    locally with a vectorized running-max scan, emitting per-(batch, user)
+    seam rows (O(users + batches) total — users are contiguous in the
+    sort) plus its unresolved lefts.  A SECOND streaming pass resolves
+    those leftovers against the broadcast seam table (strict backward
+    ``merge_asof`` per batch) and drops unresolvable lefts worker-side,
+    so the driver only ever receives final join rows — O(matched left
+    events), the query result.  Lefts with no prior right are dropped
+    (inner-asof semantics, matching the SQL oracle).  At a scale where
+    the seam table itself outgrows a broadcast, hash-partition pendings
+    and seams by user instead — same algebra, one extra shuffle.
 
     Correctness of the seam scheme: batches are contiguous slices of the
     global sort (asserted).  A left event unresolved in its own batch can
@@ -626,26 +631,48 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
             return empty
         return pa.concat_tables([p.cast(empty.schema) for p in parts])
 
+    # materialize: the seam gather and the resolve pass both consume the
+    # partials; a lazy Dataset would re-run the sort per consumer
     agg = srt.map_batches(partial, batch_format="pyarrow",
-                          batch_size=_batch_size).to_pandas()
-    ans = agg[agg["mk"] == 0][["event_id", "ts", "rts"]]
-    pend = agg[agg["mk"] == 1][["event_id", "ts", "user_id"]]
-    bnd = agg[agg["mk"] == 2][["user_id", "rts"]]
-    if len(pend) and len(bnd):
-        res = pd.merge_asof(
-            pend.sort_values("ts", kind="mergesort"),
-            bnd.rename(columns={"rts": "b_rts"})
-               .sort_values("b_rts", kind="mergesort"),
-            left_on="ts", right_on="b_rts", by="user_id",
-            allow_exact_matches=False)
-        res = res.dropna(subset=["b_rts"])
-        if len(res):
-            res = res.rename(columns={"b_rts": "rts"})
-            res["rts"] = res["rts"].astype(np.int64)
-            ans = pd.concat([ans[["event_id", "ts", "rts"]],
-                             res[["event_id", "ts", "rts"]]],
-                            ignore_index=True)
-    ans = ans.sort_values("event_id").reset_index(drop=True)
+                          batch_size=_batch_size).materialize()
+    bnd = (agg.filter(expr="mk == 2").to_pandas()[["user_id", "rts"]]
+           .rename(columns={"rts": "b_rts"})
+           .sort_values("b_rts", kind="mergesort").reset_index(drop=True))
+    bnd_ref = ray.put(bnd)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        """mk=0 rows pass through; mk=1 pendings resolve against the
+        broadcast seam table (any seam right with rts >= the pending's ts
+        is from its own or a later batch and is correctly excluded by the
+        strict backward match); unresolvable lefts drop HERE, worker-side."""
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("ts", pa.int64()), ("rts", pa.int64())])
+        mk = t["mk"].to_numpy()
+        parts = [t.filter(pa.array(mk == 0))
+                 .select(["event_id", "ts", "rts"]).cast(out_schema)]
+        if (mk == 1).any():
+            seam = ray.get(bnd_ref)
+            if len(seam):
+                pnd = (t.filter(pa.array(mk == 1))
+                       .select(["event_id", "ts", "user_id"]).to_pandas()
+                       .sort_values("ts", kind="mergesort"))
+                res = pd.merge_asof(pnd, seam, left_on="ts",
+                                    right_on="b_rts", by="user_id",
+                                    allow_exact_matches=False)
+                res = res.dropna(subset=["b_rts"])
+                if len(res):
+                    parts.append(pa.table({
+                        "event_id": pa.array(res["event_id"].to_numpy()
+                                             .astype(np.int64)),
+                        "ts": pa.array(res["ts"].to_numpy()
+                                       .astype(np.int64)),
+                        "rts": pa.array(res["b_rts"].to_numpy()
+                                        .astype(np.int64))}))
+        return pa.concat_tables(parts)
+
+    ans = (agg.map_batches(resolve, batch_format="pyarrow",
+                           batch_size=_batch_size).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
     out_col = f"{right_type}_ts"
     return pa.table({
         "event_id": pa.array(ans["event_id"].to_numpy().astype(np.int64)),

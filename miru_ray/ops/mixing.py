@@ -74,7 +74,11 @@ def mixture_sample(sf_dir: str, out_path: str | None = None) -> pa.Table:
                       "k": pa.array(keep.astype(np.int64))})
         g = t.group_by(["source", "rate_millionths"]).aggregate(
             [("k", "sum"), ("k", "count")])
-        return g.rename_columns(["source", "rate_millionths", "kept", "tot"])
+        # name-based selection: pyarrow's key-vs-aggregate column ORDER has
+        # changed across versions, so positional renames are a trap
+        return pa.table({"source": g["source"],
+                         "rate_millionths": g["rate_millionths"],
+                         "kept": g["k_sum"], "tot": g["k_count"]})
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=8192)

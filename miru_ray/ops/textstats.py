@@ -47,7 +47,9 @@ def token_count_by_source(sf_dir: str) -> pa.Table:
         t = pa.table({"source": b["source"], "n_tokens": pa.array(dl)})
         g = t.group_by("source").aggregate(
             [("n_tokens", "sum"), ("n_tokens", "count")])
-        return g.rename_columns(["source", "tok", "docs"])
+        # name-based: pyarrow's key-vs-aggregate column order varies
+        return pa.table({"source": g["source"], "tok": g["n_tokens_sum"],
+                         "docs": g["n_tokens_count"]})
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
     out = partials.groupby("source").aggregate(
@@ -654,7 +656,9 @@ FROM pred GROUP BY lang ORDER BY lang
 
 # engine-identical shingles (same tokenizer regex + short-doc rule as the
 # dedup family); benchmark = doc_id % 29 == 0, training = the rest; a
-# training doc's overlap count = |distinct shingles ∩ benchmark shingles|
+# training doc's overlap count = |distinct shingles ∩ benchmark shingles|.
+# The join is over md5_number_lower(gram) — the SAME 64-bit hash the
+# engine compares — so parity holds bit-for-bit even under hash collision
 SQL["text_decontaminate"] = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -669,9 +673,9 @@ sh AS (
          END AS s
   FROM toks
 ),
-bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+bench AS (SELECT DISTINCT md5_number_lower(unnest(s)) AS g FROM sh
           WHERE doc_id % {DECON_BENCH_MOD} = 0),
-tr AS (SELECT doc_id, unnest(s) AS g FROM sh
+tr AS (SELECT doc_id, md5_number_lower(unnest(s)) AS g FROM sh
        WHERE doc_id % {DECON_BENCH_MOD} <> 0)
 SELECT tr.doc_id, count(*)::BIGINT AS n_overlap
 FROM tr JOIN bench ON tr.g = bench.g

@@ -497,7 +497,7 @@ def test_mixture_sample_out_path_matches_counts(tmp_path):
     assert counts["rate_millionths"].nunique() >= 2
 
 
-def test_decontaminate_brute_force(docs_dup):
+def test_decontaminate_brute_force():
     """Engine decontamination equals the brute-force shingle-set overlap
     computed directly on the raw documents table."""
     import pyarrow.parquet as pq
