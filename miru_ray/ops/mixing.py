@@ -28,11 +28,13 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..tokenize import explode_tokens
 from ..util import md5_64
 
 #: rate buckets in millionths (1e6 = keep all): source → bucket by
@@ -99,7 +101,146 @@ def mixture_sample(sf_dir: str, out_path: str | None = None) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+#: default budget fraction — keep the first half of the corpus's tokens
+BUDGET_NUM, BUDGET_DEN = 1, 2
+
+
+def token_budget_sample(sf_dir: str, budget_num: int = BUDGET_NUM,
+                        budget_den: int = BUDGET_DEN,
+                        out_path: str | None = None) -> pa.Table:
+    """Exact token-budget cut: keep documents in deterministic hash-priority
+    order ``(md5_64(doc_id), doc_id)`` until the cumulative token count
+    reaches ``budget = total_tokens * budget_num // budget_den`` (the doc
+    that crosses the budget is included — exclusive-prefix rule).
+
+    This is the standard "sample N tokens from the corpus" training-data
+    op, done as an exact distributed prefix-scan rather than a global sort:
+
+    1. one tokenize pass derives the tiny ``(doc_id, source, h, n)`` table
+       (no text column — ~32 B/row — materialized so three consumers don't
+       re-tokenize);
+    2. 256 hash-range buckets (top 8 bits of ``h``) are summed via
+       per-batch partials — only 256 numbers reach the driver, which
+       prefix-scans them to locate the single BOUNDARY bucket;
+    3. only that one bucket's rows (~corpus/256) are sorted exactly to
+       find the cut key ``(h*, doc*)``;
+    4. the keep decision is then row-local: ``bucket < b*  OR  key ≤ cut``.
+
+    Nothing O(corpus) is ever sorted, shuffled, or driver-collected; at
+    10^12 docs raise the bucket-bit count so a bucket stays node-sized.
+    Output: per-source ``(source, n_docs_kept, tokens_kept)``.
+    """
+    ds = _documents(sf_dir, ["doc_id", "source", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        _, _, dl = explode_tokens(b["text"])
+        h = md5_64(np.array([str(int(d)) for d in
+                             b["doc_id"].to_numpy()], dtype=object))
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "h": pa.array(h),
+                         "bucket": pa.array((h >> np.uint64(56))
+                                            .astype(np.int64)),
+                         "n": pa.array(dl)})
+
+    derived = ds.map_batches(derive, batch_format="pyarrow",
+                             batch_size=8192).materialize()
+
+    # ---- phase 2: 256 bucket sums -> budget + boundary bucket ----
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("bucket").aggregate([("n", "sum")])
+        return pa.table({"bucket": g["bucket"], "tok": g["n_sum"]})
+
+    bsums = (derived.map_batches(bucket_partial, batch_format="pyarrow")
+             .to_pandas().groupby("bucket", as_index=False)["tok"].sum()
+             .sort_values("bucket").reset_index(drop=True))
+    total = int(bsums["tok"].sum())
+    budget = total * budget_num // budget_den
+    cum = bsums["tok"].cumsum()
+    # first bucket where the running total REACHES the budget: every doc in
+    # an earlier bucket has exclusive-prefix < budget (kept), every doc in a
+    # later one has exclusive-prefix >= budget (dropped) — >= not > so that
+    # zero-token docs sitting exactly at the boundary match the SQL rule
+    over = bsums.index[cum >= budget]
+    if len(over) == 0:  # budget >= total: keep everything
+        b_star, cut = np.int64(1 << 62), None
+    else:
+        i = int(over[0])
+        b_star = np.int64(bsums["bucket"].iloc[i])
+        spent_before = int(cum.iloc[i - 1]) if i > 0 else 0
+
+        # ---- phase 3: exact cut inside the one boundary bucket ----
+        def only_boundary(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["bucket"], pa.scalar(int(b_star))))
+
+        bb = (derived.map_batches(only_boundary, batch_format="pyarrow")
+              .to_pandas().sort_values(["h", "doc_id"])
+              .reset_index(drop=True))
+        keep_n = (bb["n"].cumsum() - bb["n"]) < (budget - spent_before)
+        if keep_n.any():
+            last = bb[keep_n].iloc[-1]
+            cut = (np.uint64(last["h"]), np.int64(last["doc_id"]))
+        else:
+            cut = None
+
+    cut_ref = ray.put((int(b_star), None if cut is None
+                       else (int(cut[0]), int(cut[1]))))
+
+    def keep_mask(b: pa.Table) -> np.ndarray:
+        bs, c = ray.get(cut_ref)
+        bucket = b["bucket"].to_numpy()
+        keep = bucket < bs
+        if c is not None:
+            h = b["h"].to_numpy().astype(np.uint64)
+            d = b["doc_id"].to_numpy()
+            hs, ds_ = np.uint64(c[0]), np.int64(c[1])
+            keep = keep | ((bucket == bs) &
+                           ((h < hs) | ((h == hs) & (d <= ds_))))
+        return keep
+
+    # ---- phase 4: row-local keep + per-source accounting ----
+    def account(b: pa.Table) -> pa.Table:
+        k = keep_mask(b)
+        t = pa.table({"source": b["source"],
+                      "kd": pa.array(k.astype(np.int64)),
+                      "kt": pa.array(np.where(k, b["n"].to_numpy(), 0))})
+        g = t.group_by("source").aggregate([("kd", "sum"), ("kt", "sum")])
+        return pa.table({"source": g["source"], "kd": g["kd_sum"],
+                         "kt": g["kt_sum"]})
+
+    out = (derived.map_batches(account, batch_format="pyarrow")
+           .groupby("source").aggregate(
+               Sum("kd", alias_name="n_docs_kept"),
+               Sum("kt", alias_name="tokens_kept")).to_pandas())
+    out = out[out["n_docs_kept"] > 0]
+    out = out.sort_values("source").reset_index(drop=True)
+    out = out[["source", "n_docs_kept", "tokens_kept"]]
+
+    if out_path is not None:
+        (derived.map_batches(
+            lambda b: b.filter(pa.array(keep_mask(b)))
+                       .select(["doc_id", "source", "n"]),
+            batch_format="pyarrow")
+         .write_parquet(out_path, partition_cols=["source"]))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 SQL = {
+    "mix_token_budget": f"""
+WITH d AS (
+  SELECT source, doc_id,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) AS h,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+  FROM documents),
+b AS (SELECT sum(n) * {BUDGET_NUM} // {BUDGET_DEN} AS budget FROM d),
+c AS (
+  SELECT *, sum(n) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cume
+  FROM d)
+SELECT source, count(*)::BIGINT AS n_docs_kept,
+       sum(n)::BIGINT AS tokens_kept
+FROM c, b WHERE c.cume < b.budget
+GROUP BY source ORDER BY source
+""".strip(),
     "mix_sample_counts": f"""
 WITH d AS (
   SELECT source, doc_id,

@@ -328,7 +328,197 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
                      "recall_at_k": pa.array([r[2] for r in recs], pa.float64())})
 
 
+# ------------------------------ IVF index ----------------------------------
+#
+# The second scale path: an inverted-file (IVF) layout.  Cell "centroids"
+# are a fixed, deterministic subset of the corpus vectors (k-means-init
+# style sampling — no iterations, so assignment is a pure function of the
+# data and the SQL oracle can reproduce the WHOLE algorithm exactly: cell
+# assignment, probe list, and final ranking).  Each vector is written ONCE
+# under its nearest-centroid partition; a query probes only its `nprobe`
+# closest cells.  Contrast with the LSH layout above (×_N_TABLES storage,
+# ring probes): IVF stores 1× and tunes recall with nprobe.
+
+_IVF_CENTROIDS = 16   # cells: vectors with vec_id < 16, unit-normalized
+_IVF_NPROBE = 4       # cells probed per query
+
+
+def _centroid_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(cid ascending, unit-normalized centroid matrix)."""
+    return _query_matrix(sf_dir, list(range(_IVF_CENTROIDS)))
+
+
+def _ivf_cells(Mn: np.ndarray, Cn: np.ndarray) -> np.ndarray:
+    """Nearest-centroid cell per row; ties break to the LOWEST cid
+    (np.argmax picks the first maximum — mirror of the oracle's
+    ``ORDER BY cos DESC, cid ASC``)."""
+    return np.argmax(Mn @ Cn.T, axis=1).astype(np.int64)
+
+
+def build_ivf_index(sf_dir: str) -> str:
+    """One streaming pass assigns every vector to its nearest centroid and
+    writes a cell-partitioned Parquet layout + a bucket catalog marker
+    (same crash-safe / stale-geometry protocol as the LSH index)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = input_fingerprint([src])[:16]
+    d = os.path.join(ANN_CACHE_ROOT, f"ivf_{fp}_v1")
+    marker = os.path.join(d, "_DONE.json")
+    if os.path.exists(marker):
+        m = read_json(marker)
+        if m.get("fp") == fp and m.get("centroids") == _IVF_CENTROIDS:
+            return d
+    if os.path.exists(d):  # half-written index from a crashed build
+        import shutil
+        shutil.rmtree(d)
+
+    cids, Cn = _centroid_matrix(sf_dir)
+    C_ref = ray.put((cids, Cn))
+
+    def assign(b: pa.Table) -> pa.Table:
+        cids, Cn = ray.get(C_ref)
+        ids, M = _matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pa.table({"cell": pa.array(cids[_ivf_cells(Mn, Cn)]),
+                         "vec_id": b["vec_id"],
+                         "embedding": b["embedding"]})
+
+    _embeddings(sf_dir).map_batches(
+        assign, batch_format="pyarrow", batch_size=2048).write_parquet(
+        d, partition_cols=["cell"], compression="zstd")
+    buckets: dict[str, list[str]] = {}
+    for e in sorted(os.listdir(d)):
+        if e.startswith("cell="):
+            files = sorted(f for f in os.listdir(os.path.join(d, e))
+                           if f.endswith(".parquet"))
+            buckets[e.split("=", 1)[1]] = [f"{e}/{f}" for f in files]
+    atomic_write_json(marker, {"fp": fp, "centroids": _IVF_CENTROIDS,
+                               "buckets": buckets})
+    return d
+
+
+def ann_ivf_query(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
+                  nprobe: int = _IVF_NPROBE) -> tuple[pa.Table, dict]:
+    """IVF probe: rank cells per query by centroid cosine, read ONLY the
+    top-``nprobe`` cell partitions, exact-rerank candidates.  Returns
+    (result, io_stats) — probe bytes are a strict subset of index bytes."""
+    idx = build_ivf_index(sf_dir)
+    q_ids, Qn = _query_matrix(sf_dir, vec_ids)
+    cids, Cn = _centroid_matrix(sf_dir)
+    sims = Qn @ Cn.T                                  # (nq, cells)
+    order = np.argsort(-sims, axis=1, kind="stable")  # ties -> lowest cid
+    probe_cells = [cids[order[qi, :nprobe]] for qi in range(len(q_ids))]
+    probe: set[int] = {int(c) for cells in probe_cells for c in cells}
+
+    catalog = read_json(os.path.join(idx, "_DONE.json"))["buckets"]
+    hit_files = [os.path.join(idx, rel) for c, rels in catalog.items()
+                 if int(c) in probe for rel in rels]
+    all_files = [os.path.join(idx, rel) for rels in catalog.values()
+                 for rel in rels]
+    io_stats = {
+        "cells_total": len(catalog),
+        "cells_read": sum(int(c) in probe for c in catalog),
+        "bytes_total": sum(os.path.getsize(f) for f in all_files),
+        "bytes_read": sum(os.path.getsize(f) for f in hit_files),
+    }
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64())})
+    if not hit_files:
+        return empty, io_stats
+
+    rings = [np.sort(c.astype(np.int64)) for c in probe_cells]
+    ref = ray.put((q_ids, Qn, rings))
+
+    class Probe:
+        def __init__(self):
+            self.q_ids, self.Qn, self.rings = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import re
+            paths = np.asarray(b["path"].to_pandas(), dtype=object)
+            codes, uniq = pd.factorize(paths, sort=False)
+            uniq_c = np.array([int(re.search(r"cell=(\d+)", p).group(1))
+                               for p in uniq], np.int64)
+            cells = uniq_c[codes]
+            b = b.drop_columns(["path"])
+            ids, M = _matrix(b)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            qs, vs, cs = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                ring = self.rings[qi]
+                pos = np.searchsorted(ring, cells)
+                hit = (pos < len(ring)) & (
+                    ring[np.minimum(pos, len(ring) - 1)] == cells) \
+                    & (ids != qid)
+                if not hit.any():
+                    continue
+                sims = Mn[hit] @ self.Qn[qi]
+                qs.append(np.full(int(hit.sum()), qid, np.int64))
+                vs.append(ids[hit])
+                cs.append(sims)
+            if not qs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
+            return pa.table({"query_id": pa.array(np.concatenate(qs)),
+                             "vec_id": pa.array(np.concatenate(vs)),
+                             "cos": pa.array(np.concatenate(cs))})
+
+    parts = ray.data.read_parquet(
+        hit_files, include_paths=True).map_batches(
+        Probe, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 4)).to_pandas()
+    if len(parts):
+        return _rank_topk(parts, k), io_stats
+    return empty, io_stats
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
+                 nprobe: int = _IVF_NPROBE) -> pa.Table:
+    """Registered IVF query — unlike LSH, the whole algorithm is
+    deterministic (fixed centroids, argmax assignment, argsort probe), so
+    it carries an EXACT SQL oracle, not just a recall report."""
+    res, _io = ann_ivf_query(sf_dir, k, vec_ids, nprobe)
+    return res
+
+
+def _ivf_sql(k: int = 10) -> str:
+    qs = ", ".join(map(str, QUERY_VEC_IDS))
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+asn AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.ve, c.ce) DESC, c.cid ASC) rn
+    FROM v CROSS JOIN cent c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN ({qs})),
+probe AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid ASC) rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {_IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         row_number() OVER (PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(e.ve, q.qe) DESC,
+                    a.vec_id ASC) rn
+  FROM probe p
+  JOIN asn a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN v e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id)
+SELECT query_id, rn::BIGINT AS rank, vec_id FROM scored WHERE rn <= {k}
+ORDER BY query_id, rank
+""".strip()
+
+
 SQL = {
+    "ann_ivf_topk": _ivf_sql(10),
     "ann_bruteforce_topk": f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -233,6 +233,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     reg("ann_bruteforce_topk", Sim.ann_bruteforce_topk,
         Sim.SQL.get("ann_bruteforce_topk"), ("similarity",))
     reg("ann_lsh_recall", Sim.ann_lsh_topk, None, ("similarity", "approx"))
+    reg("ann_ivf_topk", Sim.ann_ivf_topk,
+        Sim.SQL.get("ann_ivf_topk"), ("similarity",))
     # ---- text analysis ----
     for name, fn in (("text_token_count_by_source", T.token_count_by_source),
                      ("text_bpe_token_estimate", T.bpe_token_estimate),
@@ -247,6 +249,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     from .ops import mixing as Mx
     reg("mix_sample_counts", Mx.mixture_sample,
         Mx.SQL.get("mix_sample_counts"), ("mixing",))
+    reg("mix_token_budget", Mx.token_budget_sample,
+        Mx.SQL.get("mix_token_budget"), ("mixing",))
     # ---- relational / reco (§2.5, §2.6) ----
     for name, fn in (("rel_pricing_summary", R.pricing_summary),
                      ("rel_revenue_by_nation", R.revenue_by_nation),

@@ -514,3 +514,79 @@ def test_decontaminate_brute_force():
             if d % DECON_BENCH_MOD != 0 and s & bench}
     got = decontaminate(SF).to_pandas()
     assert dict(zip(got["doc_id"], got["n_overlap"])) == want
+
+
+def test_token_budget_matches_oracle_and_export(tmp_path):
+    """Distributed prefix-scan cut == the window-function SQL; the export
+    stream contains exactly the accounted rows."""
+    import duckdb
+
+    from miru_ray.ops.mixing import SQL, token_budget_sample
+    out_dir = str(tmp_path / "budget")
+    got = token_budget_sample(SF, out_path=out_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{SF}/documents.parquet'")
+    want = con.execute(SQL["mix_token_budget"]).fetchdf()
+    for c in ("n_docs_kept", "tokens_kept"):
+        want[c] = want[c].astype("int64")
+    assert got.equals(want.reset_index(drop=True)), (got, want)
+    kept = pq.ParquetDataset(out_dir).read().to_pandas()
+    assert len(kept) == got["n_docs_kept"].sum()
+    assert kept["n"].sum() == got["tokens_kept"].sum()
+    # the cut is real: roughly half the corpus tokens, never more than
+    # budget + one boundary doc
+    total = con.execute(
+        "SELECT sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))"
+        " FROM documents").fetchone()[0]
+    assert got["tokens_kept"].sum() >= total // 2
+    assert got["tokens_kept"].sum() - total // 2 <= kept["n"].max()
+
+
+def test_token_budget_boundary_zero_token_docs(tmp_path):
+    """Exactness at the boundary: zero-token docs whose exclusive prefix
+    equals the budget must be DROPPED (strict `cume < budget`), wherever
+    the hash order places them."""
+    import duckdb
+    import pyarrow as pa
+
+    from miru_ray.ops.mixing import SQL, token_budget_sample
+    texts = (["alpha beta gamma", "", "delta", "", "ep zeta eta theta",
+              "one two", "", "three", "x y z w", ""] * 3)[:30]
+    t = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                  "source": pa.array([f"s{i % 3}" for i in range(30)]),
+                  "text": pa.array(texts)})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{d}/documents.parquet'")
+    for num, den in ((1, 2), (1, 3), (9, 10), (1, 1), (3, 2), (0, 1)):
+        got = token_budget_sample(d, num, den).to_pandas()
+        sql = SQL["mix_token_budget"].replace(
+            "* 1 // 2", f"* {num} // {den}")
+        want = con.execute(sql).fetchdf()
+        for c in ("n_docs_kept", "tokens_kept"):
+            want[c] = want[c].astype("int64")
+        assert got.equals(want.reset_index(drop=True)), (num, den, got, want)
+
+
+def test_ann_ivf_matches_oracle_and_reads_subset():
+    """IVF cell layout: exact oracle parity (the whole algorithm is
+    deterministic) and probe IO strictly below index IO."""
+    import duckdb
+
+    from miru_ray.ops.similarity import _IVF_NPROBE, SQL, ann_ivf_query
+    res, io = ann_ivf_query(SF)
+    assert io["cells_read"] < io["cells_total"]
+    assert 0 < io["bytes_read"] < io["bytes_total"]
+    # 4 queries × nprobe cells, minus overlaps, bounds the cells touched
+    assert io["cells_read"] <= 4 * _IVF_NPROBE
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * "
+                f"FROM '{SF}/embeddings.parquet'")
+    want = con.execute(SQL["ann_ivf_topk"]).fetchdf()
+    got = res.to_pandas()
+    assert got.reset_index(drop=True).astype("int64").equals(
+        want.reset_index(drop=True).astype("int64"))
