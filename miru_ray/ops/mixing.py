@@ -229,7 +229,8 @@ SQL = {
 WITH d AS (
   SELECT source, doc_id,
          md5_number_lower(CAST(doc_id AS VARCHAR)) AS h,
-         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+         coalesce(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                  0)::BIGINT AS n
   FROM documents),
 b AS (SELECT sum(n) * {BUDGET_NUM} // {BUDGET_DEN} AS budget FROM d),
 c AS (

@@ -45,14 +45,18 @@ def _matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _query_matrix(sf_dir: str, vec_ids) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.parquet as pq
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
+    """Unit-normalized matrix for a FIXED id set (cid ascending) — a
+    filtered dataset read (row-group pruning + exact filter), never a
+    full-table driver load."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(list(vec_ids)))
     ids, M = _matrix(t)
-    sel = np.isin(ids, vec_ids)
-    order = np.argsort(ids[sel])
-    Q = M[sel][order]
-    return ids[sel][order], Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    Q = M[order]
+    return ids[order], Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
 
 _BRUTE_CACHE: dict = {}
@@ -190,17 +194,9 @@ def build_ann_index(sf_dir: str) -> str:
     _embeddings(sf_dir).map_batches(
         code_batch, batch_format="pyarrow", batch_size=2048).write_parquet(
         d, partition_cols=["tcode"], compression="zstd")
-    # record the bucket → file-list catalog in the marker: probes resolve
-    # buckets from METADATA, never a directory listing (object stores have
-    # no cheap listdir; the catalog is written once at build commit)
-    buckets: dict[str, list[str]] = {}
-    for e in sorted(os.listdir(d)):
-        if e.startswith("tcode="):
-            files = sorted(f for f in os.listdir(os.path.join(d, e))
-                           if f.endswith(".parquet"))
-            buckets[e.split("=", 1)[1]] = [f"{e}/{f}" for f in files]
     atomic_write_json(marker, {"fp": fp, "tables": _N_TABLES,
-                               "planes": _N_PLANES, "buckets": buckets})
+                               "planes": _N_PLANES,
+                               "buckets": _partition_catalog(d, "tcode")})
     return d
 
 
@@ -216,6 +212,96 @@ def _ring(code: int, max_hamming: int) -> list[int]:
                 c ^= 1 << b
             out.append(c)
     return out
+
+
+# ---- shared probe machinery (LSH rings and IVF cells differ only in the
+# ---- partition key and how the per-query key set is enumerated) ----
+
+def _partition_catalog(d: str, key: str) -> dict[str, list[str]]:
+    """bucket/cell value → relative parquet file list, recorded once in the
+    build marker so probes resolve files from METADATA, never a directory
+    listing (object stores have no cheap listdir)."""
+    out: dict[str, list[str]] = {}
+    for e in sorted(os.listdir(d)):
+        if e.startswith(key + "="):
+            files = sorted(f for f in os.listdir(os.path.join(d, e))
+                           if f.endswith(".parquet"))
+            out[e.split("=", 1)[1]] = [f"{e}/{f}" for f in files]
+    return out
+
+
+def _probe_io(idx: str, probe: set[int], unit: str) -> tuple[list[str], dict]:
+    """(files to read, io_stats) — io_stats proves the probe reads a strict
+    subset of the index bytes."""
+    catalog = read_json(os.path.join(idx, "_DONE.json"))["buckets"]
+    hit = [os.path.join(idx, rel) for c, rels in catalog.items()
+           if int(c) in probe for rel in rels]
+    alln = [os.path.join(idx, rel) for rels in catalog.values()
+            for rel in rels]
+    return hit, {
+        f"{unit}_total": len(catalog),
+        f"{unit}_read": sum(int(c) in probe for c in catalog),
+        "bytes_total": sum(os.path.getsize(f) for f in alln),
+        "bytes_read": sum(os.path.getsize(f) for f in hit),
+    }
+
+
+def _empty_topk() -> pa.Table:
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "rank": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64())})
+
+
+class _PartitionProbe:
+    """Candidate scorer shared by the LSH and IVF probes: decode the
+    partition key from the hive path (few distinct paths per batch —
+    decode once per distinct), keep rows whose key is in the query's
+    sorted key set, exact cosine against the query vector."""
+
+    def __init__(self, ref, key_re: str):
+        import re
+        self.q_ids, self.Qn, self.rings = ray.get(ref)
+        self.key_re = re.compile(key_re)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        paths = np.asarray(b["path"].to_pandas(), dtype=object)
+        codes, uniq = pd.factorize(paths, sort=False)
+        uniq_t = np.array([int(self.key_re.search(p).group(1))
+                           for p in uniq], np.int64)
+        keys = uniq_t[codes]
+        b = b.drop_columns(["path"])
+        ids, M = _matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        qs, vs, cs = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            ring = self.rings[qi]
+            pos = np.searchsorted(ring, keys)
+            hit = (pos < len(ring)) & (
+                ring[np.minimum(pos, len(ring) - 1)] == keys) \
+                & (ids != qid)
+            if not hit.any():
+                continue
+            sims = Mn[hit] @ self.Qn[qi]
+            qs.append(np.full(int(hit.sum()), qid, np.int64))
+            vs.append(ids[hit])
+            cs.append(sims)
+        if not qs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(qs)),
+                         "vec_id": pa.array(np.concatenate(vs)),
+                         "cos": pa.array(np.concatenate(cs))})
+
+
+def _run_probe(hit_files: list[str], ref, key_re: str) -> pd.DataFrame:
+    # only the probed PARTITION files are handed to the reader — the
+    # probe's input IO is exactly `bytes_read` of the index
+    return ray.data.read_parquet(
+        hit_files, include_paths=True).map_batches(
+        _PartitionProbe, fn_constructor_args=(ref, key_re),
+        batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 4)).to_pandas()
 
 
 def ann_lsh_query(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
@@ -237,76 +323,16 @@ def ann_lsh_query(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
         per_query_rings.append(np.array(sorted(ring), np.int64))
         probe.update(ring)
 
-    # bucket catalog comes from the build-time marker METADATA — no
-    # directory listing at query time (works on object stores)
-    catalog = read_json(os.path.join(idx, "_DONE.json"))["buckets"]
-    hit_files = [os.path.join(idx, rel) for c, rels in catalog.items()
-                 if int(c) in probe for rel in rels]
-    all_files = [os.path.join(idx, rel) for rels in catalog.values()
-                 for rel in rels]
-    io_stats = {
-        "buckets_total": len(catalog),
-        "buckets_read": sum(int(c) in probe for c in catalog),
-        "bytes_total": sum(os.path.getsize(f) for f in all_files),
-        "bytes_read": sum(os.path.getsize(f) for f in hit_files),
-    }
+    hit_files, io_stats = _probe_io(idx, probe, "buckets")
     if not hit_files:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64())}), io_stats
-
+        return _empty_topk(), io_stats
     ref = ray.put((q_ids, Qn, per_query_rings))
-
-    class Probe:
-        def __init__(self):
-            self.q_ids, self.Qn, self.rings = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            # bucket id comes from the hive dir name (include_paths=True);
-            # few distinct paths per batch → decode once per distinct
-            import re
-            paths = np.asarray(b["path"].to_pandas(), dtype=object)
-            codes, uniq = pd.factorize(paths, sort=False)
-            uniq_t = np.array([int(re.search(r"tcode=(\d+)", p).group(1))
-                               for p in uniq], np.int64)
-            tcodes = uniq_t[codes]
-            b = b.drop_columns(["path"])
-            ids, M = _matrix(b)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            qs, vs, cs = [], [], []
-            for qi, qid in enumerate(self.q_ids):
-                ring = self.rings[qi]
-                pos = np.searchsorted(ring, tcodes)
-                hit = (pos < len(ring)) & (
-                    ring[np.minimum(pos, len(ring) - 1)] == tcodes) \
-                    & (ids != qid)
-                if not hit.any():
-                    continue
-                sims = Mn[hit] @ self.Qn[qi]
-                qs.append(np.full(int(hit.sum()), qid, np.int64))
-                vs.append(ids[hit])
-                cs.append(sims)
-            if not qs:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cos": pa.array([], pa.float64())})
-            return pa.table({"query_id": pa.array(np.concatenate(qs)),
-                             "vec_id": pa.array(np.concatenate(vs)),
-                             "cos": pa.array(np.concatenate(cs))})
-
-    # only the ring's bucket FILES are handed to the reader — the probe's
-    # input IO is exactly `bytes_read` of the index, never the corpus
-    parts = ray.data.read_parquet(
-        hit_files, include_paths=True).map_batches(
-        Probe, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, 4)).to_pandas()
+    parts = _run_probe(hit_files, ref, r"tcode=(\d+)")
     # a vector replicated across tables can surface multiple times — dedupe
     parts = parts.drop_duplicates(["query_id", "vec_id"])
     if len(parts):
         return _rank_topk(parts, k), io_stats
-    return pa.table({"query_id": pa.array([], pa.int64()),
-                     "rank": pa.array([], pa.int64()),
-                     "vec_id": pa.array([], pa.int64())}), io_stats
+    return _empty_topk(), io_stats
 
 
 def ann_lsh_topk(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
@@ -385,14 +411,8 @@ def build_ivf_index(sf_dir: str) -> str:
     _embeddings(sf_dir).map_batches(
         assign, batch_format="pyarrow", batch_size=2048).write_parquet(
         d, partition_cols=["cell"], compression="zstd")
-    buckets: dict[str, list[str]] = {}
-    for e in sorted(os.listdir(d)):
-        if e.startswith("cell="):
-            files = sorted(f for f in os.listdir(os.path.join(d, e))
-                           if f.endswith(".parquet"))
-            buckets[e.split("=", 1)[1]] = [f"{e}/{f}" for f in files]
     atomic_write_json(marker, {"fp": fp, "centroids": _IVF_CENTROIDS,
-                               "buckets": buckets})
+                               "buckets": _partition_catalog(d, "cell")})
     return d
 
 
@@ -402,82 +422,43 @@ def ann_ivf_query(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
     top-``nprobe`` cell partitions, exact-rerank candidates.  Returns
     (result, io_stats) — probe bytes are a strict subset of index bytes."""
     idx = build_ivf_index(sf_dir)
-    q_ids, Qn = _query_matrix(sf_dir, vec_ids)
-    cids, Cn = _centroid_matrix(sf_dir)
+    # one filtered read covers centroids AND queries (with the defaults the
+    # query ids are a subset of the centroid range — slice, don't re-read)
+    want = sorted(set(range(_IVF_CENTROIDS)) | set(int(v) for v in vec_ids))
+    ids_all, Mn_all = _query_matrix(sf_dir, want)
+    cid_sel = ids_all < _IVF_CENTROIDS
+    cids, Cn = ids_all[cid_sel], Mn_all[cid_sel]
+    q_sel = np.isin(ids_all, vec_ids)
+    q_ids, Qn = ids_all[q_sel], Mn_all[q_sel]
     sims = Qn @ Cn.T                                  # (nq, cells)
     order = np.argsort(-sims, axis=1, kind="stable")  # ties -> lowest cid
     probe_cells = [cids[order[qi, :nprobe]] for qi in range(len(q_ids))]
     probe: set[int] = {int(c) for cells in probe_cells for c in cells}
 
-    catalog = read_json(os.path.join(idx, "_DONE.json"))["buckets"]
-    hit_files = [os.path.join(idx, rel) for c, rels in catalog.items()
-                 if int(c) in probe for rel in rels]
-    all_files = [os.path.join(idx, rel) for rels in catalog.values()
-                 for rel in rels]
-    io_stats = {
-        "cells_total": len(catalog),
-        "cells_read": sum(int(c) in probe for c in catalog),
-        "bytes_total": sum(os.path.getsize(f) for f in all_files),
-        "bytes_read": sum(os.path.getsize(f) for f in hit_files),
-    }
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "rank": pa.array([], pa.int64()),
-                      "vec_id": pa.array([], pa.int64())})
+    hit_files, io_stats = _probe_io(idx, probe, "cells")
     if not hit_files:
-        return empty, io_stats
-
+        return _empty_topk(), io_stats
     rings = [np.sort(c.astype(np.int64)) for c in probe_cells]
     ref = ray.put((q_ids, Qn, rings))
-
-    class Probe:
-        def __init__(self):
-            self.q_ids, self.Qn, self.rings = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            import re
-            paths = np.asarray(b["path"].to_pandas(), dtype=object)
-            codes, uniq = pd.factorize(paths, sort=False)
-            uniq_c = np.array([int(re.search(r"cell=(\d+)", p).group(1))
-                               for p in uniq], np.int64)
-            cells = uniq_c[codes]
-            b = b.drop_columns(["path"])
-            ids, M = _matrix(b)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            qs, vs, cs = [], [], []
-            for qi, qid in enumerate(self.q_ids):
-                ring = self.rings[qi]
-                pos = np.searchsorted(ring, cells)
-                hit = (pos < len(ring)) & (
-                    ring[np.minimum(pos, len(ring) - 1)] == cells) \
-                    & (ids != qid)
-                if not hit.any():
-                    continue
-                sims = Mn[hit] @ self.Qn[qi]
-                qs.append(np.full(int(hit.sum()), qid, np.int64))
-                vs.append(ids[hit])
-                cs.append(sims)
-            if not qs:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cos": pa.array([], pa.float64())})
-            return pa.table({"query_id": pa.array(np.concatenate(qs)),
-                             "vec_id": pa.array(np.concatenate(vs)),
-                             "cos": pa.array(np.concatenate(cs))})
-
-    parts = ray.data.read_parquet(
-        hit_files, include_paths=True).map_batches(
-        Probe, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, 4)).to_pandas()
+    parts = _run_probe(hit_files, ref, r"cell=(\d+)")
     if len(parts):
         return _rank_topk(parts, k), io_stats
-    return empty, io_stats
+    return _empty_topk(), io_stats
 
 
 def ann_ivf_topk(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
                  nprobe: int = _IVF_NPROBE) -> pa.Table:
     """Registered IVF query — unlike LSH, the whole algorithm is
     deterministic (fixed centroids, argmax assignment, argsort probe), so
-    it carries an EXACT SQL oracle, not just a recall report."""
+    it carries an EXACT SQL oracle, not just a recall report.
+
+    Parity caveat (shared with ``ann_bruteforce_topk``, one step stronger
+    here): cell assignment compares float cosines computed by two engines
+    (numpy matmul vs DuckDB ``list_cosine_similarity``), so a vector whose
+    two best centroids tie within last-ulp noise could flip CELLS — not
+    just rank — between engine and oracle.  Real-valued embeddings make an
+    exact centroid tie measure-zero; a corpus with quantized/duplicated
+    vectors would need an integer tie-break column instead."""
     res, _io = ann_ivf_query(sf_dir, k, vec_ids, nprobe)
     return res
 

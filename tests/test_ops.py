@@ -551,8 +551,8 @@ def test_token_budget_boundary_zero_token_docs(tmp_path):
     import pyarrow as pa
 
     from miru_ray.ops.mixing import SQL, token_budget_sample
-    texts = (["alpha beta gamma", "", "delta", "", "ep zeta eta theta",
-              "one two", "", "three", "x y z w", ""] * 3)[:30]
+    texts = (["alpha beta gamma", "", "delta", None, "ep zeta eta theta",
+              "one two", "", "three", "x y z w", None] * 3)[:30]
     t = pa.table({"doc_id": pa.array(range(30), pa.int64()),
                   "source": pa.array([f"s{i % 3}" for i in range(30)]),
                   "text": pa.array(texts)})
