@@ -569,6 +569,72 @@ def _make_shingle_rows(n: int = 3):
     return shingle_rows
 
 
+SPAN_WINDOW = 15  # tokens per window for duplicated-span detection
+
+
+def substring_spans(sf_dir: str, window: int = SPAN_WINDOW) -> pa.Table:
+    """Duplicated-substring-span profile: for every doc that shares at
+    least one ``window``-token run with another doc, report
+    ``(doc_id, n_windows, n_dup_windows)`` — its distinct window count and
+    how many of those windows occur in ≥2 docs corpus-wide.
+
+    This is the exact-substring duplication signal (public precedent:
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — token-window granularity instead of suffix arrays, which
+    don't distribute).  Pipeline shape, all duplication-bounded:
+
+    1. distinct (doc, window-hash) rows via the vectorized shingle maker
+       (same short-doc whole-text rule, ``window``-gram strings → md5_64);
+    2. duplicated windows via :func:`_colliding_rows` (partial counts →
+       count>1 key set — driver-merge below 2e7 rows, distributed groupby
+       above);
+    3. per-doc dup counts from the colliding rows (duplication-bounded);
+       total window counts ONLY for those docs (broadcast doc-id semi-join
+       + per-batch partials — never a full per-doc groupby).
+    """
+    rows = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _make_shingle_rows(window), batch_format="pyarrow",
+        batch_size=4096).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "whash": pa.array(md5_64_bulk(np.asarray(
+                t["shingle"].to_pandas(), dtype=object)))}),
+        batch_format="pyarrow", batch_size=65536)
+
+    # materialize HERE (not just inside _colliding_rows, whose rebinding is
+    # local) so the window-count consumer below doesn't re-tokenize
+    rows = rows.materialize()
+    # the returned frame holds ONLY (doc, window) rows whose window occurs
+    # >= 2 times — duplication mass
+    coll = _colliding_rows(rows, "whash")
+    if not len(coll):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_windows": pa.array([], pa.int64()),
+                         "n_dup_windows": pa.array([], pa.int64())})
+    per_dup = coll.groupby("doc_id").size()
+    dup_docs = np.sort(per_dup.index.to_numpy().astype(np.int64))
+    doc_ref = ray.put(dup_docs)
+
+    def count_windows(t: pa.Table) -> pa.Table:
+        ks = ray.get(doc_ref)
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ks, d)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == d)
+        kept = t.filter(pa.array(hit))
+        g = kept.group_by("doc_id").aggregate([("whash", "count")])
+        return pa.table({"doc_id": g["doc_id"], "nw": g["whash_count"]})
+
+    nw = (rows.map_batches(count_windows, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+          .groupby("doc_id")["nw"].sum())
+    out = pd.DataFrame({
+        "doc_id": dup_docs,
+        "n_windows": nw.reindex(dup_docs).to_numpy().astype(np.int64),
+        "n_dup_windows": per_dup.reindex(dup_docs).to_numpy()
+                                .astype(np.int64)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                         n: int = 3) -> pa.Table:
     """Exact all-pairs n-gram Jaccard ≥ threshold.
@@ -854,7 +920,38 @@ sh AS (
          END AS s
   FROM toks
 )""".strip()
+    w = SPAN_WINDOW
+    # W-token window CTE: same short-doc whole-text rule as the engine's
+    # _make_shingle_rows(window); windows counted DISTINCT per doc
+    win = f"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents_dup
+),
+win AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < {w} THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(t)-{w - 1}),
+                     i -> array_to_string(t[i:i+{w - 1}], ' ')))
+         END AS ws
+  FROM toks
+),
+rws AS (SELECT doc_id, unnest(ws) AS win FROM win)""".strip()
     return {
+        "dedup_substring_spans": f"""
+WITH {dup},
+{win},
+df AS (SELECT win FROM rws GROUP BY win HAVING count(*) >= 2),
+per AS (SELECT doc_id, count(*) AS nw FROM rws GROUP BY doc_id),
+dupc AS (
+  SELECT r.doc_id, count(*) AS nd FROM rws r JOIN df USING (win)
+  GROUP BY r.doc_id)
+SELECT d.doc_id, per.nw::BIGINT AS n_windows, d.nd::BIGINT AS n_dup_windows
+FROM dupc d JOIN per ON per.doc_id = d.doc_id
+ORDER BY d.doc_id
+""".strip(),
         "dedup_exact_docs": f"""
 WITH {dup}
 SELECT min(doc_id) AS doc_id FROM documents_dup GROUP BY text ORDER BY doc_id

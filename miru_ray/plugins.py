@@ -223,6 +223,7 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     for name, fn in (("dedup_exact_docs", D.exact_dedup),
                      ("dedup_exact_count", D.exact_dedup_count),
                      ("dedup_ngram_jaccard_pairs", D.ngram_jaccard_pairs),
+                     ("dedup_substring_spans", D.substring_spans),
                      ("dedup_minhash_clusters", D.minhash_dedup),
                      ("dedup_simhash_pairs", D.simhash_pairs),
                      ("embedding_neardup_pairs", D.embedding_neardup_pairs)):

@@ -590,3 +590,29 @@ def test_ann_ivf_matches_oracle_and_reads_subset():
     got = res.to_pandas()
     assert got.reset_index(drop=True).astype("int64").equals(
         want.reset_index(drop=True).astype("int64"))
+
+
+def test_substring_spans_matches_oracle_and_planted_copies():
+    """Duplicated-span profile == the window SQL; a planted EXACT copy
+    must have every window duplicated (n_dup_windows == n_windows)."""
+    import duckdb
+
+    from miru_ray.ops.dedup import SQL, substring_spans
+    got = substring_spans(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{SF}/documents.parquet'")
+    want = con.execute(SQL["dedup_substring_spans"]).fetchdf()
+    want["doc_id"] = want["doc_id"].astype("int64")
+    for c in ("n_windows", "n_dup_windows"):
+        want[c] = want[c].astype("int64")
+    assert got.equals(want.reset_index(drop=True)), (got, want)
+    # planted exact copies: originals doc_id%5==3, copies at doc_id+500
+    by_id = got.set_index("doc_id")
+    exact_pairs = [(d, d + 500) for d in range(500) if d % 5 == 3]
+    present = [p for p in exact_pairs if p[0] in by_id.index]
+    assert present, "planted exact copies must surface"
+    for a, b in present:
+        assert b in by_id.index
+        assert by_id.loc[a, "n_dup_windows"] == by_id.loc[a, "n_windows"]
+        assert by_id.loc[b, "n_dup_windows"] == by_id.loc[b, "n_windows"]
