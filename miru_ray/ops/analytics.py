@@ -481,6 +481,107 @@ def sessions(sf_dir: str, gap_us: int = SESSION_GAP_US,
         "n_sessions": pa.array(n_sessions)})
 
 
+QUANTILE_PCTS = (50, 90, 99)
+_Q_BINS = 4096        # histogram resolution per refinement round
+_Q_GATHER_CAP = 262_144  # max rows pulled to the driver for the final pick
+
+
+def value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS) -> pa.Table:
+    """EXACT quantiles of ``events.value`` without a global sort — the
+    distributed selection algorithm: histogram partials → locate the bin
+    holding rank k → refine (re-histogram inside the bin) until the bin is
+    gather-sized → exact pick of the k-th smallest on the driver.
+
+    The k-th smallest VALUE is well-defined under ties, so the result is
+    float-exact (an element of the column, not an interpolation) and the
+    SQL oracle is a plain ``row_number() OVER (ORDER BY value)`` lookup.
+    Per round the driver holds ``_Q_BINS`` counts; only the final bin's
+    rows (≤ ``_Q_GATHER_CAP``, or a collapsed single-value range) are ever
+    collected.  rank k = ceil(pct/100 · n) — 1-based.
+    """
+    ds = _events(sf_dir, ["value"]).materialize()
+
+    def minmax(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy()
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([float(v.min()) if len(v) else np.inf]),
+                         "hi": pa.array([float(v.max()) if len(v) else -np.inf])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow",
+                        batch_size=65536).to_pandas()
+    n = int(mm["n"].sum())
+    if n == 0:
+        return pa.table({"q_pct": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+
+    # bin membership must be IDENTICAL in the histogram pass and the
+    # gather pass (float boundary rounding would otherwise shift ranks):
+    # one shared floor-rule chain — each refinement level is
+    # (lo, width, bin) and a row is a member iff it matches every level.
+    def _bin_idx(v: np.ndarray, lo: float, width: float) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype(np.int64),
+                       0, _Q_BINS - 1)
+
+    def _member_mask(v: np.ndarray, chain) -> np.ndarray:
+        mask = np.ones(len(v), bool)
+        for lo, width, b in chain:
+            mask &= _bin_idx(v, lo, width) == b
+        return mask
+
+    def kth_smallest(k: int) -> float:
+        lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+        if lo == hi:
+            return lo
+        chain: list = []
+        rank, prev_count = k, n + 1
+        while True:
+            width = (hi - lo) / _Q_BINS
+
+            def hist(t: pa.Table) -> pa.Table:
+                v = t["value"].to_numpy()
+                v = v[_member_mask(v, chain)]
+                return pa.table({"h": pa.array(np.bincount(
+                    _bin_idx(v, lo, width),
+                    minlength=_Q_BINS).astype(np.int64))})
+
+            h = (ds.map_batches(hist, batch_format="pyarrow",
+                                batch_size=65536).to_pandas()["h"]
+                 .to_numpy().reshape(-1, _Q_BINS).sum(axis=0))
+            cum = np.cumsum(h)
+            b = int(np.searchsorted(cum, rank))
+            rank -= int(cum[b - 1]) if b else 0
+            count = int(h[b])
+            chain.append((lo, width, b))
+            # stop when the bin is gather-sized OR refinement stalled
+            # (identical values can't split further) — the gather is
+            # (value, count) partials, bounded by DISTINCT values, so a
+            # degenerate all-ties bin still gathers one row per value
+            if count <= _Q_GATHER_CAP or count >= prev_count or width <= 0:
+                def distinct(t: pa.Table) -> pa.Table:
+                    v = t["value"].to_numpy()
+                    v = v[_member_mask(v, chain)]
+                    u, c = np.unique(v, return_counts=True)
+                    return pa.table({"value": pa.array(u),
+                                     "cnt": pa.array(c.astype(np.int64))})
+
+                g = (ds.map_batches(distinct, batch_format="pyarrow",
+                                    batch_size=65536).to_pandas()
+                     .groupby("value", as_index=False)["cnt"].sum()
+                     .sort_values("value"))
+                pos = int(np.searchsorted(g["cnt"].cumsum().to_numpy(),
+                                          rank))
+                return float(g["value"].to_numpy()[pos])
+            prev_count = count
+            lo, hi = lo + b * width, lo + (b + 1) * width
+
+    ks = [(p, (n * p + 99) // 100) for p in pcts]
+    out = [(p, k, kth_smallest(k)) for p, k in ks]
+    return pa.table({"q_pct": pa.array([o[0] for o in out], pa.int64()),
+                     "rank": pa.array([o[1] for o in out], pa.int64()),
+                     "value": pa.array([o[2] for o in out], pa.float64())})
+
+
 def _peakdet(y: np.ndarray, delta: float) -> int:
     """Count peaks: local maxima that rise ≥ delta above the surrounding
     minima (reference: ``PeakDet.java:22-95``, the classic peakdet scan)."""
@@ -824,3 +925,14 @@ ORDER BY slope DESC, event_type ASC LIMIT 3
 # engine's value-range searchsorted window; generated so parameterized
 # callers share one definition with the default registry entry
 SQL["events_rolling_counts"] = rolling_counts_sql()
+
+SQL["events_value_quantiles"] = f"""
+WITH n AS (SELECT count(*) AS n FROM events),
+r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events),
+q AS (SELECT unnest([{", ".join(map(str, QUANTILE_PCTS))}]) AS q_pct)
+SELECT q.q_pct::BIGINT AS q_pct,
+       ((n.n * q.q_pct + 99) // 100)::BIGINT AS rank, r.value
+FROM q, n, r
+WHERE r.rn = (n.n * q.q_pct + 99) // 100
+ORDER BY q_pct
+""".strip()

@@ -616,3 +616,34 @@ def test_substring_spans_matches_oracle_and_planted_copies():
         assert b in by_id.index
         assert by_id.loc[a, "n_dup_windows"] == by_id.loc[a, "n_windows"]
         assert by_id.loc[b, "n_dup_windows"] == by_id.loc[b, "n_windows"]
+
+
+def test_value_quantiles_refinement_and_ties(tmp_path, monkeypatch):
+    """Force the histogram-refinement loop (tiny gather cap) and the
+    stalled-bin guard (a huge tie group): exact parity must hold on every
+    path, including when most of the column is one repeated value."""
+    import duckdb
+    import pyarrow as pa
+
+    from miru_ray.ops import analytics as A
+    vals = ([5.0] * 400 + [float(i) / 7 for i in range(100)]
+            + [5.0 + 1e-12, 4.999999999999]) # neighbors inside 5.0's bin
+    t = pa.table({"event_id": pa.array(range(len(vals)), pa.int64()),
+                  "ts": pa.array([A.T0_US + i for i in range(len(vals))],
+                                 pa.int64()).cast(pa.timestamp("us")),
+                  "user_id": pa.array([0] * len(vals), pa.int64()),
+                  "event_type": pa.array(["x"] * len(vals)),
+                  "value": pa.array(vals, pa.float64()),
+                  "props": pa.array([""] * len(vals))})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    monkeypatch.setattr(A, "_Q_GATHER_CAP", 8)  # force refinement rounds
+    got = A.value_quantiles(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.execute(A.SQL["events_value_quantiles"]).fetchdf()
+    for c in ("q_pct", "rank"):
+        want[c] = want[c].astype("int64")
+    assert got.equals(want.reset_index(drop=True)), (got, want)
+    assert got.set_index("q_pct")["value"][50] == 5.0  # the tie mass
