@@ -1,0 +1,206 @@
+"""Distributed k-means over the embedding column — the topic-clustering
+stage of a training-data curation pipeline (cluster-balanced sampling /
+SemDeDup-style semantic grouping operate on exactly this assignment).
+
+Classic two-pass-per-iteration distributed Lloyd's: centroids are a tiny
+broadcast (``ray.put`` of a k×dim int64 matrix, read zero-copy by every
+task), each iteration is ONE streaming pass emitting per-cluster partial
+sums (k×dim rows per batch — combiner-reduced, no shuffle), and the
+driver merge is O(k·dim).  Nothing driver-side scales with the corpus.
+
+EXACT AND DETERMINISTIC BY CONSTRUCTION — the whole computation is fixed
+point so a serial SQL oracle hash-matches the distributed run:
+
+- inputs quantize once: ``xq = round_even(float64(x)·4096) + 8192``
+  (power-of-two scale ⇒ the float multiply is exact; the offset keeps
+  every value positive so integer division truncation == floor in both
+  engines);
+- centroids live on the ``xq·4096`` grid: seed centroids are
+  ``seed_xq·4096``, updated centroids are ``(Σxq·4096) // count``;
+- distances are integer: ``Σ_d (xq·4096 − c_fp)²`` — bounded by
+  dims·(range·4096)² ≪ 2⁶³ for |x| ≤ 2, dims ≤ 512;
+- assignment ties break to the LOWEST cluster id (np.argmin first-hit ==
+  SQL ``row_number() OVER (ORDER BY dist, cid)``);
+- seeds are the k smallest ``vec_id`` rows; integer sums are
+  reduce-order-free, so parallelism cannot change any result.
+
+At 100 TB the final assignment pass writes partitioned Parquet instead of
+returning a table; iterations stay two streaming passes regardless of
+scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+K_CLUSTERS = 8
+KM_ITERS = 2
+_KM_SCALE = 4096      # 2^12 — exact float64 multiply
+_KM_OFFSET = 8192     # shifts xq positive: floor == trunc everywhere
+
+
+def _embeddings(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+
+def _ids_xq(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = b["vec_id"].to_numpy().astype(np.int64)
+    col = b["embedding"].combine_chunks()
+    M = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
+    xq = (np.round(M.astype(np.float64) * _KM_SCALE).astype(np.int64)
+          + _KM_OFFSET)
+    return ids, xq
+
+
+def _quantized(sf_dir: str) -> "ray.data.Dataset":
+    """Materialized (vec_id, xq fixed-size-list<int64>) dataset — quantize
+    once, stream it through seeds + every iteration pass."""
+
+    def q(b: pa.Table) -> pa.Table:
+        ids, xq = _ids_xq(b)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "xq": pa.FixedSizeListArray.from_arrays(
+                pa.array(xq.ravel()), xq.shape[1])})
+
+    return _embeddings(sf_dir).map_batches(
+        q, batch_format="pyarrow", batch_size=8192).materialize()
+
+
+def _batch_xq(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = b["vec_id"].to_numpy().astype(np.int64)
+    col = b["xq"].combine_chunks()
+    dim = col.type.list_size
+    return ids, np.asarray(col.values).reshape(len(ids), dim)
+
+
+def _assign(xq: np.ndarray, cids: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest live centroid per row; ties → lowest cid (cids sorted)."""
+    D = ((xq[:, None, :] * _KM_SCALE - C[None, :, :]) ** 2).sum(axis=2)
+    return cids[np.argmin(D, axis=1)]
+
+
+def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS,
+                  iters: int = KM_ITERS) -> pa.Table:
+    """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds.
+
+    Per round: broadcast centroids → one ``map_batches`` pass emitting
+    per-cluster (count, Σxq) partials → O(k·dim) driver merge.  A cluster
+    that loses all members drops out of the live set (its cid is never
+    reassigned), mirroring the SQL oracle's inner join against non-empty
+    groups.
+    """
+    ds = _quantized(sf_dir)
+
+    # seeds: k smallest vec_ids — per-batch local top-k partials, merged
+    # on the driver (k rows per batch, never the corpus)
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids, xq = _batch_xq(b)
+        keep = np.argsort(ids)[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[keep]),
+            "xq": pa.FixedSizeListArray.from_arrays(
+                pa.array(xq[keep].ravel()), xq.shape[1])})
+
+    sp = ds.map_batches(seed_partial, batch_format="pyarrow",
+                        batch_size=65536).take_all()
+    seed_ids = np.array([r["vec_id"] for r in sp], np.int64)
+    seed_xq = np.array([np.asarray(r["xq"]) for r in sp], np.int64)
+    order = np.argsort(seed_ids)[:k]
+    dim = seed_xq.shape[1]
+    cids = np.arange(len(order), dtype=np.int64)
+    C = seed_xq[order] * _KM_SCALE            # c_fp grid = xq·4096
+
+    for _ in range(iters - 1):
+        c_ref = ray.put((cids, C))
+
+        def stats(b: pa.Table) -> pa.Table:
+            live_cids, cent = ray.get(c_ref)
+            _, xq = _batch_xq(b)
+            a = _assign(xq, live_cids, cent)
+            pos = np.searchsorted(live_cids, a)
+            sums = np.zeros((len(live_cids), xq.shape[1]), np.int64)
+            np.add.at(sums, pos, xq)
+            cnt = np.bincount(pos, minlength=len(live_cids)).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(live_cids),
+                "cnt": pa.array(cnt),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel()), xq.shape[1])})
+
+        parts = ds.map_batches(stats, batch_format="pyarrow",
+                               batch_size=8192).take_all()
+        acc = np.zeros((len(cids), dim), np.int64)
+        cnt = np.zeros(len(cids), np.int64)
+        for r in parts:
+            i = int(np.searchsorted(cids, r["cid"]))
+            acc[i] += np.asarray(r["s"], np.int64)
+            cnt[i] += int(r["cnt"])
+        live = cnt > 0
+        cids, C = cids[live], (acc[live] * _KM_SCALE) // cnt[live, None]
+
+    c_ref = ray.put((cids, C))
+
+    def final(b: pa.Table) -> pa.Table:
+        live_cids, cent = ray.get(c_ref)
+        ids, xq = _batch_xq(b)
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster": pa.array(_assign(xq, live_cids, cent))})
+
+    out = (ds.map_batches(final, batch_format="pyarrow", batch_size=8192)
+           .sort("vec_id").to_pandas())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _kmeans_sql(k: int = K_CLUSTERS) -> str:
+    """Unrolled 2-iteration Lloyd's in pure SQL over the unnested
+    embedding list — same fixed-point grid, same tie rule.  HUGEINT sums
+    keep every intermediate exact; only the two output columns hit the
+    BIGINT boundary."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round_even(CAST(unnest(embedding) AS DOUBLE) * {_KM_SCALE}, 0)
+              AS BIGINT) + {_KM_OFFSET} AS xq
+  FROM embeddings),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (
+  SELECT s.cid, e.dim, e.xq * {_KM_SCALE} AS cfp
+  FROM seeds s JOIN e USING (vec_id)),
+d1 AS (
+  SELECT e.vec_id, c.cid,
+         sum((e.xq * {_KM_SCALE} - c.cfp) * (e.xq * {_KM_SCALE} - c.cfp)) AS dist
+  FROM e JOIN c0 c USING (dim) GROUP BY e.vec_id, c.cid),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT a.cid, e.dim,
+         CAST(CAST(sum(e.xq) AS BIGINT) * {_KM_SCALE} // count(*) AS BIGINT) AS cfp
+  FROM e JOIN a1 a USING (vec_id) GROUP BY a.cid, e.dim),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+         sum((e.xq * {_KM_SCALE} - c.cfp) * (e.xq * {_KM_SCALE} - c.cfp)) AS dist
+  FROM e JOIN c1 c USING (dim) GROUP BY e.vec_id, c.cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1)
+SELECT vec_id, cid::BIGINT AS cluster FROM a2 ORDER BY vec_id
+""".strip()
+
+
+SQL = {"embed_kmeans_assign": _kmeans_sql()}

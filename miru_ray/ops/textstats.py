@@ -139,6 +139,55 @@ def quality_by_lang(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+TOPQ_K = 3
+
+
+def top_quality_per_lang(sf_dir: str, k: int = TOPQ_K) -> pa.Table:
+    """Grouped top-k: the ``k`` most stopword-natural docs per language
+    (the window-function ``row_number() OVER (PARTITION BY …)`` shape).
+
+    Score is the integer-floored stopword ratio ``(n_stop·10⁶)//n_tokens``
+    — exact in any engine, so ordering and tie-breaks (score desc, doc_id
+    asc) are reduce-order-free.  Scale shape: each batch emits only its
+    LOCAL per-lang top-k partial (languages are bounded, so partials are
+    O(langs·k) per batch), the driver merges partials and re-ranks —
+    never a global sort, never the corpus on the driver.  Zero-token docs
+    have no defined ratio and drop out (mirrors the SQL's tokens-join).
+    """
+    ds = _documents(sf_dir, ["lang", "doc_id", "text"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        terms, rows, dl = explode_tokens(b["text"])
+        n = b.num_rows
+        stop_arr = pa.array(sorted(EN_STOPWORDS), type=pa.string())
+        is_stop = pc.is_in(terms, value_set=stop_arr) \
+            .to_numpy(zero_copy_only=False)
+        n_stop = np.zeros(n, np.int64)
+        np.add.at(n_stop, rows, is_stop.astype(np.int64))
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "doc_id": b["doc_id"].to_numpy().astype(np.int64),
+            "n_tokens": dl.astype(np.int64), "n_stop": n_stop})
+        df = df[df["n_tokens"] > 0]
+        df["score_e6"] = (df["n_stop"] * 1_000_000) // df["n_tokens"]
+        df = df.sort_values(["lang", "score_e6", "doc_id"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(k)
+            .drop(columns=["n_stop"]), preserve_index=False)
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    parts = parts.sort_values(["lang", "score_e6", "doc_id"],
+                              ascending=[True, False, True])
+    top = parts.groupby("lang", sort=False).head(k).reset_index(drop=True)
+    top["rnk"] = top.groupby("lang").cumcount() + 1
+    top = top[["lang", "rnk", "doc_id", "n_tokens", "score_e6"]]
+    for c in ("rnk", "doc_id", "n_tokens", "score_e6"):
+        top[c] = top[c].astype(np.int64)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 # ------------------------- language ID -------------------------------------
 
 _LANG_PROFILES = {
@@ -577,6 +626,26 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        round_even(sum(sum_tok_len) * 1.0 / sum(n_tokens), 6) AS avg_token_len,
        round_even(sum(n_stop) * 1.0 / sum(n_tokens), 6) AS stopword_ratio
 FROM per_doc GROUP BY lang ORDER BY lang
+""".strip(),
+    "text_top_quality_per_lang": f"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+per_doc AS (
+  SELECT lang, doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ({_STOPLIST}) THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY 1, 2),
+r AS (
+  SELECT lang, doc_id, n_tokens,
+         (n_stop * 1000000) // n_tokens AS score_e6,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (n_stop * 1000000) // n_tokens DESC, doc_id) AS rnk
+  FROM per_doc)
+SELECT lang, rnk::BIGINT AS rnk, doc_id,
+       n_tokens::BIGINT AS n_tokens, score_e6::BIGINT AS score_e6
+FROM r WHERE rnk <= {TOPQ_K} ORDER BY lang, rnk
 """.strip(),
     # winnowing fingerprints reproduced UDF-free: md5_number_lower == the
     # engine's md5_64 gram hash; window minima via least() over list

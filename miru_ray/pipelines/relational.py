@@ -147,6 +147,73 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def bigjoin_top_customers(sf_dir: str, k: int = 10,
+                          num_partitions: int = 32) -> pa.Table:
+    """Top-k customers by finished-order revenue via a **large×large
+    hash-shuffle join** — lineitem ⋈ orders on orderkey with NO broadcast
+    side (``Dataset.join`` hash-partitions BOTH inputs on the key), the
+    join shape ``revenue_by_nation``'s broadcast bound hands off to at
+    scale (its docstring names this fallback).
+
+    Scale shape: lineitem is combiner-reduced per ``l_orderkey`` inside
+    ``map_batches`` BEFORE the shuffle (one partial row per order per
+    batch), so the all-to-all moves ~|orders| rows, not ~|lineitem|;
+    orders is column-pruned and row-filtered at the read.  Money math is
+    integer basis points (cents × (100−d100)) so the distributed sum is
+    reduce-order-exact against the serial SQL oracle.  ``num_partitions``
+    sizes the shuffle; at cluster scale set it ≈ input blocks.
+    """
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        d100 = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        rev_e4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                                d100))
+        t2 = pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+        g = t2.group_by("l_orderkey").aggregate(
+            [("rev_e4", "sum"), ("rev_e4", "count")])
+        return g.rename_columns(["l_orderkey", "rev_e4", "n_items"])
+
+    li_part = li.map_batches(li_partial, batch_format="pyarrow",
+                             batch_size=65536)
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderstatus"], "F")) \
+                .select(["o_orderkey", "o_custkey"])
+
+    o_f = orders.map_batches(o_filter, batch_format="pyarrow",
+                             batch_size=65536)
+    joined = li_part.join(o_f, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["o_custkey", "rev_e4", "n_items"]) \
+             .group_by("o_custkey").aggregate(
+                 [("rev_e4", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["o_custkey", "rev_e4", "n_items"])
+
+    per_cust = joined.map_batches(cust_partial, batch_format="pyarrow",
+                                  batch_size=65536) \
+        .groupby("o_custkey").aggregate(
+            Sum("rev_e4", alias_name="rev_e4"),
+            Sum("n_items", alias_name="n_items"))
+    # top-k on the exact integer key (rounded `revenue` can tie where
+    # rev_e4 differs — sorting the rounded float would tie-break wrong)
+    top = per_cust.sort(["rev_e4", "o_custkey"],
+                        descending=[True, False]).limit(k).to_pandas()
+    top["revenue"] = (top["rev_e4"] / 10000.0).round(2)
+    top["n_items"] = top["n_items"].astype(np.int64)
+    out = top[["o_custkey", "revenue", "n_items"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _isin_sorted(values: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
     """Vectorized membership against a broadcast SORTED key array."""
     if not len(sorted_keys):
@@ -285,6 +352,20 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name ORDER BY n.n_name
+""".strip(),
+    "rel_bigjoin_top_customers": """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(round_even(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+  FROM lineitem)
+SELECT o.o_custkey,
+       round_even(sum(li.rev_e4) / 10000.0, 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_custkey
+ORDER BY sum(li.rev_e4) DESC, o.o_custkey ASC LIMIT 10
 """.strip(),
     "rel_collaborative_filtering": """
 WITH cp AS (

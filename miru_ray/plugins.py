@@ -237,10 +237,14 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     reg("ann_lsh_recall", Sim.ann_lsh_topk, None, ("similarity", "approx"))
     reg("ann_ivf_topk", Sim.ann_ivf_topk,
         Sim.SQL.get("ann_ivf_topk"), ("similarity",))
+    from .ops import cluster as Cl
+    reg("embed_kmeans_assign", Cl.kmeans_assign,
+        Cl.SQL.get("embed_kmeans_assign"), ("similarity", "cluster"))
     # ---- text analysis ----
     for name, fn in (("text_token_count_by_source", T.token_count_by_source),
                      ("text_bpe_token_estimate", T.bpe_token_estimate),
                      ("text_quality_by_lang", T.quality_by_lang),
+                     ("text_top_quality_per_lang", T.top_quality_per_lang),
                      ("text_langid", T.langid),
                      ("text_fingerprints", T.fingerprints),
                      ("text_pii_scan", T.pii_scan),
@@ -256,6 +260,7 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     # ---- relational / reco (§2.5, §2.6) ----
     for name, fn in (("rel_pricing_summary", R.pricing_summary),
                      ("rel_revenue_by_nation", R.revenue_by_nation),
+                     ("rel_bigjoin_top_customers", R.bigjoin_top_customers),
                      ("rel_collaborative_filtering",
                       R.collaborative_filtering)):
         reg(name, fn, R.SQL.get(name), ("relational",))

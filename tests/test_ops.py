@@ -647,3 +647,75 @@ def test_value_quantiles_refinement_and_ties(tmp_path, monkeypatch):
         want[c] = want[c].astype("int64")
     assert got.equals(want.reset_index(drop=True)), (got, want)
     assert got.set_index("q_pct")["value"][50] == 5.0  # the tie mass
+
+
+def test_bigjoin_shuffle_join_edge_cases(tmp_path):
+    """Hash-shuffle join parity on hand-built tables covering: orders with
+    no lineitems (dropped by inner join), lineitems whose orderkey is
+    missing from orders (dropped), non-'F' orders (filtered), and two
+    customers with IDENTICAL revenue (tie-break by custkey must follow the
+    exact integer sum, not the rounded float)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from miru_ray.pipelines.relational import SQL, bigjoin_top_customers
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_custkey": pa.array([10, 11, 12, 10, 13], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "O", "F", "F"]),
+        "o_totalprice": pa.array([0.0] * 5),
+    })
+    lineitem = pa.table({
+        # orderkey 99 is dangling; order 5 has no lineitem; order 3 is 'O'
+        "l_orderkey": pa.array([1, 1, 2, 3, 99], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 150.0, 77.0, 1000.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.1, 0.0]),
+    })
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
+    got = bigjoin_top_customers(d, k=10, num_partitions=4).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.execute(SQL["rel_bigjoin_top_customers"]).fetchdf()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    # custkeys 10 and 11 both have 150.00 revenue → custkey asc breaks it
+    assert got["o_custkey"].tolist() == [10, 11]
+
+
+def test_kmeans_empty_cluster_dropout_matches_oracle(tmp_path):
+    """Two identical seed vectors → every point ties to the lower cid, the
+    other cluster starves in iteration 1 and must DROP OUT of the live
+    centroid set (both in the engine and in the SQL's inner join against
+    non-empty groups)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from miru_ray.ops import cluster as Cl
+    rng = np.random.default_rng(7)
+    M = rng.normal(0, 0.3, size=(10, 4)).astype(np.float32)
+    M[1] = M[0]  # seed 1 duplicates seed 0
+    t = pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 10, pa.int32())})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    got = Cl.kmeans_assign(d, k=2).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    want = con.execute(Cl._kmeans_sql(k=2)).fetchdf()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    assert set(got["cluster"]) == {0}  # cluster 1 starved and dropped
