@@ -147,8 +147,26 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _shuffle_partitions(*paths: str, target_bytes: int = 128 << 20,
+                        lo: int = 8, hi: int = 512) -> int:
+    """Size a hash-shuffle partition count from input bytes (~128 MB of
+    input per partition).  Each partition is one ``HashShuffleAggregator``
+    actor — a fixed startup cost — so small inputs must NOT pay for a
+    cluster-scale fan-out (32 idle aggregators ≈ +2 s measured at sf0.1),
+    while 100-TB inputs need the ``hi`` cap lifted to ~input blocks."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return max(lo, min(hi, -(-total // target_bytes)))
+
+
 def bigjoin_top_customers(sf_dir: str, k: int = 10,
-                          num_partitions: int = 32) -> pa.Table:
+                          num_partitions: int | None = None) -> pa.Table:
     """Top-k customers by finished-order revenue via a **large×large
     hash-shuffle join** — lineitem ⋈ orders on orderkey with NO broadcast
     side (``Dataset.join`` hash-partitions BOTH inputs on the key), the
@@ -161,8 +179,13 @@ def bigjoin_top_customers(sf_dir: str, k: int = 10,
     orders is column-pruned and row-filtered at the read.  Money math is
     integer basis points (cents × (100−d100)) so the distributed sum is
     reduce-order-exact against the serial SQL oracle.  ``num_partitions``
-    sizes the shuffle; at cluster scale set it ≈ input blocks.
+    defaults to ~1 per 128 MB of input (see :func:`_shuffle_partitions`);
+    at cluster scale that grows to ≈ input blocks automatically.
     """
+    if num_partitions is None:
+        num_partitions = _shuffle_partitions(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            os.path.join(sf_dir, "orders.parquet"))
     li = _t(sf_dir, "lineitem",
             ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -199,15 +222,28 @@ def bigjoin_top_customers(sf_dir: str, k: int = 10,
                  [("rev_e4", "sum"), ("n_items", "sum")])
         return g.rename_columns(["o_custkey", "rev_e4", "n_items"])
 
-    per_cust = joined.map_batches(cust_partial, batch_format="pyarrow",
-                                  batch_size=65536) \
-        .groupby("o_custkey").aggregate(
+    partials = joined.map_batches(cust_partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    # top-k on the exact integer key (rounded `revenue` can tie where
+    # rev_e4 differs — sorting the rounded float would tie-break wrong).
+    # Dual path for the final per-customer reduce: the partials are already
+    # per-batch combined (≤ one row per customer per partition), so below
+    # the shuffle-worthy size the driver merges them directly (measured
+    # 0.07 s vs 2 s for groupby+sort+limit at sf0.1 — Ray's all-to-all
+    # fixed cost dwarfs the work); above it, a distributed groupby + sort
+    # keeps the reduce off the driver.
+    if num_partitions <= 16:
+        pdf = partials.to_pandas()
+        agg = pdf.groupby("o_custkey", as_index=False)[["rev_e4", "n_items"]].sum()
+        top = agg.sort_values(["rev_e4", "o_custkey"],
+                              ascending=[False, True]).head(k) \
+                 .reset_index(drop=True)
+    else:
+        per_cust = partials.groupby("o_custkey").aggregate(
             Sum("rev_e4", alias_name="rev_e4"),
             Sum("n_items", alias_name="n_items"))
-    # top-k on the exact integer key (rounded `revenue` can tie where
-    # rev_e4 differs — sorting the rounded float would tie-break wrong)
-    top = per_cust.sort(["rev_e4", "o_custkey"],
-                        descending=[True, False]).limit(k).to_pandas()
+        top = per_cust.sort(["rev_e4", "o_custkey"],
+                            descending=[True, False]).limit(k).to_pandas()
     top["revenue"] = (top["rev_e4"] / 10000.0).round(2)
     top["n_items"] = top["n_items"].astype(np.int64)
     out = top[["o_custkey", "revenue", "n_items"]].reset_index(drop=True)

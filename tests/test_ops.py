@@ -686,6 +686,11 @@ def test_bigjoin_shuffle_join_edge_cases(tmp_path):
                                   want.reset_index(drop=True))
     # custkeys 10 and 11 both have 150.00 revenue → custkey asc breaks it
     assert got["o_custkey"].tolist() == [10, 11]
+    # the >16-partition path takes the DISTRIBUTED final reduce
+    # (groupby+sort+limit) — must be row-identical to the driver merge
+    got_dist = bigjoin_top_customers(d, k=10, num_partitions=17).to_pandas()
+    pd.testing.assert_frame_equal(got_dist.reset_index(drop=True),
+                                  got.reset_index(drop=True))
 
 
 def test_kmeans_empty_cluster_dropout_matches_oracle(tmp_path):
