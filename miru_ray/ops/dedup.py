@@ -639,51 +639,55 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                         n: int = 3) -> pa.Table:
     """Exact all-pairs n-gram Jaccard ≥ threshold.
 
-    Shingle extraction is distributed (map_batches); the pairwise
-    intersection is a blocked doc×shingle boolean matmul (BLAS) — the exact
-    brute-force baseline.  This corpus's shingle vocabulary is small; at
-    real scale the exact variant is the verifier behind MinHash-LSH
-    candidates (:func:`minhash_dedup`), never run all-pairs — the guard
-    below enforces that.
+    Shingle extraction is distributed (map_batches); pairwise intersections
+    come from a sparse shingle-inverted index — per shingle, every doc pair
+    sharing it is expanded (grouped-reshape, no Python loop) and counted.
+    Work is Σ_s df_s·(df_s−1)/2, the true collision mass (~2.7e6 at sf0.1
+    vs the 1.4e12-flop dense doc×shingle matmul it replaces — 250,000×
+    less).  That mass is duplication-bounded, so this stays the exact
+    verifier; at real corpus scale run :func:`minhash_dedup` (LSH
+    candidates + verify) instead — the guard below enforces that, and a
+    skew-heavy shingle df would first hit it.
     """
     ds = _documents(sf_dir, ["doc_id", "text"])
     shingle_rows = _make_shingle_rows(n)
 
-    import ray as _ray
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow",
                           batch_size=4096).to_pandas()
     codes, _uniq = pd.factorize(rows["shingle"], sort=False)
-    doc_ids, doc_idx = np.unique(rows["doc_id"].to_numpy(), return_inverse=True)
-    D, V = len(doc_ids), codes.max() + 1
-    if D * V > 4e9:
-        raise ValueError("all-pairs exact Jaccard infeasible at this size; "
+    doc_idn = rows["doc_id"].to_numpy()
+    doc_ids, doc_idx = np.unique(doc_idn, return_inverse=True)
+    D = len(doc_ids)
+    sizes = np.bincount(doc_idx, minlength=D).astype(np.int64)
+    order = np.argsort(codes, kind="stable")
+    keys, docs = codes[order], doc_idx[order].astype(np.int64)
+    gstarts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]) \
+        if len(keys) else np.array([], np.int64)
+    gsizes = np.diff(np.r_[gstarts, len(keys)]).astype(np.int64)
+    pair_mass = int((gsizes * (gsizes - 1) // 2).sum())
+    if pair_mass > 2e9:
+        raise ValueError("exact Jaccard collision mass too large; "
                          "use minhash_dedup (LSH candidates + verify)")
-    A = np.zeros((D, V), np.float32)
-    A[doc_idx, codes] = 1.0
-    sizes = A.sum(axis=1)
-    ref = _ray.put((doc_ids, A, sizes))  # broadcast once; workers read
-    #                                      zero-copy from the object store
-
-    @_ray.remote(num_cpus=1)
-    def block_pairs(lo: int, hi: int):
-        ids, M, sz = _ray.get(ref)
-        inter = (M[lo:hi] @ M[lo:].T).astype(np.float64)  # exact small ints
-        union = (sz[lo:hi, None] + sz[None, lo:]).astype(np.float64) - inter
-        with np.errstate(invalid="ignore", divide="ignore"):
-            # float64 division of exact integer counts — bit-identical to
-            # the SQL oracle's len()/len() division
-            jac = np.where(union > 0, inter / union, 0.0)
-        bi, dj = np.nonzero(jac >= threshold)
-        ga, gb = ids[bi + lo], ids[dj + lo]
-        keep = ga < gb
-        return ga[keep], gb[keep], jac[bi[keep], dj[keep]]
-
-    B = 256
-    parts = _ray.get([block_pairs.remote(lo, min(lo + B, D))
-                      for lo in range(0, D, B)])
-    a = np.concatenate([p[0] for p in parts])
-    b = np.concatenate([p[1] for p in parts])
-    j = np.round(np.concatenate([p[2] for p in parts]).astype(np.float64), 6)
+    packed = []
+    for s in np.unique(gsizes):
+        if s < 2:
+            continue
+        gsel = gstarts[gsizes == s]
+        M = np.sort(docs[gsel[:, None] + np.arange(s)[None, :]], axis=1)
+        i, j = np.triu_indices(int(s), k=1)
+        packed.append(M[:, i].ravel() * D + M[:, j].ravel())
+    if packed:
+        uniq, inter = np.unique(np.concatenate(packed), return_counts=True)
+    else:
+        uniq, inter = np.array([], np.int64), np.array([], np.int64)
+    ai, bi = uniq // D, uniq % D
+    union = sizes[ai] + sizes[bi] - inter
+    # float64 division of exact integer counts — bit-identical to the SQL
+    # oracle's len()/len() division
+    jac = inter / union
+    keep = jac >= threshold
+    a, b = doc_ids[ai[keep]], doc_ids[bi[keep]]
+    j = np.round(jac[keep].astype(np.float64), 6)
     order = np.lexsort((b, a))
     return pa.table({"a": pa.array(a[order], pa.int64()),
                      "b": pa.array(b[order], pa.int64()),
