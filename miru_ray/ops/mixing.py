@@ -224,7 +224,139 @@ def token_budget_sample(sf_dir: str, budget_num: int = BUDGET_NUM,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+#: training-sequence length for packing (tokens per sequence)
+SEQ_LEN = 512
+
+
+def _doc_block_plan(path: str, target_rows: int = 65536):
+    """Pack parquet row groups into ~target_rows blocks (metadata only) —
+    each block is read inside its own task, never on the driver."""
+    import pyarrow.parquet as pq
+    md = pq.read_metadata(path)
+    blocks, cur, cur_rows = [], [], 0
+    for g in range(md.num_row_groups):
+        cur.append(g)
+        cur_rows += md.row_group(g).num_rows
+        if cur_rows >= target_rows:
+            blocks.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
+@ray.remote(num_cpus=1)
+def _block_tok_partial(path: str, row_groups: list[int]):
+    """Block → (min_doc, max_doc, n_rows, sum_tokens): bytes-per-block
+    driver state, like the index build's per-file conv partials."""
+    import pyarrow.parquet as pq
+    t = pq.ParquetFile(path).read_row_groups(
+        row_groups, columns=["doc_id", "text"])
+    _, _, dl = explode_tokens(t["text"])
+    ids = t["doc_id"].to_numpy()
+    return int(ids.min()), int(ids.max()), len(ids), int(dl.sum())
+
+
+@ray.remote(num_cpus=1)
+def _block_pack_rows(path: str, row_groups: list[int], start_tok: int,
+                     seq_len: int, out_path: str | None, block_idx: int):
+    """Block + its exclusive global token offset → per-doc packing rows.
+    With ``out_path``, writes its own deterministically-named partition
+    file (resumable: a re-run overwrites, never duplicates)."""
+    import pyarrow.parquet as pq
+    t = pq.ParquetFile(path).read_row_groups(
+        row_groups, columns=["doc_id", "text"])
+    # the cross-block guard only sees [min, max] ranges; WITHIN the block
+    # the cumsum below must also run in doc_id order
+    t = t.sort_by("doc_id")
+    _, _, dl = explode_tokens(t["text"])
+    n = dl.astype(np.int64)
+    st = np.zeros(len(n), np.int64)
+    np.cumsum(n[:-1], out=st[1:])
+    st += start_tok
+    pos = n > 0
+    first = np.where(pos, st // seq_len, -1)
+    last = np.where(pos, (st + n - 1) // seq_len, -1)
+    out = pa.table({
+        "doc_id": t["doc_id"],
+        "n_tok": pa.array(n),
+        "start_tok": pa.array(st),
+        "first_seq": pa.array(first),
+        "last_seq": pa.array(last),
+        "n_seqs": pa.array(np.where(pos, last - first + 1, 0))})
+    if out_path is not None:
+        os.makedirs(out_path, exist_ok=True)
+        pq.write_table(out, os.path.join(
+            out_path, f"pack-{block_idx:06d}.parquet"))
+        return out.schema.empty_table()
+    return out
+
+
+def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
+                   out_path: str | None = None,
+                   block_rows: int = 65536) -> pa.Table:
+    """GPT-style training-sequence packing: documents concatenated in
+    ``doc_id`` order and chopped into fixed ``seq_len``-token sequences
+    (documents span sequence boundaries, as in GPT/LLaMA-style
+    pretraining batch construction).  Per doc: its global token offset and
+    the [first_seq, last_seq] span it lands in; zero-token docs occupy no
+    sequence (-1/-1, n_seqs 0).
+
+    Exact distributed prefix-scan, no global sort and no O(corpus) driver
+    state: one pruned pass per row-group block emits (min_doc, max_doc,
+    rows, sum_tokens) partials; the driver validates doc_id monotonicity
+    ACROSS blocks (same contiguity assertion as the index build's offsets
+    stage) and prefix-sums block offsets — O(blocks) numbers; a second
+    block pass derives every doc's span row-locally from its block's
+    offset.  ``out_path`` makes each block task write its own
+    deterministically-named partition file (the 100-TB sink — resumable,
+    re-runs overwrite)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    blocks = _doc_block_plan(path, target_rows=block_rows)
+    parts = ray.get([_block_tok_partial.remote(path, b) for b in blocks])
+    order = np.argsort([p[0] for p in parts], kind="stable")
+    prev_max = None
+    starts = []
+    run = 0
+    for i in order:
+        mn, mx, _rows, tok = parts[i]
+        if prev_max is not None and mn <= prev_max:
+            raise ValueError(
+                "doc_id not globally monotone across row-group blocks; "
+                "sequence packing requires doc_id-ordered input "
+                f"(block min {mn} <= previous max {prev_max})")
+        prev_max = mx
+        starts.append(run)
+        run += tok
+    outs = ray.get([
+        _block_pack_rows.remote(path, blocks[i], starts[k], seq_len,
+                                out_path, k)
+        for k, i in enumerate(order)])
+    return pa.concat_tables(outs)
+
+
 SQL = {
+    "mix_pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(len(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                  0)::BIGINT AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM d)
+SELECT doc_id, n AS n_tok, st::BIGINT AS start_tok,
+       (CASE WHEN n > 0 THEN st // {SEQ_LEN} ELSE -1 END)::BIGINT
+           AS first_seq,
+       (CASE WHEN n > 0 THEN (st + n - 1) // {SEQ_LEN} ELSE -1 END)::BIGINT
+           AS last_seq,
+       (CASE WHEN n > 0
+             THEN (st + n - 1) // {SEQ_LEN} - st // {SEQ_LEN} + 1
+             ELSE 0 END)::BIGINT AS n_seqs
+FROM c ORDER BY doc_id
+""".strip(),
     "mix_token_budget": f"""
 WITH d AS (
   SELECT source, doc_id,

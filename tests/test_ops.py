@@ -572,6 +572,79 @@ def test_token_budget_boundary_zero_token_docs(tmp_path):
         assert got.equals(want.reset_index(drop=True)), (num, den, got, want)
 
 
+def test_pack_sequences_multiblock_and_guards(tmp_path):
+    """Sequence packing across MULTIPLE row-group blocks: per-block
+    exclusive token offsets must compose to the global prefix sum (docs
+    spanning both sequence AND block boundaries), zero/null-token docs
+    occupy no sequence, and non-monotone doc_id across blocks raises."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from miru_ray.ops.mixing import SQL, pack_sequences
+    texts = ["alpha beta gamma delta", "", None, "one two three",
+             "a b c d e f g", "x", "p q r s t u v w", "tail doc here",
+             "m n", "final words go here now"]
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": pa.array(texts)})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"), row_group_size=3)
+    # block_rows=3 -> 4 blocks; seq_len=5 -> docs cross both boundaries
+    got = pack_sequences(d, seq_len=5, block_rows=3).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{d}/documents.parquet'")
+    want = con.execute(SQL["mix_pack_sequences"].replace(
+        "// 512", "// 5")).fetchdf()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    assert got["n_seqs"].max() >= 2  # at least one doc truly spans
+    assert (got.loc[got["n_tok"] == 0, "n_seqs"] == 0).all()
+    # blocks whose doc-id RANGES are disjoint may arrive in any order —
+    # the driver sorts them by min_doc and still packs in doc_id order
+    t2 = pa.table({"doc_id": pa.array([5, 6, 7, 1, 2, 3], pa.int64()),
+                   "text": pa.array([f"w{i} x{i} y{i}" for i in range(6)])})
+    d2 = str(tmp_path / "sf2")
+    os.makedirs(d2)
+    pq.write_table(t2, os.path.join(d2, "documents.parquet"),
+                   row_group_size=3)
+    got2 = pack_sequences(d2, seq_len=5, block_rows=3).to_pandas()
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * "
+                 f"FROM '{d2}/documents.parquet'")
+    want2 = con2.execute(SQL["mix_pack_sequences"].replace(
+        "// 512", "// 5")).fetchdf()
+    pd.testing.assert_frame_equal(got2.reset_index(drop=True),
+                                  want2.reset_index(drop=True))
+    # rows unsorted WITHIN a block (ranges still disjoint) — the block
+    # task must re-sort before its local cumsum
+    t2b = pa.table({"doc_id": pa.array([3, 1, 2, 6, 4, 5], pa.int64()),
+                    "text": pa.array([f"w{i} x{i} y{i} z{i}"
+                                      for i in range(6)])})
+    d2b = str(tmp_path / "sf2b")
+    os.makedirs(d2b)
+    pq.write_table(t2b, os.path.join(d2b, "documents.parquet"),
+                   row_group_size=3)
+    got2b = pack_sequences(d2b, seq_len=5, block_rows=3).to_pandas()
+    con2b = duckdb.connect()
+    con2b.execute(f"CREATE VIEW documents AS SELECT * "
+                  f"FROM '{d2b}/documents.parquet'")
+    want2b = con2b.execute(SQL["mix_pack_sequences"].replace(
+        "// 512", "// 5")).fetchdf()
+    pd.testing.assert_frame_equal(got2b.reset_index(drop=True),
+                                  want2b.reset_index(drop=True))
+    # OVERLAPPING block ranges cannot be packed in doc order — must raise
+    t3 = pa.table({"doc_id": pa.array([1, 5, 9, 2, 3, 4], pa.int64()),
+                   "text": pa.array(["a b"] * 6)})
+    d3 = str(tmp_path / "sf3")
+    os.makedirs(d3)
+    pq.write_table(t3, os.path.join(d3, "documents.parquet"),
+                   row_group_size=3)
+    with pytest.raises(ValueError, match="monotone"):
+        pack_sequences(d3, seq_len=5, block_rows=3)
+
+
 def test_ann_ivf_matches_oracle_and_reads_subset():
     """IVF cell layout: exact oracle parity (the whole algorithm is
     deterministic) and probe IO strictly below index IO."""
