@@ -783,6 +783,160 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                  .cast(pa.timestamp("us"))})
 
 
+#: range-join window: views counted in [purchase_ts − 1h, purchase_ts)
+WINDOW_US = US_PER_HOUR
+
+
+def window_join(sf_dir: str, left_type: str = "purchase",
+                right_type: str = "view", window_us: int = WINDOW_US,
+                _batch_size: int = 65536) -> pa.Table:
+    """Range (interval) join: every ``left_type`` event counts the same
+    user's ``right_type`` events with ts in ``[ts − window_us, ts)``,
+    reported per user — (user_id, n_purchases, n_window_views).  Ray Data
+    has no range join; this is the sessions/as-of composition: ONE
+    all-to-all ``sort(user_id, ts, event_id)`` (a total order — no ties for
+    the seam cut to misjudge), then each batch answers its lefts locally
+    with two ``searchsorted`` probes over its right rows, encoded as
+    batch-normalized (user, ts) composite keys (a loud guard bounds
+    user-range × time-span to int64).
+
+    Seam scheme: only a batch's FIRST user can have window mass in earlier
+    batches (batches are contiguous sort slices — asserted).  Such lefts
+    emit a pending row carrying the batch's first (ts, event_id) as the
+    cut; every batch emits its LAST user's rights within ``window_us`` of
+    the batch's last row (vt ≥ end − W — any right an ever-later batch's
+    crossing left can need satisfies this, since that left's ts ≥ this
+    batch's end).  The driver adds, per pending, the seam rights with
+    (ts, event_id) lexicographically below the cut (excludes own/later
+    batches exactly) and ts inside the window.  Both spills are
+    O(batches × one user's rights-per-window) — the same per-seam bound
+    the as-of join documents.  The SQL oracle is the LEFT JOIN … BETWEEN
+    formulation."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_l = pc.equal(t["event_type"], left_type)
+        is_r = pc.equal(t["event_type"], right_type)
+        t2 = t.filter(pc.or_(is_l, is_r))
+        return pa.table({
+            "user_id": t2["user_id"],
+            "ts": pc.cast(t2["ts"], pa.int64()),
+            "event_id": t2["event_id"],
+            "is_r": pc.cast(pc.equal(t2["event_type"], right_type),
+                            pa.int8())})
+
+    srt = (ds.map_batches(prep, batch_format="pyarrow",
+                          batch_size=_batch_size)
+           .sort(["user_id", "ts", "event_id"]))
+
+    W = np.int64(window_us)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"mk": pa.array([], pa.int8()),
+                          "user_id": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        is_r = t["is_r"].to_numpy().astype(bool)
+        ok = ((uid[1:] > uid[:-1])
+              | ((uid[1:] == uid[:-1])
+                 & ((ts[1:] > ts[:-1])
+                    | ((ts[1:] == ts[:-1]) & (eid[1:] > eid[:-1])))))
+        if not ok.all():
+            raise AssertionError("window_join: batch not sorted by "
+                                 "(user_id, ts, event_id) — sort contract "
+                                 "violated")
+        vu, vt = uid[is_r], ts[is_r]
+        pu, pt = uid[~is_r], ts[~is_r]
+        cnt = np.zeros(len(pu), np.int64)
+        if len(vu) and len(pu):
+            vumin = vu[0]
+            span = np.int64(vt.max() - vt.min() + 2)
+            vtmin = np.int64(vt.min())
+            urange = np.int64(vu[-1] - vumin)
+            if (urange + 2) * span >= np.int64(1) << np.int64(62):
+                raise AssertionError(
+                    "window_join: batch user-range × time-span overflows "
+                    "the composite key — reduce _batch_size")
+            cv = (vu - vumin) * span + (vt - vtmin)
+            pur = np.clip(pu - vumin, -1, urange + 1)
+            hi = pur * span + np.clip(pt - vtmin, 0, span)
+            lo = pur * span + np.clip(pt - W - vtmin, 0, span)
+            cnt = (np.searchsorted(cv, hi, side="left")
+                   - np.searchsorted(cv, lo, side="left")).astype(np.int64)
+        parts = []
+        if len(pu):
+            g = (pa.table({"user_id": pa.array(pu), "v": pa.array(cnt)})
+                 .group_by("user_id").aggregate([("v", "sum"),
+                                                 ("v", "count")]))
+            m = g.num_rows
+            parts.append(pa.table({
+                "mk": pa.array(np.zeros(m, np.int8)),
+                "user_id": g["user_id"],
+                "a": pc.cast(g["v_count"], pa.int64()),
+                "b": pc.cast(g["v_sum"], pa.int64()),
+                "c": pa.array(np.zeros(m, np.int64))}))
+            # pendings: first user's lefts whose window starts before the
+            # batch's first row — carry the (ts, event_id) cut
+            pend = (pu == uid[0]) & (pt - W < ts[0])
+            if pend.any():
+                m = int(pend.sum())
+                parts.append(pa.table({
+                    "mk": pa.array(np.ones(m, np.int8)),
+                    "user_id": pa.array(pu[pend]),
+                    "a": pa.array(pt[pend]),
+                    "b": pa.array(np.full(m, ts[0], np.int64)),
+                    "c": pa.array(np.full(m, eid[0], np.int64))}))
+        # seam rights: last user's rights within W of the batch end
+        seam = is_r & (uid == uid[-1]) & (ts >= ts[-1] - W)
+        if seam.any():
+            m = int(seam.sum())
+            parts.append(pa.table({
+                "mk": pa.array(np.full(m, 2, np.int8)),
+                "user_id": pa.array(uid[seam]),
+                "a": pa.array(ts[seam]),
+                "b": pa.array(eid[seam]),
+                "c": pa.array(np.zeros(m, np.int64))}))
+        if not parts:
+            return empty
+        return pa.concat_tables([p.cast(empty.schema) for p in parts])
+
+    agg = srt.map_batches(partial, batch_format="pyarrow",
+                          batch_size=_batch_size).materialize()
+    per_user = (agg.filter(expr="mk == 0").groupby("user_id")
+                .aggregate(Sum("a", alias_name="n_left"),
+                           Sum("b", alias_name="n_views"))
+                .to_pandas().sort_values("user_id")
+                .reset_index(drop=True))
+    pend = agg.filter(expr="mk == 1").to_pandas()
+    seam = agg.filter(expr="mk == 2").to_pandas()
+    uids = per_user["user_id"].to_numpy().astype(np.int64)
+    n_views = per_user["n_views"].to_numpy().astype(np.int64)
+    if len(pend) and len(seam):
+        su = seam["user_id"].to_numpy().astype(np.int64)
+        st = seam["a"].to_numpy().astype(np.int64)
+        se = seam["b"].to_numpy().astype(np.int64)
+        for _, row in pend.iterrows():
+            u, p_ts = int(row["user_id"]), int(row["a"])
+            cut_ts, cut_eid = int(row["b"]), int(row["c"])
+            hit = ((su == u)
+                   & (st >= p_ts - int(W)) & (st < p_ts)
+                   & ((st < cut_ts) | ((st == cut_ts) & (se < cut_eid))))
+            if hit.any():
+                n_views[np.searchsorted(uids, u)] += int(hit.sum())
+    return pa.table({
+        "user_id": pa.array(uids),
+        "n_purchases": pa.array(per_user["n_left"].to_numpy()
+                                .astype(np.int64)),
+        "n_window_views": pa.array(n_views)})
+
+
 # --------------------------- SQL oracles -----------------------------------
 
 SQL = {
@@ -795,6 +949,25 @@ FROM events p JOIN events c
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.ts
 ORDER BY p.event_id
+""".strip(),
+    # range join: per purchase, same-user views in [ts − 1h, ts); summed
+    # per user.  LEFT JOIN keeps zero-view purchases in n_purchases.
+    "events_window_join": f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT p.user_id, p.event_id, count(v.t) AS c
+  FROM p LEFT JOIN v
+    ON v.user_id = p.user_id AND v.t >= p.t - {WINDOW_US}
+       AND v.t < p.t
+  GROUP BY p.user_id, p.event_id)
+SELECT user_id, count(*)::BIGINT AS n_purchases,
+       sum(c)::BIGINT AS n_window_views
+FROM j GROUP BY user_id ORDER BY user_id
 """.strip(),
     "events_distincts":
         "SELECT DISTINCT event_type FROM events ORDER BY event_type",

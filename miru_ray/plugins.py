@@ -218,7 +218,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("events_sessions", A.sessions),
                      ("events_rolling_counts", A.rolling_counts),
                      ("events_value_quantiles", A.value_quantiles),
-                     ("events_asof_purchase_click", A.asof_join)):
+                     ("events_asof_purchase_click", A.asof_join),
+                     ("events_window_join", A.window_join)):
         reg(name, fn, A.SQL.get(name), ("analytics",))
     # ---- dedup family (§2.8 + training-data ops) ----
     for name, fn in (("dedup_exact_docs", D.exact_dedup),

@@ -451,6 +451,61 @@ def test_asof_join_seam_invariance_and_oracle():
     assert (got["click_ts"].to_numpy() == want["click_ts"].to_numpy()).all()
 
 
+def test_window_join_seam_invariance_and_oracle():
+    """The range join must be invariant to batch tiling (64-row batches
+    force windows spanning several batches) and equal the LEFT JOIN …
+    BETWEEN SQL oracle, including zero-view purchases."""
+    import duckdb
+
+    from miru_ray.ops.analytics import SQL, window_join
+    small = window_join(SF, _batch_size=64).to_pandas()
+    big = window_join(SF).to_pandas()
+    assert small.equals(big), "tiling changed the range-join answer"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.execute(SQL["events_window_join"]).fetchdf()
+    for c in ("n_purchases", "n_window_views"):
+        want[c] = want[c].astype("int64")
+    assert small.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert len(want) > 0 and want["n_window_views"].sum() > 0
+
+
+def test_window_join_boundaries():
+    """Planted micro-case: window edges are [ts−W, ts) — a view exactly W
+    earlier counts, a view AT the purchase ts does not; views after don't;
+    other users' views never count."""
+    import pyarrow as pa
+
+    from miru_ray.ops import analytics as A
+    W = A.WINDOW_US
+    t = pa.table({
+        "event_id": pa.array(list(range(1, 9)), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["view", "view", "purchase", "view",
+                                "purchase", "view", "purchase",
+                                "purchase"]),
+        # u1: views at t0−W (counts, inclusive), t0−1 (counts), purchase
+        #     at t0, view AT second purchase's ts (excluded, half-open)
+        # u2: view 2W before its purchase (outside)
+        # u3: purchase with no views at all
+        "ts": pa.array(np.array(
+            [10**15 - W, 10**15 - 1, 10**15, 10**15 + 5, 10**15 + 5,
+             2 * 10**15 - 2 * W, 2 * 10**15, 3 * 10**15],
+            np.int64)).cast(pa.timestamp("us")),
+    })
+    import tempfile
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    for bs in (65536, 2):
+        got = A.window_join(d, _batch_size=bs).to_pandas()
+        assert got["user_id"].tolist() == [1, 2, 3]
+        assert got["n_purchases"].tolist() == [2, 1, 1]
+        # u1 purchase@t0: views t0−W (inclusive edge), t0−1 → 2;
+        # purchase@t0+5: t0−W is now 5µs too old, t0−1 counts, the view
+        # AT its own ts is excluded (half-open) → 1
+        assert got["n_window_views"].tolist() == [3, 0, 0], (bs, got)
+
+
 def test_asof_join_strictness_and_no_prior():
     """Planted micro-case: same-ts click never matches, purchases with no
     prior click drop, cross-batch carry picks the LATEST earlier click."""
