@@ -860,7 +860,9 @@ def window_join(sf_dir: str, left_type: str = "purchase",
             span = np.int64(vt.max() - vt.min() + 2)
             vtmin = np.int64(vt.min())
             urange = np.int64(vu[-1] - vumin)
-            if (urange + 2) * span >= np.int64(1) << np.int64(62):
+            # guard product in PYTHON ints — an np.int64 multiply can
+            # itself wrap past 2^63 and silently slip under the bound
+            if int(urange + 2) * int(span) >= 1 << 62:
                 raise AssertionError(
                     "window_join: batch user-range × time-span overflows "
                     "the composite key — reduce _batch_size")
@@ -882,9 +884,11 @@ def window_join(sf_dir: str, left_type: str = "purchase",
                 "a": pc.cast(g["v_count"], pa.int64()),
                 "b": pc.cast(g["v_sum"], pa.int64()),
                 "c": pa.array(np.zeros(m, np.int64))}))
-            # pendings: first user's lefts whose window starts before the
-            # batch's first row — carry the (ts, event_id) cut
-            pend = (pu == uid[0]) & (pt - W < ts[0])
+            # pendings: first user's lefts whose window can reach rights
+            # in earlier batches — carry the (ts, event_id) cut.  <= not <:
+            # at pt − W == ts[0] a TIED-timestamp right with a smaller
+            # event_id can still sit across the seam, inside the window
+            pend = (pu == uid[0]) & (pt - W <= ts[0])
             if pend.any():
                 m = int(pend.sum())
                 parts.append(pa.table({

@@ -41,7 +41,8 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..tokenize import explode_tokens, py_tokenize
-from ..util import input_fingerprint, md5_64, md5_64_bulk
+from ..util import (input_fingerprint, md5_64, md5_64_bulk,
+                    rowgroup_block_plan)
 
 # ------------------------------ helpers ------------------------------------
 
@@ -697,22 +698,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 # ------------------------------ embedding near-dup -------------------------
 
 
-def _emb_block_plan(path: str, target_rows: int = 65536):
-    """Pack the parquet row groups into ~target_rows blocks (metadata
-    only).  Returns a list of row-group index lists — each block is read
-    independently inside a task, never on the driver."""
-    import pyarrow.parquet as pq
-    md = pq.read_metadata(path)
-    blocks, cur, cur_rows = [], [], 0
-    for g in range(md.num_row_groups):
-        cur.append(g)
-        cur_rows += md.row_group(g).num_rows
-        if cur_rows >= target_rows:
-            blocks.append(cur)
-            cur, cur_rows = [], 0
-    if cur:
-        blocks.append(cur)
-    return blocks
+_emb_block_plan = rowgroup_block_plan  # shared metadata-only block packer
 
 
 def _read_emb_block(path: str, row_groups: list[int]):

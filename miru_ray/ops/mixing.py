@@ -35,7 +35,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..tokenize import explode_tokens
-from ..util import md5_64
+from ..util import md5_64, rowgroup_block_plan
 
 #: rate buckets in millionths (1e6 = keep all): source → bucket by
 #: md5_64(source) % 4 — stable, engine/SQL identical
@@ -228,21 +228,7 @@ def token_budget_sample(sf_dir: str, budget_num: int = BUDGET_NUM,
 SEQ_LEN = 512
 
 
-def _doc_block_plan(path: str, target_rows: int = 65536):
-    """Pack parquet row groups into ~target_rows blocks (metadata only) —
-    each block is read inside its own task, never on the driver."""
-    import pyarrow.parquet as pq
-    md = pq.read_metadata(path)
-    blocks, cur, cur_rows = [], [], 0
-    for g in range(md.num_row_groups):
-        cur.append(g)
-        cur_rows += md.row_group(g).num_rows
-        if cur_rows >= target_rows:
-            blocks.append(cur)
-            cur, cur_rows = [], 0
-    if cur:
-        blocks.append(cur)
-    return blocks
+_doc_block_plan = rowgroup_block_plan  # shared metadata-only block packer
 
 
 @ray.remote(num_cpus=1)

@@ -95,3 +95,22 @@ def list_parquet_files(path: str) -> list[str]:
     for root, _dirs, files in os.walk(path):
         out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
     return sorted(out)
+
+def rowgroup_block_plan(path: str, target_rows: int = 65536) -> list[list[int]]:
+    """Pack a parquet file's row groups into ~``target_rows`` blocks
+    (metadata only).  Each returned row-group index list is read inside
+    its own task, never on the driver."""
+    import pyarrow.parquet as pq
+    md = pq.read_metadata(path)
+    blocks: list[list[int]] = []
+    cur: list[int] = []
+    cur_rows = 0
+    for g in range(md.num_row_groups):
+        cur.append(g)
+        cur_rows += md.row_group(g).num_rows
+        if cur_rows >= target_rows:
+            blocks.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        blocks.append(cur)
+    return blocks

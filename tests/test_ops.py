@@ -506,6 +506,31 @@ def test_window_join_boundaries():
         assert got["n_window_views"].tolist() == [3, 0, 0], (bs, got)
 
 
+def test_window_join_tied_ts_across_seam():
+    """Regression: two views with IDENTICAL ts split by a batch boundary,
+    purchase exactly W later — the window edge pt−W equals the purchase
+    batch's first-row ts, so the pending condition must be <= (strict <
+    silently dropped the earlier batch's tied view)."""
+    import pyarrow as pa
+
+    from miru_ray.ops import analytics as A
+    W = A.WINDOW_US
+    T = 10**15
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["view", "view", "purchase"]),
+        "ts": pa.array(np.array([T, T, T + W], np.int64))
+              .cast(pa.timestamp("us")),
+    })
+    import tempfile
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    for bs in (65536, 3, 2, 1):
+        got = A.window_join(d, _batch_size=bs).to_pandas()
+        assert got["n_window_views"].tolist() == [2], (bs, got)
+
+
 def test_asof_join_strictness_and_no_prior():
     """Planted micro-case: same-ts click never matches, purchases with no
     prior click drop, cross-batch carry picks the LATEST earlier click."""
