@@ -728,8 +728,15 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     ring radius 4 (reads 64 % of every table ≈ 2.5× corpus).  Low-τ
     near-dup is a range scan; LSH pays off at production thresholds
     (τ ≈ 0.9 → ring 1, 3.5 % of buckets/table).  The LSH-served variant
-    with its measured-recall contract is the scale path for those."""
+    with its measured-recall contract is the scale path for those.
+
+    Results are memoized per (input fingerprint, threshold) — the recall
+    report re-asks for the same ground truth the pairs query just
+    computed; the fingerprint (size+mtime) invalidates on rewrite."""
     path = os.path.join(sf_dir, "embeddings.parquet")
+    ck = (input_fingerprint([path]), float(threshold))
+    if ck in _EXACT_PAIRS_CACHE:
+        return _EXACT_PAIRS_CACHE[ck]
     blocks = _emb_block_plan(path)
 
     @ray.remote(num_cpus=1)
@@ -764,8 +771,15 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     else:
         a = b = np.empty(0, np.int64)
     order = np.lexsort((b, a))
-    return pa.table({"a": pa.array(a[order], pa.int64()),
-                     "b": pa.array(b[order], pa.int64())})
+    out = pa.table({"a": pa.array(a[order], pa.int64()),
+                    "b": pa.array(b[order], pa.int64())})
+    _EXACT_PAIRS_CACHE[ck] = out
+    return out
+
+
+#: (input fingerprint, threshold) → exact pair table (tiny; ground truth
+#: shared between the pairs query and the recall report in one process)
+_EXACT_PAIRS_CACHE: dict = {}
 
 
 def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
@@ -794,12 +808,43 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
     cat_ref = ray.put(catalog)
 
     class RingProber:
-        """Bucket-cache probe actor: planes + catalog loaded once."""
+        """Bucket-cache probe actor: planes + catalog loaded once.
+
+        When the Hamming ring covers ≥ 25 % of the bucket space (the low-τ
+        "LSH prunes nothing" regime measured in
+        :func:`embedding_neardup_pairs`'s docstring), per-bucket file
+        reads degenerate into ~every file opened individually — so the
+        actor PRELOADS the whole index in ONE hive-partitioned dataset
+        read instead (a sequential scan, the honest shape of a low-τ range
+        query).  High-τ probes keep the lazy per-bucket reads that make
+        IO scale with ring mass."""
 
         def __init__(self):
             self.catalog = ray.get(cat_ref)
             self.planes = None
             self.cache: dict[int, tuple] = {}
+            if len(_ring(0, max_hamming)) / (1 << _N_PLANES) >= 0.25:
+                self._preload_all()
+
+        def _preload_all(self):
+            import pyarrow.dataset as pads
+            t = (pads.dataset(idx, format="parquet", partitioning="hive")
+                 .to_table(columns=["tcode", "vec_id", "embedding"]))
+            tc = t["tcode"].to_numpy().astype(np.int64)
+            order = np.argsort(tc, kind="stable")
+            tc = tc[order]
+            ids = t["vec_id"].to_numpy().astype(np.int64)[order]
+            col = t["embedding"].combine_chunks()
+            M = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                len(ids), -1)[order]
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            starts = np.flatnonzero(np.r_[True, tc[1:] != tc[:-1]])
+            ends = np.r_[starts[1:], len(tc)]
+            for s, e in zip(starts, ends):
+                self.cache[int(tc[s])] = (ids[s:e], M[s:e])
+            for c in self.catalog:           # buckets absent from the read
+                self.cache.setdefault(int(c), (np.empty(0, np.int64),
+                                               np.empty((0, 1))))
 
         def _bucket(self, tc: int):
             if tc not in self.cache:
@@ -830,11 +875,16 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
             if self.planes is None:
                 self.planes = _planes(Qn.shape[1])
+                # ring = fixed XOR mask set; enumerate once per actor
+                self.ring_xor = np.array(_ring(0, max_hamming), np.int64)
             codes = _codes(Qn, self.planes)  # (n, tables)
-            ring_tcodes = sorted({
-                int(_tcode(np.int64(t), np.int64(c)))
-                for qi in range(len(ids)) for t in range(_N_TABLES)
-                for c in _ring(int(codes[qi, t]), max_hamming)})
+            # vectorized ring expansion: (n, tables, ring) tcodes in one
+            # broadcast XOR — the per-query Python loop here measured as
+            # the probe's dominant cost at high ring fractions
+            tabs = np.arange(_N_TABLES, dtype=np.int64)[None, :, None]
+            ring_codes = (codes.astype(np.int64)[:, :, None]
+                          ^ self.ring_xor[None, None, :])
+            ring_tcodes = np.unique((tabs << _N_PLANES) | ring_codes)
             cids, cms = [], []
             for tc in ring_tcodes:
                 ci, cm = self._bucket(tc)
