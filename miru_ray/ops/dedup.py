@@ -349,19 +349,16 @@ def minhash_candidates(sf_dir: str) -> list[tuple[int, int]]:
     return sorted(_expand_pairs(coll, "band_key"))
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.8,
-                  out_path: str | None = None):
-    """MinHash-LSH near-dup clusters.
-
-    Pipeline: LSH candidates (distributed banding + bucket groupby) →
-    exact-Jaccard verification over shingle-hash sets gathered by a
-    DISTRIBUTED candidate-id semi-join (never the full corpus) → union-find
-    over verified pairs (driver; graph is duplication-bounded) → cluster
-    labels broadcast back and mapped over the corpus as a streaming
-    ``map_batches``.  Returns a ``ray.data.Dataset`` of
-    (doc_id, cluster_id); pass ``out_path`` to ``write_parquet`` instead of
-    returning rows (the 100-TB shape).
-    """
+def _minhash_labels(sf_dir: str,
+                    threshold: float = 0.8) -> tuple[np.ndarray, np.ndarray]:
+    """Verified near-dup cluster labels as parallel sorted arrays
+    (keys, roots) — only docs in a verified pair appear, so the broadcast
+    is duplication-bounded.  Shared by :func:`minhash_dedup` and the
+    near-dup curation pipeline: LSH candidates (distributed banding +
+    bucket groupby) → exact-Jaccard verification over shingle-hash sets
+    gathered by a DISTRIBUTED candidate-id semi-join (never the full
+    corpus) → union-find over verified pairs (driver; graph is
+    duplication-bounded)."""
     cands = minhash_candidates(sf_dir)
     cand_ids = np.array(sorted({d for p in cands for d in p}), np.int64)
     cand_ref = ray.put(cand_ids)
@@ -408,6 +405,18 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
     # substitution per batch (duplication-bounded broadcast, no row loop)
     lk = np.array(sorted(parent), np.int64)
     lv = np.array([find(int(k)) for k in lk], np.int64)
+    return lk, lv
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.8,
+                  out_path: str | None = None):
+    """MinHash-LSH near-dup clusters (see :func:`_minhash_labels` for the
+    candidate → verify → union-find pipeline).  Cluster labels broadcast
+    back and mapped over the corpus as a streaming ``map_batches``.
+    Returns a ``ray.data.Dataset`` of (doc_id, cluster_id); pass
+    ``out_path`` to ``write_parquet`` instead of returning rows (the
+    100-TB shape)."""
+    lk, lv = _minhash_labels(sf_dir, threshold)
     lab_ref = ray.put((lk, lv))
 
     def assign(b: pa.Table) -> pa.Table:

@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
@@ -118,6 +119,60 @@ def curation_summary(sf_dir: str, out_path: str | None = None):
                                "n_dropped_quality")})
 
 
+def curation_neardup_summary(sf_dir: str) -> pa.Table:
+    """Curation with a NEAR-dup gate on top of the exact one: keep a doc
+    only if it is its verified minhash CLUSTER's smallest member (clusters
+    subsume exact duplicates — identical text is Jaccard 1 — so the
+    cluster root is always its text group's min too), then the same
+    quality gates.  Output: (n_kept, total_tokens, n_dropped_exact,
+    n_dropped_neardup, n_dropped_quality).
+
+    Scale shape: the cluster labels are the duplication-bounded
+    (keys, roots) arrays from :func:`miru_ray.ops.dedup._minhash_labels`
+    broadcast once; the corpus itself still makes exactly one expanded +
+    tokenized + grouped pass (the :func:`_grouped_survivors` stream), with
+    the near-dup root check a searchsorted substitution inside the gate —
+    nothing O(N_docs) reaches the driver."""
+    from ..ops.dedup import _minhash_labels
+    lk, lv = _minhash_labels(sf_dir)
+    lab_ref = ray.put((lk, lv))
+
+    def gate_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        gn = t["group_n"].to_numpy().astype(np.int64)
+        nt = t["n_tokens"].to_numpy().astype(np.int64)
+        ns = t["n_stop"].to_numpy().astype(np.int64)
+        k, v = ray.get(lab_ref)
+        if len(k):
+            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+            root = np.where(k[pos] == ids, v[pos], ids)
+        else:
+            root = ids
+        is_root = root == ids
+        with np.errstate(invalid="ignore"):
+            ratio = np.where(nt > 0, ns / np.maximum(nt, 1), 1.0)
+        quality = (nt >= MIN_TOKENS) & (nt <= MAX_TOKENS) \
+            & (ratio <= MAX_STOP_RATIO)
+        keep = is_root & quality
+        return pa.table({
+            "n_kept": pa.array([int(keep.sum())]),
+            "tokens": pa.array([int(nt[keep].sum())]),
+            "drop_exact": pa.array([int((gn - 1).sum())]),
+            "drop_neardup": pa.array([int((~is_root).sum())]),
+            "drop_quality": pa.array([int((is_root & ~quality).sum())])})
+
+    agg = (_grouped_survivors(sf_dir)
+           .map_batches(gate_batch, batch_format="pyarrow", batch_size=8192)
+           .aggregate(Sum("n_kept", alias_name="n_kept"),
+                      Sum("tokens", alias_name="total_tokens"),
+                      Sum("drop_exact", alias_name="n_dropped_exact"),
+                      Sum("drop_neardup", alias_name="n_dropped_neardup"),
+                      Sum("drop_quality", alias_name="n_dropped_quality")))
+    return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
+                     for k in ("n_kept", "total_tokens", "n_dropped_exact",
+                               "n_dropped_neardup", "n_dropped_quality")})
+
+
 from ..fixtures import DOCS_DUP_SQL  # single source of the dup derivation
 
 SQL = {
@@ -143,6 +198,63 @@ SELECT count(*) FILTER (keep)::BIGINT AS n_kept,
        COALESCE(sum(n_tokens) FILTER (keep), 0)::BIGINT AS total_tokens,
        count(*) FILTER (NOT is_surv)::BIGINT AS n_dropped_dup,
        count(*) FILTER (is_surv AND NOT keep)::BIGINT AS n_dropped_quality
+FROM gated
+""".strip(),
+    # near-dup curation: verified-Jaccard connected components (the same
+    # recursive CTE as dedup_minhash_clusters) → cluster-root survivors →
+    # quality gates.  LSH recall at J ≥ 0.8 is 1−5e-8 on this geometry, so
+    # the engine's LSH+verify pair set equals this true pair set.
+    "curation_neardup_summary": f"""
+WITH RECURSIVE documents_dup AS ({DOCS_DUP_SQL}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents_dup
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents_dup
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+clusters AS (SELECT src AS doc_id, min(dst) AS root FROM reach GROUP BY src),
+ex AS (SELECT min(doc_id) AS doc_id FROM documents_dup GROUP BY text),
+feat AS (
+  SELECT d.doc_id,
+         len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens,
+         len(list_filter(regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+             x -> x IN ({", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))})))
+           AS n_stop,
+         d.doc_id IN (SELECT doc_id FROM ex) AS is_exact,
+         c.root = d.doc_id AS is_root
+  FROM documents_dup d JOIN clusters c ON c.doc_id = d.doc_id),
+gated AS (
+  SELECT *,
+         is_root AND n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+           AND (CASE WHEN n_tokens > 0
+                     THEN n_stop * 1.0 / n_tokens ELSE 1.0 END)
+               <= {MAX_STOP_RATIO} AS keep
+  FROM feat)
+SELECT count(*) FILTER (keep)::BIGINT AS n_kept,
+       COALESCE(sum(n_tokens) FILTER (keep), 0)::BIGINT AS total_tokens,
+       count(*) FILTER (NOT is_exact)::BIGINT AS n_dropped_exact,
+       count(*) FILTER (is_exact AND NOT is_root)::BIGINT
+           AS n_dropped_neardup,
+       count(*) FILTER (is_root AND NOT keep)::BIGINT AS n_dropped_quality
 FROM gated
 """.strip(),
 }

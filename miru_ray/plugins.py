@@ -277,6 +277,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     from .pipelines import curate as Cu
     reg("curation_summary", Cu.curation_summary,
         Cu.SQL.get("curation_summary"), ("curation",))
+    reg("curation_neardup_summary", Cu.curation_neardup_summary,
+        Cu.SQL.get("curation_neardup_summary"), ("curation",))
     # ---- catwalk model build + strut scoring (§2.5) ----
     reg("catwalk_model", C.catwalk_model, C.SQL.get("catwalk_model"),
         ("catwalk",))

@@ -352,6 +352,67 @@ def test_exact_dedup_out_path_streams_survivors(tmp_path):
     pd.testing.assert_frame_equal(written[["doc_id"]], gate)
 
 
+def test_curation_neardup_matches_python_reference():
+    """Near-dup curation vs an independent pure-Python reference: shingle
+    Jaccard >= 0.8 union-find clusters, root survivors, the same quality
+    gates.  (The SQL recursive-CTE oracle runs in the driver gate; this
+    checks the engine against a second, CTE-free derivation.)"""
+    from miru_ray.fixtures import derive_docs_dup
+    from miru_ray.ops.dedup import _shingles
+    from miru_ray.pipelines.curate import (MAX_STOP_RATIO, MAX_TOKENS,
+                                           MIN_TOKENS,
+                                           curation_neardup_summary)
+    from miru_ray.tokenize import EN_STOPWORDS, py_tokenize
+    docs = derive_docs_dup(pq.read_table(f"{SF}/documents.parquet",
+                                         columns=["doc_id", "text"]))
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    toks = {i: py_tokenize(t) for i, t in zip(ids, texts)}
+    sh = {i: _shingles(tk) for i, tk in toks.items()}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sids = sorted(ids)
+    for ai in range(len(sids)):
+        for bi in range(ai + 1, len(sids)):
+            a, b = sids[ai], sids[bi]
+            u = sh[a] | sh[b]
+            if u and len(sh[a] & sh[b]) / len(u) >= 0.8:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    text_min: dict = {}
+    for i, t in zip(ids, texts):
+        k = text_min.get(t)
+        text_min[t] = i if k is None else min(k, i)
+    want = {"n_kept": 0, "total_tokens": 0, "n_dropped_exact": 0,
+            "n_dropped_neardup": 0, "n_dropped_quality": 0}
+    for i, t in zip(ids, texts):
+        if text_min[t] != i:
+            want["n_dropped_exact"] += 1
+            continue
+        if find(i) != i:
+            want["n_dropped_neardup"] += 1
+            continue
+        nt = len(toks[i])
+        ns = sum(1 for w in toks[i] if w in EN_STOPWORDS)
+        ok = (MIN_TOKENS <= nt <= MAX_TOKENS
+              and (ns / nt if nt else 1.0) <= MAX_STOP_RATIO)
+        if ok:
+            want["n_kept"] += 1
+            want["total_tokens"] += nt
+        else:
+            want["n_dropped_quality"] += 1
+    got = curation_neardup_summary(SF).to_pandas().iloc[0].to_dict()
+    assert got == want, (got, want)
+    assert want["n_dropped_neardup"] > 0  # the planted near-copies
+
+
 def test_curation_out_path_deterministic_parts(tmp_path):
     """Kept-row export uses deterministic part names (doc-id range), so a
     re-executed task overwrites instead of duplicating (ADVICE r02)."""
