@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Min, Sum
 
 from ..tokenize import explode_tokens, py_tokenize
 from ..util import (input_fingerprint, md5_64, md5_64_bulk,
@@ -437,6 +437,66 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
     # deterministic row order: the conformance gate may hash rows in the
     # order a Dataset materializes them
     return out.sort("doc_id")
+
+
+def incremental_dedup_counts(sf_dir: str) -> pa.Table:
+    """Incremental exact dedup: a DELTA batch deduped against an existing
+    CORPUS without re-emitting corpus survivors — the production shape for
+    appending a new crawl shard to a 100-TB deduped store.  Corpus = the
+    original documents (doc_id < n); delta = the planted copies the dup
+    derivation appends (doc_id ≥ n).
+
+    One distributed ``groupby(hash)`` over the union, with per-batch
+    partials carrying (min corpus doc | sentinel, n_delta) per hash — at
+    scale the existing store is already hash-partitioned parquet, so this
+    shuffle is a co-partitioned join, and the corpus side ships one row
+    per distinct hash, not its text.  Output: (n_delta, n_new_kept,
+    n_dup_vs_corpus, n_dup_within_delta) where kept = first delta doc of
+    a hash the corpus has never seen."""
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    _SENTINEL = np.int64(1) << np.int64(62)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = md5_64(b["text"].to_pandas()).view(np.int64)
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        is_delta = did >= n
+        t = pa.table({
+            "h": pa.array(h),
+            "c_min": pa.array(np.where(is_delta, _SENTINEL, did)),
+            "nd": pa.array(is_delta.astype(np.int64))})
+        g = t.group_by("h").aggregate([("c_min", "min"), ("nd", "sum")])
+        return pa.table({"h": g["h"], "c_min": g["c_min_min"],
+                         "nd": g["nd_sum"]})
+
+    grouped = (_documents(sf_dir, ["doc_id", "text"])
+               .map_batches(partial, batch_format="pyarrow",
+                            batch_size=8192)
+               .groupby("h").aggregate(
+                   Min("c_min", alias_name="c_min"),
+                   Sum("nd", alias_name="nd")))
+
+    def gate(t: pa.Table) -> pa.Table:
+        c_min = t["c_min"].to_numpy().astype(np.int64)
+        nd = t["nd"].to_numpy().astype(np.int64)
+        in_corpus = c_min < _SENTINEL
+        new = ~in_corpus & (nd > 0)
+        return pa.table({
+            "n_delta": pa.array([int(nd.sum())]),
+            "n_new_kept": pa.array([int(new.sum())]),
+            "n_dup_vs_corpus": pa.array([int(nd[in_corpus].sum())]),
+            "n_dup_within_delta": pa.array([int((nd[new] - 1).sum())])})
+
+    agg = grouped.map_batches(gate, batch_format="pyarrow",
+                              batch_size=8192).aggregate(
+        Sum("n_delta", alias_name="n_delta"),
+        Sum("n_new_kept", alias_name="n_new_kept"),
+        Sum("n_dup_vs_corpus", alias_name="n_dup_vs_corpus"),
+        Sum("n_dup_within_delta", alias_name="n_dup_within_delta"))
+    return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
+                     for k in ("n_delta", "n_new_kept", "n_dup_vs_corpus",
+                               "n_dup_within_delta")})
 
 
 # ------------------------------ simhash ------------------------------------
@@ -1008,6 +1068,26 @@ SELECT min(doc_id) AS doc_id FROM documents_dup GROUP BY text ORDER BY doc_id
         "dedup_exact_count": f"""
 WITH {dup}
 SELECT count(DISTINCT text)::BIGINT AS n_distinct FROM documents_dup
+""".strip(),
+        # delta (planted copies, doc_id >= n) deduped against the corpus
+        # (originals, doc_id < n); n = count(documents) keeps the SQL
+        # scale-independent
+        "dedup_incremental_counts": f"""
+WITH {dup},
+nn AS (SELECT count(*) AS n FROM documents),
+d AS (SELECT doc_id, text, doc_id >= (SELECT n FROM nn) AS is_delta
+      FROM documents_dup),
+g AS (SELECT text,
+             min(CASE WHEN NOT is_delta THEN doc_id END) AS c_min,
+             count(*) FILTER (is_delta) AS nd
+      FROM d GROUP BY text)
+SELECT COALESCE(sum(nd), 0)::BIGINT AS n_delta,
+       count(*) FILTER (c_min IS NULL AND nd > 0)::BIGINT AS n_new_kept,
+       COALESCE(sum(nd) FILTER (c_min IS NOT NULL), 0)::BIGINT
+           AS n_dup_vs_corpus,
+       COALESCE(sum(nd - 1) FILTER (c_min IS NULL AND nd > 0), 0)::BIGINT
+           AS n_dup_within_delta
+FROM g
 """.strip(),
         # TRUE shingle-Jaccard pairs, computed independently in SQL
         "dedup_ngram_jaccard_pairs": f"""

@@ -224,6 +224,7 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     # ---- dedup family (§2.8 + training-data ops) ----
     for name, fn in (("dedup_exact_docs", D.exact_dedup),
                      ("dedup_exact_count", D.exact_dedup_count),
+                     ("dedup_incremental_counts", D.incremental_dedup_counts),
                      ("dedup_ngram_jaccard_pairs", D.ngram_jaccard_pairs),
                      ("dedup_substring_spans", D.substring_spans),
                      ("dedup_minhash_clusters", D.minhash_dedup),

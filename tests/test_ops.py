@@ -352,6 +352,38 @@ def test_exact_dedup_out_path_streams_survivors(tmp_path):
     pd.testing.assert_frame_equal(written[["doc_id"]], gate)
 
 
+def test_incremental_dedup_within_delta_dups(tmp_path):
+    """Micro-fixture covering every incremental-dedup branch: delta docs
+    duplicating the corpus, genuinely new delta docs, and a WITHIN-delta
+    duplicate pair (two near-copy rewrites collapsing to identical text —
+    ids 1 and 6 differ only in their first token, which the dup
+    derivation replaces with 'xdup')."""
+    import duckdb
+    import pyarrow as pa
+
+    from miru_ray.ops.dedup import _sql, incremental_dedup_counts
+    texts = [f"doc number {i} words here and more filler" for i in range(10)]
+    texts[1] = "alpha beta gamma delta"
+    texts[6] = "omega beta gamma delta"  # near-copy collides with id 1's
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": pa.array(texts)})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = incremental_dedup_counts(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{d}/documents.parquet'")
+    want = con.execute(_sql()["dedup_incremental_counts"]).fetchdf()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    assert got.equals(want.reset_index(drop=True)), (got, want)
+    assert int(got["n_dup_within_delta"][0]) == 1
+    assert int(got["n_dup_vs_corpus"][0]) == 2   # ids 3, 8 exact copies
+    # new kept: the collapsed xdup pair counts ONCE, plus nothing else
+    assert int(got["n_new_kept"][0]) == 1
+
+
 def test_curation_neardup_matches_python_reference():
     """Near-dup curation vs an independent pure-Python reference: shingle
     Jaccard >= 0.8 union-find clusters, root survivors, the same quality
