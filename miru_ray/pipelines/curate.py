@@ -32,7 +32,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
-from ..ops.dedup import _documents
+from ..ops.dedup import _documents, label_roots
 from ..tokenize import EN_STOPWORDS, explode_tokens
 from ..util import md5_64
 
@@ -41,6 +41,15 @@ MAX_TOKENS = 5000
 MAX_STOP_RATIO = 0.08
 
 _STOP_ARR = pa.array(sorted(EN_STOPWORDS), type=pa.string())
+
+
+def _quality_mask(nt: np.ndarray, ns: np.ndarray) -> np.ndarray:
+    """The ONE definition of the quality gate (length band + stopword
+    ratio), shared by every curation variant so they can never diverge."""
+    with np.errstate(invalid="ignore"):
+        ratio = np.where(nt > 0, ns / np.maximum(nt, 1), 1.0)
+    return (nt >= MIN_TOKENS) & (nt <= MAX_TOKENS) \
+        & (ratio <= MAX_STOP_RATIO)
 
 
 def _doc_stats_batch(b: pa.Table) -> pa.Table:
@@ -91,10 +100,7 @@ def curation_summary(sf_dir: str, out_path: str | None = None):
         gn = t["group_n"].to_numpy().astype(np.int64)
         nt = t["n_tokens"].to_numpy().astype(np.int64)
         ns = t["n_stop"].to_numpy().astype(np.int64)
-        with np.errstate(invalid="ignore"):
-            ratio = np.where(nt > 0, ns / np.maximum(nt, 1), 1.0)
-        quality = (nt >= MIN_TOKENS) & (nt <= MAX_TOKENS) \
-            & (ratio <= MAX_STOP_RATIO)
+        quality = _quality_mask(nt, ns)
         if out_path is not None and quality.any():
             import pyarrow.parquet as pq
             kept = pa.table({"doc_id": pa.array(ids[quality]),
@@ -143,16 +149,8 @@ def curation_neardup_summary(sf_dir: str) -> pa.Table:
         nt = t["n_tokens"].to_numpy().astype(np.int64)
         ns = t["n_stop"].to_numpy().astype(np.int64)
         k, v = ray.get(lab_ref)
-        if len(k):
-            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
-            root = np.where(k[pos] == ids, v[pos], ids)
-        else:
-            root = ids
-        is_root = root == ids
-        with np.errstate(invalid="ignore"):
-            ratio = np.where(nt > 0, ns / np.maximum(nt, 1), 1.0)
-        quality = (nt >= MIN_TOKENS) & (nt <= MAX_TOKENS) \
-            & (ratio <= MAX_STOP_RATIO)
+        is_root = label_roots(ids, k, v) == ids
+        quality = _quality_mask(nt, ns)
         keep = is_root & quality
         return pa.table({
             "n_kept": pa.array([int(keep.sum())]),
