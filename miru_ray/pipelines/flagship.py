@@ -374,6 +374,72 @@ def q_keyword_and_term(sf_dir: str, role: str, term: str) -> pa.Table:
     return pa.table({"n_matched": pa.array([s.count(ast)], type=pa.int64())})
 
 
+def q_facet_counts(sf_dir: str, field: str = "role",
+                   term: str = "spark") -> pa.Table:
+    """Facet counts (the search-sidebar primitive): among docs whose text
+    contains ``term``, the doc count per ``field`` keyword value —
+    answered ENTIRELY from postings algebra (field-value postings ∧ term
+    postings ∧ alive mask) with no docstore gather.  Values enumerate via
+    the same capped prefix expansion wildcards use; per-value counts are
+    one fan-out each (facet cardinality is small by construction — it is
+    a UI facet)."""
+    from ..query.filter import And, Term
+    s = searcher_for(sf_dir)
+    keys: set = set()
+    for res in s._fanout("expand_prefix", f"{field}:", 1000):
+        keys.update(res)
+    vals, counts = [], []
+    for key in sorted(keys):
+        v = key.split(":", 1)[1]
+        n = s.count(And((Term(field, v), Term("text", term))))
+        if n:
+            vals.append(v)
+            counts.append(n)
+    return pa.table({"value": pa.array(vals, pa.string()),
+                     "n_docs": pa.array(counts, pa.int64())})
+
+
+def facet_sql(field: str = "role", term: str = "spark") -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT d.{field} AS value, count(DISTINCT d.doc_id)::BIGINT AS n_docs
+FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+GROUP BY d.{field} ORDER BY value
+""".strip()
+
+
+def q_suggest(sf_dir: str, prefix: str = "s", k: int = 10) -> pa.Table:
+    """Prefix suggestion / autocomplete: top-k completions of ``prefix``
+    ranked by global document frequency — one Ray pass over the segment
+    term dictionaries (prefix-pruned read), never the postings."""
+    idir = index_dir_for(sf_dir)
+    from ray.data.aggregate import Sum
+    segs = ray.data.read_parquet(os.path.join(idir, "segments"),
+                                 columns=["term", "df"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as _pc
+        return t.filter(_pc.starts_with(t["term"], prefix))
+
+    agg = (segs.map_batches(pre, batch_format="pyarrow", batch_size=65536)
+           .groupby("term").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())
+    agg = agg[~agg["term"].str.contains(":")]
+    agg = agg.sort_values(["df", "term"], ascending=[False, True]).head(k)
+    agg["df"] = agg["df"].astype("int64")
+    return pa.Table.from_pandas(agg.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def suggest_sql(prefix: str = "s", k: int = 10) -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT term, df::BIGINT AS df FROM df
+WHERE term LIKE '{prefix}%'
+ORDER BY df DESC, term ASC LIMIT {k}
+""".strip()
+
+
 def q_term_stats(sf_dir: str, k: int = 20) -> pa.Table:
     """Global per-term df/cf via a Ray pipeline over segment term dicts
     (the distributed analogue of ``getGlobalCardinality``,

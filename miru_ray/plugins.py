@@ -172,6 +172,9 @@ WHERE tf.term = 'spark' AND d.role = 'user'
 """.strip(), ("filter",))
     reg("fulltext_phrase_count", F.q_phrase_count, F.phrase_count_sql(),
         ("fulltext",))
+    reg("fulltext_facet_role", F.q_facet_counts, F.facet_sql(),
+        ("fulltext",))
+    reg("fulltext_suggest", F.q_suggest, F.suggest_sql(), ("fulltext",))
     # ---- authz / ACL composite filter (§2.3, MiruAuthzIndex) ----
     reg("fulltext_authz_count", F.q_authz_count, F.authz_count_sql(),
         ("authz",))
