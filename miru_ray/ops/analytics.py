@@ -486,6 +486,71 @@ _Q_BINS = 4096        # histogram resolution per refinement round
 _Q_GATHER_CAP = 262_144  # max rows pulled to the driver for the final pick
 
 
+# bin membership must be IDENTICAL in the histogram pass and the gather
+# pass (float boundary rounding would otherwise shift ranks): one shared
+# floor-rule chain — each refinement level is (lo, width, bin) and a row
+# is a member iff it matches every level.
+def _q_bin_idx(v: np.ndarray, lo: float, width: float) -> np.ndarray:
+    return np.clip(np.floor((v - lo) / width).astype(np.int64),
+                   0, _Q_BINS - 1)
+
+
+def _q_member_mask(v: np.ndarray, chain) -> np.ndarray:
+    mask = np.ones(len(v), bool)
+    for lo, width, b in chain:
+        mask &= _q_bin_idx(v, lo, width) == b
+    return mask
+
+
+def _kth_smallest(ds: "ray.data.Dataset", n: int, lo: float, hi: float,
+                  k: int) -> float:
+    """Exact k-th smallest of ds["value"] by histogram refinement —
+    shared by the global and the per-group quantile ops (``ds`` is the
+    whole stream or one group's filtered view)."""
+    if lo == hi:
+        return lo
+    chain: list = []
+    rank, prev_count = k, n + 1
+    while True:
+        width = (hi - lo) / _Q_BINS
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy()
+            v = v[_q_member_mask(v, chain)]
+            return pa.table({"h": pa.array(np.bincount(
+                _q_bin_idx(v, lo, width),
+                minlength=_Q_BINS).astype(np.int64))})
+
+        h = (ds.map_batches(hist, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()["h"]
+             .to_numpy().reshape(-1, _Q_BINS).sum(axis=0))
+        cum = np.cumsum(h)
+        b = int(np.searchsorted(cum, rank))
+        rank -= int(cum[b - 1]) if b else 0
+        count = int(h[b])
+        chain.append((lo, width, b))
+        # stop when the bin is gather-sized OR refinement stalled
+        # (identical values can't split further) — the gather is
+        # (value, count) partials, bounded by DISTINCT values, so a
+        # degenerate all-ties bin still gathers one row per value
+        if count <= _Q_GATHER_CAP or count >= prev_count or width <= 0:
+            def distinct(t: pa.Table) -> pa.Table:
+                v = t["value"].to_numpy()
+                v = v[_q_member_mask(v, chain)]
+                u, c = np.unique(v, return_counts=True)
+                return pa.table({"value": pa.array(u),
+                                 "cnt": pa.array(c.astype(np.int64))})
+
+            g = (ds.map_batches(distinct, batch_format="pyarrow",
+                                batch_size=65536).to_pandas()
+                 .groupby("value", as_index=False)["cnt"].sum()
+                 .sort_values("value"))
+            pos = int(np.searchsorted(g["cnt"].cumsum().to_numpy(), rank))
+            return float(g["value"].to_numpy()[pos])
+        prev_count = count
+        lo, hi = lo + b * width, lo + (b + 1) * width
+
+
 def value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS) -> pa.Table:
     """EXACT quantiles of ``events.value`` without a global sort — the
     distributed selection algorithm: histogram partials → locate the bin
@@ -515,71 +580,60 @@ def value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS) -> pa.Table:
                          "rank": pa.array([], pa.int64()),
                          "value": pa.array([], pa.float64())})
 
-    # bin membership must be IDENTICAL in the histogram pass and the
-    # gather pass (float boundary rounding would otherwise shift ranks):
-    # one shared floor-rule chain — each refinement level is
-    # (lo, width, bin) and a row is a member iff it matches every level.
-    def _bin_idx(v: np.ndarray, lo: float, width: float) -> np.ndarray:
-        return np.clip(np.floor((v - lo) / width).astype(np.int64),
-                       0, _Q_BINS - 1)
-
-    def _member_mask(v: np.ndarray, chain) -> np.ndarray:
-        mask = np.ones(len(v), bool)
-        for lo, width, b in chain:
-            mask &= _bin_idx(v, lo, width) == b
-        return mask
-
-    def kth_smallest(k: int) -> float:
-        lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
-        if lo == hi:
-            return lo
-        chain: list = []
-        rank, prev_count = k, n + 1
-        while True:
-            width = (hi - lo) / _Q_BINS
-
-            def hist(t: pa.Table) -> pa.Table:
-                v = t["value"].to_numpy()
-                v = v[_member_mask(v, chain)]
-                return pa.table({"h": pa.array(np.bincount(
-                    _bin_idx(v, lo, width),
-                    minlength=_Q_BINS).astype(np.int64))})
-
-            h = (ds.map_batches(hist, batch_format="pyarrow",
-                                batch_size=65536).to_pandas()["h"]
-                 .to_numpy().reshape(-1, _Q_BINS).sum(axis=0))
-            cum = np.cumsum(h)
-            b = int(np.searchsorted(cum, rank))
-            rank -= int(cum[b - 1]) if b else 0
-            count = int(h[b])
-            chain.append((lo, width, b))
-            # stop when the bin is gather-sized OR refinement stalled
-            # (identical values can't split further) — the gather is
-            # (value, count) partials, bounded by DISTINCT values, so a
-            # degenerate all-ties bin still gathers one row per value
-            if count <= _Q_GATHER_CAP or count >= prev_count or width <= 0:
-                def distinct(t: pa.Table) -> pa.Table:
-                    v = t["value"].to_numpy()
-                    v = v[_member_mask(v, chain)]
-                    u, c = np.unique(v, return_counts=True)
-                    return pa.table({"value": pa.array(u),
-                                     "cnt": pa.array(c.astype(np.int64))})
-
-                g = (ds.map_batches(distinct, batch_format="pyarrow",
-                                    batch_size=65536).to_pandas()
-                     .groupby("value", as_index=False)["cnt"].sum()
-                     .sort_values("value"))
-                pos = int(np.searchsorted(g["cnt"].cumsum().to_numpy(),
-                                          rank))
-                return float(g["value"].to_numpy()[pos])
-            prev_count = count
-            lo, hi = lo + b * width, lo + (b + 1) * width
-
+    lo0, hi0 = float(mm["lo"].min()), float(mm["hi"].max())
     ks = [(p, (n * p + 99) // 100) for p in pcts]
-    out = [(p, k, kth_smallest(k)) for p, k in ks]
+    out = [(p, k, _kth_smallest(ds, n, lo0, hi0, k)) for p, k in ks]
     return pa.table({"q_pct": pa.array([o[0] for o in out], pa.int64()),
                      "rank": pa.array([o[1] for o in out], pa.int64()),
                      "value": pa.array([o[2] for o in out], pa.float64())})
+
+
+GROUP_QUANTILE_PCTS = (50, 90)
+
+
+def group_value_quantiles(sf_dir: str,
+                          pcts=GROUP_QUANTILE_PCTS) -> pa.Table:
+    """EXACT per-group quantiles (p50/p90 of ``value`` per event_type) —
+    the same histogram-refinement selection as
+    :func:`value_quantiles`, run over each group's filtered view of ONE
+    materialized (event_type, value) stream.  Group cardinality here is
+    enum-small (5 event types), so a per-group refinement loop costs
+    groups × rounds streaming passes with O(_Q_BINS) driver state each;
+    at high group cardinality key the histogram partials by
+    (group, bin) instead — same algebra, one pass per round for ALL
+    groups."""
+    ds = _events(sf_dir, ["event_type", "value"]).materialize()
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate(
+            [("value", "min"), ("value", "max"), ("value", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "lo": g["value_min"], "hi": g["value_max"],
+                         "n": pc.cast(g["value_count"], pa.int64())})
+
+    mm = (ds.map_batches(mm_partial, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+          .groupby("event_type", as_index=False)
+          .agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+          .sort_values("event_type").reset_index(drop=True))
+
+    rows = []
+    for _, r in mm.iterrows():
+        et, n = str(r["event_type"]), int(r["n"])
+        view = ds.map_batches(
+            lambda t, _et=et: t.filter(pc.equal(t["event_type"], _et))
+                               .select(["value"]),
+            batch_format="pyarrow", batch_size=65536)
+        for p in pcts:
+            k = (n * p + 99) // 100
+            rows.append((et, p, k,
+                         _kth_smallest(view, n, float(r["lo"]),
+                                       float(r["hi"]), k)))
+    return pa.table({
+        "event_type": pa.array([x[0] for x in rows], pa.string()),
+        "q_pct": pa.array([x[1] for x in rows], pa.int64()),
+        "rank": pa.array([x[2] for x in rows], pa.int64()),
+        "value": pa.array([x[3] for x in rows], pa.float64())})
 
 
 def _peakdet(y: np.ndarray, delta: float) -> int:
@@ -1102,6 +1156,19 @@ ORDER BY slope DESC, event_type ASC LIMIT 3
 # engine's value-range searchsorted window; generated so parameterized
 # callers share one definition with the default registry entry
 SQL["events_rolling_counts"] = rolling_counts_sql()
+
+SQL["events_group_quantiles"] = f"""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+q AS (SELECT unnest([{", ".join(map(str, GROUP_QUANTILE_PCTS))}]) AS q_pct)
+SELECT r.event_type, q.q_pct::BIGINT AS q_pct,
+       ((r.n * q.q_pct + 99) // 100)::BIGINT AS rank, r.value
+FROM r JOIN q ON r.rn = (r.n * q.q_pct + 99) // 100
+ORDER BY event_type, q_pct
+""".strip()
 
 SQL["events_value_quantiles"] = f"""
 WITH n AS (SELECT count(*) AS n FROM events),

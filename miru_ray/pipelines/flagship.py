@@ -440,6 +440,66 @@ ORDER BY df DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def q_more_like_this(sf_dir: str, doc_id: int = 0, n_terms: int = 5,
+                     k: int = 10) -> pa.Table:
+    """MoreLikeThis: top-k docs similar to ``doc_id`` — its most
+    characteristic terms (ranked by the INTEGER-exact key
+    (tf desc, df asc, term asc); a float tf·idf key could flip term
+    selection on a 1-ulp ln() difference between engines) feed a BM25 OR
+    query, self excluded.  One stored-field gather + one stats fan-out +
+    one scored query — the reco-over-fulltext composition."""
+    from collections import Counter
+
+    from ..query.filter import or_terms
+    from ..tokenize import py_tokenize
+    s = searcher_for(sf_dir)
+    txt = s.gather([doc_id], columns=("text",))["text"].to_pylist()[0]
+    tf = Counter(py_tokenize(txt or ""))
+    stats: dict[str, tuple[int, int]] = {}
+    for res in s._fanout("term_stats", sorted(tf)):
+        for t, (df, cf) in res.items():
+            d0, c0 = stats.get(t, (0, 0))
+            stats[t] = (d0 + df, c0 + cf)
+    ranked = sorted(tf, key=lambda t: (-tf[t], stats.get(t, (0, 0))[0], t))
+    terms = ranked[:n_terms]
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res = s.topk(or_terms(terms), k + 1, "bm25").to_pandas()
+    res = res[res["doc_id"] != doc_id].head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def more_like_this_sql(doc_id: int = 0, n_terms: int = 5, k: int = 10,
+                       k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+{SQL_PROLOGUE},
+src AS (
+  SELECT t.term, t.tf, f.df FROM tf t JOIN df f USING (term)
+  WHERE t.doc_id = {doc_id}),
+q AS (SELECT term FROM src ORDER BY tf DESC, df ASC, term ASC
+      LIMIT {n_terms}),
+matched AS (SELECT tf.doc_id FROM tf JOIN q USING (term)
+            GROUP BY tf.doc_id),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round_even(score, 6) AS score
+FROM scores WHERE doc_id <> {doc_id}
+ORDER BY score DESC, doc_id DESC LIMIT {k}
+""".strip()
+
+
 def q_term_stats(sf_dir: str, k: int = 20) -> pa.Table:
     """Global per-term df/cf via a Ray pipeline over segment term dicts
     (the distributed analogue of ``getGlobalCardinality``,

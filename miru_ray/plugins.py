@@ -175,6 +175,8 @@ WHERE tf.term = 'spark' AND d.role = 'user'
     reg("fulltext_facet_role", F.q_facet_counts, F.facet_sql(),
         ("fulltext",))
     reg("fulltext_suggest", F.q_suggest, F.suggest_sql(), ("fulltext",))
+    reg("fulltext_more_like_this", F.q_more_like_this,
+        F.more_like_this_sql(), ("fulltext",))
     # ---- authz / ACL composite filter (§2.3, MiruAuthzIndex) ----
     reg("fulltext_authz_count", F.q_authz_count, F.authz_count_sql(),
         ("authz",))
@@ -221,6 +223,7 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("events_sessions", A.sessions),
                      ("events_rolling_counts", A.rolling_counts),
                      ("events_value_quantiles", A.value_quantiles),
+                     ("events_group_quantiles", A.group_value_quantiles),
                      ("events_asof_purchase_click", A.asof_join),
                      ("events_window_join", A.window_join)):
         reg(name, fn, A.SQL.get(name), ("analytics",))
