@@ -440,6 +440,74 @@ ORDER BY df DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def q_spell_correct(sf_dir: str, word: str = "sparc",
+                    k: int = 5) -> pa.Table:
+    """"Did you mean": vocabulary terms within edit distance 1 of
+    ``word``, ranked by global df — the spell-correction primitive.  The
+    candidate set is VOCABULARY-bounded (one grouped pass over segment
+    term dicts, then a length pre-filter); the distance-1 test is
+    vectorized per candidate length class: common-prefix + common-suffix
+    lengths cover substitution (p + s ≥ m−1, equal length) and
+    insertion/deletion (p + s ≥ min length) without any per-string
+    Python loop."""
+    idir = index_dir_for(sf_dir)
+    from ray.data.aggregate import Sum
+    segs = ray.data.read_parquet(os.path.join(idir, "segments"),
+                                 columns=["term", "df"])
+    agg = (segs.groupby("term").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())
+    agg = agg[~agg["term"].str.contains(":")]
+    w = np.frombuffer(word.encode(), np.uint8)
+    m = len(w)
+
+    def _pref_suf(cands: np.ndarray, width: int):
+        M = np.zeros((len(cands), width), np.uint8)
+        for i, t in enumerate(cands):          # vocabulary-bounded fill
+            bt = t.encode()
+            M[i, :len(bt)] = np.frombuffer(bt, np.uint8)
+        lo = min(width, m)
+        pref = np.cumprod(M[:, :lo] == w[None, :lo], axis=1).sum(axis=1)
+        suf = np.cumprod(M[:, ::-1][:, :lo] == w[::-1][None, :lo],
+                         axis=1).sum(axis=1)
+        return pref, suf
+
+    terms = agg["term"].to_numpy()
+    lens = np.char.str_len(terms.astype(str))
+    keep = np.zeros(len(terms), bool)
+    dist = np.ones(len(terms), np.int64)
+    for width, rule in ((m, "sub"), (m - 1, "del"), (m + 1, "ins")):
+        if width <= 0:
+            continue
+        sel = np.flatnonzero(lens == width)
+        if not len(sel):
+            continue
+        pref, suf = _pref_suf(terms[sel], width)
+        if rule == "sub":
+            ok = pref + suf >= m - 1
+            dist[sel[ok & (pref >= m)]] = 0   # identical term
+        else:
+            ok = pref + suf >= min(width, m)
+        keep[sel[ok]] = True
+    out = agg[keep].copy()
+    out["dist"] = dist[keep]
+    out["df"] = out["df"].astype("int64")
+    out = out.sort_values(["df", "term"],
+                          ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(out[["term", "df", "dist"]]
+                                .reset_index(drop=True),
+                                preserve_index=False)
+
+
+def spell_correct_sql(word: str = "sparc", k: int = 5) -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT term, df::BIGINT AS df,
+       levenshtein(term, '{word}')::BIGINT AS dist
+FROM df WHERE levenshtein(term, '{word}') <= 1
+ORDER BY df DESC, term ASC LIMIT {k}
+""".strip()
+
+
 def q_more_like_this(sf_dir: str, doc_id: int = 0, n_terms: int = 5,
                      k: int = 10) -> pa.Table:
     """MoreLikeThis: top-k docs similar to ``doc_id`` — its most

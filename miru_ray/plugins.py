@@ -177,6 +177,8 @@ WHERE tf.term = 'spark' AND d.role = 'user'
     reg("fulltext_suggest", F.q_suggest, F.suggest_sql(), ("fulltext",))
     reg("fulltext_more_like_this", F.q_more_like_this,
         F.more_like_this_sql(), ("fulltext",))
+    reg("fulltext_spell_correct", F.q_spell_correct,
+        F.spell_correct_sql(), ("fulltext",))
     # ---- authz / ACL composite filter (§2.3, MiruAuthzIndex) ----
     reg("fulltext_authz_count", F.q_authz_count, F.authz_count_sql(),
         ("authz",))

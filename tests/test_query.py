@@ -291,3 +291,28 @@ def test_all_stopword_list_query_matches_none(xs_path, tmp_path):
         assert s.topk(["the"], 5, "bm25").num_rows == 0
     finally:
         s.close()
+
+
+def test_spell_correct_edit_distance_rule():
+    """The vectorized prefix+suffix distance-1 test vs DuckDB
+    levenshtein, across every edit class: identity (dist 0), deletion,
+    insertion, substitution — and TRANSPOSITION, which is distance 2 in
+    plain Levenshtein and must NOT match."""
+    import duckdb
+
+    from miru_ray.pipelines.flagship import q_spell_correct, spell_correct_sql
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf}/documents.parquet'")
+    cases = ["spark", "spar", "park", "sparks", "xpark", "spakr", "zz"]
+    for word in cases:
+        got = q_spell_correct(sf, word).to_pandas()
+        want = con.execute(spell_correct_sql(word)).fetchdf()
+        for c in ("df", "dist"):
+            want[c] = want[c].astype("int64")
+        assert got.reset_index(drop=True).equals(
+            want.reset_index(drop=True)), (word, got, want)
+    assert q_spell_correct(sf, "spark").to_pandas()["dist"].tolist()[0] == 0
+    assert len(q_spell_correct(sf, "spakr").to_pandas()
+               .query("term == 'spark'")) == 0  # transposition is dist 2
