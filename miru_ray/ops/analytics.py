@@ -683,7 +683,7 @@ def trending_peaks(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3,
 
 def asof_join(sf_dir: str, left_type: str = "purchase",
               right_type: str = "click",
-              _batch_size: int = 65536) -> pa.Table:
+              _batch_size: int = 65536, detail: bool = False) -> pa.Table:
     """As-of join: each ``left_type`` event joined to the most recent
     STRICTLY-earlier ``right_type`` event by the same user (the classic
     purchase ← latest-prior-click attribution).  Ray Data has no as-of
@@ -730,7 +730,8 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                           "event_id": pa.array([], pa.int64()),
                           "ts": pa.array([], pa.int64()),
                           "user_id": pa.array([], pa.int64()),
-                          "rts": pa.array([], pa.int64())})
+                          "rts": pa.array([], pa.int64()),
+                          "reid": pa.array([], pa.int64())})
         n = t.num_rows
         if n == 0:
             return empty
@@ -762,7 +763,8 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                 "event_id": pa.array(eid[ans]),
                 "ts": pa.array(ts[ans]),
                 "user_id": pa.array(uid[ans]),
-                "rts": pa.array(ts[last[ans]])}))
+                "rts": pa.array(ts[last[ans]]),
+                "reid": pa.array(eid[last[ans]])}))
         if pend.any():
             m = int(pend.sum())
             parts.append(pa.table({
@@ -770,7 +772,8 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                 "event_id": pa.array(eid[pend]),
                 "ts": pa.array(ts[pend]),
                 "user_id": pa.array(uid[pend]),
-                "rts": pa.array(np.full(m, -1, np.int64))}))
+                "rts": pa.array(np.full(m, -1, np.int64)),
+                "reid": pa.array(np.full(m, -1, np.int64))}))
         seg_ends = np.r_[seg_starts[1:], n] - 1
         le = last[seg_ends]
         has = le >= seg_starts
@@ -778,10 +781,13 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
             m = int(has.sum())
             parts.append(pa.table({
                 "mk": pa.array(np.full(m, 2, np.int8)),
-                "event_id": pa.array(np.full(m, -1, np.int64)),
+                # seam rows repurpose event_id to carry the RIGHT's id so
+                # detail-mode resolution can name the matched right event
+                "event_id": pa.array(eid[le[has]]),
                 "ts": pa.array(np.full(m, -1, np.int64)),
                 "user_id": pa.array(uid[seg_starts][has]),
-                "rts": pa.array(ts[le[has]])}))
+                "rts": pa.array(ts[le[has]]),
+                "reid": pa.array(eid[le[has]])}))
         if not parts:
             return empty
         return pa.concat_tables([p.cast(empty.schema) for p in parts])
@@ -790,8 +796,8 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
     # partials; a lazy Dataset would re-run the sort per consumer
     agg = srt.map_batches(partial, batch_format="pyarrow",
                           batch_size=_batch_size).materialize()
-    bnd = (agg.filter(expr="mk == 2").to_pandas()[["user_id", "rts"]]
-           .rename(columns={"rts": "b_rts"})
+    bnd = (agg.filter(expr="mk == 2").to_pandas()[["user_id", "rts", "reid"]]
+           .rename(columns={"rts": "b_rts", "reid": "b_reid"})
            .sort_values("b_rts", kind="mergesort").reset_index(drop=True))
     bnd_ref = ray.put(bnd)
 
@@ -801,10 +807,13 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
         is from its own or a later batch and is correctly excluded by the
         strict backward match); unresolvable lefts drop HERE, worker-side."""
         out_schema = pa.schema([("event_id", pa.int64()),
-                                ("ts", pa.int64()), ("rts", pa.int64())])
+                                ("user_id", pa.int64()),
+                                ("ts", pa.int64()), ("rts", pa.int64()),
+                                ("reid", pa.int64())])
         mk = t["mk"].to_numpy()
         parts = [t.filter(pa.array(mk == 0))
-                 .select(["event_id", "ts", "rts"]).cast(out_schema)]
+                 .select(["event_id", "user_id", "ts", "rts", "reid"])
+                 .cast(out_schema)]
         if (mk == 1).any():
             seam = ray.get(bnd_ref)
             if len(seam):
@@ -819,15 +828,26 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                     parts.append(pa.table({
                         "event_id": pa.array(res["event_id"].to_numpy()
                                              .astype(np.int64)),
+                        "user_id": pa.array(res["user_id"].to_numpy()
+                                            .astype(np.int64)),
                         "ts": pa.array(res["ts"].to_numpy()
                                        .astype(np.int64)),
                         "rts": pa.array(res["b_rts"].to_numpy()
-                                        .astype(np.int64))}))
+                                        .astype(np.int64)),
+                        "reid": pa.array(res["b_reid"].to_numpy()
+                                         .astype(np.int64))}))
         return pa.concat_tables(parts)
 
     ans = (agg.map_batches(resolve, batch_format="pyarrow",
                            batch_size=_batch_size).to_pandas()
            .sort_values("event_id").reset_index(drop=True))
+    if detail:
+        return pa.table({
+            "event_id": pa.array(ans["event_id"].to_numpy().astype(np.int64)),
+            "user_id": pa.array(ans["user_id"].to_numpy().astype(np.int64)),
+            "ts": pa.array(ans["ts"].to_numpy().astype(np.int64)),
+            "rts": pa.array(ans["rts"].to_numpy().astype(np.int64)),
+            "reid": pa.array(ans["reid"].to_numpy().astype(np.int64))})
     out_col = f"{right_type}_ts"
     return pa.table({
         "event_id": pa.array(ans["event_id"].to_numpy().astype(np.int64)),
@@ -835,6 +855,53 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
               .cast(pa.timestamp("us")),
         out_col: pa.array(ans["rts"].to_numpy().astype(np.int64))
                  .cast(pa.timestamp("us"))})
+
+
+FUNNEL_WINDOW_US = 24 * US_PER_HOUR
+
+
+def funnel_counts(sf_dir: str, window_us: int = FUNNEL_WINDOW_US,
+                  _batch_size: int = 65536) -> pa.Table:
+    """Ordered funnel (view → click → purchase within a window): users
+    with any view; users with a view strictly before a click within
+    ``window_us``; users completing the strict 3-step chain with
+    purchase − view ≤ ``window_us``.
+
+    Composition of two as-of joins (``detail`` mode): per purchase its
+    latest strictly-prior click, per click its latest strictly-prior
+    view.  The latest-chain is OPTIMAL — for a purchase p, the latest
+    click c* maximizes the view pool, and c*'s latest prior view is the
+    maximum v over every valid chain — so "latest chain fits the window"
+    ⇔ "ANY chain fits", which is exactly the EXISTS self-join the SQL
+    oracle states.  The per-click/per-purchase join tables are
+    event-count-bounded driver merges here; at a scale where they
+    outgrow the driver, feed the two detail tables through the
+    hash-shuffle ``Dataset.join`` on click id instead — same algebra."""
+    a2 = asof_join(sf_dir, "click", "view", detail=True,
+                   _batch_size=_batch_size).to_pandas()
+    a1 = asof_join(sf_dir, "purchase", "click", detail=True,
+                   _batch_size=_batch_size).to_pandas()
+    step2 = set(a2.loc[a2["ts"] - a2["rts"] <= window_us, "user_id"]
+                .astype(int))
+    j = a1.merge(a2[["event_id", "rts"]]
+                 .rename(columns={"event_id": "click_eid",
+                                  "rts": "view_ts"}),
+                 left_on="reid", right_on="click_eid")
+    step3 = set(j.loc[j["ts"] - j["view_ts"] <= window_us, "user_id"]
+                .astype(int))
+
+    def view_users(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["event_type"], "view"))
+        g = sub.select(["user_id"]).group_by("user_id").aggregate([])
+        return g.rename_columns(["user_id"])
+
+    n1 = (_events(sf_dir, ["user_id", "event_type"])
+          .map_batches(view_users, batch_format="pyarrow",
+                       batch_size=65536).to_pandas()["user_id"].nunique())
+    return pa.table({
+        "n_view_users": pa.array([int(n1)], pa.int64()),
+        "n_view_click_users": pa.array([len(step2)], pa.int64()),
+        "n_funnel_users": pa.array([len(step3)], pa.int64())})
 
 
 #: range-join window: views counted in [purchase_ts − 1h, purchase_ts)
@@ -1007,6 +1074,25 @@ FROM events p JOIN events c
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.ts
 ORDER BY p.event_id
+""".strip(),
+    # ordered funnel: strict-< chains, window anchored at the view; the
+    # EXISTS form is what the engine's latest-chain composition equals
+    "events_funnel": f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+u1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+u2 AS (SELECT DISTINCT c.user_id FROM e c JOIN e v
+         ON v.user_id = c.user_id AND c.event_type = 'click'
+        AND v.event_type = 'view' AND v.t < c.t
+        AND c.t - v.t <= {FUNNEL_WINDOW_US}),
+u3 AS (SELECT DISTINCT p.user_id
+       FROM e p
+       JOIN e c ON c.user_id = p.user_id AND p.event_type = 'purchase'
+              AND c.event_type = 'click' AND c.t < p.t
+       JOIN e v ON v.user_id = p.user_id AND v.event_type = 'view'
+              AND v.t < c.t AND p.t - v.t <= {FUNNEL_WINDOW_US})
+SELECT (SELECT count(*) FROM u1)::BIGINT AS n_view_users,
+       (SELECT count(*) FROM u2)::BIGINT AS n_view_click_users,
+       (SELECT count(*) FROM u3)::BIGINT AS n_funnel_users
 """.strip(),
     # range join: per purchase, same-user views in [ts − 1h, ts); summed
     # per user.  LEFT JOIN keeps zero-view purchases in n_purchases.

@@ -599,6 +599,27 @@ def test_window_join_boundaries():
         assert got["n_window_views"].tolist() == [3, 0, 0], (bs, got)
 
 
+def test_funnel_matches_oracle_and_tiling_invariant():
+    """Funnel counts equal the EXISTS self-join oracle (the latest-chain
+    optimality argument), and 64-row as-of batches (seam-crossing
+    chains) give the same answer."""
+    import duckdb
+
+    from miru_ray.ops.analytics import SQL, funnel_counts
+    big = funnel_counts(SF).to_pandas()
+    small = funnel_counts(SF, _batch_size=64).to_pandas()
+    assert big.equals(small), "tiling changed the funnel answer"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.execute(SQL["events_funnel"]).fetchdf()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    assert big.reset_index(drop=True).equals(want.reset_index(drop=True))
+    r = big.iloc[0]
+    assert (r["n_view_users"] >= r["n_view_click_users"]
+            >= r["n_funnel_users"] > 0)
+
+
 def test_window_join_tied_ts_across_seam():
     """Regression: two views with IDENTICAL ts split by a batch boundary,
     purchase exactly W later — the window edge pt−W equals the purchase
