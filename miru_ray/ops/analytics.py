@@ -857,6 +857,78 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                  .cast(pa.timestamp("us"))})
 
 
+US_PER_DAY = 24 * US_PER_HOUR
+RETENTION_MAX_OFFSET = 7
+
+
+def retention_cohorts(sf_dir: str,
+                      max_offset: int = RETENTION_MAX_OFFSET) -> pa.Table:
+    """Retention cohorts: users grouped by signup DAY; for each day
+    offset 0..``max_offset``, how many of the cohort had ANY event that
+    day — the classic signup-retention triangle.
+
+    Two streaming passes: per-user min signup ts via per-batch partials
+    (driver merge is user-bounded — the same bound every per-user op
+    here documents); then the activity pass looks up each event's
+    cohort day via a broadcast sorted-array searchsorted and emits
+    distinct (cohort_day, offset, user) partials, ≤ users × offsets
+    rows total.  At extreme user cardinality swap the broadcast for a
+    hash-partitioned join on user_id — same algebra."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+
+    def signup_partial(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["event_type"], "signup"))
+        g = sub.group_by("user_id").aggregate([("ts", "min")])
+        return pa.table({"user_id": g["user_id"],
+                         "ts": pc.cast(g["ts_min"], pa.int64())})
+
+    spdf = ds.map_batches(signup_partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    if spdf.empty:  # no signups → no cohorts (an all-empty partial
+        #             stream loses its column names through to_pandas)
+        return pa.table({"cohort_day": pa.array([], pa.int64()),
+                         "offset_days": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    sp = spdf.groupby("user_id", as_index=False)["ts"].min()
+    su = sp["user_id"].to_numpy().astype(np.int64)
+    order = np.argsort(su)
+    d0 = (sp["ts"].to_numpy().astype(np.int64) // US_PER_DAY)[order]
+    ref = ray.put((su[order], d0))
+
+    def activity_partial(t: pa.Table) -> pa.Table:
+        uk, ud0 = ray.get(ref)
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        empty = pa.table({"cohort_day": pa.array([], pa.int64()),
+                          "offset_days": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64())})
+        if not len(uk):
+            return empty
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // US_PER_DAY
+        pos = np.minimum(np.searchsorted(uk, uid), len(uk) - 1)
+        hit = uk[pos] == uid
+        off = np.where(hit, day - ud0[pos], -1)
+        keep = hit & (off >= 0) & (off <= max_offset)
+        out = pa.table({
+            "cohort_day": pa.array((day - off)[keep]),
+            "offset_days": pa.array(off[keep]),
+            "user_id": pa.array(uid[keep])})
+        return out.group_by(["cohort_day", "offset_days", "user_id"]) \
+                  .aggregate([]).rename_columns(
+                      ["cohort_day", "offset_days", "user_id"])
+
+    tri = (ds.map_batches(activity_partial, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+           .drop_duplicates(["cohort_day", "offset_days", "user_id"]))
+    out = (tri.groupby(["cohort_day", "offset_days"], as_index=False)
+           .agg(n_users=("user_id", "nunique"))
+           .sort_values(["cohort_day", "offset_days"])
+           .reset_index(drop=True))
+    return pa.table({
+        "cohort_day": pa.array(out["cohort_day"].astype("int64")),
+        "offset_days": pa.array(out["offset_days"].astype("int64")),
+        "n_users": pa.array(out["n_users"].astype("int64"))})
+
+
 FUNNEL_WINDOW_US = 24 * US_PER_HOUR
 
 
@@ -1074,6 +1146,23 @@ FROM events p JOIN events c
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.ts
 ORDER BY p.event_id
+""".strip(),
+    # retention triangle: cohort = user's min signup DAY; a cohort-day ×
+    # offset cell counts distinct users active that day
+    "events_retention": f"""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) // {US_PER_DAY} AS d0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, epoch_us(e.ts) // {US_PER_DAY} AS d
+  FROM events e),
+j AS (
+  SELECT s.user_id, s.d0, a.d - s.d0 AS off
+  FROM s JOIN a USING (user_id)
+  WHERE a.d >= s.d0 AND a.d - s.d0 <= {RETENTION_MAX_OFFSET})
+SELECT d0::BIGINT AS cohort_day, off::BIGINT AS offset_days,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM j GROUP BY d0, off ORDER BY cohort_day, offset_days
 """.strip(),
     # ordered funnel: strict-< chains, window anchored at the view; the
     # EXISTS form is what the engine's latest-chain composition equals

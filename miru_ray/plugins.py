@@ -228,7 +228,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("events_group_quantiles", A.group_value_quantiles),
                      ("events_asof_purchase_click", A.asof_join),
                      ("events_window_join", A.window_join),
-                     ("events_funnel", A.funnel_counts)):
+                     ("events_funnel", A.funnel_counts),
+                     ("events_retention", A.retention_cohorts)):
         reg(name, fn, A.SQL.get(name), ("analytics",))
     # ---- dedup family (§2.8 + training-data ops) ----
     for name, fn in (("dedup_exact_docs", D.exact_dedup),

@@ -599,6 +599,33 @@ def test_window_join_boundaries():
         assert got["n_window_views"].tolist() == [3, 0, 0], (bs, got)
 
 
+def test_retention_cohorts_match_oracle():
+    """Retention triangle vs the SQL cohort derivation, plus the
+    no-signup degenerate case (empty result, no crash)."""
+    import duckdb
+    import pyarrow as pa
+
+    from miru_ray.ops.analytics import SQL, retention_cohorts
+    got = retention_cohorts(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.execute(SQL["events_retention"]).fetchdf()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert len(got) > 0 and (got["offset_days"] >= 0).all()
+    # degenerate: corpus with no signup events at all
+    import tempfile
+    t = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "user_id": pa.array([1, 2], pa.int64()),
+                  "event_type": pa.array(["view", "click"]),
+                  "ts": pa.array(np.array([10**15, 10**15], np.int64))
+                        .cast(pa.timestamp("us"))})
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    assert retention_cohorts(d).num_rows == 0
+
+
 def test_funnel_matches_oracle_and_tiling_invariant():
     """Funnel counts equal the EXISTS self-join oracle (the latest-chain
     optimality argument), and 64-row as-of batches (seam-crossing
