@@ -597,11 +597,12 @@ def group_value_quantiles(sf_dir: str,
     the same histogram-refinement selection as
     :func:`value_quantiles`, run over each group's filtered view of ONE
     materialized (event_type, value) stream.  Group cardinality here is
-    enum-small (5 event types), so a per-group refinement loop costs
-    groups × rounds streaming passes with O(_Q_BINS) driver state each;
-    at high group cardinality key the histogram partials by
-    (group, bin) instead — same algebra, one pass per round for ALL
-    groups."""
+    enum-small (5 event types), so the refinement loop costs
+    groups × percentiles × (rounds + 1) streaming passes over the
+    materialized stream, each with O(_Q_BINS) driver state; at high
+    group cardinality — or many percentiles — key the histogram
+    partials by (group, bin) and share each round across all groups and
+    ranks instead: same algebra, one pass per round total."""
     ds = _events(sf_dir, ["event_type", "value"]).materialize()
 
     def mm_partial(b: pa.Table) -> pa.Table:
@@ -781,9 +782,7 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
             m = int(has.sum())
             parts.append(pa.table({
                 "mk": pa.array(np.full(m, 2, np.int8)),
-                # seam rows repurpose event_id to carry the RIGHT's id so
-                # detail-mode resolution can name the matched right event
-                "event_id": pa.array(eid[le[has]]),
+                "event_id": pa.array(np.full(m, -1, np.int64)),
                 "ts": pa.array(np.full(m, -1, np.int64)),
                 "user_id": pa.array(uid[seg_starts][has]),
                 "rts": pa.array(ts[le[has]]),

@@ -385,9 +385,17 @@ def q_facet_counts(sf_dir: str, field: str = "role",
     a UI facet)."""
     from ..query.filter import And, Term
     s = searcher_for(sf_dir)
+    cap = 1000
     keys: set = set()
-    for res in s._fanout("expand_prefix", f"{field}:", 1000):
+    # cap+1 sentinel: a facet over a field with more values than the cap
+    # must FAIL, not silently drop a lexicographic tail (same rule as
+    # the numeric-range expansion's overflow check)
+    for res in s._fanout("expand_prefix", f"{field}:", cap + 1):
         keys.update(res)
+    if len(keys) > cap:
+        raise ValueError(f"facet field {field!r} exceeds {cap} distinct "
+                         "values; facet on an enum-cardinality field or "
+                         "raise the cap")
     vals, counts = [], []
     for key in sorted(keys):
         v = key.split(":", 1)[1]
@@ -408,25 +416,49 @@ GROUP BY d.{field} ORDER BY value
 """.strip()
 
 
+def _term_df(idir: str, pre=None) -> "pd.DataFrame":
+    """Vocabulary (term, df) frame: one Ray pass over the segment term
+    dicts with an optional worker-side pre-filter (pushed BEFORE the
+    groupby so only candidate terms cross the shuffle), keyword
+    ``field:value`` terms stripped.  An all-empty filtered stream loses
+    its column names through ``to_pandas`` — normalized to a typed empty
+    frame here, once, for every caller."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+    segs = ray.data.read_parquet(os.path.join(idir, "segments"),
+                                 columns=["term", "df"])
+    if pre is not None:
+        segs = segs.map_batches(pre, batch_format="pyarrow",
+                                batch_size=65536)
+    agg = segs.groupby("term").aggregate(Sum("df", alias_name="df")) \
+              .to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype="int64")})
+    agg = agg[~agg["term"].str.contains(":")]
+    agg["df"] = agg["df"].astype("int64")
+    return agg.reset_index(drop=True)
+
+
+def pc_between_len(col, m: int):
+    """Arrow mask: term length in [m−1, m+1] (tokens are [a-z0-9]+, so
+    codepoint length == byte length)."""
+    import pyarrow.compute as _pc
+    ln = _pc.utf8_length(col)
+    return _pc.and_(_pc.greater_equal(ln, max(m - 1, 1)),
+                    _pc.less_equal(ln, m + 1))
+
+
 def q_suggest(sf_dir: str, prefix: str = "s", k: int = 10) -> pa.Table:
     """Prefix suggestion / autocomplete: top-k completions of ``prefix``
     ranked by global document frequency — one Ray pass over the segment
     term dictionaries (prefix-pruned read), never the postings."""
-    idir = index_dir_for(sf_dir)
-    from ray.data.aggregate import Sum
-    segs = ray.data.read_parquet(os.path.join(idir, "segments"),
-                                 columns=["term", "df"])
-
-    def pre(t: "pa.Table") -> "pa.Table":
-        import pyarrow.compute as _pc
-        return t.filter(_pc.starts_with(t["term"], prefix))
-
-    agg = (segs.map_batches(pre, batch_format="pyarrow", batch_size=65536)
-           .groupby("term").aggregate(Sum("df", alias_name="df"))
-           .to_pandas())
-    agg = agg[~agg["term"].str.contains(":")]
+    import pyarrow.compute as _pc
+    agg = _term_df(index_dir_for(sf_dir),
+                   pre=lambda t: t.filter(
+                       _pc.starts_with(t["term"], prefix)))
     agg = agg.sort_values(["df", "term"], ascending=[False, True]).head(k)
-    agg["df"] = agg["df"].astype("int64")
     return pa.Table.from_pandas(agg.reset_index(drop=True),
                                 preserve_index=False)
 
@@ -450,15 +482,13 @@ def q_spell_correct(sf_dir: str, word: str = "sparc",
     lengths cover substitution (p + s ≥ m−1, equal length) and
     insertion/deletion (p + s ≥ min length) without any per-string
     Python loop."""
-    idir = index_dir_for(sf_dir)
-    from ray.data.aggregate import Sum
-    segs = ray.data.read_parquet(os.path.join(idir, "segments"),
-                                 columns=["term", "df"])
-    agg = (segs.groupby("term").aggregate(Sum("df", alias_name="df"))
-           .to_pandas())
-    agg = agg[~agg["term"].str.contains(":")]
+    import pyarrow.compute as _pc
     w = np.frombuffer(word.encode(), np.uint8)
     m = len(w)
+    # length pre-filter pushed into the Ray pass: only terms of length
+    # m−1/m/m+1 can ever be distance-1 candidates
+    agg = _term_df(index_dir_for(sf_dir),
+                   pre=lambda t: t.filter(pc_between_len(t["term"], m)))
 
     def _pref_suf(cands: np.ndarray, width: int):
         M = np.zeros((len(cands), width), np.uint8)

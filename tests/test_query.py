@@ -293,6 +293,16 @@ def test_all_stopword_list_query_matches_none(xs_path, tmp_path):
         s.close()
 
 
+def test_suggest_empty_prefix_returns_empty():
+    """Regression: a prefix with no completions must return 0 rows —
+    an all-empty filtered stream used to lose its column names through
+    to_pandas and crash with KeyError."""
+    from miru_ray.pipelines.flagship import q_suggest
+    t = q_suggest("/root/testdata/sf0.001", prefix="zzzzqx")
+    assert t.num_rows == 0
+    assert t.column_names == ["term", "df"]
+
+
 def test_spell_correct_edit_distance_rule():
     """The vectorized prefix+suffix distance-1 test vs DuckDB
     levenshtein, across every edit class: identity (dist 0), deletion,
