@@ -264,6 +264,10 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("text_decontaminate", T.decontaminate)):
         reg(name, fn, T.SQL.get(name), ("textstats",))
     # ---- deterministic mixture sampling (training-data mixing) ----
+    # ---- graph analytics (bipartite PageRank over order history) ----
+    from .ops import graph as G
+    reg("graph_pagerank_top", G.pagerank_top,
+        G.SQL.get("graph_pagerank_top"), ("graph",))
     from .ops import mixing as Mx
     reg("mix_sample_counts", Mx.mixture_sample,
         Mx.SQL.get("mix_sample_counts"), ("mixing",))

@@ -599,6 +599,37 @@ def test_window_join_boundaries():
         assert got["n_window_views"].tolist() == [3, 0, 0], (bs, got)
 
 
+def test_pagerank_hub_and_oracle(tmp_path):
+    """Planted bipartite micro-graph: part 100 is ordered by EVERY
+    customer (the hub) and must out-rank the leaf parts; engine ==
+    unrolled fixed-point SQL bit-for-bit."""
+    import duckdb
+    import pyarrow as pa
+
+    from miru_ray.ops.graph import SQL, pagerank_top
+    # customers 1..4 each order hub part 100; cust 1 also orders 200
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3, 4, 1], pa.int64())})
+    lineitem = pa.table({
+        "l_orderkey": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        "l_partkey": pa.array([100, 100, 100, 100, 200], pa.int64())})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
+    got = pagerank_top(d).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.execute(SQL["graph_pagerank_top"]).fetchdf()
+    for c in ("node_id", "rank"):
+        want[c] = want[c].astype("int64")
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    top = got.iloc[0]
+    assert top["node_type"] == "p" and top["node_id"] == 100
+
+
 def test_retention_cohorts_match_oracle():
     """Retention triangle vs the SQL cohort derivation, plus the
     no-signup degenerate case (empty result, no crash)."""
