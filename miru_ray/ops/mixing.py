@@ -321,7 +321,62 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN,
     return pa.concat_tables(outs)
 
 
+#: split thresholds in millionths: [0, train) train, [train, val) val,
+#: [val, 1e6) test — one hash draw decides all three deterministically
+SPLIT_TRAIN_M, SPLIT_VAL_M = 800_000, 900_000
+
+
+def split_counts(sf_dir: str, out_path: str | None = None) -> pa.Table:
+    """Deterministic train/val/test split (80/10/10): the split of a doc
+    is a pure function of ``md5_64(doc_id) % 1e6`` — reproducible on any
+    engine, stable under re-partitioning, and disjoint by construction
+    (one draw, three ranges).  Per (source, split) accounting via exact
+    per-batch partials; ``out_path`` streams rows to
+    ``split=train|val|test`` partitioned Parquet."""
+    ds = _documents(sf_dir, ["doc_id", "source"])
+
+    def _split(doc_id: np.ndarray) -> np.ndarray:
+        h = (md5_64(np.array([str(int(d)) for d in doc_id], dtype=object))
+             % np.uint64(_M)).astype(np.int64)
+        return np.where(h < SPLIT_TRAIN_M, "train",
+                        np.where(h < SPLIT_VAL_M, "val", "test"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        sp = _split(b["doc_id"].to_numpy())
+        t = pa.table({"source": b["source"],
+                      "split": pa.array(sp, pa.string())})
+        g = t.group_by(["source", "split"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "split": g["split"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby(["source", "split"]).aggregate(
+               Sum("n", alias_name="n_docs")).to_pandas()
+           .sort_values(["source", "split"]).reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+
+    if out_path is not None:
+        def tag(b: pa.Table) -> pa.Table:
+            sp = _split(b["doc_id"].to_numpy())
+            return b.append_column("split", pa.array(sp, pa.string()))
+
+        (ds.map_batches(tag, batch_format="pyarrow", batch_size=8192)
+           .write_parquet(out_path, partition_cols=["split"]))
+    return pa.Table.from_pandas(out[["source", "split", "n_docs"]],
+                                preserve_index=False)
+
+
 SQL = {
+    "mix_split_counts": f"""
+SELECT source,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % {_M}
+                 < {SPLIT_TRAIN_M} THEN 'train'
+            WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % {_M}
+                 < {SPLIT_VAL_M} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY source, split ORDER BY source, split
+""".strip(),
     "mix_pack_sequences": f"""
 WITH d AS (
   SELECT doc_id,

@@ -275,6 +275,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
         Mx.SQL.get("mix_token_budget"), ("mixing",))
     reg("mix_pack_sequences", Mx.pack_sequences,
         Mx.SQL.get("mix_pack_sequences"), ("mixing",))
+    reg("mix_split_counts", Mx.split_counts,
+        Mx.SQL.get("mix_split_counts"), ("mixing",))
     # ---- relational / reco (§2.5, §2.6) ----
     for name, fn in (("rel_pricing_summary", R.pricing_summary),
                      ("rel_revenue_by_nation", R.revenue_by_nation),
