@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..util import sorted_lookup
+
 _PR_SCALE = 10**12
 PR_ITERS = 2
 PR_TOP_K = 20
@@ -58,8 +60,7 @@ def _edges(sf_dir: str) -> "ray.data.Dataset":
     def to_edges(t: pa.Table) -> pa.Table:
         k, c = ray.get(ref)
         lk = t["l_orderkey"].to_numpy().astype(np.int64)
-        pos = np.minimum(np.searchsorted(k, lk), len(k) - 1)
-        hit = k[pos] == lk
+        hit, pos = sorted_lookup(k, lk)
         out = pa.table({"c": pa.array(c[pos[hit]]),
                         "p": pc.cast(t["l_partkey"], pa.int64())
                              .take(pa.array(np.flatnonzero(hit)))})
@@ -71,6 +72,8 @@ def _edges(sf_dir: str) -> "ray.data.Dataset":
     return (li.map_batches(to_edges, batch_format="pyarrow",
                            batch_size=65536)
             .groupby(["c", "p"]).aggregate(Count(alias_name="_n"))
+            .map_batches(lambda t: t.select(["c", "p"]),
+                         batch_format="pyarrow", batch_size=65536)
             .materialize())
 
 
@@ -103,12 +106,33 @@ def pagerank_top(sf_dir: str, iters: int = PR_ITERS,
     (node_type 'c'|'p', node_id, rank) ordered by (rank desc, node_type,
     node_id)."""
     edges = _edges(sf_dir)
-    epdf = edges.to_pandas()  # node/edge-bounded: distinct pairs only —
-    #                           used ONLY for degrees; iterations stream
-    cu = np.sort(epdf["c"].unique().astype(np.int64))
-    pu = np.sort(epdf["p"].unique().astype(np.int64))
-    dc = epdf.groupby("c").size().reindex(cu).to_numpy().astype(np.int64)
-    dp = epdf.groupby("p").size().reindex(pu).to_numpy().astype(np.int64)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for kind in ("c", "p"):
+            ids, cnt = np.unique(t[kind].to_numpy().astype(np.int64),
+                                 return_counts=True)
+            parts.append(pa.table({
+                "kind": pa.array([kind] * len(ids), pa.string()),
+                "id": pa.array(ids),
+                "n": pa.array(cnt.astype(np.int64))}))
+        return pa.concat_tables(parts)
+
+    # degrees via NODE-bounded partials — the edge set itself never
+    # reaches the driver
+    degs = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                              batch_size=65536).to_pandas())
+    if degs.empty:
+        return pa.table({"node_type": pa.array([], pa.string()),
+                         "node_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    degs = degs.groupby(["kind", "id"], as_index=False)["n"].sum()
+    cdeg = degs[degs["kind"] == "c"].sort_values("id")
+    pdeg = degs[degs["kind"] == "p"].sort_values("id")
+    cu = cdeg["id"].to_numpy().astype(np.int64)
+    pu = pdeg["id"].to_numpy().astype(np.int64)
+    dc = cdeg["n"].to_numpy().astype(np.int64)
+    dp = pdeg["n"].to_numpy().astype(np.int64)
     n = len(cu) + len(pu)
     S = _PR_SCALE
     r0 = S // n

@@ -48,6 +48,14 @@ def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
                                  columns=columns)
 
 
+def _doc_hash_m(doc_id: np.ndarray) -> np.ndarray:
+    """md5_64(str(doc_id)) % 1e6 — the ONE doc-hash draw every mixing
+    rule (sample keep, split range) derives from, so they can never
+    decorrelate."""
+    return (md5_64(np.array([str(int(d)) for d in doc_id], dtype=object))
+            % np.uint64(_M)).astype(np.int64)
+
+
 def _keep_mask(doc_id: np.ndarray, source) -> tuple[np.ndarray, np.ndarray]:
     """(keep mask, per-row threshold in millionths) — the one shared
     definition of the sample, used by both the counting and the export
@@ -58,9 +66,7 @@ def _keep_mask(doc_id: np.ndarray, source) -> tuple[np.ndarray, np.ndarray]:
         (md5_64(uniq.astype(object)) % np.uint64(len(RATE_MILLIONTHS)))
         .astype(np.int64)]
     thr = thr_u[codes]
-    h = (md5_64(np.array([str(int(d)) for d in doc_id], dtype=object))
-         % np.uint64(_M)).astype(np.int64)
-    return h < thr, thr
+    return _doc_hash_m(doc_id) < thr, thr
 
 
 def mixture_sample(sf_dir: str, out_path: str | None = None) -> pa.Table:
@@ -336,8 +342,7 @@ def split_counts(sf_dir: str, out_path: str | None = None) -> pa.Table:
     ds = _documents(sf_dir, ["doc_id", "source"])
 
     def _split(doc_id: np.ndarray) -> np.ndarray:
-        h = (md5_64(np.array([str(int(d)) for d in doc_id], dtype=object))
-             % np.uint64(_M)).astype(np.int64)
+        h = _doc_hash_m(doc_id)
         return np.where(h < SPLIT_TRAIN_M, "train",
                         np.where(h < SPLIT_VAL_M, "val", "test"))
 

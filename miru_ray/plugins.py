@@ -263,11 +263,11 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("text_repetition_stats", T.repetition_stats),
                      ("text_decontaminate", T.decontaminate)):
         reg(name, fn, T.SQL.get(name), ("textstats",))
-    # ---- deterministic mixture sampling (training-data mixing) ----
     # ---- graph analytics (bipartite PageRank over order history) ----
     from .ops import graph as G
     reg("graph_pagerank_top", G.pagerank_top,
         G.SQL.get("graph_pagerank_top"), ("graph",))
+    # ---- deterministic mixture sampling (training-data mixing) ----
     from .ops import mixing as Mx
     reg("mix_sample_counts", Mx.mixture_sample,
         Mx.SQL.get("mix_sample_counts"), ("mixing",))

@@ -114,3 +114,14 @@ def rowgroup_block_plan(path: str, target_rows: int = 65536) -> list[list[int]]:
     if cur:
         blocks.append(cur)
     return blocks
+
+def sorted_lookup(sorted_keys, values):
+    """Guarded sorted-array probe: (hit mask, clamped positions) for
+    ``values`` against ``sorted_keys``.  The ONE definition of the
+    searchsorted-membership idiom (empty-key-safe)."""
+    import numpy as np
+    if not len(sorted_keys):
+        return np.zeros(len(values), bool), np.zeros(len(values), np.int64)
+    pos = np.minimum(np.searchsorted(sorted_keys, values),
+                     len(sorted_keys) - 1)
+    return sorted_keys[pos] == values, pos

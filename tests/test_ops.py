@@ -628,6 +628,14 @@ def test_pagerank_hub_and_oracle(tmp_path):
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
     top = got.iloc[0]
     assert top["node_type"] == "p" and top["node_id"] == 100
+    # degenerate inputs return empty, matching the oracle's empty joins
+    d2 = str(tmp_path / "sf2")
+    os.makedirs(d2)
+    pq.write_table(pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64())}),
+                   os.path.join(d2, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(d2, "lineitem.parquet"))
+    assert pagerank_top(d2).num_rows == 0
 
 
 def test_retention_cohorts_match_oracle():
