@@ -45,10 +45,13 @@ def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
                                  columns=columns)
 
 
-def _edges(sf_dir: str) -> "ray.data.Dataset":
-    """Distinct (custkey, partkey) edges: broadcast orderkey→custkey
-    lookup inside the lineitem scan (orders is the smaller side), then
-    per-batch distinct partials and one exact distributed groupby."""
+def _edge_partials(sf_dir: str) -> "ray.data.Dataset":
+    """Per-batch-distinct (custkey, partkey) edge partials: broadcast
+    orderkey→custkey lookup inside the lineitem scan (orders is the
+    smaller side).  NOT globally distinct — the caller dedups via the
+    driver composite-unique below the threshold or one distributed
+    groupby above it (Ray's groupby fixed overhead measured ~15 s on a
+    600k-row input vs milliseconds for the driver unique)."""
     import pyarrow.parquet as pq
     o = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
                       columns=["o_orderkey", "o_custkey"])
@@ -68,71 +71,109 @@ def _edges(sf_dir: str) -> "ray.data.Dataset":
                   .rename_columns(["c", "p"])
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    from ray.data.aggregate import Count
-    return (li.map_batches(to_edges, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby(["c", "p"]).aggregate(Count(alias_name="_n"))
-            .map_batches(lambda t: t.select(["c", "p"]),
-                         batch_format="pyarrow", batch_size=65536)
-            .materialize())
+    return li.map_batches(to_edges, batch_format="pyarrow",
+                          batch_size=65536).materialize()
 
 
-def _node_sums(edges: "ray.data.Dataset", key: str, val_ref,
-               other: str):
-    """Σ over edges of broadcast per-``other``-node values, grouped by
-    ``key`` — one streaming pass, per-batch int64-exact partials."""
+#: swap point between the driver-iterated branch (edge arrays collected
+#: ONCE, per-iteration work is two bincounts — no per-pass Ray overhead)
+#: and the distributed branch (one fused streaming pass per iteration)
+_PR_DRIVER_EDGES = 20_000_000
+
+
+def _pair_sums(edges: "ray.data.Dataset", cref, pref):
+    """One fused streaming pass per iteration: per-batch int64-exact
+    contribution partials for BOTH sides (c←p and p←c)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        keys, vals = ray.get(val_ref)
-        kcol = t[key].to_numpy().astype(np.int64)
-        ocol = t[other].to_numpy().astype(np.int64)
-        pos = np.searchsorted(keys, ocol)
-        contrib = vals[pos]
-        ids, inv = np.unique(kcol, return_inverse=True)
-        sums = np.zeros(len(ids), np.int64)
-        np.add.at(sums, inv, contrib)
-        return pa.table({"id": pa.array(ids), "s": pa.array(sums)})
+        cu, cvals = ray.get(cref)
+        pu, pvals = ray.get(pref)
+        c = t["c"].to_numpy().astype(np.int64)
+        p = t["p"].to_numpy().astype(np.int64)
+        parts = []
+        for kind, kcol, ocol, okeys, ovals in (
+                ("c", c, p, pu, pvals), ("p", p, c, cu, cvals)):
+            contrib = ovals[np.searchsorted(okeys, ocol)]
+            ids, inv = np.unique(kcol, return_inverse=True)
+            sums = np.zeros(len(ids), np.int64)
+            np.add.at(sums, inv, contrib)
+            parts.append(pa.table({
+                "kind": pa.array([kind] * len(ids), pa.string()),
+                "id": pa.array(ids), "s": pa.array(sums)}))
+        return pa.concat_tables(parts)
 
     df = (edges.map_batches(partial, batch_format="pyarrow",
                             batch_size=65536).to_pandas()
-          .groupby("id", as_index=False)["s"].sum())
-    return df
+          .groupby(["kind", "id"], as_index=False)["s"].sum())
+    return (df[df["kind"] == "c"].drop(columns="kind"),
+            df[df["kind"] == "p"].drop(columns="kind"))
 
 
-def pagerank_top(sf_dir: str, iters: int = PR_ITERS,
-                 k: int = PR_TOP_K) -> pa.Table:
+def pagerank_top(sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOP_K,
+                 driver_edges: int = _PR_DRIVER_EDGES) -> pa.Table:
     """Top-k nodes of the bipartite order graph by fixed-point PageRank
     (see module docstring for the exact integer recurrence).  Output:
     (node_type 'c'|'p', node_id, rank) ordered by (rank desc, node_type,
-    node_id)."""
-    edges = _edges(sf_dir)
+    node_id).
 
-    def deg_partial(t: pa.Table) -> pa.Table:
-        parts = []
-        for kind in ("c", "p"):
-            ids, cnt = np.unique(t[kind].to_numpy().astype(np.int64),
-                                 return_counts=True)
-            parts.append(pa.table({
-                "kind": pa.array([kind] * len(ids), pa.string()),
-                "id": pa.array(ids),
-                "n": pa.array(cnt.astype(np.int64))}))
-        return pa.concat_tables(parts)
-
-    # degrees via NODE-bounded partials — the edge set itself never
-    # reaches the driver
-    degs = (edges.map_batches(deg_partial, batch_format="pyarrow",
-                              batch_size=65536).to_pandas())
-    if degs.empty:
+    Dual path (the ``_colliding_rows`` pattern): below ``driver_edges``
+    partial rows the per-batch-distinct pairs come to the driver ONCE,
+    dedup is a composite-key ``np.unique`` and every iteration is two
+    ``np.add.at`` scatters — Ray's groupby+streaming overhead measured
+    ~15 s on a 600k-edge input vs well under a second of useful work;
+    above it, a distributed groupby dedups the edges and one fused
+    streaming pass runs each iteration.  Both branches run the
+    identical integer recurrence and are parity-tested."""
+    parts = _edge_partials(sf_dir)
+    n_rows = parts.count()
+    if n_rows == 0:
         return pa.table({"node_type": pa.array([], pa.string()),
                          "node_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64())})
-    degs = degs.groupby(["kind", "id"], as_index=False)["n"].sum()
-    cdeg = degs[degs["kind"] == "c"].sort_values("id")
-    pdeg = degs[degs["kind"] == "p"].sort_values("id")
-    cu = cdeg["id"].to_numpy().astype(np.int64)
-    pu = pdeg["id"].to_numpy().astype(np.int64)
-    dc = cdeg["n"].to_numpy().astype(np.int64)
-    dp = pdeg["n"].to_numpy().astype(np.int64)
+    edges = None
+    ec = ep = None
+    if n_rows <= driver_edges:
+        pdf = parts.to_pandas()
+        c = pdf["c"].to_numpy().astype(np.int64)
+        p = pdf["p"].to_numpy().astype(np.int64)
+        if c.min() < 0 or p.min() < 0 or max(c.max(), p.max()) >= 1 << 31:
+            comp = pd.DataFrame({"c": c, "p": p}).drop_duplicates()
+            c, p = (comp["c"].to_numpy(), comp["p"].to_numpy())
+        else:
+            comp = np.unique((c << np.int64(31)) | p)
+            c, p = comp >> np.int64(31), comp & np.int64((1 << 31) - 1)
+        cu, ec = np.unique(c, return_inverse=True)
+        pu, ep = np.unique(p, return_inverse=True)
+        dc = np.bincount(ec, minlength=len(cu)).astype(np.int64)
+        dp = np.bincount(ep, minlength=len(pu)).astype(np.int64)
+    else:
+        from ray.data.aggregate import Count
+        edges = (parts.groupby(["c", "p"])
+                 .aggregate(Count(alias_name="_n"))
+                 .map_batches(lambda t: t.select(["c", "p"]),
+                              batch_format="pyarrow", batch_size=65536)
+                 .materialize())
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            outs = []
+            for kind in ("c", "p"):
+                ids, cnt = np.unique(t[kind].to_numpy().astype(np.int64),
+                                     return_counts=True)
+                outs.append(pa.table({
+                    "kind": pa.array([kind] * len(ids), pa.string()),
+                    "id": pa.array(ids),
+                    "n": pa.array(cnt.astype(np.int64))}))
+            return pa.concat_tables(outs)
+
+        degs = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                                  batch_size=65536).to_pandas()
+                .groupby(["kind", "id"], as_index=False)["n"].sum())
+        cdeg = degs[degs["kind"] == "c"].sort_values("id")
+        pdeg = degs[degs["kind"] == "p"].sort_values("id")
+        cu = cdeg["id"].to_numpy().astype(np.int64)
+        pu = pdeg["id"].to_numpy().astype(np.int64)
+        dc = cdeg["n"].to_numpy().astype(np.int64)
+        dp = pdeg["n"].to_numpy().astype(np.int64)
     n = len(cu) + len(pu)
     S = _PR_SCALE
     r0 = S // n
@@ -141,16 +182,25 @@ def pagerank_top(sf_dir: str, iters: int = PR_ITERS,
     rp = np.full(len(pu), r0, np.int64)
     for _ in range(iters):
         # synchronous update: both sides read the PREVIOUS iteration
-        cref = ray.put((cu, rc // dc))
-        pref = ray.put((pu, rp // dp))
-        sc = _node_sums(edges, "c", pref, "p")
-        sp = _node_sums(edges, "p", cref, "c")
-        rc_n = np.full(len(cu), base, np.int64)
-        idx = np.searchsorted(cu, sc["id"].to_numpy().astype(np.int64))
-        rc_n[idx] += (85 * sc["s"].to_numpy().astype(np.int64)) // 100
-        rp_n = np.full(len(pu), base, np.int64)
-        idx = np.searchsorted(pu, sp["id"].to_numpy().astype(np.int64))
-        rp_n[idx] += (85 * sp["s"].to_numpy().astype(np.int64)) // 100
+        if ec is not None:
+            contrib_p = (rp // dp)[ep]
+            contrib_c = (rc // dc)[ec]
+            sc_sum = np.zeros(len(cu), np.int64)
+            np.add.at(sc_sum, ec, contrib_p)
+            sp_sum = np.zeros(len(pu), np.int64)
+            np.add.at(sp_sum, ep, contrib_c)
+            rc_n = base + (85 * sc_sum) // 100
+            rp_n = base + (85 * sp_sum) // 100
+        else:
+            cref = ray.put((cu, rc // dc))
+            pref = ray.put((pu, rp // dp))
+            sc, sp = _pair_sums(edges, cref, pref)
+            rc_n = np.full(len(cu), base, np.int64)
+            idx = np.searchsorted(cu, sc["id"].to_numpy().astype(np.int64))
+            rc_n[idx] += (85 * sc["s"].to_numpy().astype(np.int64)) // 100
+            rp_n = np.full(len(pu), base, np.int64)
+            idx = np.searchsorted(pu, sp["id"].to_numpy().astype(np.int64))
+            rp_n[idx] += (85 * sp["s"].to_numpy().astype(np.int64)) // 100
         rc, rp = rc_n, rp_n
     allr = pd.DataFrame({
         "node_type": ["c"] * len(cu) + ["p"] * len(pu),

@@ -628,6 +628,9 @@ def test_pagerank_hub_and_oracle(tmp_path):
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
     top = got.iloc[0]
     assert top["node_type"] == "p" and top["node_id"] == 100
+    # the distributed dedup+iteration branch must be row-identical
+    got_dist = pagerank_top(d, driver_edges=0).to_pandas()
+    assert got_dist.equals(got.reset_index(drop=True))
     # degenerate inputs return empty, matching the oracle's empty joins
     d2 = str(tmp_path / "sf2")
     os.makedirs(d2)
