@@ -214,6 +214,148 @@ def pagerank_top(sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOP_K,
                      "rank": pa.array(out["rank"].astype("int64"))})
 
 
+CC_ROUNDS = 6
+CC_TOP_K = 10
+
+
+def components_top(sf_dir: str, rounds: int = CC_ROUNDS,
+                   k: int = CC_TOP_K,
+                   driver_edges: int = _PR_DRIVER_EDGES) -> pa.Table:
+    """Min-label propagation over the bipartite order graph: ``rounds``
+    synchronous rounds of l' = min(l, min over neighbors), labels
+    initialized to disjoint node ids (customer c → 2c, part p → 2p+1).
+    After enough rounds this IS connected components; the op is DEFINED
+    as exactly ``rounds`` rounds so the unrolled SQL oracle matches
+    bit-for-bit whether or not the graph has converged (the at-scale
+    contract: label propagation runs a fixed round budget per sweep).
+    Output: top-k labels by member count, (label, n_nodes), ordered
+    (n_nodes desc, label asc).
+
+    Same dual path as :func:`pagerank_top`: driver scatters below the
+    edge threshold, a fused per-round streaming pass above it."""
+    parts = _edge_partials(sf_dir)
+    n_rows = parts.count()
+    if n_rows == 0:
+        return pa.table({"label": pa.array([], pa.int64()),
+                         "n_nodes": pa.array([], pa.int64())})
+    if n_rows <= driver_edges:
+        pdf = parts.to_pandas().drop_duplicates(["c", "p"])
+        cu, ec = np.unique(pdf["c"].to_numpy().astype(np.int64),
+                           return_inverse=True)
+        pu, ep = np.unique(pdf["p"].to_numpy().astype(np.int64),
+                           return_inverse=True)
+        lc, lp = 2 * cu, 2 * pu + 1
+        for _ in range(rounds):
+            mc = np.full(len(cu), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mc, ec, lp[ep])
+            mp = np.full(len(pu), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mp, ep, lc[ec])
+            lc, lp = np.minimum(lc, mc), np.minimum(lp, mp)
+    else:
+        from ray.data.aggregate import Count
+        edges = (parts.groupby(["c", "p"])
+                 .aggregate(Count(alias_name="_n"))
+                 .map_batches(lambda t: t.select(["c", "p"]),
+                              batch_format="pyarrow", batch_size=65536)
+                 .materialize())
+        cu, pu = None, None
+
+        def ids_partial(t: pa.Table) -> pa.Table:
+            outs = []
+            for kind in ("c", "p"):
+                ids = np.unique(t[kind].to_numpy().astype(np.int64))
+                outs.append(pa.table({
+                    "kind": pa.array([kind] * len(ids), pa.string()),
+                    "id": pa.array(ids)}))
+            return pa.concat_tables(outs)
+
+        nd = (edges.map_batches(ids_partial, batch_format="pyarrow",
+                                batch_size=65536).to_pandas()
+              .drop_duplicates(["kind", "id"]))
+        cu = np.sort(nd[nd["kind"] == "c"]["id"].to_numpy()
+                     .astype(np.int64))
+        pu = np.sort(nd[nd["kind"] == "p"]["id"].to_numpy()
+                     .astype(np.int64))
+        lc, lp = 2 * cu, 2 * pu + 1
+        for _ in range(rounds):
+            cref = ray.put((cu, lc))
+            pref = ray.put((pu, lp))
+
+            def min_partial(t: pa.Table) -> pa.Table:
+                ku, kl = ray.get(cref)
+                qu, ql = ray.get(pref)
+                c = t["c"].to_numpy().astype(np.int64)
+                p = t["p"].to_numpy().astype(np.int64)
+                outs = []
+                for kind, kcol, olab in (
+                        ("c", c, ql[np.searchsorted(qu, p)]),
+                        ("p", p, kl[np.searchsorted(ku, c)])):
+                    ids, inv = np.unique(kcol, return_inverse=True)
+                    mn = np.full(len(ids), np.iinfo(np.int64).max,
+                                 np.int64)
+                    np.minimum.at(mn, inv, olab)
+                    outs.append(pa.table({
+                        "kind": pa.array([kind] * len(ids), pa.string()),
+                        "id": pa.array(ids), "m": pa.array(mn)}))
+                return pa.concat_tables(outs)
+
+            mins = (edges.map_batches(min_partial, batch_format="pyarrow",
+                                      batch_size=65536).to_pandas()
+                    .groupby(["kind", "id"], as_index=False)["m"].min())
+            mc = mins[mins["kind"] == "c"].sort_values("id")
+            mp = mins[mins["kind"] == "p"].sort_values("id")
+            lc_new = lc.copy()
+            idx = np.searchsorted(cu, mc["id"].to_numpy().astype(np.int64))
+            lc_new[idx] = np.minimum(lc_new[idx],
+                                     mc["m"].to_numpy().astype(np.int64))
+            lp_new = lp.copy()
+            idx = np.searchsorted(pu, mp["id"].to_numpy().astype(np.int64))
+            lp_new[idx] = np.minimum(lp_new[idx],
+                                     mp["m"].to_numpy().astype(np.int64))
+            lc, lp = lc_new, lp_new
+    labels = np.concatenate([lc, lp])
+    uniq, cnt = np.unique(labels, return_counts=True)
+    order = np.lexsort((uniq, -cnt))[:k]
+    return pa.table({"label": pa.array(uniq[order], pa.int64()),
+                     "n_nodes": pa.array(cnt[order].astype(np.int64))})
+
+
+def _cc_iter_sql(prev_c: str, prev_p: str, i: int) -> str:
+    return f"""
+mc{i} AS (
+  SELECT e.c AS id, min({prev_p}.l) AS m
+  FROM e JOIN {prev_p} ON {prev_p}.id = e.p GROUP BY e.c),
+lc{i} AS (
+  SELECT {prev_c}.id, least({prev_c}.l, coalesce(mc{i}.m, {prev_c}.l)) AS l
+  FROM {prev_c} LEFT JOIN mc{i} ON mc{i}.id = {prev_c}.id),
+mp{i} AS (
+  SELECT e.p AS id, min({prev_c}.l) AS m
+  FROM e JOIN {prev_c} ON {prev_c}.id = e.c GROUP BY e.p),
+lp{i} AS (
+  SELECT {prev_p}.id, least({prev_p}.l, coalesce(mp{i}.m, {prev_p}.l)) AS l
+  FROM {prev_p} LEFT JOIN mp{i} ON mp{i}.id = {prev_p}.id)""".strip()
+
+
+def components_sql(rounds: int = CC_ROUNDS, k: int = CC_TOP_K) -> str:
+    body = []
+    prev_c, prev_p = "l0c", "l0p"
+    for i in range(1, rounds + 1):
+        body.append(_cc_iter_sql(prev_c, prev_p, i))
+        prev_c, prev_p = f"lc{i}", f"lp{i}"
+    chain = ",\n".join(body)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+l0c AS (SELECT DISTINCT c AS id, 2 * c AS l FROM e),
+l0p AS (SELECT DISTINCT p AS id, 2 * p + 1 AS l FROM e),
+{chain}
+SELECT l::BIGINT AS label, count(*)::BIGINT AS n_nodes FROM (
+  SELECT l FROM {prev_c} UNION ALL SELECT l FROM {prev_p})
+GROUP BY l ORDER BY n_nodes DESC, label ASC LIMIT {k}
+""".strip()
+
+
 def _iter_sql(prev_c: str, prev_p: str, i: int) -> str:
     """One unrolled synchronous iteration: rc{i}/rp{i} from {prev}."""
     return f"""
@@ -270,4 +412,5 @@ ORDER BY rank DESC, node_type, node_id LIMIT {k}
 """.strip()
 
 
-SQL = {"graph_pagerank_top": pagerank_sql()}
+SQL = {"graph_pagerank_top": pagerank_sql(),
+       "graph_components_top": components_sql()}

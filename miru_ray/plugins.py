@@ -267,6 +267,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     from .ops import graph as G
     reg("graph_pagerank_top", G.pagerank_top,
         G.SQL.get("graph_pagerank_top"), ("graph",))
+    reg("graph_components_top", G.components_top,
+        G.SQL.get("graph_components_top"), ("graph",))
     # ---- deterministic mixture sampling (training-data mixing) ----
     from .ops import mixing as Mx
     reg("mix_sample_counts", Mx.mixture_sample,

@@ -641,6 +641,40 @@ def test_pagerank_hub_and_oracle(tmp_path):
     assert pagerank_top(d2).num_rows == 0
 
 
+def test_components_islands_and_oracle(tmp_path):
+    """Label propagation on two disconnected bipartite islands: island A
+    (custs 1,2 ⋈ parts 10,11) and island B (cust 5 ⋈ part 20) must get
+    distinct labels with sizes 4 and 2; engine == unrolled min-label SQL
+    in both branches."""
+    import duckdb
+    import pyarrow as pa
+
+    from miru_ray.ops.graph import SQL, components_top
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 2, 2, 5], pa.int64())})
+    lineitem = pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_partkey": pa.array([10, 10, 11, 20], pa.int64())})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
+    got = components_top(d).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.execute(SQL["graph_components_top"]).fetchdf()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    # island A = {c1, c2, p10, p11} labeled min(2·1)=2; B = {c5, p20} → 10
+    assert got["n_nodes"].tolist() == [4, 2]
+    assert got["label"].tolist() == [2, 10]
+    got_dist = components_top(d, driver_edges=0).to_pandas()
+    assert got_dist.equals(got.reset_index(drop=True))
+
+
 def test_retention_cohorts_match_oracle():
     """Retention triangle vs the SQL cohort derivation, plus the
     no-signup degenerate case (empty result, no crash)."""
