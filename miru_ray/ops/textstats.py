@@ -251,6 +251,111 @@ def langid(sf_dir: str) -> pa.Table:
 _FP_WINDOW = 4
 
 
+BPE_MERGES = 4
+
+
+def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
+    """BPE tokenizer TRAINING (the merges table, not the estimator):
+    learn ``n_merges`` byte-pair merges over the corpus vocabulary —
+    per round, the adjacent-unit pair with the highest frequency-weighted
+    count wins (ties: left asc, right asc) and is merged everywhere.
+
+    Scale shape: the corpus-sized step is ONE distributed word-count
+    pass (per-batch partials → vocabulary-bounded driver merge — the
+    standard BPE formulation trains on the word-frequency table, so
+    everything after is vocab-bounded).  Merge application is defined as
+    non-overlapping left-to-right STRING replace over space-separated
+    unit strings (``' l r '`` → ``' lr '``, scanning resumes after each
+    replacement) — Python ``str.replace`` and DuckDB ``replace`` share
+    these exact semantics, which is what makes the unrolled SQL oracle
+    bit-exact.  (This differs from canonical BPE only on runs of 3+
+    identical units, where rescanning would re-match inside the run.)
+
+    Output: (merge_rank, left, right, n_pairs)."""
+    ds = _documents(sf_dir, ["text"])
+
+    def wc_partial(b: pa.Table) -> pa.Table:
+        terms, _rows, _dl = explode_tokens(b["text"])
+        w = np.asarray(terms.to_pandas(), dtype=object)
+        u, c = np.unique(w, return_counts=True)
+        return pa.table({"word": pa.array(u, pa.string()),
+                         "f": pa.array(c.astype(np.int64))})
+
+    wdf = (ds.map_batches(wc_partial, batch_format="pyarrow",
+                          batch_size=8192).to_pandas())
+    if wdf.empty:
+        return pa.table({"merge_rank": pa.array([], pa.int64()),
+                         "lhs": pa.array([], pa.string()),
+                         "rhs": pa.array([], pa.string()),
+                         "n_pairs": pa.array([], pa.int64())})
+    wdf = wdf.groupby("word", as_index=False)["f"].sum()
+    freq = wdf["f"].to_numpy().astype(np.int64)
+    # unit strings: characters joined by spaces (vocabulary-bounded)
+    units = pd.Series([" ".join(w) for w in wdf["word"]])
+    out = []
+    for rank in range(1, n_merges + 1):
+        # frequency-weighted adjacent-pair counts, vectorized: explode
+        # the unit lists and pair consecutive rows sharing a word index
+        ex = units.str.split(" ").explode()
+        uv = ex.to_numpy()
+        widx = ex.index.to_numpy()
+        same = widx[1:] == widx[:-1]
+        if not same.any():
+            break
+        pdfr = pd.DataFrame({"l": uv[:-1][same], "r": uv[1:][same],
+                             "f": freq[widx[:-1][same]]})
+        agg = (pdfr.groupby(["l", "r"], as_index=False)["f"].sum()
+               .sort_values(["f", "l", "r"],
+                            ascending=[False, True, True]))
+        best = agg.iloc[0]
+        l, r, n = str(best["l"]), str(best["r"]), int(best["f"])
+        out.append((rank, l, r, n))
+        units = (" " + units + " ").str.replace(
+            f" {l} {r} ", f" {l}{r} ", regex=False).str.strip()
+    return pa.table({
+        "merge_rank": pa.array([o[0] for o in out], pa.int64()),
+        "lhs": pa.array([o[1] for o in out], pa.string()),
+        "rhs": pa.array([o[2] for o in out], pa.string()),
+        "n_pairs": pa.array([o[3] for o in out], pa.int64())})
+
+
+def _bpe_merges_sql(n: int = BPE_MERGES) -> str:
+    rounds, sel = [], []
+    prev = "u0"
+    for i in range(1, n + 1):
+        rounds.append(f"""
+p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, sum(f) AS n FROM (
+    SELECT f, unnest(list_transform(
+        generate_series(1, len(string_split(s, ' ')) - 1),
+        i -> struct_pack(l := string_split(s, ' ')[i],
+                         r := string_split(s, ' ')[i + 1]))) AS pr
+    FROM {prev}) GROUP BY pr.l, pr.r),
+b{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+u{i} AS (
+  SELECT word, f,
+         trim(replace(' ' || s || ' ',
+                      (SELECT ' ' || l || ' ' || r || ' ' FROM b{i}),
+                      (SELECT ' ' || l || r || ' ' FROM b{i}))) AS s
+  FROM {prev})""".strip())
+        sel.append(f"SELECT {i}::BIGINT AS merge_rank, l AS lhs, "
+                   f"r AS rhs, n::BIGINT AS n_pairs FROM b{i}")
+        prev = f"u{i}"
+    chain = ",\n".join(rounds)
+    union = "\nUNION ALL\n".join(sel)
+    return f"""
+WITH w AS (
+  SELECT term AS word, count(*)::BIGINT AS f FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents) GROUP BY 1),
+u0 AS (SELECT word, f,
+              array_to_string(regexp_extract_all(word, '.'), ' ') AS s
+       FROM w),
+{chain}
+SELECT * FROM ({union}) ORDER BY merge_rank
+""".strip()
+
+
 def _winnow(tokens: list[str], w: int = _FP_WINDOW) -> list[int]:
     """Single-doc reference implementation (tests): winnowing fingerprints =
     distinct min-hashes over sliding windows of token 3-gram hashes
@@ -753,6 +858,7 @@ ORDER BY tr.doc_id
 """.strip()
 
 SQL["text_langid"] = _langid_sql()
+SQL["text_bpe_merges"] = _bpe_merges_sql()
 
 SQL["text_pii_scan"] = _pii_scan_sql()
 SQL["text_repetition_stats"] = _REPETITION_SQL

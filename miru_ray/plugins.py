@@ -258,6 +258,7 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("text_quality_by_lang", T.quality_by_lang),
                      ("text_top_quality_per_lang", T.top_quality_per_lang),
                      ("text_langid", T.langid),
+                     ("text_bpe_merges", T.bpe_merges),
                      ("text_fingerprints", T.fingerprints),
                      ("text_pii_scan", T.pii_scan),
                      ("text_repetition_stats", T.repetition_stats),

@@ -599,6 +599,33 @@ def test_window_join_boundaries():
         assert got["n_window_views"].tolist() == [3, 0, 0], (bs, got)
 
 
+def test_bpe_merges_replace_semantics(tmp_path):
+    """BPE merge training on a planted corpus whose top merge ('a','a')
+    hits runs of identical units — engine and SQL must share the exact
+    non-overlapping left-to-right replace semantics ('aaaa' → 'aa a a'
+    after one (a,a) merge under str.replace scanning rules)."""
+    import duckdb
+    import pyarrow as pa
+
+    from miru_ray.ops.textstats import SQL, bpe_merges
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["aaaa aaaa aab", "aaaa baa", "xy xy xy"]),
+    })
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = bpe_merges(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{d}/documents.parquet'")
+    want = con.execute(SQL["text_bpe_merges"]).fetchdf()
+    for c in ("merge_rank", "n_pairs"):
+        want[c] = want[c].astype("int64")
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert got.iloc[0]["lhs"] == "a" and got.iloc[0]["rhs"] == "a"
+
+
 def test_pagerank_hub_and_oracle(tmp_path):
     """Planted bipartite micro-graph: part 100 is ordered by EVERY
     customer (the hub) and must out-rank the leaf parts; engine ==
