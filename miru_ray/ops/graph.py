@@ -75,6 +75,30 @@ def _edge_partials(sf_dir: str) -> "ray.data.Dataset":
                           batch_size=65536).materialize()
 
 
+def _dedup_pairs_driver(parts: "ray.data.Dataset"):
+    """Driver-branch edge dedup: composite-key ``np.unique`` (31-bit
+    keys; pandas fallback for out-of-range ids)."""
+    pdf = parts.to_pandas()
+    c = pdf["c"].to_numpy().astype(np.int64)
+    p = pdf["p"].to_numpy().astype(np.int64)
+    if c.min() < 0 or p.min() < 0 or max(c.max(), p.max()) >= 1 << 31:
+        comp = pd.DataFrame({"c": c, "p": p}).drop_duplicates()
+        return comp["c"].to_numpy(), comp["p"].to_numpy()
+    comp = np.unique((c << np.int64(31)) | p)
+    return comp >> np.int64(31), comp & np.int64((1 << 31) - 1)
+
+
+def _distinct_edges(parts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed-branch edge dedup: one groupby, count column dropped
+    before the materialize that iterations re-scan."""
+    from ray.data.aggregate import Count
+    return (parts.groupby(["c", "p"])
+            .aggregate(Count(alias_name="_n"))
+            .map_batches(lambda t: t.select(["c", "p"]),
+                         batch_format="pyarrow", batch_size=65536)
+            .materialize())
+
+
 #: swap point between the driver-iterated branch (edge arrays collected
 #: ONCE, per-iteration work is two bincounts — no per-pass Ray overhead)
 #: and the distributed branch (one fused streaming pass per iteration)
@@ -133,26 +157,13 @@ def pagerank_top(sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOP_K,
     edges = None
     ec = ep = None
     if n_rows <= driver_edges:
-        pdf = parts.to_pandas()
-        c = pdf["c"].to_numpy().astype(np.int64)
-        p = pdf["p"].to_numpy().astype(np.int64)
-        if c.min() < 0 or p.min() < 0 or max(c.max(), p.max()) >= 1 << 31:
-            comp = pd.DataFrame({"c": c, "p": p}).drop_duplicates()
-            c, p = (comp["c"].to_numpy(), comp["p"].to_numpy())
-        else:
-            comp = np.unique((c << np.int64(31)) | p)
-            c, p = comp >> np.int64(31), comp & np.int64((1 << 31) - 1)
+        c, p = _dedup_pairs_driver(parts)
         cu, ec = np.unique(c, return_inverse=True)
         pu, ep = np.unique(p, return_inverse=True)
         dc = np.bincount(ec, minlength=len(cu)).astype(np.int64)
         dp = np.bincount(ep, minlength=len(pu)).astype(np.int64)
     else:
-        from ray.data.aggregate import Count
-        edges = (parts.groupby(["c", "p"])
-                 .aggregate(Count(alias_name="_n"))
-                 .map_batches(lambda t: t.select(["c", "p"]),
-                              batch_format="pyarrow", batch_size=65536)
-                 .materialize())
+        edges = _distinct_edges(parts)
 
         def deg_partial(t: pa.Table) -> pa.Table:
             outs = []
@@ -239,11 +250,9 @@ def components_top(sf_dir: str, rounds: int = CC_ROUNDS,
         return pa.table({"label": pa.array([], pa.int64()),
                          "n_nodes": pa.array([], pa.int64())})
     if n_rows <= driver_edges:
-        pdf = parts.to_pandas().drop_duplicates(["c", "p"])
-        cu, ec = np.unique(pdf["c"].to_numpy().astype(np.int64),
-                           return_inverse=True)
-        pu, ep = np.unique(pdf["p"].to_numpy().astype(np.int64),
-                           return_inverse=True)
+        c, p = _dedup_pairs_driver(parts)
+        cu, ec = np.unique(c, return_inverse=True)
+        pu, ep = np.unique(p, return_inverse=True)
         lc, lp = 2 * cu, 2 * pu + 1
         for _ in range(rounds):
             mc = np.full(len(cu), np.iinfo(np.int64).max, np.int64)
@@ -252,13 +261,7 @@ def components_top(sf_dir: str, rounds: int = CC_ROUNDS,
             np.minimum.at(mp, ep, lc[ec])
             lc, lp = np.minimum(lc, mc), np.minimum(lp, mp)
     else:
-        from ray.data.aggregate import Count
-        edges = (parts.groupby(["c", "p"])
-                 .aggregate(Count(alias_name="_n"))
-                 .map_batches(lambda t: t.select(["c", "p"]),
-                              batch_format="pyarrow", batch_size=65536)
-                 .materialize())
-        cu, pu = None, None
+        edges = _distinct_edges(parts)
 
         def ids_partial(t: pa.Table) -> pa.Table:
             outs = []

@@ -268,8 +268,11 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
     unit strings (``' l r '`` → ``' lr '``, scanning resumes after each
     replacement) — Python ``str.replace`` and DuckDB ``replace`` share
     these exact semantics, which is what makes the unrolled SQL oracle
-    bit-exact.  (This differs from canonical BPE only on runs of 3+
-    identical units, where rescanning would re-match inside the run.)
+    bit-exact.  (This can differ from canonical BPE wherever the winning
+    pair occurs back-to-back — e.g. 'abab' under merge (a,b) gives
+    'ab a b' here vs 'ab ab' canonically, because the first replacement
+    consumes the shared separator space — so validate against THIS
+    contract, not a reference tokenizer.)
 
     Output: (merge_rank, left, right, n_pairs)."""
     ds = _documents(sf_dir, ["text"])
