@@ -1088,6 +1088,19 @@ def test_bigjoin_shuffle_join_edge_cases(tmp_path):
     got_dist = bigjoin_top_customers(d, k=10, num_partitions=17).to_pandas()
     pd.testing.assert_frame_equal(got_dist.reset_index(drop=True),
                                   got.reset_index(drop=True))
+    # degenerate: every order filtered out (no 'F' rows) — Ray's hash
+    # join loses the right-side key schema; both branches must return
+    # a typed empty table like the oracle's empty join, not raise
+    o2 = orders.set_column(2, "o_orderstatus",
+                           pa.array(["O"] * 5, pa.string()))
+    d2 = str(tmp_path / "sf_nof")
+    os.makedirs(d2)
+    pq.write_table(o2, os.path.join(d2, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(d2, "lineitem.parquet"))
+    for np_ in (4, 17):
+        e = bigjoin_top_customers(d2, k=10, num_partitions=np_)
+        assert e.num_rows == 0
+        assert e.column_names == ["o_custkey", "revenue", "n_items"]
 
 
 def test_kmeans_empty_cluster_dropout_matches_oracle(tmp_path):
