@@ -36,6 +36,16 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 US_PER_HOUR = 3_600_000_000
 
+
+def _pdf_cols(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Normalize the all-empty-block ``to_pandas`` result (which loses
+    its column names — the documented Ray gotcha) to a typed empty frame
+    so downstream column access never raises KeyError."""
+    if df.empty and not set(cols) <= set(df.columns):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    return df
+
 #: epoch µs of TIMESTAMP '2024-01-01' — fixed waveform origin so engine and
 #: SQL bucket identically
 T0_US = 1_704_067_200_000_000
@@ -249,10 +259,16 @@ def trending(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3) -> pa.Table:
     for et, g in wf.groupby("event_type"):
         x = g["bucket"].to_numpy(dtype=np.float64)
         y = g["n_events"].to_numpy(dtype=np.float64)
-        # least-squares slope, same formula as SQL regr_slope
-        slope = (np.mean(x * y) - x.mean() * y.mean()) / (np.mean(x * x) - x.mean() ** 2)
-        rows.append((et, round(float(slope), 6)))
-    rows.sort(key=lambda r: (-r[1], r[0]))
+        # least-squares slope, same formula as SQL regr_slope; a
+        # single-bucket type has zero variance → regr_slope is NULL in
+        # SQL (sorted last under DuckDB's NULLS LAST), so mirror that
+        # instead of producing a NaN with arbitrary sort position
+        den = float(np.mean(x * x) - x.mean() ** 2)
+        slope = (None if den == 0.0 else
+                 round(float((np.mean(x * y) - x.mean() * y.mean()) / den),
+                       6))
+        rows.append((et, slope))
+    rows.sort(key=lambda r: (r[1] is None, -(r[1] or 0.0), r[0]))
     rows = rows[:k]
     return pa.table({"event_type": pa.array([r[0] for r in rows]),
                      "slope": pa.array([r[1] for r in rows], type=pa.float64())})
@@ -453,12 +469,15 @@ def sessions(sf_dir: str, gap_us: int = SESSION_GAP_US,
     # the two consumers below never re-execute the sort
     agg = ds.map_batches(partial, batch_format="pyarrow",
                          batch_size=_batch_size).materialize()
-    per_user = (agg.filter(expr="kind == 0")
-                .groupby("user_id")
-                .aggregate(Sum("n_events", alias_name="n_events"),
-                           Sum("n_starts", alias_name="n_starts"))
-                .to_pandas())
-    bnd = agg.filter(expr="kind == 1").to_pandas()
+    per_user = _pdf_cols(
+        agg.filter(expr="kind == 0")
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("n_starts", alias_name="n_starts"))
+        .to_pandas(), ["user_id", "n_events", "n_starts"])
+    bnd = _pdf_cols(agg.filter(expr="kind == 1").to_pandas(),
+                    ["b_first_uid", "b_first_ts", "b_last_uid",
+                     "b_last_ts"])
     # retract the start over-counted at each batch seam that continues a
     # session: O(n_batches) rows, trivially driver-side
     bnd = bnd.sort_values(["b_first_uid", "b_first_ts"]).reset_index(drop=True)
@@ -795,7 +814,9 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
     # partials; a lazy Dataset would re-run the sort per consumer
     agg = srt.map_batches(partial, batch_format="pyarrow",
                           batch_size=_batch_size).materialize()
-    bnd = (agg.filter(expr="mk == 2").to_pandas()[["user_id", "rts", "reid"]]
+    bnd = (_pdf_cols(agg.filter(expr="mk == 2").to_pandas(),
+                     ["user_id", "rts", "reid"])
+           [["user_id", "rts", "reid"]]
            .rename(columns={"rts": "b_rts", "reid": "b_reid"})
            .sort_values("b_rts", kind="mergesort").reset_index(drop=True))
     bnd_ref = ray.put(bnd)
@@ -966,9 +987,10 @@ def funnel_counts(sf_dir: str, window_us: int = FUNNEL_WINDOW_US,
         g = sub.select(["user_id"]).group_by("user_id").aggregate([])
         return g.rename_columns(["user_id"])
 
-    n1 = (_events(sf_dir, ["user_id", "event_type"])
-          .map_batches(view_users, batch_format="pyarrow",
-                       batch_size=65536).to_pandas()["user_id"].nunique())
+    n1 = (_pdf_cols(_events(sf_dir, ["user_id", "event_type"])
+                    .map_batches(view_users, batch_format="pyarrow",
+                                 batch_size=65536).to_pandas(),
+                    ["user_id"])["user_id"].nunique())
     return pa.table({
         "n_view_users": pa.array([int(n1)], pa.int64()),
         "n_view_click_users": pa.array([len(step2)], pa.int64()),
@@ -1105,13 +1127,15 @@ def window_join(sf_dir: str, left_type: str = "purchase",
 
     agg = srt.map_batches(partial, batch_format="pyarrow",
                           batch_size=_batch_size).materialize()
-    per_user = (agg.filter(expr="mk == 0").groupby("user_id")
-                .aggregate(Sum("a", alias_name="n_left"),
-                           Sum("b", alias_name="n_views"))
-                .to_pandas().sort_values("user_id")
-                .reset_index(drop=True))
-    pend = agg.filter(expr="mk == 1").to_pandas()
-    seam = agg.filter(expr="mk == 2").to_pandas()
+    per_user = (_pdf_cols(agg.filter(expr="mk == 0").groupby("user_id")
+                          .aggregate(Sum("a", alias_name="n_left"),
+                                     Sum("b", alias_name="n_views"))
+                          .to_pandas(), ["user_id", "n_left", "n_views"])
+                .sort_values("user_id").reset_index(drop=True))
+    pend = _pdf_cols(agg.filter(expr="mk == 1").to_pandas(),
+                     ["mk", "user_id", "a", "b", "c"])
+    seam = _pdf_cols(agg.filter(expr="mk == 2").to_pandas(),
+                     ["mk", "user_id", "a", "b", "c"])
     uids = per_user["user_id"].to_numpy().astype(np.int64)
     n_views = per_user["n_views"].to_numpy().astype(np.int64)
     if len(pend) and len(seam):

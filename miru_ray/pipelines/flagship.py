@@ -39,16 +39,33 @@ def transcripts_from_documents(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(derive_transcripts_batch, batch_format="pyarrow")
 
 
+def _cfg_tag(cfg: IndexConfig) -> str:
+    import hashlib
+    return hashlib.md5(repr(sorted(vars(cfg).items()))
+                       .encode()).hexdigest()[:8]
+
+
 def index_dir_for(sf_dir: str, cfg: IndexConfig = FLAGSHIP_CFG) -> str:
-    """Build (once) and return the index directory for a testdata sf_dir."""
+    """Build (once) and return the index directory for a testdata sf_dir.
+
+    Cache key = input fingerprint + derivation version + CONFIG hash —
+    a non-default ``cfg`` must never silently reuse an index built with
+    different shards/fields.  The transcripts write is crash-safe: a run
+    killed mid-write leaves no ``_DONE`` marker and the next run CLEARS
+    the partial directory before rewriting (``write_parquet`` into a
+    half-written dir would append uniquely-named files and silently
+    duplicate rows — sticky across processes since the cache is /tmp)."""
     src = os.path.join(sf_dir, "documents.parquet")
     fp = input_fingerprint([src])[:16]
     # v2: derived transcripts carry the acl column (cache key must change
     # whenever the derivation changes — the _DONE marker alone can't tell)
-    root = os.path.join(CACHE_ROOT, f"flagship_{fp}_v2")
+    root = os.path.join(CACHE_ROOT, f"flagship_{fp}_v2_{_cfg_tag(cfg)}")
     tdir = os.path.join(root, "transcripts")
     idir = os.path.join(root, "index")
     if not os.path.exists(os.path.join(tdir, "_DONE")):
+        if os.path.exists(tdir):
+            import shutil
+            shutil.rmtree(tdir)
         transcripts_from_documents(sf_dir).repartition(4).write_parquet(tdir)
         with open(os.path.join(tdir, "_DONE"), "w") as f:
             f.write("ok")
@@ -58,10 +75,11 @@ def index_dir_for(sf_dir: str, cfg: IndexConfig = FLAGSHIP_CFG) -> str:
 
 def searcher_for(sf_dir: str, num_readers: int = 2) -> Searcher:
     idir = index_dir_for(sf_dir)
-    s = _SEARCHERS.get(idir)
+    key = (idir, num_readers)
+    s = _SEARCHERS.get(key)
     if s is None or not s.readers:
         s = Searcher(idir, num_readers=num_readers)
-        _SEARCHERS[idir] = s
+        _SEARCHERS[key] = s
     return s
 
 
@@ -99,8 +117,11 @@ stats AS (
 
 
 def bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
-             mode: str = "or", authz: tuple | None = None,
+             mode: str = "and", authz: tuple | None = None,
              num_range: tuple | None = None) -> str:
+    # default mode "and" matches q_bm25's default — a default-arg
+    # engine/oracle pair must agree or a future registration silently
+    # compares an AND query against an OR oracle
     qvals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
     authz_pred = ""
@@ -324,6 +345,11 @@ def q_phrase_count(sf_dir: str, phrase: str = "spark merge") -> pa.Table:
 
 
 def phrase_count_sql(phrase: str = "spark merge") -> str:
+    # normalize the phrase through the SAME tokenization the engine
+    # applies (lowercase [a-z0-9]+): a raw phrase with case/punctuation —
+    # or LIKE metacharacters — would silently diverge from q_phrase_count
+    import re
+    norm = " ".join(re.findall(r"[a-z0-9]+", phrase.lower()))
     return f"""
 {SQL_PROLOGUE}
 SELECT count(*)::BIGINT AS n_matched FROM (
@@ -331,7 +357,7 @@ SELECT count(*)::BIGINT AS n_matched FROM (
          ' ' || array_to_string(regexp_extract_all(lower(text),
                                 '[a-z0-9]+'), ' ') || ' ' AS ts
   FROM docs)
-WHERE ts LIKE '% {phrase} %'
+WHERE ts LIKE '% {norm} %'
 """.strip()
 
 
@@ -416,8 +442,8 @@ GROUP BY d.{field} ORDER BY value
 """.strip()
 
 
-def _term_df(idir: str, pre=None) -> "pd.DataFrame":
-    """Vocabulary (term, df) frame: one Ray pass over the segment term
+def _term_df(idir: str, pre=None, cols: tuple = ("df",)) -> "pd.DataFrame":
+    """Vocabulary (term, Σcols) frame: one Ray pass over the segment term
     dicts with an optional worker-side pre-filter (pushed BEFORE the
     groupby so only candidate terms cross the shuffle), keyword
     ``field:value`` terms stripped.  An all-empty filtered stream loses
@@ -427,17 +453,19 @@ def _term_df(idir: str, pre=None) -> "pd.DataFrame":
 
     from ray.data.aggregate import Sum
     segs = ray.data.read_parquet(os.path.join(idir, "segments"),
-                                 columns=["term", "df"])
+                                 columns=["term", *cols])
     if pre is not None:
         segs = segs.map_batches(pre, batch_format="pyarrow",
                                 batch_size=65536)
-    agg = segs.groupby("term").aggregate(Sum("df", alias_name="df")) \
-              .to_pandas()
+    agg = segs.groupby("term").aggregate(
+        *[Sum(c, alias_name=c) for c in cols]).to_pandas()
     if agg.empty:
         return pd.DataFrame({"term": pd.Series([], dtype=object),
-                             "df": pd.Series([], dtype="int64")})
+                             **{c: pd.Series([], dtype="int64")
+                                for c in cols}})
     agg = agg[~agg["term"].str.contains(":")]
-    agg["df"] = agg["df"].astype("int64")
+    for c in cols:
+        agg[c] = agg[c].astype("int64")
     return agg.reset_index(drop=True)
 
 
@@ -602,14 +630,7 @@ def q_term_stats(sf_dir: str, k: int = 20) -> pa.Table:
     """Global per-term df/cf via a Ray pipeline over segment term dicts
     (the distributed analogue of ``getGlobalCardinality``,
     ``LabFieldIndex.java:474-476``)."""
-    idir = index_dir_for(sf_dir)
-    from ray.data.aggregate import Sum
-    segs = ray.data.read_parquet(os.path.join(idir, "segments"),
-                                 columns=["term", "df", "cf"])
-    agg = segs.groupby("term").aggregate(Sum("df", alias_name="df"),
-                                         Sum("cf", alias_name="cf"))
-    pdf = agg.to_pandas()
-    pdf = pdf[~pdf["term"].str.contains(":")]
+    pdf = _term_df(index_dir_for(sf_dir), cols=("df", "cf"))
     pdf = pdf.sort_values(["cf", "term"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(pdf.reset_index(drop=True))
 
