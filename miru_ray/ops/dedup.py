@@ -21,8 +21,10 @@ Scale shape: signature computation and bucket counting are distributed
 (map_batches partials → one small groupby); ONLY rows inside colliding
 buckets ever reach the driver (bounded by the corpus duplication mass, with
 an explicit hot-bucket cap — the analogue of the reference's atomized
-posting containers, ``LabInvertedIndex.java:268-292``).  No full-table
-``to_pandas()`` anywhere.  Token/shingle hashing is
+posting containers, ``LabInvertedIndex.java:268-292``).  The one
+corpus-bounded driver collect is the GUARDED exact-Jaccard verifier
+(:func:`ngram_jaccard_pairs` — its collision-mass guard now runs from
+distributed df partials BEFORE the collect).  Token/shingle hashing is
 ``md5_number_lower``-compatible (:func:`miru_ray.util.md5_64`) so DuckDB
 oracles reproduce simhash signatures bit-for-bit.
 """
@@ -41,7 +43,7 @@ import ray.data
 from ray.data.aggregate import Min, Sum
 
 from ..tokenize import explode_tokens, py_tokenize
-from ..util import (input_fingerprint, md5_64, md5_64_bulk,
+from ..util import (input_fingerprint, md5_64, md5_64_bulk, sorted_lookup,
                     rowgroup_block_plan)
 
 # ------------------------------ helpers ------------------------------------
@@ -58,6 +60,9 @@ def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
     path = os.path.join(sf_dir, "documents.parquet")
     n = pq.read_metadata(path).num_rows
     _ = derive_docs_dup  # whole-table reference implementation (tests)
+    if columns is not None and set(columns) != {"doc_id", "text"}:
+        raise ValueError("the dup derivation emits exactly (doc_id, "
+                         f"text); cannot serve columns={columns!r}")
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
     return ds.map_batches(lambda b: _expand_batch(b, n),
                           batch_format="pyarrow", batch_size=8192)
@@ -126,10 +131,15 @@ def _colliding_rows(bands: "ray.data.Dataset", key_col: str,
         driver_merge_rows = _DRIVER_MERGE_ROWS
     if bands.count() <= driver_merge_rows:
         pc_df = partials.to_pandas()
-        agg = pc_df.groupby(key_col, sort=False)["c"].sum()
-        cvals = agg.to_numpy()
-        keys = agg.index.to_numpy()[(cvals > 1) & (cvals <= cap)]
-        n_skipped = int((cvals > cap).sum())
+        if pc_df.empty:  # zero bands (all-empty corpus): no collisions —
+            #              and an all-empty to_pandas has no column names
+            keys = np.array([], np.int64)
+            n_skipped = 0
+        else:
+            agg = pc_df.groupby(key_col, sort=False)["c"].sum()
+            cvals = agg.to_numpy()
+            keys = agg.index.to_numpy()[(cvals > 1) & (cvals <= cap)]
+            n_skipped = int((cvals > cap).sum())
     else:
         counts = partials.groupby(key_col).aggregate(Sum("c", alias_name="c"))
         cdf = counts.map_batches(
@@ -146,14 +156,17 @@ def _colliding_rows(bands: "ray.data.Dataset", key_col: str,
 
     def keep_colliding(t: pa.Table) -> pa.Table:
         ks = ray.get(key_ref)
-        v = t[key_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ks, v)
-        hit = (pos < len(ks)) & (ks[np.minimum(pos, max(len(ks) - 1, 0))] == v) \
-            if len(ks) else np.zeros(len(v), bool)
+        hit, _ = sorted_lookup(ks, t[key_col].to_numpy(
+            zero_copy_only=False))
         return t.filter(pa.array(hit))
 
-    return bands.map_batches(keep_colliding, batch_format="pyarrow",
-                             batch_size=65536).to_pandas()
+    out = bands.map_batches(keep_colliding, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
+    cols = bands.schema().names
+    if out.empty and not set(cols) <= set(out.columns):
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in cols})
+    return out
 
 
 _DRIVER_MERGE_ROWS = 20_000_000  # swap point: driver count-merge vs
@@ -300,6 +313,11 @@ def _doc_shingle_hashes(texts, n: int = 3):
     return flat, cnt, cnt0
 
 
+#: shingle-row chunk so (chunk × 128 perms) fits comfortably in RAM;
+#: module-level so the chunk-boundary pytest can shrink it
+_MINHASH_CHUNK = 200_000
+
+
 def _minhash_bands_batch(b: pa.Table) -> pa.Table:
     """doc → LSH_BANDS rows (band_key, doc_id).
 
@@ -314,12 +332,11 @@ def _minhash_bands_batch(b: pa.Table) -> pa.Table:
     starts = np.zeros(len(counts), np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     sigs = np.empty((len(counts), MINHASH_PERMS), np.uint64)
-    CH = 200_000  # shingle-row chunk so (CH × 128) fits comfortably in RAM
     doc_of = np.repeat(np.arange(len(counts)), counts)
-    for lo in range(0, len(flat), CH):
-        hv = (flat[lo:lo + CH, None] * _A[None, :] + _B[None, :]) \
-            % np.uint64(_MERSENNE)
-        seg_docs = doc_of[lo:lo + CH]
+    for lo in range(0, len(flat), _MINHASH_CHUNK):
+        hv = (flat[lo:lo + _MINHASH_CHUNK, None] * _A[None, :]
+              + _B[None, :]) % np.uint64(_MERSENNE)
+        seg_docs = doc_of[lo:lo + _MINHASH_CHUNK]
         boundaries = np.flatnonzero(np.diff(seg_docs)) + 1
         red_starts = np.concatenate(([0], boundaries))
         mins = np.minimum.reduceat(hv, red_starts, axis=0)
@@ -327,8 +344,11 @@ def _minhash_bands_batch(b: pa.Table) -> pa.Table:
         first_chunk = lo <= starts[touched]
         sigs[touched[first_chunk]] = mins[first_chunk]
         if (~first_chunk).any():
+            # fancy-index ASSIGNMENT (not out=sigs[t2], which writes
+            # into a temporary copy and is discarded) — a doc straddling
+            # the chunk boundary must fold its later chunks' minima in
             t2 = touched[~first_chunk]
-            np.minimum(sigs[t2], mins[~first_chunk], out=sigs[t2])
+            sigs[t2] = np.minimum(sigs[t2], mins[~first_chunk])
     keys = _band_keys(sigs[nonempty])
     return pa.table({
         "band_key": pa.array(keys.reshape(-1)),
@@ -369,6 +389,12 @@ def _minhash_labels(sf_dir: str,
     if ck in _LABELS_CACHE:
         return _LABELS_CACHE[ck]
     cands = minhash_candidates(sf_dir)
+    if not cands:  # no LSH collisions anywhere: every doc is its own
+        #            cluster — skip the gather pass (whose all-empty
+        #            result would lose its column names via to_pandas)
+        lk = lv = np.array([], np.int64)
+        _LABELS_CACHE[ck] = (lk, lv)
+        return lk, lv
     cand_ids = np.array(sorted({d for p in cands for d in p}), np.int64)
     cand_ref = ray.put(cand_ids)
 
@@ -525,18 +551,18 @@ def _simhash_batch(b: pa.Table) -> pa.Table:
     tokens kept — identical to the SQL oracle's unnest), emitted as 4
     16-bit band rows per doc.  Zero-token docs are excluded (they have no
     signature, matching the oracle)."""
-    docs = b["doc_id"].to_numpy()
-    toks_per_doc = [py_tokenize(t) for t in b["text"].to_pandas()]
-    nonempty = np.array([len(t) > 0 for t in toks_per_doc], bool)
-    docs = docs[nonempty]
-    toks_per_doc = [t for t in toks_per_doc if t]
+    docs_all = b["doc_id"].to_numpy()
+    # one vectorized tokenize pass (identical token stream to the former
+    # per-row py_tokenize loop — same Arrow kernels, duplicates kept)
+    terms, _rows, dl = explode_tokens(b["text"])
+    nonempty = dl > 0
+    docs = docs_all[nonempty]
     if not len(docs):
         return pa.table({"band_key": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
                          "sig": pa.array([], pa.int64())})
-    counts = np.array([len(t) for t in toks_per_doc], np.int64)
-    flat = md5_64_bulk(np.array([t for toks in toks_per_doc for t in toks],
-                                dtype=object))
+    counts = dl[nonempty].astype(np.int64)
+    flat = md5_64_bulk(np.asarray(terms.to_pandas(), dtype=object))
     bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int32) * 2 - 1
     starts = np.zeros(len(counts), np.int64)
@@ -705,9 +731,7 @@ def substring_spans(sf_dir: str, window: int = SPAN_WINDOW) -> pa.Table:
 
     def count_windows(t: pa.Table) -> pa.Table:
         ks = ray.get(doc_ref)
-        d = t["doc_id"].to_numpy().astype(np.int64)
-        pos = np.searchsorted(ks, d)
-        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == d)
+        hit, _ = sorted_lookup(ks, t["doc_id"].to_numpy().astype(np.int64))
         kept = t.filter(pa.array(hit))
         g = kept.group_by("doc_id").aggregate([("whash", "count")])
         return pa.table({"doc_id": g["doc_id"], "nw": g["whash_count"]})
@@ -739,9 +763,32 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     """
     ds = _documents(sf_dir, ["doc_id", "text"])
     shingle_rows = _make_shingle_rows(n)
+    rows_ds = ds.map_batches(shingle_rows, batch_format="pyarrow",
+                             batch_size=4096).materialize()
 
-    rows = ds.map_batches(shingle_rows, batch_format="pyarrow",
-                          batch_size=4096).to_pandas()
+    # guard BEFORE collecting: per-shingle df from distributed partials
+    # (vocab-bounded driver merge), collision mass in PYTHON ints — an
+    # np.int64 product can wrap past 2^63 at exactly the skew scales the
+    # guard exists to reject
+    def df_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(t["shingle"].to_pandas(),
+                                    dtype=object), return_counts=True)
+        return pa.table({"shingle": pa.array(u, pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    dfp = rows_ds.map_batches(df_partial, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+    if dfp.empty:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    dfc = dfp.groupby("shingle", sort=False)["c"].sum().to_numpy()
+    pair_mass = sum(int(s) * (int(s) - 1) // 2 for s in dfc)
+    if pair_mass > 2e9:
+        raise ValueError("exact Jaccard collision mass too large; "
+                         "use minhash_dedup (LSH candidates + verify)")
+
+    rows = rows_ds.to_pandas()
     codes, _uniq = pd.factorize(rows["shingle"], sort=False)
     doc_idn = rows["doc_id"].to_numpy()
     doc_ids, doc_idx = np.unique(doc_idn, return_inverse=True)
@@ -752,10 +799,6 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     gstarts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]) \
         if len(keys) else np.array([], np.int64)
     gsizes = np.diff(np.r_[gstarts, len(keys)]).astype(np.int64)
-    pair_mass = int((gsizes * (gsizes - 1) // 2).sum())
-    if pair_mass > 2e9:
-        raise ValueError("exact Jaccard collision mass too large; "
-                         "use minhash_dedup (LSH candidates + verify)")
     packed = []
     for s in np.unique(gsizes):
         if s < 2:
@@ -794,7 +837,9 @@ def _read_emb_block(path: str, row_groups: list[int]):
         row_groups, columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_numpy().astype(np.int64)
     M = t["embedding"].combine_chunks().flatten().to_numpy(
-        zero_copy_only=False).reshape(len(ids), -1)
+        zero_copy_only=False).reshape(len(ids), -1).astype(np.float64)
+    # float64 like similarity._matrix AND the SQL oracle's DOUBLE —
+    # float32 cosines can flip threshold-borderline pairs
     return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
 
 
@@ -923,7 +968,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
             ids = t["vec_id"].to_numpy().astype(np.int64)[order]
             col = t["embedding"].combine_chunks()
             M = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                len(ids), -1)[order]
+                len(ids), -1)[order].astype(np.float64)
             M = M / np.linalg.norm(M, axis=1, keepdims=True)
             starts = np.flatnonzero(np.r_[True, tc[1:] != tc[:-1]])
             ends = np.r_[starts[1:], len(tc)]
@@ -947,7 +992,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
                     t = pa.concat_tables(ts)
                     ids = t["vec_id"].to_numpy().astype(np.int64)
                     M = t["embedding"].combine_chunks().flatten().to_numpy(
-                        zero_copy_only=False).reshape(len(ids), -1)
+                        zero_copy_only=False).reshape(len(ids), -1).astype(np.float64)
                     self.cache[tc] = (
                         ids, M / np.linalg.norm(M, axis=1, keepdims=True))
             return self.cache[tc]
@@ -958,7 +1003,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             Q = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                len(ids), -1)
+                len(ids), -1).astype(np.float64)
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
             if self.planes is None:
                 self.planes = _planes(Qn.shape[1])

@@ -48,11 +48,16 @@ def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
                                  columns=columns)
 
 
-def _doc_hash_m(doc_id: np.ndarray) -> np.ndarray:
-    """md5_64(str(doc_id)) % 1e6 — the ONE doc-hash draw every mixing
-    rule (sample keep, split range) derives from, so they can never
-    decorrelate."""
-    return (md5_64(np.array([str(int(d)) for d in doc_id], dtype=object))
+def _doc_hash_m(doc_id: np.ndarray, salt: str = "") -> np.ndarray:
+    """md5_64(salt + str(doc_id)) % 1e6 — the shared doc-hash draw.
+    Decisions that must be INDEPENDENT of each other use distinct salts:
+    the sample keep rule draws unsalted, the train/val/test split draws
+    with ``"split|"`` — with ONE shared draw every doc kept by a
+    rate ≤ 0.8 source would hash below the train threshold and val/test
+    would receive zero sampled documents (the C4/Pile constructions salt
+    each decision for exactly this reason)."""
+    return (md5_64(np.array([salt + str(int(d)) for d in doc_id],
+                            dtype=object))
             % np.uint64(_M)).astype(np.int64)
 
 
@@ -334,15 +339,18 @@ SPLIT_TRAIN_M, SPLIT_VAL_M = 800_000, 900_000
 
 def split_counts(sf_dir: str, out_path: str | None = None) -> pa.Table:
     """Deterministic train/val/test split (80/10/10): the split of a doc
-    is a pure function of ``md5_64(doc_id) % 1e6`` — reproducible on any
-    engine, stable under re-partitioning, and disjoint by construction
-    (one draw, three ranges).  Per (source, split) accounting via exact
-    per-batch partials; ``out_path`` streams rows to
-    ``split=train|val|test`` partitioned Parquet."""
+    is a pure function of ``md5_64('split|' + doc_id) % 1e6`` —
+    reproducible on any engine, stable under re-partitioning, disjoint
+    by construction (one draw, three ranges), and SALTED so it is
+    independent of the sample-keep draw (see :func:`_doc_hash_m`: an
+    unsalted split would send every doc kept by a ≤0.8-rate source to
+    train).  Per (source, split) accounting via exact per-batch
+    partials; ``out_path`` streams rows to ``split=train|val|test``
+    partitioned Parquet."""
     ds = _documents(sf_dir, ["doc_id", "source"])
 
     def _split(doc_id: np.ndarray) -> np.ndarray:
-        h = _doc_hash_m(doc_id)
+        h = _doc_hash_m(doc_id, salt="split|")
         return np.where(h < SPLIT_TRAIN_M, "train",
                         np.where(h < SPLIT_VAL_M, "val", "test"))
 
@@ -374,10 +382,10 @@ def split_counts(sf_dir: str, out_path: str | None = None) -> pa.Table:
 SQL = {
     "mix_split_counts": f"""
 SELECT source,
-       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % {_M}
-                 < {SPLIT_TRAIN_M} THEN 'train'
-            WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % {_M}
-                 < {SPLIT_VAL_M} THEN 'val'
+       CASE WHEN md5_number_lower('split|' || CAST(doc_id AS VARCHAR))
+                 % {_M} < {SPLIT_TRAIN_M} THEN 'train'
+            WHEN md5_number_lower('split|' || CAST(doc_id AS VARCHAR))
+                 % {_M} < {SPLIT_VAL_M} THEN 'val'
             ELSE 'test' END AS split,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY source, split ORDER BY source, split

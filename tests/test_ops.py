@@ -599,6 +599,40 @@ def test_window_join_boundaries():
         assert got["n_window_views"].tolist() == [3, 0, 0], (bs, got)
 
 
+def test_minhash_chunk_boundary_signatures(monkeypatch):
+    """Regression: a doc whose shingles straddle the permutation chunk
+    boundary must fold ALL chunks' minima into its signature — the old
+    np.minimum(..., out=sigs[fancy_index]) wrote into a temporary copy
+    and silently dropped every chunk after a doc's first."""
+    from miru_ray.ops import dedup as D
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).slice(0, 64)
+    want = D._minhash_bands_batch(t)
+    monkeypatch.setattr(D, "_MINHASH_CHUNK", 97)  # forces straddling
+    got = D._minhash_bands_batch(t)
+    assert got.equals(want), "chunked signatures diverge from unchunked"
+
+
+def test_split_independent_of_sample():
+    """The train/val/test draw is salted: among documents KEPT by a
+    low-rate source (all of whose doc hashes are < 500k), val and test
+    must still receive members — an unsalted split would send every one
+    of them to train."""
+    import pyarrow.parquet as pqq
+
+    from miru_ray.ops.mixing import _doc_hash_m, _keep_mask
+    t = pqq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "source"])
+    doc_id = t["doc_id"].to_numpy()
+    keep, thr = _keep_mask(doc_id, t["source"].to_pandas())
+    low = keep & (thr <= 500_000)
+    assert low.sum() > 20  # sampled docs from low-rate sources exist
+    h = _doc_hash_m(doc_id[low], salt="split|")
+    assert (h >= 900_000).any(), "no sampled doc landed in test"
+    assert ((h >= 800_000) & (h < 900_000)).any(), \
+        "no sampled doc landed in val"
+
+
 def test_bpe_merges_replace_semantics(tmp_path):
     """BPE merge training on a planted corpus whose top merge ('a','a')
     hits runs of identical units — engine and SQL must share the exact
