@@ -68,7 +68,7 @@ from ..lexnum import lex_encode_array
 from ..tokenize import EN_STOPWORDS, explode_tokens
 from ..util import (atomic_write_json, broadcast_get, input_fingerprint,
                     list_parquet_files,
-                    read_json, term_shard)
+                    read_json, sorted_lookup, term_shard)
 from .segments import encode_segment_table, segment_rel_path, write_segment
 
 logger = logging.getLogger(__name__)
@@ -200,11 +200,9 @@ class AssignDocIds:
     once per build.
     """
 
-    def __init__(self, offsets_ref, docs_per_partition: int,
-                 stopwords: frozenset | None = None):
+    def __init__(self, offsets_ref, docs_per_partition: int):
         self.ref = offsets_ref
         self.dpp = docs_per_partition
-        self.stopwords = stopwords  # kept for config parity; unused here
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         convs, offs = _get_offsets(self.ref)
@@ -232,10 +230,10 @@ def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
                    cfg: IndexConfig, tag: dict | None = None,
                    offsets_ref=None) -> None:
     ref = offsets_ref if offsets_ref is not None else _offsets_ref(offsets_path)
-    stop = EN_STOPWORDS if cfg.remove_stopwords else None
     # stateless tasks (fn INSTANCE, not class): no actor-pool ramp-up; the
-    # broadcast is cached per worker process by _get_offsets
-    fn = AssignDocIds(ref, cfg.docs_per_partition, stop)
+    # broadcast is cached per worker process by _get_offsets (no stopword
+    # state: the docstore stage deliberately does not tokenize)
+    fn = AssignDocIds(ref, cfg.docs_per_partition)
     out = ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
     out.write_parquet(docstore_dir, partition_cols=["partition"],
                       compression=cfg.io_compression)
@@ -389,10 +387,13 @@ def encode_cell_files(rows: pa.Table, index_dir: str, pid: int, shard: int,
 def make_segment_writer(index_dir: str, nsh: int):
     def encode_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
+            # SAME five columns as the real groups — a 4-column empty
+            # block would give the metadata dataset inconsistent schemas
             return pa.table({"pid": pa.array([], pa.int64()),
                              "shard": pa.array([], pa.int64()),
                              "n_terms": pa.array([], pa.int64()),
-                             "n_postings": pa.array([], pa.int64())})
+                             "n_postings": pa.array([], pa.int64()),
+                             "cf_text": pa.array([], pa.int64())})
         gkey = int(group["gkey"][0].as_py())
         r = encode_cell_files(group, index_dir, gkey // nsh, gkey % nsh,
                               skip_if_exists=True)
@@ -492,6 +493,13 @@ def _reset_stage_outputs(index_dir: str, docstore_dir: str, tag: dict,
     seg_dir = os.path.join(index_dir, "segments")
     seg_meta = os.path.join(seg_dir, "_META.json")
     if overwrite or not _stage_current(seg_meta, tag):
+        # the OLD manifest must die with the outputs it describes: a
+        # crash mid-rebuild would otherwise leave a valid-looking
+        # manifest pointing at wiped segment/docstore dirs (readers get
+        # FileNotFoundError instead of "no index — rebuild")
+        mpath = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(mpath):
+            os.remove(mpath)
         shutil.rmtree(seg_dir, ignore_errors=True)
         shutil.rmtree(os.path.join(index_dir, "doclen"), ignore_errors=True)
         os.makedirs(seg_dir, exist_ok=True)
@@ -709,8 +717,7 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     if not genuine.all():
         old_off = old_off.filter(pa.array(genuine))
     old_convs = np.asarray(old_off["conv_id"].to_pandas(), dtype=object)
-    pos = np.searchsorted(old_convs, conv)
-    clash = (pos < len(old_convs)) & (old_convs[np.minimum(pos, len(old_convs) - 1)] == conv)
+    clash, _ = sorted_lookup(old_convs, conv)
     if clash.any():
         raise ValueError(
             f"appended files continue existing conversation(s) "

@@ -59,7 +59,9 @@ class PartitionReader:
         manifest = read_json(os.path.join(index_dir, "manifest.json"))
         self.cfg = IndexConfig.from_dict(manifest["config"])
         self.n_docs = manifest["n_docs"]
-        self.avgdl = manifest["avgdl"]
+        # 1.0 fallback for a token-less corpus (keyword/numeric-only
+        # fields): dl/avgdl would otherwise turn every BM25 score NaN
+        self.avgdl = manifest["avgdl"] if manifest["avgdl"] > 0 else 1.0
         parts = {p["pid"]: p for p in manifest["partitions"]}
         self.parts = {pid: parts[pid] for pid in pids}
         self._seg_cache: dict[tuple[int, int], SegmentReader | None] = {}
@@ -82,7 +84,12 @@ class PartitionReader:
             t = self._docstore(pid).to_table(columns=["doc_id", "ts"])
             tsa = np.zeros(count, np.int64)
             idx = t["doc_id"].to_numpy() - base
-            tsa[idx] = t["ts"].cast(pa.int64()).to_numpy()
+            # bound by the MANIFEST's partition extent: an in-flight (or
+            # crashed) append may have published newer docstore rows into
+            # the boundary partition before its manifest commit — the
+            # committed index must keep answering from its own doc range
+            ok = (idx >= 0) & (idx < count)
+            tsa[idx[ok]] = t["ts"].cast(pa.int64()).to_numpy()[ok]
             self.ts[pid] = tsa
             # doc lengths: sum of the per-(pid, shard) doclen sidecars the
             # encode stage emitted (docs with zero text tokens stay 0)
@@ -92,12 +99,13 @@ class PartitionReader:
                 if os.path.exists(p):
                     import pyarrow.parquet as pq
                     part = pq.read_table(p)
-                    dl[part["doc_id"].to_numpy() - base] += \
-                        part["dl"].to_numpy()
+                    didx = part["doc_id"].to_numpy() - base
+                    dok = (didx >= 0) & (didx < count)
+                    dl[didx[dok]] += part["dl"].to_numpy()[dok]
             self.doclen[pid] = dl
         # query-independent BM25 doc-length factor, one array per
         # partition (saves three elementwise ops per posting per query;
-        # bit-identical to computing it inline — see bm25_tf_weight_pre)
+        # bit-identical to computing it inline — see bm25_tf_weight_pre).
         self._dl_norm = {
             pid: 1.0 - self.cfg.b + self.cfg.b * dl.astype(np.float64)
             / self.avgdl
@@ -251,14 +259,19 @@ class PartitionReader:
 
     # ---------------- phase 2: evaluation + scoring ----------------------
 
-    def _postings(self, pid: int, term: str, cache: dict):
+    def _postings(self, pid: int, term: str, cache: dict,
+                  resolved: tuple | None = None):
+        """``resolved`` = an already-computed (seg, row) from a caller
+        that just did the lookup itself (the WAND path needs seg/row for
+        block metadata too) — avoids the double term-dict probe."""
         key = (pid, term)
         if key in cache:
             return cache[key]
         if key in self._post_cache:
             cache[key] = self._post_cache[key]
             return cache[key]
-        seg, row = self._lookup(pid, term)
+        seg, row = resolved if resolved is not None \
+            else self._lookup(pid, term)
         val = None if row is None else seg.postings(row)
         cache[key] = val
         if len(self._post_cache) >= self._post_cache_cap:
@@ -457,7 +470,7 @@ class PartitionReader:
             seg, row = self._lookup(pid, term)
             if row is None:
                 continue
-            docs, tfs = self._postings(pid, term, cache)
+            docs, tfs = self._postings(pid, term, cache, resolved=(seg, row))
             df, cf = global_stats[term]
             postings.append((docs, tfs))
             blocks.append(seg.block_meta(row))
@@ -708,7 +721,9 @@ class Searcher:
                 term_counts[t] = term_counts.get(t, 0) + 1
         if not need_stats:
             return expansions, term_counts, {}
-        need = sorted(t for t, c in term_counts.items() if c != 0)
+        # c > 0: purely-negated terms (count −1) never score, so their
+        # global stats are never read — don't pay a fan-out round for them
+        need = sorted(t for t, c in term_counts.items() if c > 0)
         missing = [t for t in need if t not in self._stats_cache]
         if missing:
             fresh: dict[str, tuple[int, int]] = {}
@@ -762,6 +777,10 @@ class Searcher:
             if not len(docs):
                 break
             pages.append((docs, scores))
+            if len(docs) < page_size:
+                # a short page proves exhaustion (every reader returned
+                # all its qualifying docs) — skip the empty-page round
+                break
             after = (float(scores[-1]), int(docs[-1]))
         if not pages:
             return pa.table({"doc_id": pa.array([], pa.int64()),
