@@ -50,7 +50,8 @@ import ray
 import ray.data
 
 from ..config import IndexConfig
-from ..util import atomic_write_json, broadcast_get, read_json, term_shard
+from ..util import (atomic_write_json, broadcast_get, read_json,
+                    sorted_lookup, term_shard)
 from .build import (MANIFEST_VERSION, _build_tag, _cleanup_spill,
                     _encode_cells, _spill_postings)
 from .segments import segment_rows_table
@@ -70,8 +71,7 @@ def _alive_renumber(doc: np.ndarray, tombs: np.ndarray):
     tombstone set is removal-bounded, not corpus-bounded)."""
     if len(tombs) == 0:
         return None, doc
-    pos = np.searchsorted(tombs, doc)
-    dead = (pos < len(tombs)) & (tombs[np.minimum(pos, len(tombs) - 1)] == doc)
+    dead, _ = sorted_lookup(tombs, doc)
     keep = ~dead
     kept = doc[keep]
     return keep, kept - np.searchsorted(tombs, kept)
@@ -171,9 +171,13 @@ def compact_index(src_dir: str, dst_dir: str, *,
     # alias or contain the source we are about to read from.
     src_abs = os.path.realpath(src_dir)
     dst_abs = os.path.realpath(dst_dir)
-    if dst_abs == src_abs or src_abs.startswith(dst_abs + os.sep):
-        raise ValueError("dst_dir must not be the source index or an "
-                         f"ancestor of it ({dst_dir!r} vs {src_dir!r})")
+    if (dst_abs == src_abs or src_abs.startswith(dst_abs + os.sep)
+            or dst_abs.startswith(src_abs + os.sep)):
+        # nested-INSIDE-src is just as fatal as containing it: the
+        # compacted parquet would land where the source's recursive
+        # docstore reads pick it up, silently corrupting the source
+        raise ValueError("dst_dir must not be, contain, or live inside "
+                         f"the source index ({dst_dir!r} vs {src_dir!r})")
     dst_manifest = os.path.join(dst_dir, "manifest.json")
     in_progress = os.path.join(dst_dir, "_COMPACTING.json")
     if os.path.exists(dst_dir):

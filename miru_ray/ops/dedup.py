@@ -43,8 +43,8 @@ import ray.data
 from ray.data.aggregate import Min, Sum
 
 from ..tokenize import explode_tokens, py_tokenize
-from ..util import (input_fingerprint, md5_64, md5_64_bulk, sorted_lookup,
-                    rowgroup_block_plan)
+from ..util import (broadcast_get, input_fingerprint, md5_64,
+                    md5_64_bulk, rowgroup_block_plan, sorted_lookup)
 
 # ------------------------------ helpers ------------------------------------
 
@@ -468,7 +468,7 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
     lab_ref = ray.put((lk, lv))
 
     def assign(b: pa.Table) -> pa.Table:
-        lk, lv = ray.get(lab_ref)
+        lk, lv = broadcast_get(lab_ref)  # once per worker, not per batch
         doc = b["doc_id"].to_numpy().astype(np.int64)
         cl = label_roots(doc, lk, lv)
         return pa.table({"doc_id": pa.array(doc), "cluster_id": pa.array(cl)})

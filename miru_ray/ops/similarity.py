@@ -25,7 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..util import atomic_write_json, input_fingerprint, read_json
+from ..util import (atomic_write_json, broadcast_get, input_fingerprint,
+                    read_json, sorted_lookup)
 
 QUERY_VEC_IDS = [0, 1, 2, 3]  # deterministic query set: first four vectors
 
@@ -37,6 +38,8 @@ def _embeddings(sf_dir: str) -> "ray.data.Dataset":
 
 def _matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = b["vec_id"].to_numpy().astype(np.int64)
+    if not len(ids):  # reshape(0, -1) raises an obscure ValueError
+        return ids, np.zeros((0, 1), np.float64)
     col = b["embedding"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -53,6 +56,9 @@ def _query_matrix(sf_dir: str, vec_ids) -> tuple[np.ndarray, np.ndarray]:
     t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
         columns=["vec_id", "embedding"],
         filter=pc.field("vec_id").isin(list(vec_ids)))
+    if t.num_rows == 0:
+        raise ValueError(f"none of vec_ids={list(vec_ids)!r} exist in "
+                         "the embeddings table")
     ids, M = _matrix(t)
     order = np.argsort(ids)
     Q = M[order]
@@ -110,6 +116,8 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 10,
 
 
 def _rank_topk(partials: pd.DataFrame, k: int) -> pa.Table:
+    if partials.empty:  # incl. the all-empty-block column-loss case
+        return _empty_topk()
     out = []
     for qid, g in partials.groupby("query_id"):
         g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
@@ -179,7 +187,7 @@ def build_ann_index(sf_dir: str) -> str:
     P_ref = ray.put(_planes(dim))
 
     def code_batch(b: pa.Table) -> pa.Table:
-        P = ray.get(P_ref)
+        P = broadcast_get(P_ref)  # once per worker, not per batch
         ids, M = _matrix(b)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         codes = _codes(Mn, P)  # (n, tables)
@@ -196,7 +204,7 @@ def build_ann_index(sf_dir: str) -> str:
         d, partition_cols=["tcode"], compression="zstd")
     atomic_write_json(marker, {"fp": fp, "tables": _N_TABLES,
                                "planes": _N_PLANES,
-                               "buckets": _partition_catalog(d, "tcode")})
+                               **_partition_catalog(d, "tcode")})
     return d
 
 
@@ -217,32 +225,44 @@ def _ring(code: int, max_hamming: int) -> list[int]:
 # ---- shared probe machinery (LSH rings and IVF cells differ only in the
 # ---- partition key and how the per-query key set is enumerated) ----
 
-def _partition_catalog(d: str, key: str) -> dict[str, list[str]]:
-    """bucket/cell value → relative parquet file list, recorded once in the
-    build marker so probes resolve files from METADATA, never a directory
-    listing (object stores have no cheap listdir)."""
-    out: dict[str, list[str]] = {}
+def _partition_catalog(d: str, key: str) -> dict:
+    """{"buckets": value → relative parquet file list, "sizes": rel →
+    bytes} recorded once in the build marker so probes resolve files AND
+    byte counts from METADATA, never a directory listing or a per-query
+    stat of every index file (object stores have neither cheap listdir
+    nor cheap stat)."""
+    buckets: dict[str, list[str]] = {}
+    sizes: dict[str, int] = {}
     for e in sorted(os.listdir(d)):
         if e.startswith(key + "="):
             files = sorted(f for f in os.listdir(os.path.join(d, e))
                            if f.endswith(".parquet"))
-            out[e.split("=", 1)[1]] = [f"{e}/{f}" for f in files]
-    return out
+            rels = [f"{e}/{f}" for f in files]
+            buckets[e.split("=", 1)[1]] = rels
+            for r in rels:
+                sizes[r] = os.path.getsize(os.path.join(d, r))
+    return {"buckets": buckets, "sizes": sizes}
 
 
 def _probe_io(idx: str, probe: set[int], unit: str) -> tuple[list[str], dict]:
     """(files to read, io_stats) — io_stats proves the probe reads a strict
-    subset of the index bytes."""
-    catalog = read_json(os.path.join(idx, "_DONE.json"))["buckets"]
-    hit = [os.path.join(idx, rel) for c, rels in catalog.items()
-           if int(c) in probe for rel in rels]
-    alln = [os.path.join(idx, rel) for rels in catalog.values()
-            for rel in rels]
+    subset of the index bytes.  Byte counts come from the build-time size
+    catalog, NOT a per-query stat of every index file (a marker written
+    before the size catalog existed falls back to stat)."""
+    m = read_json(os.path.join(idx, "_DONE.json"))
+    catalog = m["buckets"]
+    sizes = m.get("sizes")
+    if sizes is None:
+        sizes = {rel: os.path.getsize(os.path.join(idx, rel))
+                 for rels in catalog.values() for rel in rels}
+    hit_rel = [rel for c, rels in catalog.items()
+               if int(c) in probe for rel in rels]
+    hit = [os.path.join(idx, rel) for rel in hit_rel]
     return hit, {
         f"{unit}_total": len(catalog),
         f"{unit}_read": sum(int(c) in probe for c in catalog),
-        "bytes_total": sum(os.path.getsize(f) for f in alln),
-        "bytes_read": sum(os.path.getsize(f) for f in hit),
+        "bytes_total": sum(sizes.values()),
+        "bytes_read": sum(sizes[rel] for rel in hit_rel),
     }
 
 
@@ -275,10 +295,8 @@ class _PartitionProbe:
         qs, vs, cs = [], [], []
         for qi, qid in enumerate(self.q_ids):
             ring = self.rings[qi]
-            pos = np.searchsorted(ring, keys)
-            hit = (pos < len(ring)) & (
-                ring[np.minimum(pos, len(ring) - 1)] == keys) \
-                & (ids != qid)
+            in_ring, _ = sorted_lookup(ring, keys)
+            hit = in_ring & (ids != qid)
             if not hit.any():
                 continue
             sims = Mn[hit] @ self.Qn[qi]
@@ -329,6 +347,8 @@ def ann_lsh_query(sf_dir: str, k: int = 10, vec_ids=QUERY_VEC_IDS,
     ref = ray.put((q_ids, Qn, per_query_rings))
     parts = _run_probe(hit_files, ref, r"tcode=(\d+)")
     # a vector replicated across tables can surface multiple times — dedupe
+    if parts.empty:  # all-empty block stream loses column names
+        return _empty_topk(), io_stats
     parts = parts.drop_duplicates(["query_id", "vec_id"])
     if len(parts):
         return _rank_topk(parts, k), io_stats
@@ -412,7 +432,7 @@ def build_ivf_index(sf_dir: str) -> str:
         assign, batch_format="pyarrow", batch_size=2048).write_parquet(
         d, partition_cols=["cell"], compression="zstd")
     atomic_write_json(marker, {"fp": fp, "centroids": _IVF_CENTROIDS,
-                               "buckets": _partition_catalog(d, "cell")})
+                               **_partition_catalog(d, "cell")})
     return d
 
 

@@ -35,7 +35,9 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Max
+
+from ..util import broadcast_get, sorted_lookup
 
 US_PER_HOUR = 3_600_000_000
 
@@ -98,8 +100,9 @@ def _feature_batch(t: pa.Table, t0_us: int | None = None,
     feat = et + "@" + pd.Series(hour).astype(str).to_numpy(dtype=object)
     out = pa.table({"user_id": t["user_id"],
                     "feature": pa.array(feat, pa.string())})
-    return out.group_by(["feature", "user_id"]).aggregate([]).rename_columns(
-        ["feature", "user_id"])
+    # group_by(keys).aggregate([]) already yields exactly (feature,
+    # user_id) — no rename needed
+    return out.group_by(["feature", "user_id"]).aggregate([])
 
 
 def _pair_partials(sf_dir: str, t0_us: int | None = None,
@@ -124,7 +127,7 @@ def _model_from_pairs(pairs: "ray.data.Dataset",
     lab_ref = ray.put(lab)
 
     def feature_score(g: pd.DataFrame) -> pd.DataFrame:
-        labs = ray.get(lab_ref)
+        labs = broadcast_get(lab_ref)  # once per worker, not per group
         users = pd.unique(g["user_id"].to_numpy())
         return pd.DataFrame({
             "feature": [g["feature"].iloc[0]],
@@ -163,23 +166,15 @@ class StrutScorer:
 
     def __call__(self, b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy().astype(np.int64)
-        if len(self.labeled):
-            pos = np.minimum(np.searchsorted(self.labeled, uid),
-                             len(self.labeled) - 1)
-            keep = self.labeled[pos] != uid
-        else:
-            keep = np.ones(len(uid), bool)
+        is_labeled, _ = sorted_lookup(self.labeled, uid)
+        keep = ~is_labeled
         uid = uid[keep]
         if not len(uid):
             return pa.table({"user_id": pa.array([], pa.int64()),
                              "s": pa.array([], pa.float64())})
         feats = np.asarray(b["feature"].to_pandas(), dtype=object)[keep]
-        if len(self.fk):
-            fpos = np.minimum(np.searchsorted(self.fk, feats),
-                              len(self.fk) - 1)
-            s = np.where(self.fk[fpos] == feats, self.fv[fpos], 0.0)
-        else:
-            s = np.zeros(len(feats))
+        fhit, fpos = sorted_lookup(self.fk, feats)
+        s = np.where(fhit, self.fv[fpos] if len(self.fk) else 0.0, 0.0)
         order = np.lexsort((s, uid))
         uid, s = uid[order], s[order]
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
@@ -320,7 +315,6 @@ def catwalk_model_incremental(sf_dir: str) -> pa.Table:
     split = (lo + hi) // 2
     store = tempfile.mkdtemp(prefix="catwalk_store_")
     try:
-        shutil.rmtree(store, ignore_errors=True)
         model_store_init(sf_dir, store, upto_us=split)
         model_store_merge(sf_dir, store, upto_us=None)
         return model_store_model(store)
