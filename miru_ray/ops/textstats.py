@@ -72,21 +72,25 @@ def bpe_token_estimate(sf_dir: str) -> pa.Table:
     ds = _documents(sf_dir, ["source", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        terms, rows, _dl = explode_tokens(b["text"])
+        text = pc.fill_null(b["text"], "")  # NULL text = zero cost, not NaN
+        terms, rows, _dl = explode_tokens(text)
         tl = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
         chunks = -(-tl // BPE_CHUNK)  # ceil division
         n = b.num_rows
         word_cost = np.zeros(n, np.int64)
         np.add.at(word_cost, rows, chunks)
         # punctuation marks: non-alnum, non-space chars of the lowered text
-        low = pc.utf8_lower(b["text"])
+        low = pc.utf8_lower(text)
         stripped = pc.replace_substring_regex(low, r"[a-z0-9\s]+", "")
         punct = pc.utf8_length(stripped).to_numpy(zero_copy_only=False)
         t = pa.table({"source": b["source"],
-                      "est": pa.array(word_cost + punct)})
+                      "est": pa.array((word_cost + punct).astype(np.int64))})
         g = t.group_by("source").aggregate([("est", "sum"),
                                             ("est", "count")])
-        return g.rename_columns(["source", "est", "docs"])
+        # name-based selection: the key-vs-aggregate column ORDER has
+        # varied across pyarrow versions (see token_count_by_source)
+        return pa.table({"source": g["source"], "est": g["est_sum"],
+                         "docs": g["est_count"]})
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=8192)
@@ -117,12 +121,15 @@ def quality_by_lang(sf_dir: str) -> pa.Table:
         is_stop = pc.is_in(terms, value_set=stop_arr).to_numpy(zero_copy_only=False)
         n_stop = np.zeros(n, np.int64)
         np.add.at(n_stop, rows, is_stop.astype(np.int64))
-        return pa.table({
+        out = pa.table({
             "lang": b["lang"],
             "n_tokens": pa.array(dl),
             "sum_tok_len": pa.array(sum_tok_len),
             "n_stop": pa.array(n_stop),
         })
+        # zero-token docs have no rows in the SQL oracle's unnested
+        # per_doc derivation — exclude them here too (n_docs parity)
+        return out.filter(pa.array(dl > 0))
 
     feats = ds.map_batches(features, batch_format="pyarrow", batch_size=8192)
     out = feats.groupby("lang").aggregate(
@@ -216,7 +223,9 @@ def langid(sf_dir: str) -> pa.Table:
     langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
 
     def langid_partial(b: pa.Table) -> pa.Table:
-        head = pc.utf8_lower(pc.utf8_slice_codeunits(b["text"], 0, 500))
+        text = pc.fill_null(b["text"], "")  # NULL text votes for nothing
+        #  (match_substring(null) yields object-dtype Nones that crash +=)
+        head = pc.utf8_lower(pc.utf8_slice_codeunits(text, 0, 500))
         votes = np.zeros((b.num_rows, len(langs)), np.int64)
         for li, lang in enumerate(langs):
             for tri in _LANG_PROFILES[lang]:
@@ -225,7 +234,7 @@ def langid(sf_dir: str) -> pa.Table:
         # ties break to the alphabetically-first language (argmax rule)
         pred = np.array(langs, dtype=object)[votes.argmax(axis=1)]
         cjk = pc.match_substring_regex(
-            pc.utf8_slice_codeunits(b["text"], 0, 200),
+            pc.utf8_slice_codeunits(text, 0, 200),
             "[一-鿿]").to_numpy(zero_copy_only=False)
         pred[cjk] = "zh"
         t = pa.table({"lang": b["lang"],
@@ -234,7 +243,9 @@ def langid(sf_dir: str) -> pa.Table:
                                               dtype=object)).astype(np.int64))})
         g = t.group_by("lang").aggregate([("correct", "sum"),
                                           ("correct", "count")])
-        return g.rename_columns(["lang", "n_correct", "n_docs"])
+        # name-based: pyarrow key-vs-aggregate column order varies
+        return pa.table({"lang": g["lang"], "n_correct": g["correct_sum"],
+                         "n_docs": g["correct_count"]})
 
     g = (ds.map_batches(langid_partial, batch_format="pyarrow",
                         batch_size=4096)
@@ -489,7 +500,9 @@ def decontaminate(sf_dir: str) -> pa.Table:
 
     bh = docs.map_batches(bench_hashes, batch_format="pyarrow",
                           batch_size=4096).to_pandas()  # benchmark-bounded
-    bench = np.unique(bh["h"].to_numpy().astype(np.uint64))
+    # an all-empty benchmark stream loses its column names via to_pandas
+    bench = (np.array([], np.uint64) if bh.empty
+             else np.unique(bh["h"].to_numpy().astype(np.uint64)))
     bench_ref = ray.put(bench)
 
     def overlap(b: pa.Table) -> pa.Table:
@@ -511,6 +524,9 @@ def decontaminate(sf_dir: str) -> pa.Table:
 
     out = docs.map_batches(overlap, batch_format="pyarrow",
                            batch_size=4096).to_pandas()
+    if out.empty:  # no contamination: typed empty, not a KeyError
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_overlap": pa.array([], pa.int64())})
     out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -628,7 +644,9 @@ def pii_scan(sf_dir: str) -> pa.Table:
     ds = _documents(sf_dir, ["source", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        txt = b["text"]
+        # NULL text has zero PII (count_substring_regex(null) would be a
+        # NaN that .astype(int64) turns into INT64_MIN in the sums)
+        txt = pc.fill_null(b["text"], "")
         cols = {"source": b["source"]}
         flagged = np.zeros(b.num_rows, bool)
         for name, pat in PII_PATTERNS:
@@ -652,8 +670,10 @@ def pii_scan(sf_dir: str) -> pa.Table:
         cols["n_docs"] = pa.array(np.ones(b.num_rows, np.int64))
         aggs = [(c, "sum") for c in cols if c != "source"]
         g = pa.table(cols).group_by("source").aggregate(aggs)
-        return g.rename_columns(["source"] + [c for c in cols
-                                              if c != "source"])
+        # name-based: pyarrow key-vs-aggregate column order varies
+        return pa.table({"source": g["source"],
+                         **{c: g[f"{c}_sum"] for c in cols
+                            if c != "source"}})
 
     names = ([f"n_{n}" for n, _ in PII_PATTERNS]
              + ["n_vowel_pairs", "n_docs_flagged",
@@ -702,8 +722,9 @@ SQL = {
     "text_bpe_token_estimate": """
 WITH d AS (
   SELECT source,
-         list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                  x -> (len(x) + 3) // 4))
+         COALESCE(list_sum(list_transform(
+                      regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      x -> (len(x) + 3) // 4)), 0)
          + len(regexp_replace(lower(text), '[a-z0-9\\s]+', '', 'g')) AS est
   FROM documents)
 SELECT source, COALESCE(sum(est), 0)::BIGINT AS est_tokens,

@@ -599,6 +599,40 @@ def test_window_join_boundaries():
         assert got["n_window_views"].tolist() == [3, 0, 0], (bs, got)
 
 
+def test_textstats_null_and_tokenless_parity(tmp_path):
+    """NULL and punct-only texts: bpe-estimate / quality / pii must
+    match their SQL oracles (NaN→INT64_MIN corruption, list_sum(NULL)
+    drop, and zero-token n_docs divergence were all real) and langid
+    must classify, not crash on object-dtype None votes."""
+    import duckdb
+    import pyarrow as pa
+
+    from miru_ray.ops.textstats import (SQL, bpe_token_estimate, langid,
+                                        pii_scan, quality_by_lang)
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "source": pa.array(["a", "a", "b", "b"]),
+                  "lang": pa.array(["en", "en", "de", "de"]),
+                  "text": pa.array(["hello world and the", None,
+                                    "!!!", "a@b.co and x y z"])})
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{d}/documents.parquet'")
+    for name, fn in (("text_bpe_token_estimate", bpe_token_estimate),
+                     ("text_quality_by_lang", quality_by_lang),
+                     ("text_pii_scan", pii_scan)):
+        got = fn(d).to_pandas()
+        want = con.execute(SQL[name]).fetchdf()
+        for c in want.columns:
+            if want[c].dtype != object:
+                want[c] = want[c].astype(got[c].dtype)
+        assert got.reset_index(drop=True).equals(
+            want.reset_index(drop=True)), (name, got, want)
+    assert langid(d).num_rows == 2  # classifies; previously crashed
+
+
 def test_minhash_chunk_boundary_signatures(monkeypatch):
     """Regression: a doc whose shingles straddle the permutation chunk
     boundary must fold ALL chunks' minima into its signature — the old
