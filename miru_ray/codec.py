@@ -74,6 +74,10 @@ def varint_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarr
         return np.empty(0, np.uint64)
     is_end = (b & 0x80) == 0
     ends = np.flatnonzero(is_end)
+    if len(ends) == 0 or ends[-1] != len(b) - 1:
+        # every-continuation-bit or truncated trailing varint: raise a
+        # diagnosable corruption error, never IndexError / silent drop
+        raise ValueError("malformed varint buffer: unterminated value")
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1

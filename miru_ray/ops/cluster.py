@@ -79,13 +79,25 @@ def _batch_xq(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = b["vec_id"].to_numpy().astype(np.int64)
     col = b["xq"].combine_chunks()
     dim = col.type.list_size
-    return ids, np.asarray(col.values).reshape(len(ids), dim)
+    # flatten(), not .values: .values ignores a sliced array's offset
+    return ids, col.flatten().to_numpy(zero_copy_only=False) \
+        .reshape(len(ids), dim)
+
+
+_ASSIGN_CHUNK = 1024  # rows per distance block: bounds the (chunk, k,
+#                       dim) int64 broadcast temporary to ~tens of MB
 
 
 def _assign(xq: np.ndarray, cids: np.ndarray, C: np.ndarray) -> np.ndarray:
-    """Nearest live centroid per row; ties → lowest cid (cids sorted)."""
-    D = ((xq[:, None, :] * _KM_SCALE - C[None, :, :]) ** 2).sum(axis=2)
-    return cids[np.argmin(D, axis=1)]
+    """Nearest live centroid per row; ties → lowest cid (cids sorted).
+    Distances computed in row chunks — the full (n, k, dim) broadcast
+    temporary would be ~0.5 GiB per concurrent task at dim 512."""
+    out = np.empty(len(xq), np.int64)
+    for lo in range(0, len(xq), _ASSIGN_CHUNK):
+        sub = xq[lo:lo + _ASSIGN_CHUNK]
+        D = ((sub[:, None, :] * _KM_SCALE - C[None, :, :]) ** 2).sum(axis=2)
+        out[lo:lo + _ASSIGN_CHUNK] = cids[np.argmin(D, axis=1)]
+    return out
 
 
 def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS,

@@ -31,7 +31,8 @@ def hll_add(registers: np.ndarray, values) -> np.ndarray:
     # ``values`` must be null-free: callers drop nulls at the Arrow level
     # (count-DISTINCT semantics; a pandas null-cast would also turn int
     # columns float and hash '123.0' where SQL CAST yields '123')
-    h = md5_64_bulk(np.asarray(pd.Series(values).astype(str), dtype=object))
+    sv = pd.unique(pd.Series(values).astype(str))  # per-batch distinct
+    h = md5_64_bulk(np.asarray(sv, dtype=object))
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
     rest = (h << np.uint64(P)) | np.uint64(1 << (P - 1))  # sentinel bit
     # rank = leading zeros of rest + 1, INTEGER-exact (a float64 cast of

@@ -320,7 +320,7 @@ class PartitionReader:
             # candidates: AND of the phrase terms' postings; verify
             # token-adjacency against the stored text of candidates only
             mask = np.ones(count, bool)
-            for t in node.terms:
+            for t in node.term_keys():
                 tm = np.zeros(count, bool)
                 p = self._postings(pid, t, cache)
                 if p is not None:

@@ -90,6 +90,13 @@ class Phrase(Node):
     def token_string(self) -> str:
         return " ".join(self.terms)
 
+    def term_keys(self) -> tuple:
+        """Postings keys — field-qualified exactly like Term.term_key
+        (a non-text-field phrase must not read the text field's
+        postings)."""
+        return tuple(t if self.field == "text" else f"{self.field}:{t}"
+                     for t in self.terms)
+
 
 @dataclass(frozen=True)
 class Authz(Node):
@@ -149,7 +156,7 @@ def collect_scoring_terms(node: Node, counts: dict[str, int] | None = None,
         k = node.term_key()
         counts[k] = counts.get(k, 0) + polarity
     elif isinstance(node, Phrase):
-        for t in node.terms:  # scores like an AND of its terms
+        for t in node.term_keys():  # scores like an AND of its terms
             counts[t] = counts.get(t, 0) + polarity
     elif isinstance(node, (And, Or)):
         for c in node.children:

@@ -23,8 +23,11 @@ from ..tokenize import py_tokenize
 from .filter import And, Node, Not, NumericRange, Or, Prefix, Term
 
 # bracket ranges (`field:[10 TO 20]`) tokenize as ONE atom — the inner
-# space must not split them
-_TOKEN_SPLIT = re.compile(r'\(|\)|"[^"]*"|\S+:\[[^\]]*\]|\S+')
+# space must not split them.  Quoted phrases may carry a '-' or 'field:'
+# prefix; plain tokens EXCLUDE parens/quotes so ')' glued to a word still
+# closes its group instead of being swallowed by the word token.
+_TOKEN_SPLIT = re.compile(
+    r'-?(?:[\w.]+:)?"[^"]*"|\(|\)|\S+:\[[^\]]*\]|[^\s()"]+')
 
 _RANGE = re.compile(r'^(-?\d+)\s+TO\s+(-?\d+)$', re.IGNORECASE)
 
@@ -56,6 +59,11 @@ def parse_query(q: str, default_field: str = "text",
                 node = parse_group()
                 if peek() == ")":
                     pos += 1
+                if isinstance(node, And) and not node.children:
+                    # the whole group dissolved (stopwords/malformed):
+                    # drop it like a dissolved atom — And(()) would be
+                    # the implicit match-ALL
+                    node = None
             elif t.upper() == "OR":
                 pending_or = True
                 continue
@@ -76,6 +84,10 @@ def parse_query(q: str, default_field: str = "text",
             if negate_next:
                 negatives.append(node)
                 negate_next = False
+                # a dangling OR must not skip over a negated clause and
+                # re-attach to the NEXT positive ('x OR -y z': z is its
+                # own AND clause, not an alternative to x)
+                pending_or = False
             elif pending_or and positives:
                 prev = positives.pop()
                 if isinstance(prev, Or):
@@ -108,16 +120,20 @@ def parse_query(q: str, default_field: str = "text",
 
 def _atom(tok: str, default_field: str,
           stopwords: frozenset | None = None) -> Node | None:
+    field = default_field
+    if not tok.startswith('"') and ":" in tok:
+        maybe_field, rest = tok.split(":", 1)
+        if rest.startswith('"') and rest.endswith('"') and len(rest) >= 2:
+            field, tok = maybe_field, rest  # field-qualified phrase
     if tok.startswith('"') and tok.endswith('"'):
         terms = py_tokenize(tok[1:-1], stopwords)
         if not terms:
             return None
         if len(terms) == 1:
-            return Term(default_field, terms[0])
+            return Term(field, terms[0])
         # exact phrase: AND candidates + token-adjacency verification
         from .filter import Phrase
-        return Phrase(default_field, tuple(terms))
-    field = default_field
+        return Phrase(field, tuple(terms))
     if ":" in tok:
         field, tok = tok.split(":", 1)
     if tok.startswith("[") and tok.endswith("]") and field != default_field:
@@ -131,7 +147,14 @@ def _atom(tok: str, default_field: str,
         body = tok[:-1]
         if field == default_field:
             toks = py_tokenize(body)  # prefix body: no stopword drop (it's a prefix)
-            body = toks[-1] if toks else ""
+            if not toks:
+                return None
+            pre = Prefix(field, toks[-1])
+            if len(toks) > 1:  # 'foo-bar*': foo is a required term, the
+                #                LAST token is the prefix — never dropped
+                return And(tuple(Term(field, t) for t in toks[:-1])
+                           + (pre,))
+            return pre
         return Prefix(field, body) if body else None
     if field == default_field:
         terms = py_tokenize(tok, stopwords)

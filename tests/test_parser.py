@@ -91,3 +91,37 @@ def test_parser_fuzz_query_shapes_evaluate(xs_searcher):
         assert n >= 0
 
     run()
+
+
+def test_parser_glued_parens_and_prefixed_phrases():
+    """Regression set for the tokenizer/scoping fixes: glued ')', field-
+    qualified and negated quoted phrases, dissolved groups, dangling OR
+    over a negation, multi-token prefix bodies."""
+    from miru_ray.query.filter import And, Not, Or, Phrase, Prefix, Term
+    from miru_ray.query.parser import parse_query
+    n = parse_query("NOT (spark hadoop) flink")
+    assert isinstance(n, Not) and n.positive == Term("text", "flink")
+    assert n.negatives == (And((Term("text", "spark"),
+                                Term("text", "hadoop"))),)
+    assert parse_query('title:"foo bar"') == Phrase("title", ("foo", "bar"))
+    neg = parse_query('-"foo bar"')
+    assert isinstance(neg, Not) and neg.positive == Or(())
+    assert neg.negatives == (Phrase("text", ("foo", "bar")),)
+    # a group that dissolves to nothing must vanish, not match-ALL
+    assert parse_query("spark OR (the of)",
+                       stopwords=frozenset({"the", "of"})) \
+        == Term("text", "spark")
+    # dangling OR must not skip a negated clause onto the next positive
+    d = parse_query("x OR -y z")
+    assert isinstance(d, Not)
+    assert d.positive == And((Term("text", "x"), Term("text", "z")))
+    # multi-token prefix keeps the leading tokens as required terms
+    assert parse_query("foo-bar*") == And((Term("text", "foo"),
+                                           Prefix("text", "bar")))
+
+
+def test_phrase_field_qualified_keys():
+    from miru_ray.query.filter import Phrase
+    p = Phrase("title", ("big", "data"))
+    assert p.term_keys() == ("title:big", "title:data")
+    assert Phrase("text", ("big", "data")).term_keys() == ("big", "data")
