@@ -111,6 +111,24 @@ def _cursor_path(out_root: str, name: str) -> str:
     return os.path.join(out_root, f"siphon.{name}.json")
 
 
+def tenant_dirname(tenant) -> str:
+    """Hive dirname for a plugin-supplied tenant value.  Tenants route on
+    FREE-TEXT columns, so the value is percent-encoded (safe='') before it
+    touches a path: '/', '\\\\', '=', '..' and every other separator are
+    escaped, which keeps the value inside ``out_root`` and keeps the
+    stale-file cleanup's ``d.split('=', 1)`` parsing unambiguous."""
+    from urllib.parse import quote
+    # also escape '.' (quote() treats it as unreserved) so a literal '..'
+    # can never appear anywhere in the dirname
+    return "tenant=" + quote(str(tenant), safe="").replace(".", "%2E")
+
+
+def tenant_from_dirname(d: str) -> str:
+    """Inverse of :func:`tenant_dirname` (without the ``tenant=`` prefix)."""
+    from urllib.parse import unquote
+    return unquote(d.split("=", 1)[1])
+
+
 def run_siphon(index_dir: str, plugin: SiphonPlugin, out_root: str,
                _crash_after_pids: int | None = None) -> SiphonResult:
     """Drive ``plugin`` over every un-siphoned doc-store partition.
@@ -191,21 +209,22 @@ def run_siphon(index_dir: str, plugin: SiphonPlugin, out_root: str,
         written = set()
         for tenant in pc.unique(out["tenant"]).to_pylist():
             rows = out.filter(pc.equal(out["tenant"], tenant))
-            tdir = os.path.join(out_root, f"tenant={tenant}")
+            dname = tenant_dirname(tenant)
+            tdir = os.path.join(out_root, dname)
             os.makedirs(tdir, exist_ok=True)
             # deterministic name: a re-executed flush overwrites, never
             # appends (exported side-effect writes must be idempotent)
             tmp = os.path.join(tdir, f".p{pid:05d}.parquet.tmp")
             pq.write_table(rows.drop(["tenant"]), tmp)
             os.replace(tmp, os.path.join(tdir, f"p{pid:05d}.parquet"))
-            written.add(str(tenant))
+            written.add(dname)
             n_flushed += rows.num_rows
         # a RE-flush (partition grew / rows tombstoned) may route zero
         # rows to a tenant that previously got some: drop this pid's
         # stale file there (each task touches only its own pid's files,
         # so concurrent flushes never race)
         for d in os.listdir(out_root):
-            if d.startswith("tenant=") and d.split("=", 1)[1] not in written:
+            if d.startswith("tenant=") and d not in written:
                 stale = os.path.join(out_root, d, f"p{pid:05d}.parquet")
                 if os.path.exists(stale):
                     os.remove(stale)

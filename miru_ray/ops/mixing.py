@@ -70,7 +70,15 @@ def _keep_mask(doc_id: np.ndarray, source) -> tuple[np.ndarray, np.ndarray]:
     thr_u = np.array(RATE_MILLIONTHS, np.int64)[
         (md5_64(uniq.astype(object)) % np.uint64(len(RATE_MILLIONTHS)))
         .astype(np.int64)]
-    thr = thr_u[codes]
+    # NULL sources factorize to code -1; the SQL oracle's
+    # md5_number_lower(NULL) % 4 is NULL and falls to the CASE ELSE rate,
+    # so map -1 explicitly to RATE_MILLIONTHS[-1] rather than letting
+    # thr_u[-1] read whichever source happens to be last in the batch
+    if len(thr_u):
+        thr = np.where(codes < 0, np.int64(RATE_MILLIONTHS[-1]),
+                       thr_u[np.maximum(codes, 0)])
+    else:
+        thr = np.full(len(codes), RATE_MILLIONTHS[-1], np.int64)
     return _doc_hash_m(doc_id) < thr, thr
 
 

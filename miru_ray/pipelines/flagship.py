@@ -259,19 +259,21 @@ def q_siphon_route_counts(sf_dir: str) -> pa.Table:
     makes re-asks a no-op: counts are read back from the flushed files."""
     import pyarrow.parquet as pq
 
-    from ..index.siphon import RoleRouteSiphon, run_siphon
+    from ..index.siphon import RoleRouteSiphon, run_siphon, tenant_from_dirname
     idir = index_dir_for(sf_dir)
     out = os.path.join(os.path.dirname(idir), "siphon_role_route")
     run_siphon(idir, RoleRouteSiphon(), out)
-    tenants, counts = [], []
-    for d in sorted(os.listdir(out)):
+    rows = []
+    for d in os.listdir(out):
         if not d.startswith("tenant="):
             continue
         n = sum(pq.read_metadata(os.path.join(out, d, f)).num_rows
                 for f in os.listdir(os.path.join(out, d))
                 if f.endswith(".parquet"))
-        tenants.append(d.split("=", 1)[1])
-        counts.append(n)
+        rows.append((tenant_from_dirname(d), n))
+    rows.sort()  # sort by DECODED tenant (oracle sorts the raw value)
+    tenants = [t for t, _ in rows]
+    counts = [n for _, n in rows]
     return pa.table({"tenant": pa.array(tenants, pa.string()),
                      "n_activities": pa.array(counts, pa.int64())})
 

@@ -199,7 +199,11 @@ def bigjoin_top_customers(sf_dir: str, k: int = 10,
         t2 = pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
         g = t2.group_by("l_orderkey").aggregate(
             [("rev_e4", "sum"), ("rev_e4", "count")])
-        return g.rename_columns(["l_orderkey", "rev_e4", "n_items"])
+        # name-based selection: pyarrow's key-vs-aggregate column ORDER has
+        # changed across versions, so positional renames are a trap
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev_e4": g["rev_e4_sum"],
+                         "n_items": g["rev_e4_count"]})
 
     li_part = li.map_batches(li_partial, batch_format="pyarrow",
                              batch_size=65536)
@@ -223,7 +227,9 @@ def bigjoin_top_customers(sf_dir: str, k: int = 10,
         g = t.select(["o_custkey", "rev_e4", "n_items"]) \
              .group_by("o_custkey").aggregate(
                  [("rev_e4", "sum"), ("n_items", "sum")])
-        return g.rename_columns(["o_custkey", "rev_e4", "n_items"])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "rev_e4": g["rev_e4_sum"],
+                         "n_items": g["n_items_sum"]})
 
     partials = joined.map_batches(cust_partial, batch_format="pyarrow",
                                   batch_size=65536)
@@ -257,10 +263,13 @@ def bigjoin_top_customers(sf_dir: str, k: int = 10,
                           .to_pandas()
             if top.empty:
                 return _empty
-    except Exception as ex:  # Ray's hash join cannot reconstruct the key
-        #  schema when EVERY right block is empty (all orders filtered);
-        #  the relational answer for that degenerate input is simply empty
-        if "No match or multiple matches for key field" in str(ex):
+    except Exception:  # Ray's hash join cannot reconstruct the key schema
+        #  when EVERY block on one side is empty (all orders filtered).
+        #  Confirm the degenerate case by COUNTING the lazy sides (re-runs
+        #  the pruned filter scans — rare error path only) rather than
+        #  parsing exception text, which breaks across Ray versions and
+        #  would swallow unrelated errors.
+        if o_f.count() == 0 or li_part.count() == 0:
             return _empty
         raise
     top["revenue"] = (top["rev_e4"] / 10000.0).round(2)
