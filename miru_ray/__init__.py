@@ -25,3 +25,23 @@ try:  # pragma: no cover
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # noqa: BLE001 — best-effort; repo-root drivers still work
     pass
+
+# Ray's schema-dedup fast path logs "Failed to hash the schemas (for
+# deduplication): unhashable type: 'dict'" for every pipeline over the
+# testdata parquet (whose field metadata defeats pa.Schema.__hash__).  The
+# input files are read-only and the warning is benign (Ray falls through to
+# the full unify), but it drowns real warnings in every bench/oracle tail —
+# drop exactly that record, nothing else, worker-side too (this module is
+# imported on every worker via pickle-by-value).
+try:  # pragma: no cover
+    import logging as _logging
+
+    class _DropSchemaHashNoise(_logging.Filter):
+        def filter(self, record: _logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    _logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashNoise())
+except Exception:  # noqa: BLE001
+    pass

@@ -67,8 +67,8 @@ from ..config import IndexConfig
 from ..lexnum import lex_encode_array
 from ..tokenize import EN_STOPWORDS, explode_tokens
 from ..util import (atomic_write_json, broadcast_get, input_fingerprint,
-                    list_parquet_files,
-                    read_json, sorted_lookup, term_shard)
+                    list_parquet_files, read_json, read_parquet_clean,
+                    sorted_lookup, term_shard)
 from .segments import encode_segment_table, segment_rel_path, write_segment
 
 logger = logging.getLogger(__name__)
@@ -77,7 +77,7 @@ MANIFEST_VERSION = 2  # v2: segment term dict carries first_doc/last_doc
 
 
 def _read_input(input_path: str | list[str], columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(input_path, columns=columns)
+    return read_parquet_clean(input_path, columns=columns)
 
 
 def _build_tag(fp: str, cfg: IndexConfig) -> dict:
@@ -406,8 +406,8 @@ def build_segments(docstore_dir: str, index_dir: str, cfg: IndexConfig,
     cols = list(dict.fromkeys(
         ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
         + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)))
-    docs = ray.data.read_parquet(docstore_dir, columns=cols,
-                                 file_extensions=["parquet"])
+    docs = read_parquet_clean(docstore_dir, columns=cols,
+                              file_extensions=["parquet"])
     postings = docs.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
                                 batch_size=8192)
     if cfg.shuffle_mode == "groupby":

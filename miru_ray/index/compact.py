@@ -51,7 +51,7 @@ import ray.data
 
 from ..config import IndexConfig
 from ..util import (atomic_write_json, broadcast_get, read_json,
-                    sorted_lookup, term_shard)
+                    read_parquet_clean, sorted_lookup, term_shard)
 from .build import (MANIFEST_VERSION, _build_tag, _cleanup_spill,
                     _encode_cells, _spill_postings)
 from .segments import segment_rows_table
@@ -228,8 +228,8 @@ def compact_index(src_dir: str, dst_dir: str, *,
     # [2] doc store: filter + renumber + repartition (streamed)
     t0 = time.perf_counter()
     docstore_dir = os.path.join(dst_dir, "docstore")
-    ds = ray.data.read_parquet(os.path.join(src_dir, "docstore"),
-                               file_extensions=["parquet"])
+    ds = read_parquet_clean(os.path.join(src_dir, "docstore"),
+                            file_extensions=["parquet"])
     (ds.map_batches(_make_docstore_fn(tombs_ref, cfg.docs_per_partition),
                     batch_format="pyarrow", batch_size=8192)
        .write_parquet(docstore_dir, partition_cols=["partition"],

@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from ..util import read_parquet_clean
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 US_PER_HOUR = 3_600_000_000
@@ -52,7 +54,7 @@ T0_US = 1_704_067_200_000_000
 
 
 def _events(sf_dir: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                  columns=columns)
 
 

@@ -39,6 +39,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..util import read_parquet_clean
+
 K_CLUSTERS = 8
 KM_ITERS = 2
 _KM_SCALE = 4096      # 2^12 — exact float64 multiply
@@ -46,7 +48,7 @@ _KM_OFFSET = 8192     # shifts xq positive: floor == trunc everywhere
 
 
 def _embeddings(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"])
 

@@ -44,7 +44,8 @@ from ray.data.aggregate import Min, Sum
 
 from ..tokenize import explode_tokens, py_tokenize
 from ..util import (broadcast_get, input_fingerprint, md5_64,
-                    md5_64_bulk, rowgroup_block_plan, sorted_lookup)
+                    md5_64_bulk, read_parquet_clean, rowgroup_block_plan,
+                    sorted_lookup)
 
 # ------------------------------ helpers ------------------------------------
 
@@ -63,7 +64,7 @@ def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
     if columns is not None and set(columns) != {"doc_id", "text"}:
         raise ValueError("the dup derivation emits exactly (doc_id, "
                          f"text); cannot serve columns={columns!r}")
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    ds = read_parquet_clean(path, columns=["doc_id", "text"])
     return ds.map_batches(lambda b: _expand_batch(b, n),
                           batch_format="pyarrow", batch_size=8192)
 
@@ -1038,7 +1039,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
             return pa.table({"a": pa.array(a[keep]),
                              "b": pa.array(bb[keep])})
 
-    pairs = ray.data.read_parquet(
+    pairs = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"]).map_batches(
         RingProber, batch_format="pyarrow", batch_size=1024,

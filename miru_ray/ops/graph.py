@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..util import sorted_lookup
+from ..util import read_parquet_clean, sorted_lookup
 
 _PR_SCALE = 10**12
 PR_ITERS = 2
@@ -41,7 +41,7 @@ PR_TOP_K = 20
 
 
 def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
                                  columns=columns)
 
 

@@ -35,7 +35,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..tokenize import explode_tokens
-from ..util import md5_64, rowgroup_block_plan
+from ..util import md5_64, read_parquet_clean, rowgroup_block_plan
 
 #: rate buckets in millionths (1e6 = keep all): source → bucket by
 #: md5_64(source) % 4 — stable, engine/SQL identical
@@ -44,7 +44,7 @@ _M = 1_000_000
 
 
 def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                                  columns=columns)
 
 

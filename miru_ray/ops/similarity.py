@@ -26,13 +26,13 @@ import ray
 import ray.data
 
 from ..util import (atomic_write_json, broadcast_get, input_fingerprint,
-                    read_json, sorted_lookup)
+                    read_json, read_parquet_clean, sorted_lookup)
 
 QUERY_VEC_IDS = [0, 1, 2, 3]  # deterministic query set: first four vectors
 
 
 def _embeddings(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                                  columns=["vec_id", "embedding"])
 
 

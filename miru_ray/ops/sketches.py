@@ -18,7 +18,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..util import md5_64_bulk
+from ..util import md5_64_bulk, read_parquet_clean
 
 P = 12                     # 2^12 = 4096 registers, ~1.6% standard error
 M = 1 << P
@@ -67,7 +67,7 @@ def approx_unique(sf_dir: str, table: str = "events",
                   column: str = "user_id") -> pa.Table:
     """Approximate distinct count of a column: one HLL sketch per batch,
     elementwise-max merge on the driver (shuffle-free)."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"),
                                columns=[column])
 
     def sketch(b: pa.Table) -> pa.Table:

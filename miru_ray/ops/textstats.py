@@ -27,11 +27,11 @@ import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
 from ..tokenize import EN_STOPWORDS, explode_tokens, py_tokenize
-from ..util import md5_64, md5_64_bulk
+from ..util import md5_64, md5_64_bulk, read_parquet_clean
 
 
 def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                                  columns=columns)
 
 

@@ -37,13 +37,13 @@ import ray
 import ray.data
 from ray.data.aggregate import Max
 
-from ..util import broadcast_get, sorted_lookup
+from ..util import broadcast_get, read_parquet_clean, sorted_lookup
 
 US_PER_HOUR = 3_600_000_000
 
 
 def _events(sf_dir: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                  columns=columns)
 
 
@@ -294,7 +294,7 @@ def model_store_model(store_dir: str) -> pa.Table:
     import pyarrow.dataset as pads
     lab_t = pads.dataset(os.path.join(store_dir, "labeled")).to_table()
     lab = np.unique(lab_t["user_id"].to_numpy().astype(np.int64))
-    pairs = ray.data.read_parquet(os.path.join(store_dir, "pairs"))
+    pairs = read_parquet_clean(os.path.join(store_dir, "pairs"))
     out = _model_from_pairs(pairs, lab)
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -22,7 +22,7 @@ from ..config import IndexConfig
 from ..fixtures import DERIVE_SQL, derive_transcripts_batch
 from ..index.build import build_index
 from ..query.engine import Searcher
-from ..util import input_fingerprint, read_json
+from ..util import input_fingerprint, read_json, read_parquet_clean
 
 CACHE_ROOT = "/tmp/miru_ray_cache"
 _SEARCHERS: dict[str, Searcher] = {}
@@ -34,7 +34,7 @@ FLAGSHIP_CFG = IndexConfig(docs_per_partition=2000, num_shards=2,
 
 def transcripts_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """documents.parquet → transcripts Dataset (deterministic derivation)."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return ds.map_batches(derive_transcripts_batch, batch_format="pyarrow")
 
@@ -370,7 +370,7 @@ def q_terms_latest(sf_dir: str, k: int = 20) -> pa.Table:
     query-time groupby over postings."""
     idir = index_dir_for(sf_dir)
     from ray.data.aggregate import Max, Min, Sum
-    segs = ray.data.read_parquet(
+    segs = read_parquet_clean(
         os.path.join(idir, "segments"),
         columns=["term", "df", "cf", "first_doc", "last_doc"],
         file_extensions=["parquet"])
@@ -454,7 +454,7 @@ def _term_df(idir: str, pre=None, cols: tuple = ("df",)) -> "pd.DataFrame":
     import pandas as pd
 
     from ray.data.aggregate import Sum
-    segs = ray.data.read_parquet(os.path.join(idir, "segments"),
+    segs = read_parquet_clean(os.path.join(idir, "segments"),
                                  columns=["term", *cols])
     if pre is not None:
         segs = segs.map_batches(pre, batch_format="pyarrow",
@@ -649,11 +649,11 @@ def q_doc_lengths(sf_dir: str) -> pa.Table:
     encode partials); zero-token docs zero-filled from the doc-id list."""
     idir = index_dir_for(sf_dir)
     from ray.data.aggregate import Sum
-    dl = (ray.data.read_parquet(os.path.join(idir, "doclen"),
+    dl = (read_parquet_clean(os.path.join(idir, "doclen"),
                                 file_extensions=["parquet"])
           .groupby("doc_id").aggregate(Sum("dl", alias_name="doc_len"))
           .to_pandas())
-    ids = (ray.data.read_parquet(os.path.join(idir, "docstore"),
+    ids = (read_parquet_clean(os.path.join(idir, "docstore"),
                                  columns=["doc_id"],
                                  file_extensions=["parquet"])
            .to_pandas())

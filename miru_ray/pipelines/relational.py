@@ -25,11 +25,13 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from ..util import read_parquet_clean
 from ray.data.aggregate import Count, Mean, Sum
 
 
 def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
                                  columns=columns)
 
 

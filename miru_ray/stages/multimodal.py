@@ -29,6 +29,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..util import read_parquet_clean
+
 MAGIC = b"FKE0"
 KINDS = ["image", "audio", "video"]
 FRAME_STEP = 4  # frame sampling stride
@@ -79,7 +81,7 @@ def build_payloads(batch: pa.Table) -> pa.Table:
 
 
 def media_dataset(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     # binary payloads: keep batches small so batch × concurrency fits the
     # worker heap (the multimodal batch-size rule — real images would be MBs)

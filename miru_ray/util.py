@@ -58,6 +58,38 @@ def broadcast_get(ref):
     return _BROADCAST_CACHE[key]
 
 
+def read_parquet_clean(path, columns=None, **kw):
+    """``ray.data.read_parquet`` with a metadata-STRIPPED schema override.
+
+    The testdata parquet carries pandas field metadata that defeats
+    ``pa.Schema.__hash__`` on this pyarrow version, so Ray's schema-dedup
+    fast path logs "Failed to hash the schemas" from every read task and
+    every downstream stage that inherits the schema.  Passing an explicit
+    stripped (and column-pruned) schema fixes it at the source: blocks are
+    born hashable, and the column prune still happens at the parquet scan.
+    Footer read is metadata-only (one small IO on the driver)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    if "schema" not in kw and "include_paths" not in kw:
+        probe = path if isinstance(path, str) else path[0]
+        if os.path.isdir(probe):
+            files = list_parquet_files(probe)
+            probe = files[0] if files else None
+        if probe is not None:
+            full = pq.read_schema(probe).remove_metadata()
+            if columns is not None:
+                if all(c in full.names for c in columns):
+                    kw["schema"] = pa.schema(
+                        [full.field(c) for c in columns])
+                # else: a requested column lives outside the file schema
+                # (hive partition dir) — skip the override, let Ray infer
+            elif "=" not in os.path.relpath(probe, path if isinstance(
+                    path, str) and os.path.isdir(path) else "/"):
+                kw["schema"] = full
+    return ray.data.read_parquet(path, columns=columns, **kw)
+
+
 def atomic_write_bytes(path: str, data: bytes) -> None:
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
