@@ -45,34 +45,86 @@ def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
                                  columns=columns)
 
 
-def _edge_partials(sf_dir: str) -> "ray.data.Dataset":
-    """Per-batch-distinct (custkey, partkey) edge partials: broadcast
-    orderkey→custkey lookup inside the lineitem scan (orders is the
-    smaller side).  NOT globally distinct — the caller dedups via the
-    driver composite-unique below the threshold or one distributed
-    groupby above it (Ray's groupby fixed overhead measured ~15 s on a
-    600k-row input vs milliseconds for the driver unique)."""
-    import pyarrow.parquet as pq
-    o = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                      columns=["o_orderkey", "o_custkey"])
-    ok = o["o_orderkey"].to_numpy().astype(np.int64)
-    oc = o["o_custkey"].to_numpy().astype(np.int64)
-    order = np.argsort(ok)
-    ref = ray.put((ok[order], oc[order]))
+#: size gate for the orders-side broadcast: below this many bytes of
+#: orders parquet the orderkey→custkey map rides a ``ray.put`` broadcast
+#: (read INSIDE a Ray task, never on the driver); above it the edge
+#: derivation hands off to a hash-shuffle ``Dataset.join`` — the same
+#: broadcast-bound→shuffle-join handoff as ``relational.bigjoin``.
+_ORDERS_BROADCAST_BYTES = 256 << 20
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        k, c = ray.get(ref)
-        lk = t["l_orderkey"].to_numpy().astype(np.int64)
-        hit, pos = sorted_lookup(k, lk)
-        out = pa.table({"c": pa.array(c[pos[hit]]),
-                        "p": pc.cast(t["l_partkey"], pa.int64())
-                             .take(pa.array(np.flatnonzero(hit)))})
+
+def _edge_partials(sf_dir: str,
+                   broadcast_bytes: int = _ORDERS_BROADCAST_BYTES
+                   ) -> "ray.data.Dataset":
+    """Per-batch-distinct (custkey, partkey) edge partials.  NOT globally
+    distinct — the caller dedups via the driver composite-unique below the
+    threshold or one distributed groupby above it (Ray's groupby fixed
+    overhead measured ~15 s on a 600k-row input vs milliseconds for the
+    driver unique).
+
+    Dual path on the orders side, gated on file bytes like
+    ``relational._shuffle_partitions``: a small orders table becomes a
+    sorted orderkey→custkey broadcast consulted inside the lineitem scan
+    (built in a Ray TASK — no full-table read on the driver); a large one
+    goes through a hash-shuffle ``Dataset.join`` on orderkey, so nothing
+    is ever driver- or worker-resident at O(|orders|) beyond the gate."""
+    opath = os.path.join(sf_dir, "orders.parquet")
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    if os.path.getsize(opath) <= broadcast_bytes:
+        @ray.remote
+        def load_orders(path: str):
+            import pyarrow.parquet as _pq
+            o = _pq.read_table(path, columns=["o_orderkey", "o_custkey"])
+            ok = o["o_orderkey"].to_numpy().astype(np.int64)
+            oc = o["o_custkey"].to_numpy().astype(np.int64)
+            order = np.argsort(ok)
+            return ok[order], oc[order]
+
+        ref = load_orders.remote(opath)
+
+        def to_edges(t: pa.Table) -> pa.Table:
+            k, c = ray.get(ref)
+            lk = t["l_orderkey"].to_numpy().astype(np.int64)
+            hit, pos = sorted_lookup(k, lk)
+            out = pa.table({"c": pa.array(c[pos[hit]]),
+                            "p": pc.cast(t["l_partkey"], pa.int64())
+                                 .take(pa.array(np.flatnonzero(hit)))})
+            return out.group_by(["c", "p"]).aggregate([]) \
+                      .rename_columns(["c", "p"])
+
+        return li.map_batches(to_edges, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+
+    # distributed branch: pre-reduce lineitem to per-batch-distinct
+    # (orderkey, partkey) pairs, hash-shuffle join against pruned orders
+    from ..pipelines.relational import _shuffle_partitions
+    nparts = _shuffle_partitions(
+        os.path.join(sf_dir, "lineitem.parquet"), opath)
+    _LI = pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64())])
+    _O = pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())])
+
+    def li_distinct(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey", "l_partkey"]).cast(_LI)
+                .group_by(["l_orderkey", "l_partkey"]).aggregate([])
+                .rename_columns(["l_orderkey", "l_partkey"]))
+
+    li_d = li.map_batches(li_distinct, batch_format="pyarrow",
+                          batch_size=65536)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: t.cast(_O), batch_format="pyarrow",
+                     batch_size=65536)
+    joined = li_d.join(orders, join_type="inner",
+                       num_partitions=nparts,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def to_cp(t: pa.Table) -> pa.Table:
+        out = pa.table({"c": pc.cast(t["o_custkey"], pa.int64()),
+                        "p": pc.cast(t["l_partkey"], pa.int64())})
         return out.group_by(["c", "p"]).aggregate([]) \
                   .rename_columns(["c", "p"])
 
-    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    return li.map_batches(to_edges, batch_format="pyarrow",
-                          batch_size=65536).materialize()
+    return joined.map_batches(to_cp, batch_format="pyarrow",
+                              batch_size=65536).materialize()
 
 
 def _dedup_pairs_driver(parts: "ray.data.Dataset"):
@@ -134,7 +186,9 @@ def _pair_sums(edges: "ray.data.Dataset", cref, pref):
 
 
 def pagerank_top(sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOP_K,
-                 driver_edges: int = _PR_DRIVER_EDGES) -> pa.Table:
+                 driver_edges: int = _PR_DRIVER_EDGES,
+                 broadcast_bytes: int = _ORDERS_BROADCAST_BYTES
+                 ) -> pa.Table:
     """Top-k nodes of the bipartite order graph by fixed-point PageRank
     (see module docstring for the exact integer recurrence).  Output:
     (node_type 'c'|'p', node_id, rank) ordered by (rank desc, node_type,
@@ -148,7 +202,7 @@ def pagerank_top(sf_dir: str, iters: int = PR_ITERS, k: int = PR_TOP_K,
     above it, a distributed groupby dedups the edges and one fused
     streaming pass runs each iteration.  Both branches run the
     identical integer recurrence and are parity-tested."""
-    parts = _edge_partials(sf_dir)
+    parts = _edge_partials(sf_dir, broadcast_bytes)
     n_rows = parts.count()
     if n_rows == 0:
         return pa.table({"node_type": pa.array([], pa.string()),
@@ -231,7 +285,9 @@ CC_TOP_K = 10
 
 def components_top(sf_dir: str, rounds: int = CC_ROUNDS,
                    k: int = CC_TOP_K,
-                   driver_edges: int = _PR_DRIVER_EDGES) -> pa.Table:
+                   driver_edges: int = _PR_DRIVER_EDGES,
+                   broadcast_bytes: int = _ORDERS_BROADCAST_BYTES
+                   ) -> pa.Table:
     """Min-label propagation over the bipartite order graph: ``rounds``
     synchronous rounds of l' = min(l, min over neighbors), labels
     initialized to disjoint node ids (customer c → 2c, part p → 2p+1).
@@ -244,7 +300,7 @@ def components_top(sf_dir: str, rounds: int = CC_ROUNDS,
 
     Same dual path as :func:`pagerank_top`: driver scatters below the
     edge threshold, a fused per-round streaming pass above it."""
-    parts = _edge_partials(sf_dir)
+    parts = _edge_partials(sf_dir, broadcast_bytes)
     n_rows = parts.count()
     if n_rows == 0:
         return pa.table({"label": pa.array([], pa.int64()),

@@ -304,11 +304,20 @@ def _semi_join_keys(ds: "ray.data.Dataset", col: str, keys_ref,
 
 
 def collaborative_filtering(sf_dir: str, custkey: int = 1,
-                            k: int = 10) -> pa.Table:
+                            k: int = 10,
+                            max_contributors: int = 10_000) -> pa.Table:
     """3-hop reco: parts my customer ordered → other customers who ordered
     those parts (contribution weight = #shared DISTINCT parts) → their
     OTHER parts scored by Σ contributor weight; minus parts I already
     ordered; top-k by (score desc, p_partkey asc).
+
+    ``max_contributors`` bounds the hop-3 neighborhood the way the
+    reference bounds it with a contributor heap
+    (``CollaborativeFiltering.java:59-233``, ``MinMaxPriorityQueue``):
+    only the top-K contributors by (weight desc, custkey asc) feed hop 3,
+    so the ``c_orders``/``theirs`` driver merges are explicitly K-bounded
+    even when one of my parts is a corpus-wide best-seller.  With the cap
+    ≥ the true contributor count the answer is exact (the oracle's case).
 
     Shape mirrors ``CollaborativeFiltering.java:59-233``: every broadcast
     is MY neighborhood (my orders → my parts → orders touching my parts →
@@ -353,6 +362,14 @@ def collaborative_filtering(sf_dir: str, custkey: int = 1,
               [["o_custkey", "l_partkey"]].drop_duplicates())
     shared = shared[shared["o_custkey"] != custkey]
     weight = shared.groupby("o_custkey").size()
+
+    # contributor cap (the reference's MinMaxPriorityQueue bound): keep the
+    # top-``max_contributors`` by (weight desc, custkey asc) before hop 3
+    if len(weight) > max_contributors:
+        weight = (weight.reset_index(name="w")
+                  .sort_values(["w", "o_custkey"], ascending=[False, True])
+                  .head(max_contributors)
+                  .set_index("o_custkey")["w"])
 
     # hop 3: contributors' orders → their OTHER parts (distinct), scored
     # by Σ contributor weight
