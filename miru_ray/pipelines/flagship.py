@@ -118,11 +118,14 @@ stats AS (
 
 def bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
              mode: str = "and", authz: tuple | None = None,
-             num_range: tuple | None = None) -> str:
+             num_range: tuple | None = None,
+             boosts: dict | None = None) -> str:
     # default mode "and" matches q_bm25's default — a default-arg
     # engine/oracle pair must agree or a future registration silently
     # compares an AND query against an OR oracle
-    qvals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    boosts = boosts or {}
+    qvals = ", ".join(f"('{t}', {float(boosts.get(t, 1.0))!r})"
+                      for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
     authz_pred = ""
     if authz:
@@ -135,14 +138,14 @@ def bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
                        f"AND nd.{nf} BETWEEN {lo} AND {hi}")
     return f"""
 {SQL_PROLOGUE},
-q(term) AS (VALUES {qvals}),
+q(term, w) AS (VALUES {qvals}),
 matched AS (
   SELECT tf.doc_id FROM tf JOIN q USING (term) {authz_pred}
   GROUP BY tf.doc_id {having}
 ),
 scores AS (
   SELECT m.doc_id,
-         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         sum(q.w * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
              * tf.tf * ({k1} + 1.0)
              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))) AS score
   FROM matched m
@@ -500,6 +503,38 @@ SELECT term, df::BIGINT AS df FROM df
 WHERE term LIKE '{prefix}%'
 ORDER BY df DESC, term ASC LIMIT {k}
 """.strip()
+
+
+def q_fuzzy_count(sf_dir: str, word: str = "sparc",
+                  max_edits: int = 1) -> pa.Table:
+    """Fuzzy term count ``word~N`` (Lucene fuzzy via the reference's
+    ``LuceneBackedQueryParser.java:48-53``): docs containing ANY
+    vocabulary term within ``max_edits`` Levenshtein distance of
+    ``word``.  Expansion happens per reader over the segment term dicts
+    (vectorized DP, length-prefiltered); the registered query lifts the
+    expansion cap so the oracle's uncapped ``levenshtein()`` predicate
+    is the same set."""
+    from ..query.filter import Fuzzy
+    s = searcher_for(sf_dir)
+    ast = Fuzzy("text", word, max_edits=max_edits, max_expansion=100_000)
+    return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
+
+
+def fuzzy_count_sql(word: str = "sparc", max_edits: int = 1) -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT count(DISTINCT doc_id)::BIGINT AS n_matched
+FROM tf WHERE levenshtein(term, '{word}') <= {max_edits}
+""".strip()
+
+
+def q_boosted_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Boosted BM25 top-k via the full parser path: ``spark^2 merge``
+    doubles spark's per-doc contribution (Lucene boost syntax; the
+    scorer multiplies term-at-a-time contributions, oracle = the same
+    weighted sum in SQL)."""
+    s = searcher_for(sf_dir)
+    return s.topk("spark^2 merge", k, "bm25")
 
 
 def q_spell_correct(sf_dir: str, word: str = "sparc",

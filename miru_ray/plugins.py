@@ -208,6 +208,11 @@ WHERE tf.term = 'spark' AND d.role = 'user'
     reg("fulltext_suggest", F.q_suggest, F.suggest_sql(), ("fulltext",))
     reg("fulltext_more_like_this", F.q_more_like_this,
         F.more_like_this_sql(), ("fulltext",))
+    reg("fulltext_fuzzy_count", F.q_fuzzy_count, F.fuzzy_count_sql(),
+        ("fulltext", "fuzzy"))
+    reg("fulltext_boosted_topk", F.q_boosted_topk,
+        F.bm25_sql(["spark", "merge"], 10, mode="and",
+                   boosts={"spark": 2.0}), ("fulltext", "boost"))
     reg("fulltext_spell_correct", F.q_spell_correct,
         F.spell_correct_sql(), ("fulltext",))
     # ---- authz / ACL composite filter (§2.3, MiruAuthzIndex) ----

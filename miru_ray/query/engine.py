@@ -39,11 +39,48 @@ from ..index.build import doclen_rel_path
 from ..index.segments import (SegmentReader, bloom_may_contain,
                               read_segment_bloom)
 from . import scorer as S
-from .filter import (And, Authz, Node, Not, NumericRange, Or, Phrase, Prefix,
-                     Term, TimeRange, and_terms, collect_prefixes,
-                     collect_ranges,
-                     collect_scoring_terms)
+from .filter import (And, Authz, Boost, Fuzzy, Node, Not, NumericRange,
+                     Or, Phrase, Prefix, Term, TimeRange, and_terms,
+                     collect_boosts, collect_fuzzies, collect_prefixes,
+                     collect_ranges, collect_scoring_terms)
 from .parser import parse_query
+
+
+def _lev_leq_mask(cands: np.ndarray, query: str, max_d: int) -> np.ndarray:
+    """Boolean mask of candidate strings within ``max_d`` Levenshtein
+    distance of ``query`` (identical terms INCLUDED — Lucene's fuzzy
+    matches the exact term too).  Length-prefilters to |len−m| ≤ max_d,
+    then runs the classic DP vectorized ACROSS candidates: the loops are
+    over query length × max candidate width (≈ word-length²) with every
+    cell operation an O(n_candidates) NumPy vector op."""
+    q = np.frombuffer(str(query).encode(), np.uint8)
+    m = len(q)
+    enc = [str(t).encode() for t in cands]
+    lens = np.fromiter((len(b) for b in enc), np.int64, count=len(enc))
+    pre = np.abs(lens - m) <= max_d
+    sel = np.flatnonzero(pre)
+    if not len(sel):
+        return np.zeros(len(cands), bool)
+    W = int(lens[sel].max())
+    n = len(sel)
+    M = np.zeros((n, W), np.uint8)
+    for i, j in enumerate(sel):          # candidate-bounded fill
+        b = enc[j]
+        M[i, :len(b)] = np.frombuffer(b, np.uint8)
+    prev = np.tile(np.arange(W + 1, dtype=np.int32), (n, 1))
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = (M != q[i - 1]).astype(np.int32)
+        for j in range(1, W + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub[:, j - 1])
+        prev = cur
+    d = prev[np.arange(n), lens[sel]]
+    out = np.zeros(len(cands), bool)
+    out[sel[d <= max_d]] = True
+    return out
 
 
 class PartitionReader:
@@ -257,6 +294,43 @@ class PartitionReader:
                 found.update(seg.terms[lo:min(hi, lo + cap + 1)])
         return sorted(found)[:cap + 1]
 
+    def expand_fuzzy(self, term_key: str, max_edits: int,
+                     cap: int) -> list[str]:
+        """Local fuzzy expansion: vocabulary terms within ``max_edits``
+        Levenshtein distance of ``term_key`` (Lucene ``term~N``; the
+        reference inherits the syntax via ``LuceneBackedQueryParser``).
+
+        Candidates are the partition term dicts, narrowed FIRST: a
+        field-scoped key scans only that field's contiguous ``field:``
+        slice; a text key skips keyword/numeric terms (they contain
+        ':', text tokens never do) — then length-prefiltered to
+        |len − m| ≤ max_edits before one vectorized DP over the
+        survivors (no per-term Python loop)."""
+        fld, _, val = term_key.rpartition(":")
+        found: set[str] = set()
+        for pid in self.parts:
+            for shard in range(self.cfg.num_shards):
+                seg = self._segment(pid, shard)
+                if seg is None:
+                    continue
+                if fld:
+                    lo, hi = seg.prefix_range(fld + ":")
+                    cands = np.asarray(seg.terms[lo:hi], object)
+                    vals = np.array([t[len(fld) + 1:] for t in cands],
+                                    dtype=object)
+                else:
+                    cands = np.asarray(seg.terms, object)
+                    # text tokens never contain ':'; keyword/numeric
+                    # terms always do — drop them before the DP
+                    nc = np.array([":" not in t for t in cands], bool)
+                    cands = cands[nc]
+                    vals = cands
+                if not len(cands):
+                    continue
+                keep = _lev_leq_mask(vals, val, max_edits)
+                found.update(cands[keep])
+        return sorted(found)[:cap]
+
     # ---------------- phase 2: evaluation + scoring ----------------------
 
     def _postings(self, pid: int, term: str, cache: dict,
@@ -305,6 +379,15 @@ class PartitionReader:
                 if p is not None:
                     mask[p[0] - base] = True
             return mask
+        if isinstance(node, Fuzzy):
+            mask = np.zeros(count, bool)
+            for t in expansions.get(node.expansion_key(), []):
+                p = self._postings(pid, t, cache)
+                if p is not None:
+                    mask[p[0] - base] = True
+            return mask
+        if isinstance(node, Boost):  # boosts affect scoring, not matching
+            return self._eval(node.child, pid, cache, expansions)
         if isinstance(node, NumericRange):
             # OR of the expanded term-range postings — a gate, never scored
             mask = np.zeros(count, bool)
@@ -376,7 +459,8 @@ class PartitionReader:
                global_stats: dict[str, tuple[int, int]],
                expansions: dict[str, list[str]] | None = None,
                use_wand: bool = False,
-               after: tuple[float, int] | None = None) -> dict:
+               after: tuple[float, int] | None = None,
+               boosts: dict[str, float] | None = None) -> dict:
         """Per-partition top-k → merged local top-k for this reader.
 
         ``after=(score, doc_id)``: pagination — only docs strictly below
@@ -400,7 +484,7 @@ class PartitionReader:
                 # must gate every answer (buildIndexMask semantics; ADVICE
                 # r01: WAND returned removed docs).
                 d, s = self._wand_partition(pid, k, strategy, term_counts,
-                                            global_stats, cache)
+                                            global_stats, cache, boosts)
             else:
                 mask = self._alive_mask(
                     pid, self._eval(ast, pid, cache, expansions))
@@ -408,7 +492,7 @@ class PartitionReader:
                     continue
                 d, s = self._score_partition(pid, mask, k, strategy,
                                              term_counts, global_stats, cache,
-                                             after)
+                                             after, boosts)
             if not len(d):
                 continue
             out_docs.append(d)
@@ -423,7 +507,7 @@ class PartitionReader:
         return {"doc_ids": docs, "scores": scores, "ts": self._ts_of(docs)}
 
     def _score_partition(self, pid, mask, k, strategy, term_counts,
-                         global_stats, cache, after=None):
+                         global_stats, cache, after=None, boosts=None):
         """Vectorized term-at-a-time scoring in fixed (sorted) term order."""
         base = self.parts[pid]["base"]
         count = self.parts[pid]["count"]
@@ -448,6 +532,8 @@ class PartitionReader:
                 w = S.term_weight_arrays(strategy, qc, df, cf, self.n_docs,
                                          self.avgdl, cfg.k1, cfg.b, tfs,
                                          dl[idx])
+            if boosts:
+                w = w * boosts.get(term, 1.0)
             acc[idx] += w
         sel = np.flatnonzero(mask)
         docs, scores = sel + base, acc[sel]
@@ -458,7 +544,7 @@ class PartitionReader:
         return S.topk_by_score(docs, scores, k)
 
     def _wand_partition(self, pid, k, strategy, term_counts, global_stats,
-                        cache):
+                        cache, boosts=None):
         base = self.parts[pid]["base"]
         dl = self.doclen[pid]
         cfg = self.cfg
@@ -472,21 +558,25 @@ class PartitionReader:
                 continue
             docs, tfs = self._postings(pid, term, cache, resolved=(seg, row))
             df, cf = global_stats[term]
+            bst = boosts.get(term, 1.0) if boosts else 1.0
             postings.append((docs, tfs))
             blocks.append(seg.block_meta(row))
             max_tf = float(tfs.max())
-            ubs.append(S.term_upper_bound(strategy, qc, df, cf, self.n_docs,
-                                          self.avgdl, cfg.k1, cfg.b, max_tf))
+            ubs.append(bst * S.term_upper_bound(
+                strategy, qc, df, cf, self.n_docs,
+                self.avgdl, cfg.k1, cfg.b, max_tf))
 
-            def wf(tf_s, doc_s, _df=df, _cf=cf, _qc=qc):
-                return S.term_weight_arrays(strategy, _qc, _df, _cf,
-                                            self.n_docs, self.avgdl, cfg.k1,
-                                            cfg.b, tf_s, dl[doc_s - base])
+            def wf(tf_s, doc_s, _df=df, _cf=cf, _qc=qc, _b=bst):
+                return _b * S.term_weight_arrays(
+                    strategy, _qc, _df, _cf,
+                    self.n_docs, self.avgdl, cfg.k1,
+                    cfg.b, tf_s, dl[doc_s - base])
 
-            def bub(bmtf, _df=df, _cf=cf, _qc=qc):
-                return S.term_upper_bound(strategy, _qc, _df, _cf,
-                                          self.n_docs, self.avgdl, cfg.k1,
-                                          cfg.b, bmtf)
+            def bub(bmtf, _df=df, _cf=cf, _qc=qc, _b=bst):
+                return _b * S.term_upper_bound(
+                    strategy, _qc, _df, _cf,
+                    self.n_docs, self.avgdl, cfg.k1,
+                    cfg.b, bmtf)
 
             wfns.append(wf)
             bubs.append(bub)
@@ -690,6 +780,16 @@ class Searcher:
                     found.update(res)
                 self._expansion_cache[ck] = sorted(found)[:p.max_expansion]
             expansions[key] = self._expansion_cache[ck]
+        for fz in collect_fuzzies(ast):
+            key = fz.expansion_key()
+            ck = (key, fz.max_expansion)
+            if ck not in self._expansion_cache:
+                found: set[str] = set()
+                for res in self._fanout("expand_fuzzy", fz.term_key(),
+                                        fz.max_edits, fz.max_expansion):
+                    found.update(res)
+                self._expansion_cache[ck] = sorted(found)[:fz.max_expansion]
+            expansions[key] = self._expansion_cache[ck]
         range_keys: set[str] = set()
         for r in collect_ranges(ast):
             key = r.expansion_key()
@@ -751,8 +851,9 @@ class Searcher:
         if strategy == "time":
             return self.topk_time(ast, k)
         expansions, term_counts, stats = self._prepare(ast)
+        boosts = collect_boosts(ast) or None
         parts = self._fanout("search", ast, k, strategy, term_counts, stats,
-                             expansions, use_wand, after)
+                             expansions, use_wand, after, boosts)
         docs = np.concatenate([p["doc_ids"] for p in parts])
         scores = np.concatenate([p["scores"] for p in parts])
         docs, scores = S.topk_by_score(docs, scores, k)

@@ -99,6 +99,38 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class Fuzzy(Node):
+    """Fuzzy term match ``term~`` / ``term~N`` (Lucene syntax via the
+    reference's ``LuceneBackedQueryParser.java:48-53``; Lucene's default
+    fuzziness is 2 edits).  Expands per partition to every vocabulary
+    term within ``max_edits`` Levenshtein distance (vectorized DP over
+    the term dict, length-prefiltered), capped at ``max_expansion``
+    like :class:`Prefix`; expansions join the scoring set with
+    multiplicity 1."""
+    field: str
+    value: str
+    max_edits: int = 2
+    max_expansion: int = 50
+
+    def term_key(self) -> str:
+        return self.value if self.field == "text" \
+            else f"{self.field}:{self.value}"
+
+    def expansion_key(self) -> str:
+        return f"~{self.max_edits}:{self.term_key()}"
+
+
+@dataclass(frozen=True)
+class Boost(Node):
+    """Score boost ``term^N`` (Lucene syntax).  Evaluates exactly as its
+    child; scoring multiplies the child term's contribution by ``boost``
+    (the scorer is term-at-a-time, so boosts attach to Term children —
+    the parser only emits Boost around single terms)."""
+    child: Node
+    boost: float
+
+
+@dataclass(frozen=True)
 class Authz(Node):
     """Authorization expression: the doc is visible iff its ACL list shares
     at least one entry with the principal's ``values`` (reference:
@@ -158,6 +190,8 @@ def collect_scoring_terms(node: Node, counts: dict[str, int] | None = None,
     elif isinstance(node, Phrase):
         for t in node.term_keys():  # scores like an AND of its terms
             counts[t] = counts.get(t, 0) + polarity
+    elif isinstance(node, Boost):
+        collect_scoring_terms(node.child, counts, polarity)
     elif isinstance(node, (And, Or)):
         for c in node.children:
             collect_scoring_terms(c, counts, polarity)
@@ -165,37 +199,58 @@ def collect_scoring_terms(node: Node, counts: dict[str, int] | None = None,
         collect_scoring_terms(node.positive, counts, polarity)
         for c in node.negatives:
             collect_scoring_terms(c, counts, -polarity)
-    # Prefix terms are expanded per partition at eval time; their expansions
-    # are collected there (engine.PartitionReader.expand_terms).
+    # Prefix/Fuzzy terms are expanded per partition at eval time; their
+    # expansions are collected there (engine.Searcher._prepare).
     return counts
 
 
-def collect_prefixes(node: Node, out: list[Prefix] | None = None) -> list[Prefix]:
-    if out is None:
-        out = []
-    if isinstance(node, Prefix):
+def _walk_collect(node: Node, out: list, want: type) -> list:
+    """Collect every ``want``-typed node, recursing through the boolean
+    combinators and :class:`Boost` wrappers."""
+    if isinstance(node, want):
         out.append(node)
+    elif isinstance(node, Boost):
+        _walk_collect(node.child, out, want)
     elif isinstance(node, (And, Or)):
         for c in node.children:
-            collect_prefixes(c, out)
+            _walk_collect(c, out, want)
     elif isinstance(node, Not):
-        collect_prefixes(node.positive, out)
+        _walk_collect(node.positive, out, want)
         for c in node.negatives:
-            collect_prefixes(c, out)
+            _walk_collect(c, out, want)
+    return out
+
+
+def collect_prefixes(node: Node, out: list[Prefix] | None = None) -> list[Prefix]:
+    return _walk_collect(node, [] if out is None else out, Prefix)
+
+
+def collect_fuzzies(node: Node) -> "list[Fuzzy]":
+    return _walk_collect(node, [], Fuzzy)
+
+
+def collect_boosts(node: Node, out: dict[str, float] | None = None
+                   ) -> dict[str, float]:
+    """term_key → boost multiplier for every ``Boost(Term)`` in the AST
+    (repeated boosts on the same term multiply, like nested Lucene
+    boosts)."""
+    if out is None:
+        out = {}
+    if isinstance(node, Boost) and isinstance(node.child, Term):
+        k = node.child.term_key()
+        out[k] = out.get(k, 1.0) * node.boost
+    elif isinstance(node, Boost):
+        collect_boosts(node.child, out)
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            collect_boosts(c, out)
+    elif isinstance(node, Not):
+        collect_boosts(node.positive, out)
+        for c in node.negatives:
+            collect_boosts(c, out)
     return out
 
 
 def collect_ranges(node: Node,
                    out: "list[NumericRange] | None" = None) -> "list[NumericRange]":
-    if out is None:
-        out = []
-    if isinstance(node, NumericRange):
-        out.append(node)
-    elif isinstance(node, (And, Or)):
-        for c in node.children:
-            collect_ranges(c, out)
-    elif isinstance(node, Not):
-        collect_ranges(node.positive, out)
-        for c in node.negatives:
-            collect_ranges(c, out)
-    return out
+    return _walk_collect(node, [] if out is None else out, NumericRange)

@@ -20,7 +20,7 @@ from __future__ import annotations
 import re
 
 from ..tokenize import py_tokenize
-from .filter import And, Node, Not, NumericRange, Or, Prefix, Term
+from .filter import And, Boost, Fuzzy, Node, Not, NumericRange, Or, Prefix, Term
 
 # bracket ranges (`field:[10 TO 20]`) tokenize as ONE atom — the inner
 # space must not split them.  Quoted phrases may carry a '-' or 'field:'
@@ -30,6 +30,8 @@ _TOKEN_SPLIT = re.compile(
     r'-?(?:[\w.]+:)?"[^"]*"|\(|\)|\S+:\[[^\]]*\]|[^\s()"]+')
 
 _RANGE = re.compile(r'^(-?\d+)\s+TO\s+(-?\d+)$', re.IGNORECASE)
+_BOOST = re.compile(r'^(.*\S)\^(\d+(?:\.\d+)?)$')
+_FUZZY = re.compile(r'^(.*\S)~([12])?$')
 
 
 def parse_query(q: str, default_field: str = "text",
@@ -120,6 +122,36 @@ def parse_query(q: str, default_field: str = "text",
 
 def _atom(tok: str, default_field: str,
           stopwords: frozenset | None = None) -> Node | None:
+    # Lucene suffix modifiers, outermost first: `term~2^3` is a boosted
+    # fuzzy (LuceneBackedQueryParser.java:48-53 inherits full syntax)
+    boost = None
+    if not tok.startswith('"'):
+        m = _BOOST.match(tok)
+        if m:
+            tok, boost = m.group(1), float(m.group(2))
+        m = _FUZZY.match(tok)
+        if m and not tok.startswith("[") and "]" not in tok:
+            body = m.group(1)
+            edits = int(m.group(2)) if m.group(2) else 2  # Lucene default
+            field = default_field
+            if ":" in body:
+                field, body = body.split(":", 1)
+            toks = py_tokenize(body) if field == default_field else [body]
+            if not toks:
+                return None
+            node: Node = Fuzzy(field, toks[-1], max_edits=edits)
+            if len(toks) > 1:  # 'foo-bar~': foo required, last token fuzzy
+                node = And(tuple(Term(field, t) for t in toks[:-1])
+                           + (node,))
+            return Boost(node, boost) if boost is not None else node
+    inner = _atom_base(tok, default_field, stopwords)
+    if inner is None or boost is None:
+        return inner
+    return Boost(inner, boost)
+
+
+def _atom_base(tok: str, default_field: str,
+               stopwords: frozenset | None = None) -> Node | None:
     field = default_field
     if not tok.startswith('"') and ":" in tok:
         maybe_field, rest = tok.split(":", 1)

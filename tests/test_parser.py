@@ -125,3 +125,44 @@ def test_phrase_field_qualified_keys():
     p = Phrase("title", ("big", "data"))
     assert p.term_keys() == ("title:big", "title:data")
     assert Phrase("text", ("big", "data")).term_keys() == ("big", "data")
+
+
+def test_fuzzy_syntax():
+    """`term~` defaults to 2 edits (Lucene), `term~1` sets 1; field
+    scoping and boost composition follow Lucene suffix order."""
+    from miru_ray.query.filter import And, Boost, Fuzzy, Term
+    from miru_ray.query.parser import parse_query
+    assert parse_query("sparc~") == Fuzzy("text", "sparc", max_edits=2)
+    assert parse_query("sparc~1") == Fuzzy("text", "sparc", max_edits=1)
+    assert parse_query("role:admn~1") == Fuzzy("role", "admn", max_edits=1)
+    b = parse_query("sparc~1^3")
+    assert b == Boost(Fuzzy("text", "sparc", max_edits=1), 3.0)
+    # fuzzy composes with AND clauses
+    q = parse_query("merge sparc~1")
+    assert q == And((Term("text", "merge"),
+                     Fuzzy("text", "sparc", max_edits=1)))
+
+
+def test_boost_syntax():
+    from miru_ray.query.filter import And, Boost, Term, collect_boosts
+    from miru_ray.query.parser import parse_query
+    q = parse_query("spark^2 merge")
+    assert q == And((Boost(Term("text", "spark"), 2.0),
+                     Term("text", "merge")))
+    assert collect_boosts(q) == {"spark": 2.0}
+    q2 = parse_query("title:big^1.5")
+    assert q2 == Boost(Term("title", "big"), 1.5)
+    assert collect_boosts(q2) == {"title:big": 1.5}
+
+
+def test_lev_leq_mask():
+    import numpy as np
+    from miru_ray.query.engine import _lev_leq_mask
+    cands = np.array(["spark", "sparc", "spars", "spa", "sparkle",
+                      "park", "merge", ""], dtype=object)
+    m1 = _lev_leq_mask(cands, "spark", 1)
+    assert list(cands[m1]) == ["spark", "sparc", "spars", "park"]
+    m2 = _lev_leq_mask(cands, "spark", 2)
+    assert list(cands[m2]) == ["spark", "sparc", "spars", "spa",
+                               "sparkle", "park"]
+    assert not _lev_leq_mask(cands, "zzzzzz", 1).any()
