@@ -1,0 +1,88 @@
+"""Multi-tenant index registry — tenant → (index_dir, config) catalog
+with per-tenant Searcher routing.
+
+The reference is tenant-scoped end to end: every activity carries a
+tenantId (``miru-api/.../activity/MiruActivity.java:34-60``) and the
+cluster registry elects replica sets per (tenant, partition)
+(``miru-cluster/.../amza/AmzaClusterRegistry.java``).  The Ray-native
+analogue keeps the catalog as a ``tenants.json`` file at a registry root
+(one JSON object: tenantId → {index_dir, config, n_docs}); a query for a
+tenant routes to that tenant's own :class:`~miru_ray.query.engine.Searcher`
+(its own reader actor pool over its own index directory), so tenants
+share NOTHING but the catalog file — per-tenant config, independent
+rebuild/compaction, and at cluster scale independent placement.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..config import IndexConfig
+from ..query.engine import Searcher
+from ..util import atomic_write_json, read_json
+
+
+class TenantRegistry:
+    """Catalog + router.  The catalog write is atomic (tmp+rename) so a
+    crashed registration never leaves a torn catalog; registrations are
+    last-writer-wins per tenant (re-pointing a tenant at a rebuilt index
+    is the normal upgrade flow)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.path = os.path.join(root, "tenants.json")
+        self._catalog: dict[str, dict] = (
+            read_json(self.path) if os.path.exists(self.path) else {})
+        self._searchers: dict[tuple[str, int], Searcher] = {}
+
+    # ---------------- catalog ----------------
+
+    def register(self, tenant: str, index_dir: str,
+                 cfg: IndexConfig) -> None:
+        manifest = read_json(os.path.join(index_dir, "manifest.json"))
+        self._catalog[str(tenant)] = {
+            "index_dir": os.path.abspath(index_dir),
+            "config": cfg.to_dict(),
+            "n_docs": manifest["n_docs"],
+        }
+        atomic_write_json(self.path, self._catalog)
+
+    def tenants(self) -> list[str]:
+        return sorted(self._catalog)
+
+    def entry(self, tenant: str) -> dict:
+        try:
+            return self._catalog[str(tenant)]
+        except KeyError:
+            raise KeyError(f"unknown tenant {tenant!r}; registered: "
+                           f"{self.tenants()}") from None
+
+    def index_dir(self, tenant: str) -> str:
+        return self.entry(tenant)["index_dir"]
+
+    def config(self, tenant: str) -> IndexConfig:
+        return IndexConfig.from_dict(self.entry(tenant)["config"])
+
+    # ---------------- routing ----------------
+
+    def searcher(self, tenant: str, num_readers: int = 2) -> Searcher:
+        """Per-tenant Searcher, cached per (tenant, pool size) — the
+        routing layer: a tenant's queries only ever touch its own index
+        directory and reader actors."""
+        key = (str(tenant), num_readers)
+        s = self._searchers.get(key)
+        if s is None or not s.readers:
+            s = Searcher(self.index_dir(tenant), num_readers=num_readers)
+            self._searchers[key] = s
+        return s
+
+    def count_all(self, query) -> dict[str, int]:
+        """Fan a count query to EVERY tenant (each against its own
+        index); returns tenant → count, sorted by tenant id."""
+        return {t: self.searcher(t).count(query) for t in self.tenants()}
+
+    def close(self) -> None:
+        for s in self._searchers.values():
+            s.close()
+        self._searchers.clear()

@@ -395,6 +395,80 @@ def unread_counts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def unread_backfill(sf_dir: str) -> pa.Table:
+    """Per-user unread counts from EXPLICIT read/unread marker semantics —
+    the reference's JIT backfill state machine
+    (``MiruJustInTimeBackfillerizer.java:40-346``): the message stream is
+    'view' events; a READ marker ('click' at time c) clears every message
+    with ts ≤ c; an UNREAD marker ('error' at time e) re-marks every
+    message with ts ≤ e.  Markers apply in time order, so a message's
+    final state is decided by the LATEST marker at-or-after it (ties:
+    UNREAD wins — re-marking is the destructive direction).
+
+    That state machine reduces exactly to an effective watermark:
+    ``wm(user) = last_read if last_read > last_unread else −∞`` and a
+    message is unread iff ``ts > wm`` — proven by case analysis in the
+    oracle SQL, which states the same rule relationally.  Two distributed
+    passes (marker partials → small groupby → user-bounded broadcast;
+    then view partials → groupby sum), the same shape as
+    :func:`unread_counts`; only users with ≥ 1 unread message appear."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+
+    def mark_partial(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_in(t["event_type"],
+                                value_set=pa.array(["click", "error"])))
+        g = pa.table({"user_id": sub["user_id"],
+                      "kind": sub["event_type"],
+                      "ts": pc.cast(sub["ts"], pa.int64())}) \
+            .group_by(["user_id", "kind"]).aggregate([("ts", "max")])
+        return pa.table({"user_id": g["user_id"], "kind": g["kind"],
+                         "ts": g["ts_max"]})
+
+    marks = (ds.map_batches(mark_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby(["user_id", "kind"]).aggregate(Max("ts",
+                                                         alias_name="ts"))
+             .to_pandas())  # ≤ 2 rows per marking user — the broadcast side
+    piv = marks.pivot_table(index="user_id", columns="kind", values="ts",
+                            aggfunc="max")
+    last_read = piv["click"] if "click" in piv else pd.Series(dtype=float)
+    last_unread = piv["error"] if "error" in piv else pd.Series(dtype=float)
+    eff = piv.assign(
+        r=last_read, u=last_unread if len(last_unread) else np.nan)
+    # effective watermark exists only when the newest marker is a READ
+    has_wm = eff["r"].notna() & (~(eff["u"] >= eff["r"]).fillna(False))
+    wm_users = eff.index.to_numpy().astype(np.int64)[has_wm.to_numpy()]
+    wm_vals = eff["r"].to_numpy()[has_wm.to_numpy()].astype(np.int64)
+    order = np.argsort(wm_users)
+    wm_ref = ray.put((wm_users[order], wm_vals[order]))
+
+    def unread_partial(t: pa.Table) -> pa.Table:
+        keys, ws = ray.get(wm_ref)
+        sub = t.filter(pc.equal(t["event_type"], "view"))
+        uid = sub["user_id"].to_numpy().astype(np.int64)
+        ts = pc.cast(sub["ts"], pa.int64()).to_numpy()
+        w = np.full(len(uid), np.int64(-2**62))  # no watermark → unread
+        if len(keys):
+            pos = np.searchsorted(keys, uid)
+            safe = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (pos < len(keys)) & (keys[safe] == uid)
+            w[hit] = ws[safe[hit]]
+        unread = (ts > w).astype(np.int64)
+        g = pa.table({"user_id": pa.array(uid), "u": pa.array(unread)}) \
+            .group_by("user_id").aggregate([("u", "sum")])
+        return pa.table({"user_id": g["user_id"], "u": g["u_sum"]})
+
+    out = (ds.map_batches(unread_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("user_id").aggregate(Sum("u", alias_name="n_unread"))
+           .to_pandas())
+    out = out[out["n_unread"] > 0].sort_values("user_id") \
+        .reset_index(drop=True)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_unread"] = out["n_unread"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 #: inactivity gap that closes a session (classic 30-minute web-session rule)
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
@@ -1262,6 +1336,24 @@ SELECT e.user_id,
          AS n_unread
 FROM events e LEFT JOIN wm USING (user_id)
 GROUP BY e.user_id ORDER BY e.user_id
+""".strip(),
+    "events_unread_backfill": """
+WITH marks AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           AS last_read,
+         max(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+           AS last_unread
+  FROM events GROUP BY user_id),
+msgs AS (
+  SELECT user_id, epoch_us(ts) AS ts FROM events
+  WHERE event_type = 'view')
+SELECT m.user_id, count(*)::BIGINT AS n_unread
+FROM msgs m LEFT JOIN marks k USING (user_id)
+WHERE k.last_read IS NULL
+   OR coalesce(k.last_unread, -4611686018427387904) >= k.last_read
+   OR m.ts > k.last_read
+GROUP BY m.user_id ORDER BY m.user_id
 """.strip(),
     "events_uniques":
         "SELECT count(DISTINCT user_id)::BIGINT AS n_unique_users FROM events",

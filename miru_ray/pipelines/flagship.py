@@ -14,6 +14,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -502,6 +503,74 @@ def suggest_sql(prefix: str = "s", k: int = 10) -> str:
 SELECT term, df::BIGINT AS df FROM df
 WHERE term LIKE '{prefix}%'
 ORDER BY df DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def tenant_registry_for(sf_dir: str, cfg: IndexConfig = FLAGSHIP_CFG):
+    """Build (once, fingerprint-cached) a TWO-tenant registry over
+    disjoint slices of the corpus: tenant 'even'/'odd' owns the
+    conversations whose numeric suffix is even/odd.  Each tenant gets its
+    OWN index directory + config entry in the catalog — the reference's
+    tenant-scoped world (``AmzaClusterRegistry``; tenantId on every
+    activity, ``MiruActivity.java:34-60``) reduced to its engine core:
+    catalog + routing + per-tenant indexes that rebuild independently."""
+    import shutil
+
+    from ..index.tenants import TenantRegistry
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = input_fingerprint([src])[:16]
+    root = os.path.join(CACHE_ROOT, f"tenants_{fp}_v1_{_cfg_tag(cfg)}")
+    reg = TenantRegistry(root)
+    for tenant, parity in (("even", 0), ("odd", 1)):
+        tdir = os.path.join(root, tenant, "transcripts")
+        idir = os.path.join(root, tenant, "index")
+        if not os.path.exists(os.path.join(tdir, "_DONE")):
+            if os.path.exists(tdir):
+                shutil.rmtree(tdir)
+
+            def pick(t: pa.Table, p=parity) -> pa.Table:
+                num = pc.cast(pc.utf8_slice_codeunits(
+                    t["conv_id"], 5, 99), pa.int64())
+                return t.filter(pc.equal(
+                    pc.bit_wise_and(num, pa.scalar(1, pa.int64())),
+                    pa.scalar(p, pa.int64())))
+
+            (transcripts_from_documents(sf_dir)
+             .map_batches(pick, batch_format="pyarrow")
+             .repartition(2).write_parquet(tdir))
+            with open(os.path.join(tdir, "_DONE"), "w") as f:
+                f.write("ok")
+        build_index(tdir, idir, cfg)  # no-op when the manifest is current
+        if (tenant not in reg.tenants()
+                or reg.index_dir(tenant) != os.path.abspath(idir)):
+            reg.register(tenant, idir, cfg)
+    return reg
+
+
+def q_tenant_route_counts(sf_dir: str, term: str = "spark") -> pa.Table:
+    """Per-tenant term count answered by ROUTING: each tenant's count
+    runs against that tenant's own index via the registry, never a
+    shared one."""
+    reg = tenant_registry_for(sf_dir)
+    counts = reg.count_all(term)
+    tenants = sorted(counts)
+    return pa.table({"tenant": pa.array(tenants, pa.string()),
+                     "n_matched": pa.array([counts[t] for t in tenants],
+                                           pa.int64())})
+
+
+def tenant_route_counts_sql(term: str = "spark") -> str:
+    return f"""
+{SQL_PROLOGUE},
+tenants(tenant, parity) AS (VALUES ('even', 0), ('odd', 1)),
+matched AS (
+  SELECT CAST(substr(d.conv_id, 6) AS BIGINT) % 2 AS parity,
+         count(*) AS n
+  FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+  GROUP BY 1)
+SELECT tn.tenant, coalesce(m.n, 0)::BIGINT AS n_matched
+FROM tenants tn LEFT JOIN matched m ON m.parity = tn.parity
+ORDER BY tn.tenant
 """.strip()
 
 

@@ -210,6 +210,8 @@ WHERE tf.term = 'spark' AND d.role = 'user'
         F.more_like_this_sql(), ("fulltext",))
     reg("fulltext_fuzzy_count", F.q_fuzzy_count, F.fuzzy_count_sql(),
         ("fulltext", "fuzzy"))
+    reg("tenant_route_counts", F.q_tenant_route_counts,
+        F.tenant_route_counts_sql(), ("tenant",))
     reg("fulltext_boosted_topk", F.q_boosted_topk,
         F.bm25_sql(["spark", "merge"], 10, mode="and",
                    boosts={"spark": 2.0}), ("fulltext", "boost"))
@@ -258,6 +260,7 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("events_stumptown", A.stumptown),
                      ("events_inbox_lookup", A.inbox_lookup),
                      ("events_unread_counts", A.unread_counts),
+                     ("events_unread_backfill", A.unread_backfill),
                      ("events_sessions", A.sessions),
                      ("events_rolling_counts", A.rolling_counts),
                      ("events_value_quantiles", A.value_quantiles),

@@ -63,6 +63,89 @@ def test_graph_edges_distributed_branch_parity():
     assert cc_b.equals(cc_d)
 
 
+def test_tenant_registry_routing(tmp_path):
+    """VERDICT r03 #5: tenant → index catalog with per-tenant routing.
+    Two tenants built from disjoint slices answer independently; their
+    counts sum to the whole corpus's count; unknown tenants raise."""
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    from miru_ray.index.tenants import TenantRegistry
+    from miru_ray.query.engine import Searcher
+
+    docs = pa.table({
+        "conv_id": pa.array([f"c{i % 4}" for i in range(40)]),
+        "turn_idx": pa.array([i // 4 for i in range(40)], pa.int32()),
+        "role": pa.array(["user"] * 40),
+        "text": pa.array([("alpha beta" if i % 2 else "alpha gamma")
+                          for i in range(40)]),
+        "ts": pa.array(np.arange(40) * 1000, pa.int64()),
+    })
+    cfg = IndexConfig(docs_per_partition=10, num_shards=1,
+                      keyword_fields=("role",))
+    reg = TenantRegistry(str(tmp_path / "registry"))
+    full_dir = str(tmp_path / "full")
+    os.makedirs(full_dir)
+    pq.write_table(docs, os.path.join(full_dir, "docs.parquet"))
+    for tenant, parity in (("even", 0), ("odd", 1)):
+        d = str(tmp_path / tenant)
+        os.makedirs(d)
+        sel = docs.filter(pa.array([i % 2 == parity for i in range(40)]))
+        pq.write_table(sel, os.path.join(d, "docs.parquet"))
+        idir = str(tmp_path / f"{tenant}_idx")
+        build_index(d, idir, cfg)
+        reg.register(tenant, idir, cfg)
+    assert reg.tenants() == ["even", "odd"]
+    counts = reg.count_all("alpha")
+    assert counts == {"even": 20, "odd": 20}
+    # disjoint content routes correctly: beta only in odd, gamma in even
+    assert reg.count_all("beta") == {"even": 0, "odd": 20}
+    assert reg.count_all("gamma") == {"even": 20, "odd": 0}
+    # catalog survives a fresh registry instance (tenants.json)
+    reg2 = TenantRegistry(str(tmp_path / "registry"))
+    assert reg2.tenants() == ["even", "odd"]
+    assert reg2.index_dir("even") == reg.index_dir("even")
+    with pytest.raises(KeyError):
+        reg2.entry("nope")
+    # whole == sum of tenants
+    full_idx = str(tmp_path / "full_idx")
+    build_index(full_dir, full_idx, cfg)
+    s = Searcher(full_idx, num_readers=1)
+    assert s.count("alpha") == sum(counts.values())
+    s.close()
+    reg.close()
+    reg2.close()
+
+
+def test_unread_backfill_marker_state_machine(tmp_path):
+    """VERDICT r03 #7: READ ('click') clears messages ≤ its time, UNREAD
+    ('error') re-marks messages ≤ its time, latest marker wins, UNREAD
+    wins ties.  Users: 1 = read-then-new-msg (1 unread), 2 = read then
+    re-marked (all 2 unread), 3 = never read (all unread), 4 = read after
+    everything (0 unread → absent), 5 = tie click/error at same ts
+    (unread wins → 1 unread)."""
+    from miru_ray.ops.analytics import unread_backfill
+    rows = [
+        # (user, type, ts_us)
+        (1, "view", 10), (1, "click", 20), (1, "view", 30),
+        (2, "view", 10), (2, "click", 20), (2, "view", 25), (2, "error", 30),
+        (3, "view", 10), (3, "view", 20),
+        (4, "view", 10), (4, "view", 20), (4, "click", 30),
+        (5, "view", 10), (5, "click", 20), (5, "error", 20),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows],
+                       pa.timestamp("us"))}),
+        os.path.join(d, "events.parquet"))
+    got = unread_backfill(d).to_pandas()
+    assert dict(zip(got["user_id"], got["n_unread"])) == {
+        1: 1, 2: 2, 3: 2, 5: 1}
+
+
 def test_collaborative_filtering_cap_tiebreak(cf_dir):
     """Equal weights break ties by custkey asc: capping at 2 keeps cust 2
     (weight 2) and cust 3 (weight 1) — same as uncapped here — while a
