@@ -66,6 +66,17 @@ def main(argv=None) -> int:
     c.add_argument("--num-shards", type=int, default=None)
     c.add_argument("--overwrite", action="store_true")
 
+    u = sub.add_parser("upgrade", help="additive schema upgrade: add "
+                                       "keyword/numeric fields in place "
+                                       "(re-encodes only the new fields)")
+    u.add_argument("--index", required=True)
+    u.add_argument("--add-keyword", default="",
+                   help="comma-separated keyword fields to add")
+    u.add_argument("--add-numeric", default="",
+                   help="comma-separated int64 fields to add")
+    u.add_argument("--add-list-keyword", default="",
+                   help="comma-separated list<string> fields to add")
+
     si = sub.add_parser("siphon", help="run a siphon plugin over the index "
                                        "WAL (resumable, idempotent flush)")
     si.add_argument("--index", required=True)
@@ -104,6 +115,29 @@ def _run(args) -> int:
                           ("n_docs", "n_convs", "total_len", "avgdl")}
                          | {"segments": len(m["segments"]),
                             "stages": m["stages"]}))
+        return 0
+
+    if args.cmd == "upgrade":
+        import dataclasses
+        import os
+        from .config import IndexConfig
+        from .index.upgrade import upgrade_index
+        from .util import read_json
+        old = IndexConfig.from_dict(read_json(
+            os.path.join(args.index, "manifest.json"))["config"])
+        split = lambda v: tuple(x for x in v.split(",") if x)  # noqa: E731
+        new_cfg = dataclasses.replace(
+            old,
+            keyword_fields=tuple(old.keyword_fields)
+                           + split(args.add_keyword),
+            numeric_fields=tuple(old.numeric_fields)
+                           + split(args.add_numeric),
+            list_keyword_fields=tuple(old.list_keyword_fields)
+                                + split(args.add_list_keyword))
+        m = upgrade_index(args.index, new_cfg)
+        print(json.dumps({"n_docs": m["n_docs"],
+                          "segments": len(m["segments"]),
+                          "config": m["config"]}))
         return 0
 
     if args.cmd == "search":

@@ -1,0 +1,165 @@
+"""Additive schema evolution: add fields to a live index WITHOUT a wipe.
+
+Reference: ``MiruSchema.checkAdditive``
+(``miru-api/.../activity/schema/MiruSchema.java:303-314``) allows a new
+schema version when every existing field keeps its definition and new
+fields only extend it; obsolete-schema partitions then re-index through
+the "upgrading" partition state (``MiruPartitionState.java:15``).
+
+Here the additive delta is cheap and exact: new keyword / list-keyword /
+numeric fields contribute ``field:value`` terms with tf = 1 and ZERO
+doc-length effect (doclen sums only tokenized terms), so the upgrade
+
+1. derives ONLY the new fields' posting rows from the docstore (which
+   stores every input column) via the same ``make_postings_fn`` the full
+   build uses, restricted to the added fields,
+2. spills them partitioned by gkey (the build's external-shuffle layout),
+3. per touched (partition, shard) cell: decodes the existing segment back
+   to (term, doc_id, tf) rows (``segment_rows_table`` — the compaction
+   decode path), concatenates the delta rows, and re-encodes — the same
+   deterministic sort+encode as a fresh build, so the result is
+   BYTE-IDENTICAL to building from scratch with the new config (tested).
+
+Text-field additions change doclen/avgdl/BM25 for every doc and are NOT
+additive here — they raise, directing to a full rebuild (the reference
+draws the same line: analyzer-affecting changes are not ``checkAdditive``).
+
+Crash safety: segments rewrite one cell at a time (atomic replace); the
+manifest flips to the new config only at the end.  A re-run after a crash
+re-merges cells whose segments already carry the delta — the encoder's
+exact-duplicate (term, doc) drop makes that idempotent (kw/numeric delta
+rows always have tf = 1, identical to what the crashed run wrote).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+import ray
+
+from ..config import IndexConfig
+from ..util import atomic_write_json, read_json, read_parquet_clean
+from .build import (MANIFEST_VERSION, _build_tag, _spill_postings,
+                    doclen_rel_path, make_postings_fn)
+from .segments import (encode_segment_table, segment_rel_path,
+                       segment_to_rows, write_segment)
+
+
+def check_additive(old: IndexConfig, new: IndexConfig) -> dict:
+    """Added fields per kind when ``new`` is an additive extension of
+    ``old``; raises ``ValueError`` otherwise (MiruSchema.checkAdditive
+    semantics: nothing existing may change or vanish)."""
+    problems = []
+    if tuple(old.text_fields) != tuple(new.text_fields):
+        problems.append("text_fields differ (changes doclen/avgdl — "
+                        "full rebuild required)")
+    for knob in ("docs_per_partition", "num_shards", "remove_stopwords"):
+        if getattr(old, knob) != getattr(new, knob):
+            problems.append(f"{knob} differs")
+    added = {}
+    for kind in ("keyword_fields", "list_keyword_fields", "numeric_fields"):
+        o, n = list(getattr(old, kind)), list(getattr(new, kind))
+        missing = [f for f in o if f not in n]
+        if missing:
+            problems.append(f"{kind} removed: {missing}")
+        added[kind] = tuple(f for f in n if f not in o)
+    if problems:
+        raise ValueError("config change is not additive: "
+                         + "; ".join(problems))
+    return added
+
+
+def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
+    """Additively upgrade the index at ``index_dir`` to ``new_cfg``;
+    returns the new manifest.  No-op when the content config is already
+    current."""
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    m = read_json(manifest_path)
+    old_cfg = IndexConfig.from_dict(m["config"])
+    added = check_additive(old_cfg, new_cfg)
+    new_fields = [f for kind in added.values() for f in kind]
+    fp = m["fingerprint"]
+    new_tag = _build_tag(fp, new_cfg)
+    if not new_fields:
+        m["config"] = new_cfg.to_dict()  # exec-knob-only change
+        atomic_write_json(manifest_path, m)
+        return m
+
+    # [1] delta postings from the docstore (it stores every input column)
+    delta_cfg = IndexConfig(
+        text_fields=(),
+        keyword_fields=added["keyword_fields"],
+        list_keyword_fields=added["list_keyword_fields"],
+        numeric_fields=added["numeric_fields"],
+        docs_per_partition=new_cfg.docs_per_partition,
+        num_shards=new_cfg.num_shards,
+        remove_stopwords=new_cfg.remove_stopwords)
+    docstore_dir = os.path.join(index_dir, "docstore")
+    docs = read_parquet_clean(docstore_dir, columns=["doc_id", *new_fields],
+                              file_extensions=["parquet"])
+    postings = docs.map_batches(make_postings_fn(delta_cfg),
+                                batch_format="pyarrow", batch_size=8192)
+    spill_dir = os.path.join(index_dir, "postings_spill_upgrade")
+    _spill_postings(postings, spill_dir, {**new_tag, "stage": "upgrade"},
+                    new_cfg.io_compression)
+
+    # [2] merge-encode each TOUCHED cell (others keep their files + stats)
+    nsh = new_cfg.num_shards
+
+    @ray.remote(num_cpus=1)
+    def merge_cell(gdir: str, pid: int, shard: int) -> dict:
+        import pyarrow as pa
+        delta = pq.ParquetDataset(gdir).read().select(
+            ["term", "doc_id", "tf"])
+        seg_path = os.path.join(index_dir, segment_rel_path(pid, shard))
+        had_old = os.path.exists(seg_path)
+        rows = (pa.concat_tables([segment_to_rows(seg_path), delta])
+                if had_old else delta)
+        seg, dl = encode_segment_table(rows, with_doclen=True)
+        write_segment(seg, seg_path)
+        # a brand-new cell needs its (possibly empty) doclen sidecar so
+        # the dir is file-for-file identical to a fresh build; existing
+        # sidecars are untouched (text rows unchanged)
+        dl_path = os.path.join(index_dir, doclen_rel_path(pid, shard))
+        if not had_old and not os.path.exists(dl_path):
+            from .build import write_doclen_partial
+            write_doclen_partial(dl, index_dir, pid, shard)
+        import pyarrow.compute as pc
+        kw = pc.match_substring(seg["term"], ":")
+        return {"pid": pid, "shard": shard, "n_terms": seg.num_rows,
+                "n_postings": int(pc.sum(seg["df"]).as_py() or 0),
+                "cf_text": int(pc.sum(pc.if_else(kw, 0, seg["cf"]))
+                               .as_py() or 0)}
+
+    futs = []
+    for d in sorted(os.listdir(spill_dir)):
+        if not d.startswith("gkey="):
+            continue
+        gkey = int(d.split("=", 1)[1])
+        futs.append(merge_cell.remote(os.path.join(spill_dir, d),
+                                      gkey // nsh, gkey % nsh))
+    updated = {(r["pid"], r["shard"]): r for r in ray.get(futs)}
+
+    # [3] commit: new config + refreshed per-cell stats, atomic
+    seg_rows = {(s["pid"], s["shard"]): s for s in m["segments"]}
+    for key, r in updated.items():
+        seg_rows[key] = {"pid": r["pid"], "shard": r["shard"],
+                         "path": segment_rel_path(r["pid"], r["shard"]),
+                         "n_terms": int(r["n_terms"]),
+                         "n_postings": int(r["n_postings"]),
+                         "cf_text": int(r["cf_text"])}
+    m["segments"] = [seg_rows[k] for k in sorted(seg_rows)]
+    m["config"] = new_cfg.to_dict()
+    m["version"] = MANIFEST_VERSION
+    atomic_write_json(manifest_path, m)
+    # stage checkpoints now describe the NEW tag (a later build_index with
+    # new_cfg must see them current, not wipe-and-rebuild)
+    atomic_write_json(os.path.join(index_dir, "segments", "_META.json"),
+                      new_tag)
+    if os.path.exists(os.path.join(docstore_dir, "_SUCCESS")):
+        atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"), new_tag)
+    import shutil
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    return m
