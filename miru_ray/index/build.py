@@ -141,39 +141,97 @@ def _conv_counts_for_file(path: str) -> pa.Table:
     return _conv_count_partials(t)
 
 
-def build_conv_offsets(files: list[str], offsets_path: str) -> dict:
+#: driver-merge gate for stage 1: above this many per-file partial rows
+#: the conv merge + prefix sum go distributed (hash groupby + range sort;
+#: the driver then only STREAMS sorted batches into the offsets file with
+#: O(batch) memory).  Partial rows ≈ Σ per-file distinct convs.
+_OFFSETS_DRIVER_ROWS = 20_000_000
+
+
+@ray.remote(num_cpus=0)
+def _num_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def _check_contiguous(conv, cnt, max_turn) -> None:
+    bad = max_turn + 1 != cnt
+    if bad.any():
+        raise ValueError(
+            f"turn_idx not contiguous for conv {conv[int(np.argmax(bad))]!r};"
+            " doc-id fast path requires 0-based contiguous turn_idx per "
+            "conversation")
+
+
+def build_conv_offsets(files: list[str], offsets_path: str,
+                       driver_rows: int | None = None) -> dict:
     """Compute (conv_id → doc_id offset) with prefix sums; write parquet.
 
-    One Ray task per input file emits (conv, cnt, max_turn) partials — a few
-    hundred bytes per conversation touched — and the driver merges + prefix-
-    sums them (vectorized).  The driver-side merge is bounded by the number
-    of conversations, which is the same bound the offsets broadcast already
-    assumes (SURVEY.md §7.3: beyond that, swap in a bucketed hash join and
-    distributed prefix sums over sorted blocks).
+    One Ray task per input file emits (conv, cnt, max_turn) partials — a
+    few hundred bytes per conversation touched.  Dual path on the total
+    partial row count (the ``_PR_DRIVER_EDGES`` pattern):
+
+    - driver branch: merge + prefix-sum vectorized on the driver, bounded
+      by the number of conversations;
+    - distributed branch: hash groupby merges the partials, a range sort
+      orders them by conv_id, and the prefix sum runs as a STREAMING scan
+      over the sorted batches — the driver holds one batch plus a running
+      base at a time (O(batch) memory) while writing the single offsets
+      parquet row-group by row-group.  Same content either way (tested);
+      downstream doc ids depend only on the content.
     """
-    partials = ray.get([_conv_counts_for_file.remote(p) for p in files])
-    merged = pa.concat_tables(partials)
-    g = merged.group_by("conv_id").aggregate(
-        [("cnt", "sum"), ("max_turn", "max")])
-    conv = np.asarray(g["conv_id"].to_pandas(), dtype=object)
-    cnt = g["cnt_sum"].to_numpy().astype(np.int64)
-    max_turn = g["max_turn_max"].to_numpy().astype(np.int64)
-    order = np.argsort(conv, kind="stable")
-    conv, cnt, max_turn = conv[order], cnt[order], max_turn[order]
-    if not (max_turn + 1 == cnt).all():
-        bad = conv[int(np.argmax(max_turn + 1 != cnt))]
-        raise ValueError(
-            f"turn_idx not contiguous for conv {bad!r}; doc-id fast path "
-            "requires 0-based contiguous turn_idx per conversation")
-    off = np.zeros(len(cnt), np.int64)
-    np.cumsum(cnt[:-1], out=off[1:])
-    offsets = pa.table({"conv_id": pa.array(conv, pa.string()),
-                        "offset": pa.array(off),
-                        "cnt": pa.array(cnt)})
+    if driver_rows is None:  # late bind: tests monkeypatch the constant
+        driver_rows = _OFFSETS_DRIVER_ROWS
+    refs = [_conv_counts_for_file.remote(p) for p in files]
+    n_partial = sum(ray.get([_num_rows.remote(r) for r in refs]))
+    if n_partial <= driver_rows:
+        merged = pa.concat_tables(ray.get(refs))
+        g = merged.group_by("conv_id").aggregate(
+            [("cnt", "sum"), ("max_turn", "max")])
+        conv = np.asarray(g["conv_id"].to_pandas(), dtype=object)
+        cnt = g["cnt_sum"].to_numpy().astype(np.int64)
+        max_turn = g["max_turn_max"].to_numpy().astype(np.int64)
+        order = np.argsort(conv, kind="stable")
+        conv, cnt, max_turn = conv[order], cnt[order], max_turn[order]
+        _check_contiguous(conv, cnt, max_turn)
+        off = np.zeros(len(cnt), np.int64)
+        np.cumsum(cnt[:-1], out=off[1:])
+        offsets = pa.table({"conv_id": pa.array(conv, pa.string()),
+                            "offset": pa.array(off),
+                            "cnt": pa.array(cnt)})
+        tmp = offsets_path + ".tmp"
+        pq.write_table(offsets, tmp)
+        os.replace(tmp, offsets_path)
+        return {"n_docs": int(cnt.sum()), "n_convs": len(cnt)}
+
+    # distributed branch
+    from ray.data.aggregate import Max, Sum
+    ds = ray.data.from_arrow_refs(refs)
+    srt = (ds.groupby("conv_id")
+           .aggregate(Sum("cnt", alias_name="cnt"),
+                      Max("max_turn", alias_name="max_turn"))
+           .sort("conv_id"))
+    schema = pa.schema([("conv_id", pa.string()), ("offset", pa.int64()),
+                        ("cnt", pa.int64())])
     tmp = offsets_path + ".tmp"
-    pq.write_table(offsets, tmp)
+    base = 0
+    n_convs = 0
+    writer = pq.ParquetWriter(tmp, schema)
+    try:
+        for b in srt.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            conv = np.asarray(b["conv_id"].to_pandas(), dtype=object)
+            cnt = b["cnt"].to_numpy().astype(np.int64)
+            _check_contiguous(conv, cnt,
+                              b["max_turn"].to_numpy().astype(np.int64))
+            off = base + np.concatenate(([0], np.cumsum(cnt[:-1])))
+            writer.write_table(pa.table(
+                {"conv_id": pa.array(conv, pa.string()),
+                 "offset": pa.array(off), "cnt": pa.array(cnt)}))
+            base += int(cnt.sum())
+            n_convs += len(cnt)
+    finally:
+        writer.close()
     os.replace(tmp, offsets_path)
-    return {"n_docs": int(cnt.sum()), "n_convs": len(cnt)}
+    return {"n_docs": int(base), "n_convs": int(n_convs)}
 
 
 # ---------------------------------------------------------------------------

@@ -223,6 +223,64 @@ def test_additive_schema_upgrade_matches_fresh_build(tmp_path):
                                             keyword_fields=("role",)))
 
 
+def test_conv_offsets_distributed_branch(tmp_path, monkeypatch):
+    """VERDICT r03 #8: with the driver gate forced to 0, stage 1 routes
+    through the distributed groupby + sort + streaming prefix-sum and the
+    FULL index (manifest, segments, doclen, offsets content) is identical
+    to the driver branch's."""
+    import miru_ray.index.build as B
+    from miru_ray.config import IndexConfig
+    from miru_ray.util import read_json
+
+    # two input files whose conversations interleave (forces a real merge)
+    rows = []
+    for i in range(60):
+        rows.append((f"c{i % 5}", i // 5, f"alpha tok{i % 7}", i * 1000))
+    t = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                  "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                  "role": pa.array(["user"] * 60),
+                  "text": pa.array([r[2] for r in rows]),
+                  "ts": pa.array([r[3] for r in rows], pa.int64())})
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(t.slice(0, 31), os.path.join(src, "a.parquet"))
+    pq.write_table(t.slice(31), os.path.join(src, "b.parquet"))
+    cfg = IndexConfig(docs_per_partition=16, num_shards=2,
+                      keyword_fields=("role",))
+
+    d_drv = str(tmp_path / "drv")
+    B.build_index(src, d_drv, cfg)
+
+    monkeypatch.setattr(B, "_OFFSETS_DRIVER_ROWS", 0)
+    d_dist = str(tmp_path / "dist")
+    B.build_index(src, d_dist, cfg)
+
+    off_a = pq.read_table(os.path.join(d_drv, "conv_offsets.parquet"))
+    off_b = pq.read_table(os.path.join(d_dist, "conv_offsets.parquet"))
+    assert off_a.to_pydict() == off_b.to_pydict()
+    assert _dir_bytes(d_drv, "segments") == _dir_bytes(d_dist, "segments")
+    assert _dir_bytes(d_drv, "doclen") == _dir_bytes(d_dist, "doclen")
+    ma, mb = (read_json(os.path.join(d, "manifest.json"))
+              for d in (d_drv, d_dist))
+    for k in ("config", "n_docs", "n_convs", "total_len", "avgdl",
+              "segments", "partitions", "fingerprint", "version"):
+        assert ma[k] == mb[k], k
+    # contiguity violations fail loudly on the distributed branch too
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["x", "x"]),
+        "turn_idx": pa.array([0, 2], pa.int32()),
+        "role": pa.array(["user"] * 2),
+        "text": pa.array(["a", "b"]),
+        "ts": pa.array([0, 1], pa.int64())}),
+        os.path.join(bad, "x.parquet"))
+    with pytest.raises(Exception, match="not contiguous"):
+        B.build_conv_offsets(
+            [os.path.join(bad, "x.parquet")],
+            str(tmp_path / "off.parquet"), driver_rows=0)
+
+
 def test_collaborative_filtering_cap_tiebreak(cf_dir):
     """Equal weights break ties by custkey asc: capping at 2 keeps cust 2
     (weight 2) and cust 3 (weight 1) — same as uncapped here — while a
