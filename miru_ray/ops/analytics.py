@@ -183,14 +183,21 @@ def metrics(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
     ds = _events(sf_dir, ["ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
+        # per-batch partial: one row per (batch, bucket) — the global
+        # merge then moves ~buckets×batches rows instead of one row per
+        # event through the hash-shuffle aggregators (whose fixed actor
+        # startup dominated this op's 1.4 s at sf0.1; partials run it in
+        # ~0.4 s, same exact integer sums)
         t = _bucket_batch(t, dt_us)
         v6 = pc.cast(pc.round(pc.multiply(t["value"], 1e6)), pa.int64())
-        return pa.table({"bucket": t["bucket"], "v6": v6})
+        g = pa.table({"bucket": t["bucket"], "v6": v6}) \
+            .group_by("bucket").aggregate([("v6", "sum"), ("v6", "count")])
+        return pa.table({"bucket": g["bucket"], "sv6": g["v6_sum"],
+                         "n_events": g["v6_count"]})
 
-    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-    out = ds.groupby("bucket").aggregate(
-        Sum("v6", alias_name="sv6"),
-        Count(alias_name="n_events")).to_pandas()
+    out = (ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+           .to_pandas()  # bucket-bounded partials only
+           .groupby("bucket", as_index=False).sum())
     out["sum_value"] = (out["sv6"] / 1e6).round(6)
     out["avg_value"] = (out["sv6"] / 1e6 / out["n_events"]).round(6)
     out = out[["bucket", "sum_value", "avg_value", "n_events"]]
