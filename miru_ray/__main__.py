@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     b.add_argument("--docs-per-partition", type=int, default=100_000)
     b.add_argument("--num-shards", type=int, default=8)
     b.add_argument("--remove-stopwords", action="store_true")
+    b.add_argument("--phrase-bigram-fields", default="",
+                   help="comma-separated text fields that also index "
+                        "2g: phrase bigrams (positions-free phrases)")
     b.add_argument("--overwrite", action="store_true")
 
     s = sub.add_parser("search", help="query an index")
@@ -109,7 +112,10 @@ def _run(args) -> int:
         from .index.build import build_index
         cfg = IndexConfig(docs_per_partition=args.docs_per_partition,
                           num_shards=args.num_shards,
-                          remove_stopwords=args.remove_stopwords)
+                          remove_stopwords=args.remove_stopwords,
+                          phrase_bigram_fields=tuple(
+                              x for x in
+                              args.phrase_bigram_fields.split(",") if x))
         m = build_index(args.input, args.index, cfg, overwrite=args.overwrite)
         print(json.dumps({k: m[k] for k in
                           ("n_docs", "n_convs", "total_len", "avgdl")}

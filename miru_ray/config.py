@@ -28,6 +28,17 @@ class IndexConfig:
     # user — each ACL entry gets its own postings, queries OR a principal's
     # entries, MiruAuthzExpression)
     list_keyword_fields: tuple[str, ...] = ()
+    # text fields that ALSO emit positions-free phrase-bigram terms
+    # (`2g:<tok1> <tok2>` per adjacent token pair, after the same optional
+    # stopword filter the unigrams saw).  Phrase queries over these fields
+    # AND the bigram postings instead of the unigram postings: exact for
+    # 2-token phrases (no docstore verification at all) and a far tighter
+    # candidate set for longer ones — the positions-free answer to the
+    # reference's Lucene positional phrases (LuceneBackedQueryParser),
+    # trading ~1 extra posting/token of index size, opt-in per field.
+    # The '2g:' prefix contains ':' so bigrams are excluded from doclen /
+    # cf_text / BM25 exactly like keyword terms.
+    phrase_bigram_fields: tuple[str, ...] = ()
     # int64 columns indexed as `field:<lex>` terms where <lex> is the
     # order-preserving fixed-width encoding (miru_ray.lexnum) — numeric
     # range queries become contiguous term-dict range scans (reference:
@@ -90,7 +101,7 @@ class IndexConfig:
     def to_dict(self) -> dict:
         d = asdict(self)
         for k in ("text_fields", "keyword_fields", "list_keyword_fields",
-                  "numeric_fields", "id_fields"):
+                  "numeric_fields", "id_fields", "phrase_bigram_fields"):
             d[k] = list(d[k])
         return d
 
@@ -99,7 +110,8 @@ class IndexConfig:
         d = dict(d)
         d.setdefault("list_keyword_fields", ())
         d.setdefault("numeric_fields", ())
+        d.setdefault("phrase_bigram_fields", ())
         for k in ("text_fields", "keyword_fields", "list_keyword_fields",
-                  "numeric_fields", "id_fields"):
+                  "numeric_fields", "id_fields", "phrase_bigram_fields"):
             d[k] = tuple(d[k])
         return cls(**d)

@@ -317,6 +317,7 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
     kw_fields = cfg.keyword_fields
     list_kw_fields = cfg.list_keyword_fields
     num_fields = cfg.numeric_fields
+    bg_fields = frozenset(getattr(cfg, "phrase_bigram_fields", ()))
 
     def to_postings(batch: pa.Table) -> pa.Table:
         if offsets_ref is not None:
@@ -341,6 +342,22 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
             # exact per-batch tf: a doc's text is contained in one batch row
             tf = t.group_by(["term", "doc_id"]).aggregate([("doc_id", "count")])
             parts.append(tf.rename_columns(["term", "doc_id", "tf"]))
+            if f in bg_fields and len(rows) >= 2:
+                # positions-free phrase bigrams: one `2g:<a> <b>` term per
+                # adjacent token pair WITHIN a row, over the same (possibly
+                # stopword-filtered) stream the unigrams saw
+                tnp = np.asarray(terms.to_pandas(), dtype=object)
+                adj = rows[1:] == rows[:-1]
+                if adj.any():
+                    bg = (np.array(["2g:"], object) + tnp[:-1][adj]
+                          + np.array([" "], object) + tnp[1:][adj])
+                    bt = pa.table({
+                        "term": pa.array(bg, pa.string()),
+                        "doc_id": pa.array(doc_id[rows[:-1][adj]])})
+                    btf = bt.group_by(["term", "doc_id"]).aggregate(
+                        [("doc_id", "count")])
+                    parts.append(btf.rename_columns(
+                        ["term", "doc_id", "tf"]))
         for f in kw_fields:
             vals = pc.cast(batch[f], pa.string())
             mask = pc.and_(pc.is_valid(vals), pc.not_equal(vals, ""))

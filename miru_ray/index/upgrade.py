@@ -55,6 +55,10 @@ def check_additive(old: IndexConfig, new: IndexConfig) -> dict:
     if tuple(old.text_fields) != tuple(new.text_fields):
         problems.append("text_fields differ (changes doclen/avgdl — "
                         "full rebuild required)")
+    if tuple(getattr(old, "phrase_bigram_fields", ())) != tuple(
+            getattr(new, "phrase_bigram_fields", ())):
+        problems.append("phrase_bigram_fields differ (bigram postings "
+                        "derive from text — full rebuild required)")
     for knob in ("docs_per_partition", "num_shards", "remove_stopwords"):
         if getattr(old, knob) != getattr(new, knob):
             problems.append(f"{knob} differs")

@@ -401,9 +401,18 @@ class PartitionReader:
             return (ts >= node.t0_us) & (ts <= node.t1_us)
         if isinstance(node, Phrase):
             # candidates: AND of the phrase terms' postings; verify
-            # token-adjacency against the stored text of candidates only
+            # token-adjacency against the stored text of candidates only.
+            # Fields indexed with phrase bigrams AND the `2g:` pair
+            # postings instead — exact for a 2-token phrase (no docstore
+            # gather at all), a strictly tighter candidate set beyond.
+            use_bigrams = (
+                node.field in getattr(self.cfg, "phrase_bigram_fields", ())
+                and len(node.terms) >= 2)
+            keys = ([f"2g:{a} {b}" for a, b in zip(node.terms,
+                                                   node.terms[1:])]
+                    if use_bigrams else node.term_keys())
             mask = np.ones(count, bool)
-            for t in node.term_keys():
+            for t in keys:
                 tm = np.zeros(count, bool)
                 p = self._postings(pid, t, cache)
                 if p is not None:
@@ -411,6 +420,8 @@ class PartitionReader:
                 mask &= tm
                 if not mask.any():
                     return mask
+            if use_bigrams and len(node.terms) == 2:
+                return mask  # a single bigram IS exact adjacency
             cand = np.flatnonzero(mask) + base
             t = self._docstore(pid).to_table(
                 columns=["doc_id", node.field],

@@ -281,6 +281,66 @@ def test_conv_offsets_distributed_branch(tmp_path, monkeypatch):
             str(tmp_path / "off.parquet"), driver_rows=0)
 
 
+def test_phrase_bigram_postings(tmp_path):
+    """Positions-free phrase acceleration: an index built with
+    phrase_bigram_fields answers phrase queries identically to the
+    unigram+verify path, and a 2-token phrase never touches the
+    docstore (the bigram IS exact adjacency)."""
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    from miru_ray.query.engine import PartitionReader, Searcher
+    from miru_ray.query.filter import Phrase
+
+    texts = ["alpha beta gamma", "beta alpha beta", "gamma beta alpha",
+             "alpha gamma beta alpha beta", "beta gamma", "alpha",
+             "beta alpha gamma beta", "alpha beta alpha beta gamma"]
+    docs = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+        "turn_idx": pa.array([0] * len(texts), pa.int32()),
+        "role": pa.array(["user"] * len(texts)),
+        "text": pa.array(texts),
+        "ts": pa.array(np.arange(len(texts)) * 1000, pa.int64())})
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(docs, os.path.join(src, "d.parquet"))
+
+    base_cfg = IndexConfig(docs_per_partition=4, num_shards=2,
+                           keyword_fields=("role",))
+    bg_cfg = IndexConfig(docs_per_partition=4, num_shards=2,
+                         keyword_fields=("role",),
+                         phrase_bigram_fields=("text",))
+    plain_dir, bg_dir = str(tmp_path / "plain"), str(tmp_path / "bg")
+    build_index(src, plain_dir, base_cfg)
+    build_index(src, bg_dir, bg_cfg)
+
+    s_plain = Searcher(plain_dir, num_readers=1)
+    s_bg = Searcher(bg_dir, num_readers=1)
+    for q in ('"alpha beta"', '"beta alpha"', '"alpha beta gamma"',
+              '"gamma alpha"', '"alpha beta alpha"'):
+        assert s_bg.count(q) == s_plain.count(q), q
+        assert (np.array_equal(s_bg.match_docs(q),
+                               s_plain.match_docs(q))), q
+    # ranking unchanged: phrases score as AND of their unigram terms
+    assert s_bg.topk('"alpha beta"', 5).to_pydict() \
+        == s_plain.topk('"alpha beta"', 5).to_pydict()
+    s_plain.close()
+    s_bg.close()
+
+    # 2-token phrase must not gather from the docstore on the bigram index
+    r = PartitionReader(bg_dir, [0, 1])
+    r._docstore = lambda pid: (_ for _ in ()).throw(
+        AssertionError("docstore touched for a 2-token bigram phrase"))
+    got = r.search(Phrase("text", ("alpha", "beta")), 10, "bm25",
+                   {"alpha": 1, "beta": 1}, {"alpha": (5, 8),
+                                             "beta": (6, 9)})
+    assert len(got["doc_ids"]) > 0
+    # ...while a 3-token phrase still verifies (and therefore raises here)
+    with pytest.raises(AssertionError, match="docstore touched"):
+        r.search(Phrase("text", ("alpha", "beta", "gamma")), 10, "bm25",
+                 {"alpha": 1, "beta": 1, "gamma": 1},
+                 {"alpha": (5, 8), "beta": (6, 9), "gamma": (4, 4)})
+
+
 def test_collaborative_filtering_cap_tiebreak(cf_dir):
     """Equal weights break ties by custkey asc: capping at 2 keeps cust 2
     (weight 2) and cust 3 (weight 1) — same as uncapped here — while a
