@@ -506,7 +506,15 @@ ORDER BY df DESC, term ASC LIMIT {k}
 """.strip()
 
 
-def tenant_registry_for(sf_dir: str, cfg: IndexConfig = FLAGSHIP_CFG):
+#: per-tenant demo config — deliberately DIFFERENT from the flagship's
+#: (text-only, unsharded, bigger partitions): the registry's whole point
+#: is per-tenant config, and the lean index keeps the two tenant builds
+#: cheaper than one flagship build
+TENANT_CFG = IndexConfig(docs_per_partition=4000, num_shards=1,
+                         keyword_fields=())
+
+
+def tenant_registry_for(sf_dir: str, cfg: IndexConfig = TENANT_CFG):
     """Build (once, fingerprint-cached) a TWO-tenant registry over
     disjoint slices of the corpus: tenant 'even'/'odd' owns the
     conversations whose numeric suffix is even/odd.  Each tenant gets its
@@ -515,13 +523,20 @@ def tenant_registry_for(sf_dir: str, cfg: IndexConfig = FLAGSHIP_CFG):
     activity, ``MiruActivity.java:34-60``) reduced to its engine core:
     catalog + routing + per-tenant indexes that rebuild independently."""
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
+    from ..index.build import _stabilize_concurrent_imports
     from ..index.tenants import TenantRegistry
     src = os.path.join(sf_dir, "documents.parquet")
     fp = input_fingerprint([src])[:16]
     root = os.path.join(CACHE_ROOT, f"tenants_{fp}_v1_{_cfg_tag(cfg)}")
     reg = TenantRegistry(root)
-    for tenant, parity in (("even", 0), ("odd", 1)):
+    # source the tenant slices from the flagship's already-derived (and
+    # fingerprint-cached) transcripts instead of re-deriving twice
+    flagship_tdir = os.path.dirname(index_dir_for(sf_dir))
+    flagship_tdir = os.path.join(flagship_tdir, "transcripts")
+
+    def one_tenant(tenant: str, parity: int) -> None:
         tdir = os.path.join(root, tenant, "transcripts")
         idir = os.path.join(root, tenant, "index")
         if not os.path.exists(os.path.join(tdir, "_DONE")):
@@ -535,12 +550,22 @@ def tenant_registry_for(sf_dir: str, cfg: IndexConfig = FLAGSHIP_CFG):
                     pc.bit_wise_and(num, pa.scalar(1, pa.int64())),
                     pa.scalar(p, pa.int64())))
 
-            (transcripts_from_documents(sf_dir)
+            (read_parquet_clean(flagship_tdir,
+                                file_extensions=["parquet"])
              .map_batches(pick, batch_format="pyarrow")
              .repartition(2).write_parquet(tdir))
             with open(os.path.join(tdir, "_DONE"), "w") as f:
                 f.write("ok")
         build_index(tdir, idir, cfg)  # no-op when the manifest is current
+
+    _stabilize_concurrent_imports()
+    with ThreadPoolExecutor(2) as ex:  # tenant builds are independent —
+        fs = [ex.submit(one_tenant, t, p)  # overlap their pipelines
+              for t, p in (("even", 0), ("odd", 1))]
+        for f in fs:
+            f.result()
+    for tenant in ("even", "odd"):
+        idir = os.path.join(root, tenant, "index")
         if (tenant not in reg.tenants()
                 or reg.index_dir(tenant) != os.path.abspath(idir)):
             reg.register(tenant, idir, cfg)
