@@ -47,6 +47,10 @@ class TenantRegistry:
             "n_docs": manifest["n_docs"],
         }
         atomic_write_json(self.path, self._catalog)
+        # re-pointing a tenant (rebuild/upgrade) must not keep serving
+        # from a Searcher opened on the OLD directory
+        for key in [k for k in self._searchers if k[0] == str(tenant)]:
+            self._searchers.pop(key).close()
 
     def tenants(self) -> list[str]:
         return sorted(self._catalog)

@@ -111,6 +111,11 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
 
     # [2] merge-encode each TOUCHED cell (others keep their files + stats)
     nsh = new_cfg.num_shards
+    # "pre-existing cell" is decided from the COMMITTED manifest, not the
+    # filesystem: a crash between a new cell's segment write and its
+    # doclen-sidecar write must not make the re-run think the cell was
+    # always there and skip the sidecar forever
+    old_cells = frozenset((s0["pid"], s0["shard"]) for s0 in m["segments"])
 
     @ray.remote(num_cpus=1)
     def merge_cell(gdir: str, pid: int, shard: int) -> dict:
@@ -118,7 +123,9 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
         delta = pq.ParquetDataset(gdir).read().select(
             ["term", "doc_id", "tf"])
         seg_path = os.path.join(index_dir, segment_rel_path(pid, shard))
-        had_old = os.path.exists(seg_path)
+        had_old = (pid, shard) in old_cells
+        # a manifest-listed cell whose file is missing is CORRUPTION —
+        # let the decode raise rather than silently dropping postings
         rows = (pa.concat_tables([segment_to_rows(seg_path), delta])
                 if had_old else delta)
         seg, dl = encode_segment_table(rows, with_doclen=True)
@@ -126,8 +133,7 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
         # a brand-new cell needs its (possibly empty) doclen sidecar so
         # the dir is file-for-file identical to a fresh build; existing
         # sidecars are untouched (text rows unchanged)
-        dl_path = os.path.join(index_dir, doclen_rel_path(pid, shard))
-        if not had_old and not os.path.exists(dl_path):
+        if not had_old:
             from .build import write_doclen_partial
             write_doclen_partial(dl, index_dir, pid, shard)
         import pyarrow.compute as pc

@@ -71,9 +71,12 @@ def uniques(sf_dir: str) -> pa.Table:
 
 
 def _bucket_batch(batch: pa.Table, dt_us: int) -> pa.Table:
-    ts = pc.cast(batch["ts"], pa.int64())
-    bucket = pc.divide(pc.subtract(ts, T0_US), dt_us)
-    return batch.append_column("bucket", pc.cast(bucket, pa.int64()))
+    ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    # FLOOR division (numpy), not Arrow's truncate-toward-zero divide:
+    # the oracles bucket with DuckDB `//`, which floors — the two differ
+    # on timestamps before T0 (negative offsets)
+    bucket = np.floor_divide(ts - T0_US, dt_us)
+    return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
 
 def aggregate_counts(sf_dir: str) -> pa.Table:
@@ -190,8 +193,13 @@ def metrics(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
         # ~0.4 s, same exact integer sums)
         t = _bucket_batch(t, dt_us)
         v6 = pc.cast(pc.round(pc.multiply(t["value"], 1e6)), pa.int64())
+        # count ALL rows per bucket (the oracle's count(*)) — pyarrow's
+        # plain "count" skips nulls and would drop NULL-value rows from
+        # n_events / the avg denominator
         g = pa.table({"bucket": t["bucket"], "v6": v6}) \
-            .group_by("bucket").aggregate([("v6", "sum"), ("v6", "count")])
+            .group_by("bucket").aggregate(
+                [("v6", "sum"),
+                 ("v6", "count", pc.CountOptions(mode="all"))])
         return pa.table({"bucket": g["bucket"], "sv6": g["v6_sum"],
                          "n_events": g["v6_count"]})
 

@@ -27,6 +27,7 @@ from ..util import input_fingerprint, read_json, read_parquet_clean
 
 CACHE_ROOT = "/tmp/miru_ray_cache"
 _SEARCHERS: dict[str, Searcher] = {}
+_TENANT_REGISTRIES: dict = {}
 
 FLAGSHIP_CFG = IndexConfig(docs_per_partition=2000, num_shards=2,
                            list_keyword_fields=("acl",),
@@ -530,6 +531,9 @@ def tenant_registry_for(sf_dir: str, cfg: IndexConfig = TENANT_CFG):
     src = os.path.join(sf_dir, "documents.parquet")
     fp = input_fingerprint([src])[:16]
     root = os.path.join(CACHE_ROOT, f"tenants_{fp}_v1_{_cfg_tag(cfg)}")
+    cached = _TENANT_REGISTRIES.get(root)
+    if cached is not None:  # keep the per-tenant reader pools warm
+        return cached
     reg = TenantRegistry(root)
     # source the tenant slices from the flagship's already-derived (and
     # fingerprint-cached) transcripts instead of re-deriving twice
@@ -569,6 +573,7 @@ def tenant_registry_for(sf_dir: str, cfg: IndexConfig = TENANT_CFG):
         if (tenant not in reg.tenants()
                 or reg.index_dir(tenant) != os.path.abspath(idir)):
             reg.register(tenant, idir, cfg)
+    _TENANT_REGISTRIES[root] = reg
     return reg
 
 

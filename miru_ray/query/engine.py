@@ -28,6 +28,7 @@ from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 import ray
@@ -41,7 +42,8 @@ from ..index.segments import (SegmentReader, bloom_may_contain,
 from . import scorer as S
 from .filter import (And, Authz, Boost, Fuzzy, Node, Not, NumericRange,
                      Or, Phrase, Prefix, Term, TimeRange, and_terms,
-                     collect_boosts, collect_fuzzies, collect_prefixes,
+                     collect_boosts, collect_expansion_boosts,
+                     collect_fuzzies, collect_prefixes,
                      collect_ranges, collect_scoring_terms)
 from .parser import parse_query
 
@@ -53,20 +55,24 @@ def _lev_leq_mask(cands: np.ndarray, query: str, max_d: int) -> np.ndarray:
     then runs the classic DP vectorized ACROSS candidates: the loops are
     over query length × max candidate width (≈ word-length²) with every
     cell operation an O(n_candidates) NumPy vector op."""
-    q = np.frombuffer(str(query).encode(), np.uint8)
+    # CODE POINTS, not bytes: the conformance oracle is DuckDB's
+    # character-based levenshtein(), and byte-DP over UTF-8 over-counts
+    # non-ASCII edits ('café' vs 'cafe' is 1 char edit, 2 byte edits)
+    q = np.frombuffer(str(query).encode("utf-32-le"), np.uint32)
     m = len(q)
-    enc = [str(t).encode() for t in cands]
-    lens = np.fromiter((len(b) for b in enc), np.int64, count=len(enc))
+    # vectorized length prefilter BEFORE any per-string Python work
+    lens = pc.utf8_length(pa.array(cands, pa.string())).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     pre = np.abs(lens - m) <= max_d
     sel = np.flatnonzero(pre)
     if not len(sel):
         return np.zeros(len(cands), bool)
     W = int(lens[sel].max())
     n = len(sel)
-    M = np.zeros((n, W), np.uint8)
-    for i, j in enumerate(sel):          # candidate-bounded fill
-        b = enc[j]
-        M[i, :len(b)] = np.frombuffer(b, np.uint8)
+    M = np.zeros((n, W), np.uint32)
+    for i, j in enumerate(sel):          # survivor-bounded fill
+        b = str(cands[j]).encode("utf-32-le")
+        M[i, :len(b) // 4] = np.frombuffer(b, np.uint32)
     prev = np.tile(np.arange(W + 1, dtype=np.int32), (n, 1))
     for i in range(1, m + 1):
         cur = np.empty_like(prev)
@@ -261,15 +267,24 @@ class PartitionReader:
 
     def expand_prefix(self, prefix_key: str, cap: int) -> list[str]:
         """Local prefix expansion via term-dict range scan (terms sorted;
-        reference: ``MiruAggregateUtil.java:1154-1167``)."""
+        reference: ``MiruAggregateUtil.java:1154-1167``).
+
+        A TEXT-field prefix (no ':' in the key) must expand only to text
+        tokens: the shared term dict also holds `field:value` keyword,
+        numeric-lex and `2g:` bigram pseudo-terms whose field name can
+        start with the prefix (`t*` would otherwise swallow `tool:...`
+        and `turn_idx:...` postings)."""
         found: set[str] = set()
+        drop_colon = ":" not in prefix_key
         for pid in self.parts:
             for shard in range(self.cfg.num_shards):
                 seg = self._segment(pid, shard)
                 if seg is None:
                     continue
                 lo, hi = seg.prefix_range(prefix_key)
-                found.update(seg.terms[lo:min(hi, lo + cap)])
+                chunk = [t for t in seg.terms[lo:hi]
+                         if not (drop_colon and ":" in t)]
+                found.update(chunk[:cap])
         return sorted(found)[:cap]
 
     def expand_range(self, lo_key: str, hi_key: str, cap: int) -> list[str]:
@@ -322,7 +337,10 @@ class PartitionReader:
                     cands = np.asarray(seg.terms, object)
                     # text tokens never contain ':'; keyword/numeric
                     # terms always do — drop them before the DP
-                    nc = np.array([":" not in t for t in cands], bool)
+                    # (vectorized — no per-term Python loop)
+                    nc = pc.invert(pc.match_substring(
+                        pa.array(cands, pa.string()), ":")).to_numpy(
+                        zero_copy_only=False).astype(bool)
                     cands = cands[nc]
                     vals = cands
                 if not len(cands):
@@ -848,6 +866,16 @@ class Searcher:
                  if self._stats_cache[t][0] > 0}
         return expansions, term_counts, stats
 
+    def _boosts_for(self, ast: Node,
+                    expansions: dict[str, list[str]]) -> dict | None:
+        """Resolve term-level boosts, spreading boosted Fuzzy/Prefix
+        multipliers over their expanded terms."""
+        boosts = collect_boosts(ast)
+        for key, m in collect_expansion_boosts(ast).items():
+            for t in expansions.get(key, []):
+                boosts[t] = boosts.get(t, 1.0) * m
+        return boosts or None
+
     def topk(self, query: "str | Node | list[str]", k: int = 10,
              strategy: str = "bm25", use_wand: bool = False,
              after: tuple[float, int] | None = None) -> pa.Table:
@@ -862,7 +890,7 @@ class Searcher:
         if strategy == "time":
             return self.topk_time(ast, k)
         expansions, term_counts, stats = self._prepare(ast)
-        boosts = collect_boosts(ast) or None
+        boosts = self._boosts_for(ast, expansions)
         parts = self._fanout("search", ast, k, strategy, term_counts, stats,
                              expansions, use_wand, after, boosts)
         docs = np.concatenate([p["doc_ids"] for p in parts])
@@ -878,11 +906,13 @@ class Searcher:
         continuation so page boundaries are exact."""
         ast = self._to_ast(query)
         expansions, term_counts, stats = self._prepare(ast)
+        boosts = self._boosts_for(ast, expansions)
         pages = []
         after = None
         for _ in range(max_pages):
             parts = self._fanout("search", ast, page_size, strategy,
-                                 term_counts, stats, expansions, False, after)
+                                 term_counts, stats, expansions, False,
+                                 after, boosts)
             docs = np.concatenate([p["doc_ids"] for p in parts])
             scores = np.concatenate([p["scores"] for p in parts])
             docs, scores = S.topk_by_score(docs, scores, page_size)

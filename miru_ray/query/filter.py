@@ -229,25 +229,60 @@ def collect_fuzzies(node: Node) -> "list[Fuzzy]":
     return _walk_collect(node, [], Fuzzy)
 
 
-def collect_boosts(node: Node, out: dict[str, float] | None = None
-                   ) -> dict[str, float]:
-    """term_key → boost multiplier for every ``Boost(Term)`` in the AST
-    (repeated boosts on the same term multiply, like nested Lucene
-    boosts)."""
+def collect_boosts(node: Node, out: dict[str, float] | None = None,
+                   mult: float = 1.0) -> dict[str, float]:
+    """term_key → boost multiplier for every scoring term UNDER a Boost:
+    ``Boost(Term)``, every term of a boosted Phrase, and every term
+    inside a boosted group (nested/repeated boosts multiply, like
+    Lucene).  Fuzzy/Prefix children are collected separately by
+    :func:`collect_expansion_boosts` (the engine maps those onto the
+    expanded terms).  Limitation (term-at-a-time scorer): a term that
+    appears both boosted and unboosted gets the product, not per-clause
+    scores."""
     if out is None:
         out = {}
-    if isinstance(node, Boost) and isinstance(node.child, Term):
-        k = node.child.term_key()
-        out[k] = out.get(k, 1.0) * node.boost
-    elif isinstance(node, Boost):
-        collect_boosts(node.child, out)
+    if isinstance(node, Boost):
+        collect_boosts(node.child, out, mult * node.boost)
+    elif mult != 1.0 and isinstance(node, Term):
+        k = node.term_key()
+        out[k] = out.get(k, 1.0) * mult
+    elif mult != 1.0 and isinstance(node, Phrase):
+        for k in node.term_keys():
+            out[k] = out.get(k, 1.0) * mult
     elif isinstance(node, (And, Or)):
         for c in node.children:
-            collect_boosts(c, out)
+            collect_boosts(c, out, mult)
     elif isinstance(node, Not):
-        collect_boosts(node.positive, out)
+        collect_boosts(node.positive, out, mult)
         for c in node.negatives:
-            collect_boosts(c, out)
+            collect_boosts(c, out, mult)
+    return out
+
+
+def collect_expansion_boosts(node: Node,
+                             out: dict[str, float] | None = None,
+                             mult: float = 1.0) -> dict[str, float]:
+    """expansion key → multiplier for boosted Fuzzy/Prefix nodes, keyed
+    exactly like the engine's expansions dict (``Fuzzy.expansion_key`` /
+    ``Prefix.term_key_prefix``) so the Searcher can spread the boost
+    over the expanded terms after expansion."""
+    if out is None:
+        out = {}
+    if isinstance(node, Boost):
+        collect_expansion_boosts(node.child, out, mult * node.boost)
+    elif mult != 1.0 and isinstance(node, Fuzzy):
+        k = node.expansion_key()
+        out[k] = out.get(k, 1.0) * mult
+    elif mult != 1.0 and isinstance(node, Prefix):
+        k = node.term_key_prefix()
+        out[k] = out.get(k, 1.0) * mult
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            collect_expansion_boosts(c, out, mult)
+    elif isinstance(node, Not):
+        collect_expansion_boosts(node.positive, out, mult)
+        for c in node.negatives:
+            collect_expansion_boosts(c, out, mult)
     return out
 
 

@@ -27,9 +27,11 @@ from .filter import And, Boost, Fuzzy, Node, Not, NumericRange, Or, Prefix, Term
 # prefix; plain tokens EXCLUDE parens/quotes so ')' glued to a word still
 # closes its group instead of being swallowed by the word token.
 _TOKEN_SPLIT = re.compile(
-    r'-?(?:[\w.]+:)?"[^"]*"|\(|\)|\S+:\[[^\]]*\]|[^\s()"]+')
+    r'-?(?:[\w.]+:)?"[^"]*"(?:\^\d+(?:\.\d+)?)?'
+    r'|\(|\)|\S+:\[[^\]]*\]|[^\s()"]+')
 
 _RANGE = re.compile(r'^(-?\d+)\s+TO\s+(-?\d+)$', re.IGNORECASE)
+_BARE_BOOST = re.compile(r'^\^(\d+(?:\.\d+)?)$')
 _BOOST = re.compile(r'^(.*\S)\^(\d+(?:\.\d+)?)$')
 _FUZZY = re.compile(r'^(.*\S)~([12])?$')
 
@@ -66,6 +68,15 @@ def parse_query(q: str, default_field: str = "text",
                     # drop it like a dissolved atom — And(()) would be
                     # the implicit match-ALL
                     node = None
+            elif _BARE_BOOST.match(t):
+                # group boost '(a b)^2' — the ')' closed the group, the
+                # dangling ^N applies to the clause just parsed
+                bm = float(_BARE_BOOST.match(t).group(1))
+                if positives:
+                    positives[-1] = Boost(positives[-1], bm)
+                elif negatives:
+                    negatives[-1] = Boost(negatives[-1], bm)
+                continue
             elif t.upper() == "OR":
                 pending_or = True
                 continue
@@ -125,10 +136,12 @@ def _atom(tok: str, default_field: str,
     # Lucene suffix modifiers, outermost first: `term~2^3` is a boosted
     # fuzzy (LuceneBackedQueryParser.java:48-53 inherits full syntax)
     boost = None
-    if not tok.startswith('"'):
-        m = _BOOST.match(tok)
-        if m:
-            tok, boost = m.group(1), float(m.group(2))
+    m = _BOOST.match(tok)
+    # strip a trailing ^N from any atom INCLUDING quoted phrases
+    # ('"big data"^2'), but never from inside the quotes ('"a^2"')
+    if m and ('"' not in tok or m.group(1).endswith('"')):
+        tok, boost = m.group(1), float(m.group(2))
+    if not tok.startswith('"') and ":\"" not in tok:
         m = _FUZZY.match(tok)
         if m and not tok.startswith("[") and "]" not in tok:
             body = m.group(1)
