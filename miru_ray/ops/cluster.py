@@ -102,18 +102,16 @@ def _assign(xq: np.ndarray, cids: np.ndarray, C: np.ndarray) -> np.ndarray:
     return out
 
 
-def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS,
-                  iters: int = KM_ITERS) -> pa.Table:
-    """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds.
+def _learn_centroids(ds: "ray.data.Dataset", k: int,
+                     iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeds + (iters−1) Lloyd rounds → (live cids, fixed-point centroids).
 
     Per round: broadcast centroids → one ``map_batches`` pass emitting
     per-cluster (count, Σxq) partials → O(k·dim) driver merge.  A cluster
     that loses all members drops out of the live set (its cid is never
-    reassigned), mirroring the SQL oracle's inner join against non-empty
+    reassigned), mirroring the SQL oracles' inner join against non-empty
     groups.
     """
-    ds = _quantized(sf_dir)
-
     # seeds: k smallest vec_ids — per-batch local top-k partials, merged
     # on the driver (k rows per batch, never the corpus)
     def seed_partial(b: pa.Table) -> pa.Table:
@@ -160,7 +158,15 @@ def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS,
             cnt[i] += int(r["cnt"])
         live = cnt > 0
         cids, C = cids[live], (acc[live] * _KM_SCALE) // cnt[live, None]
+    return cids, C
 
+
+def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS,
+                  iters: int = KM_ITERS) -> pa.Table:
+    """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds
+    (see :func:`_learn_centroids` for the per-round scale shape)."""
+    ds = _quantized(sf_dir)
+    cids, C = _learn_centroids(ds, k, iters)
     c_ref = ray.put((cids, C))
 
     def final(b: pa.Table) -> pa.Table:
@@ -172,6 +178,89 @@ def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS,
     out = (ds.map_batches(final, batch_format="pyarrow", batch_size=8192)
            .sort("vec_id").to_pandas())
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SEMDEDUP_TAU = 0.4  # this corpus's max cosine is ~0.51 (TESTDATA)
+
+
+def semdedup_counts(sf_dir: str, k: int = K_CLUSTERS,
+                    iters: int = KM_ITERS,
+                    tau: float = SEMDEDUP_TAU) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then deduplicate WITHIN each cluster — a vector is
+    dropped when an earlier (lower vec_id) same-cluster vector sits
+    within cosine ≥ tau.  Returns the per-cluster summary
+    (cluster, n_vecs, n_dropped) ordered by cluster.
+
+    Scale shape: the k-means rounds are the streaming passes of
+    :func:`_learn_centroids`; the within-cluster all-pairs runs as ONE
+    ``groupby(cluster).map_groups`` — in SemDeDup k grows with the
+    corpus so a cluster stays task-sized by construction (the paper
+    uses ~50k clusters over 5B embeddings; here k=8 over the test
+    corpus).  No driver-side state scales with the corpus: the driver
+    sees k summary rows.
+
+    Determinism: assignment is the fixed-point integer k-means (bit-
+    equal to the SQL oracle); the drop rule 'exists earlier same-cluster
+    vector with cos ≥ tau' is order-free (a membership predicate, not an
+    iteration), so it is exactly the oracle's EXISTS join."""
+    ds = _quantized(sf_dir)
+    cids, C = _learn_centroids(ds, k, iters)
+    c_ref = ray.put((cids, C))
+    emb = _embeddings(sf_dir)
+
+    def assign_batch(b: pa.Table) -> pa.Table:
+        live_cids, cent = ray.get(c_ref)
+        ids, xq = _ids_xq(b)
+        return b.append_column(
+            "cluster", pa.array(_assign(xq, live_cids, cent)))
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        col = g["embedding"].combine_chunks()
+        M = col.flatten().to_numpy(zero_copy_only=False)             .reshape(len(ids), -1).astype(np.float64)
+        order = np.argsort(ids)
+        M = M[order]
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        N = M / norms[:, None]
+        sims = N @ N.T
+        # dropped[j] ⇔ ∃ i < j (vec_id order) with cos(i, j) ≥ tau
+        dropped = (np.triu(sims, k=1) >= tau).any(axis=0)
+        return pa.table({
+            "cluster": pa.array([int(g["cluster"][0].as_py())], pa.int64()),
+            "n_vecs": pa.array([len(ids)], pa.int64()),
+            "n_dropped": pa.array([int(dropped.sum())], pa.int64())})
+
+    out = (emb.map_batches(assign_batch, batch_format="pyarrow",
+                           batch_size=8192)
+           .groupby("cluster").map_groups(dedup_group,
+                                          batch_format="pyarrow")
+           .to_pandas())  # k rows
+    out = out.sort_values("cluster").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _semdedup_sql(k: int = K_CLUSTERS, tau: float = SEMDEDUP_TAU) -> str:
+    """The k-means oracle's assignment chain + an EXISTS-earlier-neighbor
+    drop predicate (same cosine expression as embedding_neardup_pairs)."""
+    base = _kmeans_sql(k)
+    # reuse everything up to the final SELECT; a2 is the assignment CTE
+    chain = base[:base.rindex("SELECT vec_id")].rstrip() + ","
+    return f"""
+{chain}
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= {tau})
+SELECT cid::BIGINT AS cluster, count(*)::BIGINT AS n_vecs,
+       coalesce(sum(CASE WHEN vec_id IN (SELECT vec_id FROM drops)
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_dropped
+FROM a2 GROUP BY cid ORDER BY cluster
+""".strip()
 
 
 def _kmeans_sql(k: int = K_CLUSTERS) -> str:
@@ -217,4 +306,5 @@ SELECT vec_id, cid::BIGINT AS cluster FROM a2 ORDER BY vec_id
 """.strip()
 
 
-SQL = {"embed_kmeans_assign": _kmeans_sql()}
+SQL = {"embed_kmeans_assign": _kmeans_sql(),
+       "embed_semdedup_counts": _semdedup_sql()}

@@ -51,6 +51,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "fulltext_boosted_topk",
     "tenant_route_counts",
     "events_unread_backfill",
+    "embed_semdedup_counts",
     # never driver-witnessed as of r03 (judge's list, VERDICT.md)
     "graph_pagerank_top", "graph_components_top",
     "mix_sample_counts", "mix_token_budget", "mix_pack_sequences",
@@ -291,6 +292,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     from .ops import cluster as Cl
     reg("embed_kmeans_assign", Cl.kmeans_assign,
         Cl.SQL.get("embed_kmeans_assign"), ("similarity", "cluster"))
+    reg("embed_semdedup_counts", Cl.semdedup_counts,
+        Cl.SQL.get("embed_semdedup_counts"), ("similarity", "dedup"))
     # ---- text analysis ----
     for name, fn in (("text_token_count_by_source", T.token_count_by_source),
                      ("text_bpe_token_estimate", T.bpe_token_estimate),

@@ -363,3 +363,29 @@ def test_collaborative_filtering_cap_tiebreak(cf_dir):
     # kept: cust2 (w=2) + cust3 (w=1, lower custkey than cust4)
     assert list(got["p_partkey"]) == [200, 400, 500]
     assert list(got["score"]) == [2, 1, 1]
+
+
+def test_semdedup_counts_planted_duplicates(tmp_path):
+    """SemDeDup: two planted exact-duplicate groups land in the same
+    cluster and drop all-but-the-lowest-vec_id member; orthogonal
+    vectors survive."""
+    from miru_ray.ops.cluster import semdedup_counts
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    # 4-dim, k=2: group A = e0-ish vectors (3 copies), group B = e1-ish
+    # (2 copies), plus one lone e2 vector that joins a cluster but has
+    # no near neighbor
+    vecs = [[1.0, 0.0, 0.0, 0.0],   # 0  A
+            [0.0, 1.0, 0.0, 0.0],   # 1  B
+            [1.0, 0.01, 0.0, 0.0],  # 2  A dup of 0
+            [0.0, 1.0, 0.01, 0.0],  # 3  B dup of 1
+            [0.99, 0.0, 0.01, 0.0],  # 4  A dup of 0
+            [0.0, 0.0, 1.0, 0.0]]   # 5  lone
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32(), 4))}),
+        os.path.join(d, "embeddings.parquet"))
+    out = semdedup_counts(d, k=2, iters=2, tau=0.9).to_pandas()
+    assert int(out["n_vecs"].sum()) == 6
+    # group A drops 2 (vecs 2, 4), group B drops 1 (vec 3), lone drops 0
+    assert int(out["n_dropped"].sum()) == 3
