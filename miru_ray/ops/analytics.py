@@ -71,12 +71,17 @@ def uniques(sf_dir: str) -> pa.Table:
 
 
 def _bucket_batch(batch: pa.Table, dt_us: int) -> pa.Table:
-    ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    col = pc.cast(batch["ts"], pa.int64())
+    invalid = pc.is_null(col).to_numpy(zero_copy_only=False).astype(bool)
+    ts = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
     # FLOOR division (numpy), not Arrow's truncate-toward-zero divide:
     # the oracles bucket with DuckDB `//`, which floors — the two differ
-    # on timestamps before T0 (negative offsets)
+    # on timestamps before T0 (negative offsets).  NULL ts propagates a
+    # null bucket (SQL grouping semantics), never a crash.
     bucket = np.floor_divide(ts - T0_US, dt_us)
-    return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+    return batch.append_column(
+        "bucket", pa.array(bucket, pa.int64(),
+                           mask=invalid if invalid.any() else None))
 
 
 def aggregate_counts(sf_dir: str) -> pa.Table:
@@ -205,7 +210,11 @@ def metrics(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
 
     out = (ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
            .to_pandas()  # bucket-bounded partials only
-           .groupby("bucket", as_index=False).sum())
+           .groupby("bucket", as_index=False)
+           # min_count=1 keeps an all-NULL bucket's sum NULL (the SQL
+           # sum() of zero non-null values), instead of pandas' 0.0
+           .agg(sv6=("sv6", lambda c: c.sum(min_count=1)),
+                n_events=("n_events", "sum")))
     out["sum_value"] = (out["sv6"] / 1e6).round(6)
     out["avg_value"] = (out["sv6"] / 1e6 / out["n_events"]).round(6)
     out = out[["bucket", "sum_value", "avg_value", "n_events"]]

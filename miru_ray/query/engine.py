@@ -282,9 +282,17 @@ class PartitionReader:
                 if seg is None:
                     continue
                 lo, hi = seg.prefix_range(prefix_key)
-                chunk = [t for t in seg.terms[lo:hi]
-                         if not (drop_colon and ":" in t)]
-                found.update(chunk[:cap])
+                if not drop_colon:
+                    found.update(seg.terms[lo:min(hi, lo + cap)])
+                    continue
+                got = 0  # early exit at cap SURVIVORS — never O(range)
+                for t in seg.terms[lo:hi]:
+                    if ":" in t:
+                        continue
+                    found.add(t)
+                    got += 1
+                    if got >= cap:
+                        break
         return sorted(found)[:cap]
 
     def expand_range(self, lo_key: str, hi_key: str, cap: int) -> list[str]:

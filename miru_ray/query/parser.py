@@ -68,15 +68,17 @@ def parse_query(q: str, default_field: str = "text",
                     # drop it like a dissolved atom — And(()) would be
                     # the implicit match-ALL
                     node = None
+                # '(a b)^2': the boost binds to the group JUST closed —
+                # before OR-merging or negation placement, so neither
+                # 'x OR (a b)^2' nor 'a NOT (b c)^2' leaks it elsewhere
+                nxt = peek()
+                if nxt is not None and _BARE_BOOST.match(nxt):
+                    pos += 1
+                    if node is not None:
+                        node = Boost(node,
+                                     float(_BARE_BOOST.match(nxt).group(1)))
             elif _BARE_BOOST.match(t):
-                # group boost '(a b)^2' — the ')' closed the group, the
-                # dangling ^N applies to the clause just parsed
-                bm = float(_BARE_BOOST.match(t).group(1))
-                if positives:
-                    positives[-1] = Boost(positives[-1], bm)
-                elif negatives:
-                    negatives[-1] = Boost(negatives[-1], bm)
-                continue
+                continue  # stray '^N' with no preceding group: drop it
             elif t.upper() == "OR":
                 pending_or = True
                 continue

@@ -6,6 +6,7 @@ registry cache invalidation."""
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -147,3 +148,35 @@ def test_tenant_register_invalidates_searcher_cache(tmp_path):
     reg.register("t", b, cfg)           # re-point: cache must invalidate
     assert reg.count_all("alpha") == {"t": 5}
     reg.close()
+
+
+def test_bucket_batch_null_ts_and_all_null_bucket(tmp_path):
+    """Second-review r4: NULL ts yields a null bucket (no crash); a
+    bucket whose values are all NULL keeps NULL sum/avg like the SQL
+    oracle, while its n_events still counts the rows."""
+    from miru_ray.ops.analytics import metrics
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    base = 1_704_067_200_000_000  # 2024-01-01, the bucketing epoch
+    pq.write_table(pa.table({
+        # bucket 0: real values + a NULL ts row; bucket 1: all-NULL values
+        "ts": pa.array([base, base + 1, None, base + 3_600_000_001,
+                        base + 3_600_000_002], pa.timestamp("us")),
+        "value": pa.array([2.0, 4.0, 9.0, None, None], pa.float64())}),
+        os.path.join(d, "events.parquet"))
+    out = metrics(d).to_pandas().set_index("bucket")
+    assert out.loc[0, "n_events"] == 2 and out.loc[0, "sum_value"] == 6.0
+    assert out.loc[1, "n_events"] == 2
+    assert pd.isna(out.loc[1, "sum_value"]) and pd.isna(out.loc[1,
+                                                                "avg_value"])
+
+
+def test_group_boost_binds_to_group_only():
+    """Second-review r4: '(a b)^2' must not leak the boost onto an
+    OR-merged sibling or a NOT'd group's positive clause."""
+    from miru_ray.query.filter import collect_boosts
+    from miru_ray.query.parser import parse_query
+    assert collect_boosts(parse_query("x OR (a b)^2")) == {"a": 2.0,
+                                                           "b": 2.0}
+    q = parse_query("a NOT (b c)^2")
+    assert "a" not in collect_boosts(q)
