@@ -351,6 +351,30 @@ def q_phrase_count(sf_dir: str, phrase: str = "spark merge") -> pa.Table:
     return pa.table({"n_matched": pa.array([s.count(ast)], type=pa.int64())})
 
 
+#: bigram-demo config: text-only + phrase bigrams, unsharded (the bigram
+#: index exists to serve phrases from postings alone)
+BIGRAM_CFG = IndexConfig(docs_per_partition=4000, num_shards=1,
+                         keyword_fields=(),
+                         phrase_bigram_fields=("text",))
+
+
+def q_phrase_bigram_count(sf_dir: str,
+                          phrase: str = "spark merge") -> pa.Table:
+    """Same phrase count answered from a PHRASE-BIGRAM index: the
+    2-token phrase is a single `2g:` postings AND — no stored-text
+    gather anywhere (the positions-free scale path).  Must equal
+    ``fulltext_phrase_count``'s answer and the same SQL oracle."""
+    from ..query.parser import parse_query
+    idir = index_dir_for(sf_dir, BIGRAM_CFG)
+    key = (idir, 2)
+    s = _SEARCHERS.get(key)
+    if s is None or not s.readers:
+        s = Searcher(idir, num_readers=2)
+        _SEARCHERS[key] = s
+    ast = parse_query(f'"{phrase}"')
+    return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
+
+
 def phrase_count_sql(phrase: str = "spark merge") -> str:
     # normalize the phrase through the SAME tokenization the engine
     # applies (lowercase [a-z0-9]+): a raw phrase with case/punctuation —

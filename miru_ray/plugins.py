@@ -52,6 +52,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tenant_route_counts",
     "events_unread_backfill",
     "embed_semdedup_counts",
+    "fulltext_phrase_bigram_count",
     # never driver-witnessed as of r03 (judge's list, VERDICT.md)
     "graph_pagerank_top", "graph_components_top",
     "mix_sample_counts", "mix_token_budget", "mix_pack_sequences",
@@ -202,6 +203,8 @@ SELECT count(*)::BIGINT AS n_matched
 FROM docs d JOIN tf ON tf.doc_id = d.doc_id
 WHERE tf.term = 'spark' AND d.role = 'user'
 """.strip(), ("filter",))
+    reg("fulltext_phrase_bigram_count", F.q_phrase_bigram_count,
+        F.phrase_count_sql(), ("fulltext", "bigram"))
     reg("fulltext_phrase_count", F.q_phrase_count, F.phrase_count_sql(),
         ("fulltext",))
     reg("fulltext_facet_role", F.q_facet_counts, F.facet_sql(),
