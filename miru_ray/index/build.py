@@ -39,11 +39,12 @@ Scale notes (100 TB / 10^12 turns): the only all-to-all exchange is the
 (partition, shard) groupby in [3], whose input is exact per-batch-aggregated
 (term, doc, tf) partials (one row per unique term-doc pair — a turn's text
 never spans batches, so no cross-batch combining is lost).  Stage [1] moves
-one row per conversation; the prefix-sum scan is a vectorized driver stream
-over conversations (cumsum of ~1 row/conv), and the offset broadcast uses
-``ray.put`` once.  For conversation counts beyond driver memory, swap the
-broadcast dict for a bucketed hash join of the offsets table — the stage
-boundary is designed so only `_assign_doc_ids` changes.
+one row per conversation; the prefix-sum scan streams sorted batches on
+the driver below a gate and goes fully distributed above it
+(``build_conv_offsets``), and the offset broadcast uses ``ray.put`` once —
+above ``_OFFSETS_BROADCAST_BYTES`` the assignment hands off to the
+bucketed hash join (``_assign_ids_join``), so neither stage holds
+O(conversations) anywhere at scale.
 """
 
 from __future__ import annotations
@@ -282,6 +283,45 @@ def _offsets_ref(offsets_path: str):
     off_t = pq.read_table(offsets_path)
     return ray.put((np.asarray(off_t["conv_id"].to_pandas(), dtype=object),
                     off_t["offset"].to_numpy().astype(np.int64)))
+
+
+#: stage-2 gate: above this many bytes of offsets parquet the doc-id
+#: assignment stops broadcasting the conv→offset map and hands off to a
+#: hash-shuffle ``Dataset.join`` on conv_id (the bucketed-hash-join
+#: fallback the stage boundary was designed for) — conversation counts
+#: beyond a worker-heap broadcast still assign ids, at the price of one
+#: all-to-all per consumer.
+_OFFSETS_BROADCAST_BYTES = 512 << 20
+
+
+def _assign_ids_join(ds: "ray.data.Dataset", offsets_path: str,
+                     cfg: IndexConfig) -> "ray.data.Dataset":
+    """Distributed doc-id assignment: input ⋈ offsets on conv_id
+    (left-outer so a conv_id missing from the offsets table RAISES like
+    the broadcast path, instead of silently dropping its rows)."""
+    from ..pipelines.relational import _shuffle_partitions
+    from ..util import read_parquet_clean as _rpc
+    input_cols = list(ds.schema().names)
+    off = _rpc(offsets_path, columns=["conv_id", "offset"])
+    nparts = _shuffle_partitions(offsets_path)
+    joined = ds.join(off, join_type="left_outer", num_partitions=nparts,
+                     on=("conv_id",))
+    dpp = cfg.docs_per_partition
+
+    def add_ids(t: pa.Table) -> pa.Table:
+        off_col = t["offset"]
+        import pyarrow.compute as _pc
+        if _pc.any(_pc.is_null(off_col)).as_py():
+            raise ValueError("conv_id missing from offsets table")
+        doc_id = (off_col.to_numpy(zero_copy_only=False).astype(np.int64)
+                  + t["turn_idx"].to_numpy().astype(np.int64))
+        return (t.select(input_cols)  # original column order (parity
+                #                       with the broadcast branch)
+                .append_column("doc_id", pa.array(doc_id))
+                .append_column("partition", pa.array(doc_id // dpp)))
+
+    return joined.map_batches(add_ids, batch_format="pyarrow",
+                              batch_size=8192)
 
 
 def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
@@ -656,8 +696,11 @@ def build_index(input_path: str | list[str], index_dir: str,
     # so the two Dataset executions run concurrently from driver threads
     # and fill each other's scheduling gaps.  ONE shared broadcast ref —
     # duplicate refs would double object-store use and thrash the
-    # per-worker offsets cache when both jobs interleave.
-    shared_ref = _offsets_ref(offsets_path)
+    # per-worker offsets cache when both jobs interleave.  Above the
+    # broadcast gate, assignment hands off to the hash-shuffle join
+    # (``_assign_ids_join``) and no broadcast exists at all.
+    use_join = (os.path.getsize(offsets_path) > _OFFSETS_BROADCAST_BYTES)
+    shared_ref = None if use_join else _offsets_ref(offsets_path)
 
     def docstore_job():
         t0 = time.perf_counter()
@@ -666,8 +709,15 @@ def build_index(input_path: str | list[str], index_dir: str,
         import shutil
         if os.path.exists(docstore_dir):
             shutil.rmtree(docstore_dir)
-        build_docstore(_read_input(files), offsets_path, docstore_dir, cfg,
-                       tag, offsets_ref=shared_ref)
+        if use_join:
+            out = _assign_ids_join(_read_input(files), offsets_path, cfg)
+            out.write_parquet(docstore_dir, partition_cols=["partition"],
+                              compression=cfg.io_compression)
+            atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"),
+                              tag or {})
+        else:
+            build_docstore(_read_input(files), offsets_path, docstore_dir,
+                           cfg, tag, offsets_ref=shared_ref)
         return {"seconds": round(time.perf_counter() - t0, 3)}
 
     def spill_job():
@@ -676,8 +726,15 @@ def build_index(input_path: str | list[str], index_dir: str,
                 + list(cfg.keyword_fields) + list(cfg.list_keyword_fields)
                 + list(cfg.numeric_fields))
         ds = _read_input(files, columns=sorted(set(cols)))
-        postings = ds.map_batches(make_postings_fn(cfg, shared_ref),
-                                  batch_format="pyarrow", batch_size=8192)
+        if use_join:
+            ds = _assign_ids_join(ds, offsets_path, cfg)
+            postings = ds.map_batches(make_postings_fn(cfg),
+                                      batch_format="pyarrow",
+                                      batch_size=8192)
+        else:
+            postings = ds.map_batches(make_postings_fn(cfg, shared_ref),
+                                      batch_format="pyarrow",
+                                      batch_size=8192)
         _spill_postings(postings, os.path.join(index_dir, "postings_spill"),
                         tag, cfg.io_compression)
         return {"seconds": round(time.perf_counter() - t0, 3)}

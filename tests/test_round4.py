@@ -341,6 +341,63 @@ def test_phrase_bigram_postings(tmp_path):
                  {"alpha": (5, 8), "beta": (6, 9), "gamma": (4, 4)})
 
 
+def test_docid_assignment_join_branch(tmp_path, monkeypatch):
+    """Stage-2 fallback: with the offsets-broadcast gate forced to 0 the
+    doc-id assignment routes through the hash-shuffle join on conv_id;
+    segments/doclen/manifest are identical and the docstore holds the
+    same (doc_id-sorted) content.  A conv_id absent from the offsets
+    table still raises."""
+    import pyarrow.dataset as pads
+
+    import miru_ray.index.build as B
+    from miru_ray.config import IndexConfig
+    from miru_ray.util import read_json
+
+    rows = [(f"c{i % 7}", i // 7, f"alpha beta tok{i % 5}", i) for i in
+            range(70)]
+    t = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                  "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                  "role": pa.array(["user"] * 70),
+                  "text": pa.array([r[2] for r in rows]),
+                  "ts": pa.array([r[3] for r in rows], pa.int64())})
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(t, os.path.join(src, "a.parquet"))
+    cfg = IndexConfig(docs_per_partition=16, num_shards=2,
+                      keyword_fields=("role",))
+
+    d_bcast = str(tmp_path / "bcast")
+    B.build_index(src, d_bcast, cfg)
+
+    monkeypatch.setattr(B, "_OFFSETS_BROADCAST_BYTES", 0)
+    d_join = str(tmp_path / "join")
+    B.build_index(src, d_join, cfg)
+
+    assert _dir_bytes(d_bcast, "segments") == _dir_bytes(d_join,
+                                                         "segments")
+    assert _dir_bytes(d_bcast, "doclen") == _dir_bytes(d_join, "doclen")
+    ma, mb = (read_json(os.path.join(d, "manifest.json"))
+              for d in (d_bcast, d_join))
+    for k in ("config", "n_docs", "n_convs", "total_len", "avgdl",
+              "segments", "partitions", "fingerprint"):
+        assert ma[k] == mb[k], k
+    da, db = (pads.dataset(os.path.join(d, "docstore"),
+                           partitioning="hive").to_table()
+              .sort_by("doc_id")
+              for d in (d_bcast, d_join))
+    assert da.select(sorted(da.column_names)).equals(
+        db.select(sorted(db.column_names)))
+    # a conv_id missing from the offsets table raises on the join branch
+    off = str(tmp_path / "off.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["c0"]), "offset": pa.array([0], pa.int64()),
+        "cnt": pa.array([10], pa.int64())}), off)
+    bad = B._assign_ids_join(
+        B._read_input([os.path.join(src, "a.parquet")]), off, cfg)
+    with pytest.raises(Exception, match="missing from offsets"):
+        bad.materialize()
+
+
 def test_collaborative_filtering_cap_tiebreak(cf_dir):
     """Equal weights break ties by custkey asc: capping at 2 keeps cust 2
     (weight 2) and cust 3 (weight 1) — same as uncapped here — while a
