@@ -129,10 +129,20 @@ def _stabilize_concurrent_imports() -> None:
 # ---------------------------------------------------------------------------
 
 def _conv_count_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch exact partial: one row per conv_id seen in the batch."""
-    g = batch.group_by("conv_id").aggregate(
-        [("turn_idx", "count"), ("turn_idx", "max")])
-    return g.rename_columns(["conv_id", "cnt", "max_turn"])
+    """Per-batch exact partial: one row per conv_id seen in the batch.
+    Carries the count/max/min/Σ/Σ² moments the permutation check needs
+    (count mode="all" so NULL turn_idx rows are counted, then caught)."""
+    ti = pc.cast(batch["turn_idx"], pa.int64())
+    if pc.any(pc.is_null(ti)).as_py():
+        raise ValueError("turn_idx contains NULLs; doc-id assignment "
+                         "requires 0-based contiguous turn_idx per conv")
+    sq = pc.multiply(ti, ti)
+    g = pa.table({"conv_id": batch["conv_id"], "ti": ti, "sq": sq})         .group_by("conv_id").aggregate(
+            [("ti", "count"), ("ti", "max"), ("ti", "min"),
+             ("ti", "sum"), ("sq", "sum")])
+    return pa.table({"conv_id": g["conv_id"], "cnt": g["ti_count"],
+                     "max_turn": g["ti_max"], "min_turn": g["ti_min"],
+                     "sum_turn": g["ti_sum"], "sumsq_turn": g["sq_sum"]})
 
 
 @ray.remote(num_cpus=1)
@@ -154,8 +164,20 @@ def _num_rows(t: pa.Table) -> int:
     return t.num_rows
 
 
-def _check_contiguous(conv, cnt, max_turn) -> None:
+def _check_contiguous(conv, cnt, max_turn, min_turn=None,
+                      sum_turn=None, sumsq_turn=None) -> None:
+    """Permutation check via moments: a conv's turn_idx multiset must be
+    exactly {0..cnt−1}.  count+max alone admits duplicate+gap patterns
+    ([0,2,2] passes max+1==cnt) — min == 0, Σ == n(n−1)/2 and
+    Σ² == (n−1)n(2n−1)/6 together reject every non-adversarial
+    corruption (NULLs are rejected at the partial stage)."""
     bad = max_turn + 1 != cnt
+    if min_turn is not None:
+        bad |= min_turn != 0
+    if sum_turn is not None:
+        bad |= sum_turn != cnt * (cnt - 1) // 2
+    if sumsq_turn is not None:
+        bad |= sumsq_turn != (cnt - 1) * cnt * (2 * cnt - 1) // 6
     if bad.any():
         raise ValueError(
             f"turn_idx not contiguous for conv {conv[int(np.argmax(bad))]!r};"
@@ -187,13 +209,18 @@ def build_conv_offsets(files: list[str], offsets_path: str,
     if n_partial <= driver_rows:
         merged = pa.concat_tables(ray.get(refs))
         g = merged.group_by("conv_id").aggregate(
-            [("cnt", "sum"), ("max_turn", "max")])
+            [("cnt", "sum"), ("max_turn", "max"), ("min_turn", "min"),
+             ("sum_turn", "sum"), ("sumsq_turn", "sum")])
         conv = np.asarray(g["conv_id"].to_pandas(), dtype=object)
         cnt = g["cnt_sum"].to_numpy().astype(np.int64)
         max_turn = g["max_turn_max"].to_numpy().astype(np.int64)
         order = np.argsort(conv, kind="stable")
         conv, cnt, max_turn = conv[order], cnt[order], max_turn[order]
-        _check_contiguous(conv, cnt, max_turn)
+        _check_contiguous(conv, cnt, max_turn,
+                          g["min_turn_min"].to_numpy().astype(np.int64)[order],
+                          g["sum_turn_sum"].to_numpy().astype(np.int64)[order],
+                          g["sumsq_turn_sum"].to_numpy()
+                          .astype(np.int64)[order])
         off = np.zeros(len(cnt), np.int64)
         np.cumsum(cnt[:-1], out=off[1:])
         offsets = pa.table({"conv_id": pa.array(conv, pa.string()),
@@ -205,11 +232,14 @@ def build_conv_offsets(files: list[str], offsets_path: str,
         return {"n_docs": int(cnt.sum()), "n_convs": len(cnt)}
 
     # distributed branch
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max, Min, Sum
     ds = ray.data.from_arrow_refs(refs)
     srt = (ds.groupby("conv_id")
            .aggregate(Sum("cnt", alias_name="cnt"),
-                      Max("max_turn", alias_name="max_turn"))
+                      Max("max_turn", alias_name="max_turn"),
+                      Min("min_turn", alias_name="min_turn"),
+                      Sum("sum_turn", alias_name="sum_turn"),
+                      Sum("sumsq_turn", alias_name="sumsq_turn"))
            .sort("conv_id"))
     schema = pa.schema([("conv_id", pa.string()), ("offset", pa.int64()),
                         ("cnt", pa.int64())])
@@ -219,10 +249,15 @@ def build_conv_offsets(files: list[str], offsets_path: str,
     writer = pq.ParquetWriter(tmp, schema)
     try:
         for b in srt.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            if b.num_rows == 0:  # an empty sort output partition
+                continue
             conv = np.asarray(b["conv_id"].to_pandas(), dtype=object)
             cnt = b["cnt"].to_numpy().astype(np.int64)
             _check_contiguous(conv, cnt,
-                              b["max_turn"].to_numpy().astype(np.int64))
+                              b["max_turn"].to_numpy().astype(np.int64),
+                              b["min_turn"].to_numpy().astype(np.int64),
+                              b["sum_turn"].to_numpy().astype(np.int64),
+                              b["sumsq_turn"].to_numpy().astype(np.int64))
             off = base + np.concatenate(([0], np.cumsum(cnt[:-1])))
             writer.write_table(pa.table(
                 {"conv_id": pa.array(conv, pa.string()),
@@ -266,8 +301,8 @@ class AssignDocIds:
     def __call__(self, batch: pa.Table) -> pa.Table:
         convs, offs = _get_offsets(self.ref)
         conv = np.asarray(batch["conv_id"].to_pandas(), dtype=object)
-        pos = np.searchsorted(convs, conv)
-        if (pos >= len(convs)).any() or (convs[pos] != conv).any():
+        hit, pos = sorted_lookup(convs, conv)  # the ONE probe definition
+        if not hit.all():
             raise ValueError("conv_id missing from offsets table")
         doc_id = offs[pos] + batch["turn_idx"].to_numpy().astype(np.int64)
         partition = doc_id // self.dpp
@@ -324,6 +359,15 @@ def _assign_ids_join(ds: "ray.data.Dataset", offsets_path: str,
                               batch_size=8192)
 
 
+def _write_docstore(out: "ray.data.Dataset", docstore_dir: str,
+                    cfg: IndexConfig, tag: dict | None) -> None:
+    """THE docstore commit (both assignment branches): partitioned write
+    + success marker."""
+    out.write_parquet(docstore_dir, partition_cols=["partition"],
+                      compression=cfg.io_compression)
+    atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"), tag or {})
+
+
 def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
                    cfg: IndexConfig, tag: dict | None = None,
                    offsets_ref=None) -> None:
@@ -333,9 +377,7 @@ def build_docstore(ds: "ray.data.Dataset", offsets_path: str, docstore_dir: str,
     # state: the docstore stage deliberately does not tokenize)
     fn = AssignDocIds(ref, cfg.docs_per_partition)
     out = ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
-    out.write_parquet(docstore_dir, partition_cols=["partition"],
-                      compression=cfg.io_compression)
-    atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"), tag or {})
+    _write_docstore(out, docstore_dir, cfg, tag)
 
 
 # ---------------------------------------------------------------------------
@@ -363,12 +405,11 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
         if offsets_ref is not None:
             convs, offs = _get_offsets(offsets_ref)
             conv = np.asarray(batch["conv_id"].to_pandas(), dtype=object)
-            pos = np.searchsorted(convs, conv)
-            # same bounds + equality validation as AssignDocIds: a conv_id
-            # missing from the offsets table must raise, not silently take
-            # a neighbour's offset (ADVICE r01, low)
-            if (pos >= len(convs)).any() or (convs[np.minimum(
-                    pos, len(convs) - 1)] != conv).any():
+            # same validation as AssignDocIds, through the ONE probe
+            # definition: a conv_id missing from the offsets table must
+            # raise, not silently take a neighbour's offset (ADVICE r01)
+            hit, pos = sorted_lookup(convs, conv)
+            if not hit.all():
                 raise ValueError("conv_id missing from offsets table")
             doc_id = offs[pos] + batch["turn_idx"].to_numpy().astype(np.int64)
         else:
@@ -627,7 +668,8 @@ def _reset_stage_outputs(index_dir: str, docstore_dir: str, tag: dict,
         tpath = os.path.join(index_dir, "tombstones.json")
         if os.path.exists(tpath):
             os.remove(tpath)
-    for d in ("postings_spill", "postings_spill_append"):
+    for d in ("postings_spill", "postings_spill_append",
+              "postings_spill_upgrade"):
         sd = os.path.join(index_dir, d)
         if os.path.exists(sd) and (
                 overwrite
@@ -679,7 +721,8 @@ def build_index(input_path: str | list[str], index_dir: str,
 
     # [1] conv offsets
     t0 = time.perf_counter()
-    if (os.path.exists(offsets_path) and os.path.exists(offsets_meta_path)
+    if (not overwrite and os.path.exists(offsets_path)
+            and os.path.exists(offsets_meta_path)
             and read_json(offsets_meta_path).get("fingerprint") == fp):
         meta1 = read_json(offsets_meta_path)
         stages["offsets"] = {"skipped": True, **{k: meta1[k] for k in ("n_docs", "n_convs")}}
@@ -710,11 +753,9 @@ def build_index(input_path: str | list[str], index_dir: str,
         if os.path.exists(docstore_dir):
             shutil.rmtree(docstore_dir)
         if use_join:
-            out = _assign_ids_join(_read_input(files), offsets_path, cfg)
-            out.write_parquet(docstore_dir, partition_cols=["partition"],
-                              compression=cfg.io_compression)
-            atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"),
-                              tag or {})
+            _write_docstore(
+                _assign_ids_join(_read_input(files), offsets_path, cfg),
+                docstore_dir, cfg, tag)
         else:
             build_docstore(_read_input(files), offsets_path, docstore_dir,
                            cfg, tag, offsets_ref=shared_ref)
@@ -800,7 +841,8 @@ def _cleanup_spill(index_dir: str) -> None:
     # the postings spill was the mid-build checkpoint; the committed
     # segments supersede it
     import shutil
-    for d in ("postings_spill", "postings_spill_append"):
+    for d in ("postings_spill", "postings_spill_append",
+              "postings_spill_upgrade"):
         spill_dir = os.path.join(index_dir, d)
         if os.path.exists(spill_dir):
             shutil.rmtree(spill_dir, ignore_errors=True)
@@ -833,39 +875,69 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     partials = ray.get([_conv_counts_for_file.remote(p) for p in new_files])
     merged = pa.concat_tables(partials)
     g = merged.group_by("conv_id").aggregate(
-        [("cnt", "sum"), ("max_turn", "max")])
+        [("cnt", "sum"), ("max_turn", "max"), ("min_turn", "min"),
+         ("sum_turn", "sum"), ("sumsq_turn", "sum")])
     conv = np.asarray(g["conv_id"].to_pandas(), dtype=object)
     cnt = g["cnt_sum"].to_numpy().astype(np.int64)
     max_turn = g["max_turn_max"].to_numpy().astype(np.int64)
-    if not (max_turn + 1 == cnt).all():
-        raise ValueError("appended files: turn_idx not contiguous per conv")
     order = np.argsort(conv, kind="stable")
-    conv, cnt = conv[order], cnt[order]
-    old_off = pq.read_table(offsets_path)
-    # a crashed earlier attempt of THIS append may have advanced the offsets
-    # table already; genuine pre-append conversations all have offset <
-    # old_n, so drop any leftovers beyond it (idempotent retry)
-    genuine = old_off["offset"].to_numpy() < old_n
-    if not genuine.all():
-        old_off = old_off.filter(pa.array(genuine))
-    old_convs = np.asarray(old_off["conv_id"].to_pandas(), dtype=object)
-    clash, _ = sorted_lookup(old_convs, conv)
-    if clash.any():
-        raise ValueError(
-            f"appended files continue existing conversation(s) "
-            f"(e.g. {conv[np.argmax(clash)]!r}); append requires whole new "
-            "conversations")
+    conv, cnt, max_turn = conv[order], cnt[order], max_turn[order]
+    _check_contiguous(conv, cnt, max_turn,
+                      g["min_turn_min"].to_numpy().astype(np.int64)[order],
+                      g["sum_turn_sum"].to_numpy().astype(np.int64)[order],
+                      g["sumsq_turn_sum"].to_numpy().astype(np.int64)[order])
+    def _merge_offsets_streamed(path: str, nconv: np.ndarray,
+                                noff: np.ndarray, ncnt: np.ndarray) -> None:
+        """Streamed sorted-merge of the offsets file with the new block:
+        one row group of the OLD file plus the overlapping slice of the
+        new arrays in memory at a time — never O(total conversations) on
+        the driver.  Also enforces (a) crashed-append leftovers (offset
+        ≥ old_n) are dropped, and (b) no appended conv continues an
+        existing one (the clash would corrupt doc ids)."""
+        schema = pa.schema([("conv_id", pa.string()),
+                            ("offset", pa.int64()), ("cnt", pa.int64())])
+        tmp_p = path + ".tmp"
+        pf = pq.ParquetFile(path)
+        writer = pq.ParquetWriter(tmp_p, schema)
+        i = 0
+        try:
+            for rg in range(pf.num_row_groups):
+                t = pf.read_row_group(rg)
+                oc = np.asarray(t["conv_id"].to_pandas(), dtype=object)
+                oo = t["offset"].to_numpy().astype(np.int64)
+                on = t["cnt"].to_numpy().astype(np.int64)
+                keep = oo < old_n  # drop crashed-append leftovers
+                oc, oo, on = oc[keep], oo[keep], on[keep]
+                if not len(oc):
+                    continue
+                j = i + int(np.searchsorted(nconv[i:], oc[-1], "right"))
+                hit, _ = sorted_lookup(oc, nconv[i:j])
+                if hit.any():
+                    raise ValueError(
+                        "appended files continue existing conversation(s) "
+                        f"(e.g. {nconv[i + int(np.argmax(hit))]!r}); append "
+                        "requires whole new conversations")
+                mc = np.concatenate([oc, nconv[i:j]])
+                mo = np.concatenate([oo, noff[i:j]])
+                mn = np.concatenate([on, ncnt[i:j]])
+                order2 = np.argsort(mc, kind="stable")
+                writer.write_table(pa.table(
+                    {"conv_id": pa.array(mc[order2], pa.string()),
+                     "offset": pa.array(mo[order2]),
+                     "cnt": pa.array(mn[order2])}))
+                i = j
+            if i < len(nconv):  # new convs sorting after every old one
+                writer.write_table(pa.table(
+                    {"conv_id": pa.array(nconv[i:], pa.string()),
+                     "offset": pa.array(noff[i:]),
+                     "cnt": pa.array(ncnt[i:])}))
+        finally:
+            writer.close()
+        os.replace(tmp_p, path)
     off = np.zeros(len(cnt), np.int64)
     np.cumsum(cnt[:-1], out=off[1:])
     off += old_n
-    combined = pa.concat_tables([
-        old_off,
-        pa.table({"conv_id": pa.array(conv, pa.string()),
-                  "offset": pa.array(off), "cnt": pa.array(cnt)})])
-    comb_pdf = combined.to_pandas().sort_values("conv_id")
-    tmp = offsets_path + ".tmp"
-    pq.write_table(pa.Table.from_pandas(comb_pdf, preserve_index=False), tmp)
-    os.replace(tmp, offsets_path)
+    _merge_offsets_streamed(offsets_path, conv, off, cnt)
     atomic_write_json(offsets_path + ".meta.json",
                       {"fingerprint": new_fp, "n_docs": old_n + int(cnt.sum()),
                        "n_convs": manifest["n_convs"] + len(cnt)})
@@ -899,7 +971,12 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     if os.path.exists(staging):
         shutil.rmtree(staging)
     ds = _read_input(new_files)
-    build_docstore(ds, offsets_path, staging, cfg)
+    # delta-bounded broadcast: the appended files contain ONLY new
+    # conversations (enforced above), so the assignment never needs the
+    # full offsets table — the O(total convs) ray.put the join gate
+    # exists to avoid
+    delta_ref = ray.put((conv, off))
+    build_docstore(ds, offsets_path, staging, cfg, offsets_ref=delta_ref)
     for pdir in sorted(os.listdir(docstore_dir)):
         if not pdir.startswith("partition="):
             continue

@@ -42,7 +42,8 @@ import ray
 from ..config import IndexConfig
 from ..util import atomic_write_json, read_json, read_parquet_clean
 from .build import (MANIFEST_VERSION, _build_tag, _spill_postings,
-                    doclen_rel_path, make_postings_fn)
+                    doclen_rel_path, make_postings_fn,
+                    write_doclen_partial)
 from .segments import (encode_segment_table, segment_rel_path,
                        segment_to_rows, write_segment)
 
@@ -81,8 +82,13 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
     current."""
     manifest_path = os.path.join(index_dir, "manifest.json")
     m = read_json(manifest_path)
-    old_cfg = IndexConfig.from_dict(m["config"])
-    added = check_additive(old_cfg, new_cfg)
+    if m.get("version") != MANIFEST_VERSION:
+        raise ValueError(
+            f"index format version {m.get('version')} != "
+            f"{MANIFEST_VERSION}: an additive upgrade would re-encode "
+            "only touched cells into the new format and leave a MIXED "
+            "index — rebuild (or compact) to the current format first")
+    added = check_additive(IndexConfig.from_dict(m["config"]), new_cfg)
     new_fields = [f for kind in added.values() for f in kind]
     fp = m["fingerprint"]
     new_tag = _build_tag(fp, new_cfg)
@@ -134,7 +140,8 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
         # the dir is file-for-file identical to a fresh build; existing
         # sidecars are untouched (text rows unchanged)
         if not had_old:
-            from .build import write_doclen_partial
+            # module-scope name captured by value (no runtime miru_ray
+            # import on workers whose sys.path lacks the repo)
             write_doclen_partial(dl, index_dir, pid, shard)
         import pyarrow.compute as pc
         kw = pc.match_substring(seg["term"], ":")

@@ -180,3 +180,65 @@ def test_group_boost_binds_to_group_only():
                                                            "b": 2.0}
     q = parse_query("a NOT (b c)^2")
     assert "a" not in collect_boosts(q)
+
+
+def test_contiguity_guard_catches_nulls_and_dup_gap(tmp_path):
+    """Third-review r4: the old max+1==cnt check admitted NULL turn_idx
+    (count skips nulls → INT64_MIN doc ids) and duplicate+gap patterns
+    like [0,2,2]; the moments check rejects both."""
+    from miru_ray.index.build import build_conv_offsets
+
+    def corpus(turns, name):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        pq.write_table(pa.table({
+            "conv_id": pa.array(["c"] * len(turns)),
+            "turn_idx": pa.array(turns, pa.int32()),
+            "text": pa.array(["x"] * len(turns))}),
+            os.path.join(d, "a.parquet"))
+        return os.path.join(d, "a.parquet")
+
+    with pytest.raises(Exception, match="NULL"):
+        build_conv_offsets([corpus([0, 1, None], "nulls")],
+                           str(tmp_path / "o1.parquet"))
+    with pytest.raises(Exception, match="not contiguous"):
+        build_conv_offsets([corpus([0, 2, 2], "dupgap")],
+                           str(tmp_path / "o2.parquet"))
+    with pytest.raises(Exception, match="not contiguous"):
+        # moments catch the (count, min, max, sum)-equal non-permutation
+        build_conv_offsets([corpus([0, 1, 1, 4, 4], "sumsq")],
+                           str(tmp_path / "o3.parquet"))
+    # the valid permutation still passes
+    m = build_conv_offsets([corpus([2, 0, 1], "ok")],
+                           str(tmp_path / "o4.parquet"))
+    assert m == {"n_docs": 3, "n_convs": 1}
+
+
+def test_overwrite_regenerates_offsets(tmp_path):
+    """Third-review r4: overwrite=True must rebuild the conv-offsets
+    checkpoint too, not silently reuse a stale file."""
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["c0", "c0", "c1"]),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": pa.array(["user"] * 3),
+        "text": pa.array(["alpha"] * 3),
+        "ts": pa.array([0, 1, 2], pa.int64())}),
+        os.path.join(src, "a.parquet"))
+    cfg = IndexConfig(docs_per_partition=2, num_shards=1,
+                      keyword_fields=("role",))
+    idir = str(tmp_path / "idx")
+    build_index(src, idir, cfg)
+    off = os.path.join(idir, "conv_offsets.parquet")
+    # corrupt the offsets file; a plain rebuild would reuse it (the meta
+    # fingerprint still matches) — overwrite must regenerate it
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["zz"]), "offset": pa.array([99], pa.int64()),
+        "cnt": pa.array([1], pa.int64())}), off)
+    build_index(src, idir, cfg, overwrite=True)
+    got = pq.read_table(off)
+    assert got["conv_id"].to_pylist() == ["c0", "c1"]
+    assert got["offset"].to_pylist() == [0, 2]
