@@ -180,6 +180,77 @@ def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+CLUSTER_SAMPLE_N = 16  # per-cluster sample size
+
+
+def cluster_sample(sf_dir: str, k: int = K_CLUSTERS,
+                   iters: int = KM_ITERS,
+                   n_per: int = CLUSTER_SAMPLE_N) -> pa.Table:
+    """Cluster-balanced sampling: the k-means topics each contribute
+    their ``n_per`` deterministically-chosen members — the diversity-
+    preserving sampler a curation pipeline runs after clustering (the
+    skew alternative to uniform sampling: a dominant topic cannot crowd
+    out the tail).  Selection is the ``n_per`` smallest
+    ``(md5_64(vec_id), vec_id)`` per cluster, so the sample is a stable
+    content-independent draw that the SQL oracle reproduces exactly via
+    ``md5_number_lower`` + ``row_number()``.
+
+    Scale shape: centroid learning is :func:`_learn_centroids`'s
+    streaming passes; the selection is per-batch bounded-top-``n_per``
+    partials per cluster (≤ k·n_per rows per batch leave the workers)
+    merged on the driver — never the corpus."""
+    from ..util import md5_64
+    ds = _quantized(sf_dir)
+    cids, C = _learn_centroids(ds, k, iters)
+    c_ref = ray.put((cids, C))
+
+    def sample_partial(b: pa.Table) -> pa.Table:
+        live_cids, cent = ray.get(c_ref)
+        ids, xq = _batch_xq(b)
+        a = _assign(xq, live_cids, cent)
+        h = md5_64([str(int(i)) for i in ids]).astype(np.uint64)
+        order = np.lexsort((ids, h, a))   # per cluster: (h, vec_id) asc
+        a, ids, h = a[order], ids[order], h[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        keep = np.zeros(len(a), bool)
+        for s0, e0 in zip(starts, np.r_[starts[1:], len(a)]):
+            keep[s0:min(s0 + n_per, e0)] = True
+        return pa.table({"cluster": pa.array(a[keep]),
+                         "vec_id": pa.array(ids[keep]),
+                         "h": pa.array(h[keep])})
+
+    parts = (ds.map_batches(sample_partial, batch_format="pyarrow",
+                            batch_size=8192)
+             .to_pandas())  # ≤ k·n_per rows PER BATCH — partials only
+    parts["h"] = parts["h"].astype(np.uint64)
+    parts = parts.sort_values(["cluster", "h", "vec_id"])
+    out = parts.groupby("cluster", as_index=False).head(n_per)
+    out = out[["cluster", "vec_id"]].sort_values(
+        ["cluster", "vec_id"]).reset_index(drop=True)
+    out["cluster"] = out["cluster"].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _cluster_sample_sql(k: int = K_CLUSTERS,
+                        n_per: int = CLUSTER_SAMPLE_N) -> str:
+    base = _kmeans_sql(k)
+    chain = base[:base.rindex("SELECT vec_id")].rstrip() + ","
+    return f"""
+{chain}
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (
+           PARTITION BY cid
+           ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM a2)
+SELECT cid::BIGINT AS cluster, vec_id
+FROM ranked WHERE rn <= {n_per}
+ORDER BY cluster, vec_id
+""".strip()
+
+
 SEMDEDUP_TAU = 0.4  # this corpus's max cosine is ~0.51 (TESTDATA)
 
 
@@ -307,4 +378,5 @@ SELECT vec_id, cid::BIGINT AS cluster FROM a2 ORDER BY vec_id
 
 
 SQL = {"embed_kmeans_assign": _kmeans_sql(),
-       "embed_semdedup_counts": _semdedup_sql()}
+       "embed_semdedup_counts": _semdedup_sql(),
+       "embed_cluster_sample": _cluster_sample_sql()}

@@ -53,6 +53,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_unread_backfill",
     "embed_semdedup_counts",
     "fulltext_phrase_bigram_count",
+    "embed_cluster_sample",
     # never driver-witnessed as of r03 (judge's list, VERDICT.md)
     "graph_pagerank_top", "graph_components_top",
     "mix_sample_counts", "mix_token_budget", "mix_pack_sequences",
@@ -297,6 +298,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
         Cl.SQL.get("embed_kmeans_assign"), ("similarity", "cluster"))
     reg("embed_semdedup_counts", Cl.semdedup_counts,
         Cl.SQL.get("embed_semdedup_counts"), ("similarity", "dedup"))
+    reg("embed_cluster_sample", Cl.cluster_sample,
+        Cl.SQL.get("embed_cluster_sample"), ("similarity", "mixing"))
     # ---- text analysis ----
     for name, fn in (("text_token_count_by_source", T.token_count_by_source),
                      ("text_bpe_token_estimate", T.bpe_token_estimate),

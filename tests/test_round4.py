@@ -446,3 +446,27 @@ def test_semdedup_counts_planted_duplicates(tmp_path):
     assert int(out["n_vecs"].sum()) == 6
     # group A drops 2 (vecs 2, 4), group B drops 1 (vec 3), lone drops 0
     assert int(out["n_dropped"].sum()) == 3
+
+
+def test_cluster_sample_balanced_and_deterministic(tmp_path):
+    """Cluster-balanced sampling: each cluster contributes at most n_per
+    members, chosen by the stable (md5(vec_id), vec_id) order; repeated
+    runs return the identical sample."""
+    from miru_ray.ops.cluster import cluster_sample
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    # two well-separated clusters of 20 vectors each
+    vecs = ([[1.0, float(i) / 100, 0.0, 0.0] for i in range(20)]
+            + [[0.0, 0.0, 1.0, float(i) / 100] for i in range(20)])
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32(), 4))}),
+        os.path.join(d, "embeddings.parquet"))
+    out = cluster_sample(d, k=2, iters=2, n_per=5).to_pandas()
+    per = out.groupby("cluster").size()
+    assert (per == 5).all() and len(per) == 2
+    out2 = cluster_sample(d, k=2, iters=2, n_per=5).to_pandas()
+    assert out.equals(out2)
+    # n_per larger than the cluster returns the whole cluster
+    full = cluster_sample(d, k=2, iters=2, n_per=100).to_pandas()
+    assert len(full) == 40
