@@ -245,9 +245,9 @@ def compact_index(src_dir: str, dst_dir: str, *,
     seg_meta_dir = os.path.join(dst_dir, "segments")
     os.makedirs(seg_meta_dir, exist_ok=True)
     atomic_write_json(os.path.join(seg_meta_dir, "_META.json"), tag)
-    postings = (ray.data
-                .read_parquet(seg_paths,
-                              columns=["term", "df", "doc_bytes", "tf_bytes"])
+    postings = (read_parquet_clean(
+                    seg_paths,
+                    columns=["term", "df", "doc_bytes", "tf_bytes"])
                 .map_batches(_make_decode_fn(tombs_ref,
                                              cfg.docs_per_partition,
                                              cfg.num_shards),

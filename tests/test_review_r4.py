@@ -242,3 +242,26 @@ def test_overwrite_regenerates_offsets(tmp_path):
     got = pq.read_table(off)
     assert got["conv_id"].to_pylist() == ["c0", "c1"]
     assert got["offset"].to_pylist() == [0, 2]
+
+
+def test_read_parquet_clean_shapes(tmp_path, ray_session):
+    """read_parquet_clean: metadata-stripped column-pruned schema for
+    flat files; falls back to Ray inference when a requested column
+    lives outside the file schema (hive partition dirs)."""
+    import ray.data
+
+    from miru_ray.util import read_parquet_clean
+    p = str(tmp_path / "t.parquet")
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"],
+                       "part": [0, 0, 1]})
+    df.to_parquet(p)  # pandas metadata attached (defeats schema hashing)
+    ds = read_parquet_clean(p, columns=["a"])
+    t = ds.take_batch(10, batch_format="pyarrow")
+    assert t.column_names == ["a"] and t.schema.metadata is None
+    # hive layout: the partition column is NOT in the file schema
+    hd = str(tmp_path / "hive")
+    ray.data.from_pandas(df).write_parquet(hd, partition_cols=["part"])
+    ds2 = read_parquet_clean(hd, columns=["a", "part"])
+    t2 = ds2.take_batch(10, batch_format="pyarrow")
+    assert set(t2.column_names) == {"a", "part"}
+    assert t2.num_rows == 3
