@@ -27,7 +27,8 @@ import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
 from ..tokenize import EN_STOPWORDS, explode_tokens, py_tokenize
-from ..util import md5_64, md5_64_bulk, read_parquet_clean
+from ..util import (md5_64, md5_64_bulk, read_parquet_clean,
+                    sorted_lookup)
 
 
 def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
@@ -205,6 +206,82 @@ _LANG_PROFILES = {
     "es": ["que", "los", "ión", "ent", "ado"],
     "zh": [],  # CJK detected by codepoint range
 }
+
+
+RARITY_TOPK = 20
+
+
+def rarity_topk(sf_dir: str, k: int = RARITY_TOPK) -> pa.Table:
+    """Corpus-statistics quality filter (the CCNet-style shape, log-free):
+    scores each doc by the MEAN GLOBAL FREQUENCY of its tokens — documents
+    full of corpus-rare tokens (boilerplate noise, garbled text, wrong
+    language) score lowest and surface for review/filtering.
+
+    ``rarity_score = (Σ_tok cf(tok) · 10⁶) // n_tokens`` — exact integer
+    on both engines (DuckDB HUGEINT / Python int), ties broken by doc_id.
+
+    Two passes, both streaming: [1] global token cf via per-batch
+    partials + vocabulary-bounded driver merge, broadcast once (the
+    decontaminate blocklist shape); [2] per-batch doc scores via
+    searchsorted cf substitution, local top-k partials, k-bounded driver
+    merge.  Nothing driver-side scales with the corpus."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def cf_partial(b: pa.Table) -> pa.Table:
+        terms, _rows, _dl = explode_tokens(b["text"])
+        if len(terms) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cf": pa.array([], pa.int64())})
+        g = pa.table({"term": terms}).group_by("term").aggregate(
+            [([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "cf": pc.cast(g["count_all"], pa.int64())})
+
+    cfp = (ds.map_batches(cf_partial, batch_format="pyarrow",
+                          batch_size=8192)
+           .to_pandas()  # vocabulary-bounded partials
+           .groupby("term", as_index=False)["cf"].sum())
+    vocab = np.asarray(cfp["term"].to_numpy(), dtype=object)
+    order = np.argsort(vocab)
+    cf_ref = ray.put((vocab[order],
+                      cfp["cf"].to_numpy().astype(np.int64)[order]))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        vt, vc = ray.get(cf_ref)
+        terms, rows, _dl = explode_tokens(b["text"])
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        if len(rows) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "rarity_score": pa.array([], pa.int64())})
+        tnp = np.asarray(terms.to_pandas(), dtype=object)
+        hit, pos = sorted_lookup(vt, tnp)
+        cf = vc[pos]  # every token IS in the vocabulary (hit always true)
+        n = np.bincount(rows, minlength=len(ids)).astype(np.int64)
+        sum_cf = np.zeros(len(ids), np.int64)
+        np.add.at(sum_cf, rows, cf)
+        keep = n > 0  # zero-token docs have no score
+        # exact integer score in PYTHON ints (int64·10⁶ can exceed 2⁶³
+        # at corpus scale); batch-bounded loop, then local top-k only
+        score = np.array([(int(sc) * 1_000_000) // int(nn)
+                          for sc, nn in zip(sum_cf[keep], n[keep])],
+                         dtype=object)
+        ids_k, n_k = ids[keep], n[keep]
+        loc = np.lexsort((ids_k, score.astype(np.float64)))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids_k[loc]),
+            "n_tokens": pa.array(n_k[loc]),
+            "rarity_score": pa.array([int(x) for x in score[loc]],
+                                     pa.int64())})
+
+    parts = (ds.map_batches(score_partial, batch_format="pyarrow",
+                            batch_size=8192)
+             .to_pandas())  # ≤ k rows per batch
+    parts = parts.sort_values(["rarity_score", "doc_id"]).head(k)
+    parts = parts.reset_index(drop=True)
+    for c in parts.columns:
+        parts[c] = parts[c].astype(np.int64)
+    return pa.Table.from_pandas(parts, preserve_index=False)
 
 
 def langid(sf_dir: str) -> pa.Table:
@@ -730,6 +807,19 @@ WITH d AS (
 SELECT source, COALESCE(sum(est), 0)::BIGINT AS est_tokens,
        count(*)::BIGINT AS n_docs
 FROM d GROUP BY source ORDER BY source
+""".strip(),
+    "text_rarity_topk": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(c.cf) AS sum_cf
+  FROM toks t JOIN cf c USING (term) GROUP BY t.doc_id)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       (sum_cf * 1000000 // n_tokens)::BIGINT AS rarity_score
+FROM per_doc ORDER BY rarity_score ASC, doc_id ASC LIMIT {RARITY_TOPK}
 """.strip(),
     "text_token_count_by_source": """
 WITH d AS (

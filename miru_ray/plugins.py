@@ -54,6 +54,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embed_semdedup_counts",
     "fulltext_phrase_bigram_count",
     "embed_cluster_sample",
+    "text_rarity_topk",
     # never driver-witnessed as of r03 (judge's list, VERDICT.md)
     "graph_pagerank_top", "graph_components_top",
     "mix_sample_counts", "mix_token_budget", "mix_pack_sequences",
@@ -310,7 +311,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("text_fingerprints", T.fingerprints),
                      ("text_pii_scan", T.pii_scan),
                      ("text_repetition_stats", T.repetition_stats),
-                     ("text_decontaminate", T.decontaminate)):
+                     ("text_decontaminate", T.decontaminate),
+                     ("text_rarity_topk", T.rarity_topk)):
         reg(name, fn, T.SQL.get(name), ("textstats",))
     # ---- graph analytics (bipartite PageRank over order history) ----
     from .ops import graph as G
