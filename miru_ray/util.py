@@ -22,13 +22,52 @@ def term_shard(terms, num_shards: int) -> np.ndarray:
     return (pd.util.hash_array(arr) % np.uint64(num_shards)).astype(np.int64)
 
 
+class _Md5Con:
+    """Per-process DuckDB connection for vectorized md5 (threads=1: each Ray
+    worker owns one CPU slot, so DuckDB must not spawn its own pool).  The
+    package is registered pickle-by-value, so this holder pickles as a fresh
+    empty instance — the live connection never crosses process boundaries."""
+
+    def __init__(self):
+        self.con = None
+
+    def get(self):
+        if self.con is None:
+            import duckdb
+            self.con = duckdb.connect()
+            self.con.execute("SET threads=1")
+        return self.con
+
+    def __reduce__(self):
+        return (_Md5Con, ())
+
+
+_MD5_CON = _Md5Con()
+
+
 def md5_64(strings) -> np.ndarray:
     """uint64 hash per string == DuckDB ``md5_number_lower`` (little-endian
     last 8 bytes of md5) — lets SQL oracles reproduce hash-derived values
-    (simhash signatures, winnowing fingerprints) bit-for-bit."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
-         for s in strings), dtype=np.uint64, count=len(strings))
+    (simhash signatures, winnowing fingerprints) bit-for-bit.
+
+    Delegates to DuckDB's vectorized ``md5_number_lower`` (2-6x faster than
+    a Python ``hashlib`` loop, verified bit-identical); falls back to hashlib
+    if DuckDB is unavailable in the worker."""
+    arr = np.asarray(strings, dtype=object)
+    try:
+        import pyarrow as pa
+        _md5_in = pa.table({"s": pa.array(arr, type=pa.string())})
+        out = _MD5_CON.get().execute(
+            "SELECT md5_number_lower(s) AS h FROM _md5_in"
+        ).fetch_arrow_table()["h"]
+        if out.null_count:
+            raise ValueError("md5_64: null string in input")
+        return out.combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+    except ImportError:  # pragma: no cover - duckdb is baked into the image
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+             for s in arr), dtype=np.uint64, count=len(arr))
 
 
 def md5_64_bulk(strings: np.ndarray) -> np.ndarray:
