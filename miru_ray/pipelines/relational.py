@@ -60,8 +60,13 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty", "sum"), ("cents", "sum"), ("disc_e4", "sum"),
              ("d100", "sum"), ("qty", "count")])
-        return g.rename_columns(["l_returnflag", "l_linestatus", "sq", "sc",
-                                 "sd4", "sd100", "cnt"])
+        # name-based selection: pyarrow's key-vs-aggregate column ORDER has
+        # changed across versions, so positional renames are a trap
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "l_linestatus": g["l_linestatus"],
+                         "sq": g["qty_sum"], "sc": g["cents_sum"],
+                         "sd4": g["disc_e4_sum"], "sd100": g["d100_sum"],
+                         "cnt": g["qty_count"]})
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=65536)
@@ -298,7 +303,7 @@ def _semi_join_keys(ds: "ray.data.Dataset", col: str, keys_ref,
         keys = ray.get(keys_ref)
         hit = _isin_sorted(t[col].to_numpy(), keys)
         sub = t.filter(pa.array(hit)).select(out_cols)
-        return sub.group_by(out_cols).aggregate([]).rename_columns(out_cols)
+        return sub.group_by(out_cols).aggregate([]).select(out_cols)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
@@ -390,7 +395,7 @@ def collaborative_filtering(sf_dir: str, custkey: int = 1,
         out = pa.table({"custkey": pa.array(ok_cust[pos]),
                         "l_partkey": sub["l_partkey"]})
         return out.group_by(["custkey", "l_partkey"]).aggregate([]) \
-            .rename_columns(["custkey", "l_partkey"])
+            .select(["custkey", "l_partkey"])
 
     theirs = (li().map_batches(their_parts, batch_format="pyarrow",
                                batch_size=65536)
