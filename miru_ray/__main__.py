@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     b.add_argument("--phrase-bigram-fields", default="",
                    help="comma-separated text fields that also index "
                         "2g: phrase bigrams (positions-free phrases)")
+    b.add_argument("--positional-fields", default="",
+                   help="text fields that store within-doc token positions "
+                        "(index-only phrase queries of any length); must "
+                        "equal the text fields and name exactly one field")
     b.add_argument("--overwrite", action="store_true")
 
     s = sub.add_parser("search", help="query an index")
@@ -115,7 +119,10 @@ def _run(args) -> int:
                           remove_stopwords=args.remove_stopwords,
                           phrase_bigram_fields=tuple(
                               x for x in
-                              args.phrase_bigram_fields.split(",") if x))
+                              args.phrase_bigram_fields.split(",") if x),
+                          positional_fields=tuple(
+                              x for x in
+                              args.positional_fields.split(",") if x))
         m = build_index(args.input, args.index, cfg, overwrite=args.overwrite)
         print(json.dumps({k: m[k] for k in
                           ("n_docs", "n_convs", "total_len", "avgdl")}

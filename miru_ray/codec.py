@@ -209,3 +209,51 @@ def bulk_encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         "block_last_doc": block_last_doc,   # int64 flat values
         "block_max_tf": block_max_tf,       # int32 flat values
     }
+
+
+# ---------------------------------------------------------------------------
+# positional postings (opt-in; Lucene-style within-doc position deltas)
+# ---------------------------------------------------------------------------
+
+def position_gaps(pos: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Delta-encode token positions for varint storage.
+
+    ``pos`` is the flat array of within-doc token positions in (term,
+    doc_id) order; ``run_starts[i]`` is the offset where posting i's
+    positions begin (one run per (term, doc) posting).  Each run stores
+    its first position absolute and the rest as gaps — the same scheme
+    the doc-id stream uses across terms (reference analogue: Lucene's
+    .prx position deltas, which miru defers to via
+    ``LuceneBackedQueryParser``).
+    """
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    gaps = np.empty(len(pos), np.uint64)
+    if len(pos):
+        gaps[1:] = (pos[1:] - pos[:-1]).astype(np.uint64)
+        # zero-length runs share the next run's start (or sit past the end
+        # when they close the stream) — clip before the absolute overwrite
+        rs = run_starts[run_starts < len(pos)]
+        gaps[rs] = pos[rs].astype(np.uint64)
+    return gaps
+
+
+def decode_positions(pos_bytes: bytes, counts: np.ndarray) -> np.ndarray:
+    """Decode one term's position stream back to flat within-doc positions.
+
+    ``counts[i]`` = number of positions of posting i (== tf for tokenized
+    terms — the build asserts that invariant).  Returns the flat int64
+    position array; split points are ``np.cumsum(counts)``.
+    """
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    gaps = varint_decode(pos_bytes, total).astype(np.int64)
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    c = np.cumsum(gaps)
+    # zero-count runs at the stream end index past it — clip; their base
+    # is repeated 0 times so the value never matters
+    idx = np.minimum(starts, total - 1)
+    base = c[idx] - gaps[idx]   # cumsum immediately BEFORE each run
+    return c - np.repeat(base, counts)

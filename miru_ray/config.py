@@ -39,6 +39,17 @@ class IndexConfig:
     # The '2g:' prefix contains ':' so bigrams are excluded from doclen /
     # cf_text / BM25 exactly like keyword terms.
     phrase_bigram_fields: tuple[str, ...] = ()
+    # text fields that ALSO store within-doc token POSITIONS per posting
+    # (delta-gap varints, Lucene .prx-style — the reference defers phrase
+    # positions to Lucene via LuceneBackedQueryParser).  Phrase queries of
+    # ANY length over a positional field are answered entirely from the
+    # index — AND the terms' postings, then intersect (doc, pos-i) keys —
+    # no docstore gather at all.  Opt-in (~cf varint bytes of extra index).
+    # Constraint (enforced at build): positional_fields must equal
+    # text_fields and contain exactly ONE field — the position count per
+    # posting must equal tf for the implied-split decode, which a second
+    # text field sharing the term space would break.
+    positional_fields: tuple[str, ...] = ()
     # int64 columns indexed as `field:<lex>` terms where <lex> is the
     # order-preserving fixed-width encoding (miru_ray.lexnum) — numeric
     # range queries become contiguous term-dict range scans (reference:
@@ -101,7 +112,8 @@ class IndexConfig:
     def to_dict(self) -> dict:
         d = asdict(self)
         for k in ("text_fields", "keyword_fields", "list_keyword_fields",
-                  "numeric_fields", "id_fields", "phrase_bigram_fields"):
+                  "numeric_fields", "id_fields", "phrase_bigram_fields",
+                  "positional_fields"):
             d[k] = list(d[k])
         return d
 
@@ -111,7 +123,9 @@ class IndexConfig:
         d.setdefault("list_keyword_fields", ())
         d.setdefault("numeric_fields", ())
         d.setdefault("phrase_bigram_fields", ())
+        d.setdefault("positional_fields", ())
         for k in ("text_fields", "keyword_fields", "list_keyword_fields",
-                  "numeric_fields", "id_fields", "phrase_bigram_fields"):
+                  "numeric_fields", "id_fields", "phrase_bigram_fields",
+                  "positional_fields"):
             d[k] = tuple(d[k])
         return cls(**d)

@@ -400,6 +400,18 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
     list_kw_fields = cfg.list_keyword_fields
     num_fields = cfg.numeric_fields
     bg_fields = frozenset(getattr(cfg, "phrase_bigram_fields", ()))
+    pos_fields = tuple(getattr(cfg, "positional_fields", ()))
+    if pos_fields and (len(pos_fields) != 1 or pos_fields != text_fields):
+        # positions are decoded by IMPLIED splits (tf per posting == its
+        # position count) — a second text field sharing the term space
+        # would break that invariant (see IndexConfig.positional_fields)
+        raise ValueError("positional_fields must equal text_fields and "
+                         "contain exactly one field")
+    positional = bool(pos_fields)
+
+    def _empty_pos(n: int) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32()))
 
     def to_postings(batch: pa.Table) -> pa.Table:
         if offsets_ref is not None:
@@ -415,14 +427,47 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
         else:
             doc_id = batch["doc_id"].to_numpy().astype(np.int64)
         parts = []
+        tok_parts = []   # unigram + bigram parts (bare-token term space)
+        n_uni = n_bg = 0
         for f in text_fields:
-            terms, rows, _ = explode_tokens(batch[f], stop)
+            terms, rows, dl = explode_tokens(batch[f], stop)
             if len(rows) == 0:
                 continue
-            t = pa.table({"term": terms, "doc_id": pa.array(doc_id[rows])})
-            # exact per-batch tf: a doc's text is contained in one batch row
-            tf = t.group_by(["term", "doc_id"]).aggregate([("doc_id", "count")])
-            parts.append(tf.rename_columns(["term", "doc_id", "tf"]))
+            n_uni += 1
+            if positional:
+                # (term, doc, tf, positions): group by (term, row) via a
+                # stable int lexsort — the flat token stream is already in
+                # position order WITHIN a row, so each group's slice of the
+                # sorted stream IS its ascending position list
+                import pandas as pd
+                term_np = np.asarray(terms.to_pandas(), dtype=object)
+                row_starts = np.zeros(len(dl) + 1, np.int64)
+                np.cumsum(dl, out=row_starts[1:])
+                pos = (np.arange(len(rows), dtype=np.int64)
+                       - row_starts[rows]).astype(np.int32)
+                codes, uniq = pd.factorize(term_np, sort=False)
+                order = np.lexsort((rows, codes))  # stable: pos stays sorted
+                sc, sr, sp = codes[order], rows[order], pos[order]
+                new = np.empty(len(sc), bool)
+                new[0] = True
+                new[1:] = (sc[1:] != sc[:-1]) | (sr[1:] != sr[:-1])
+                gstart = np.flatnonzero(new)
+                tf_np = np.diff(np.append(gstart, len(sc)))
+                tok_parts.append(pa.table({
+                    "term": pa.array(uniq[sc[gstart]], pa.string()),
+                    "doc_id": pa.array(doc_id[sr[gstart]]),
+                    "tf": pa.array(tf_np.astype(np.int64)),
+                    "pos": pa.ListArray.from_arrays(
+                        pa.array(np.append(gstart, len(sp)).astype(np.int32)),
+                        pa.array(sp))}))
+            else:
+                t = pa.table({"term": terms,
+                              "doc_id": pa.array(doc_id[rows])})
+                # exact per-batch tf: a doc's text is in one batch row
+                tf = t.group_by(["term", "doc_id"]).aggregate(
+                    [("doc_id", "count")])
+                tok_parts.append(
+                    tf.rename_columns(["term", "doc_id", "tf"]))
             if f in bg_fields and len(rows) >= 2:
                 # positions-free phrase bigrams: one `2g:<a> <b>` term per
                 # adjacent token pair WITHIN a row, over the same (possibly
@@ -437,7 +482,8 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
                         "doc_id": pa.array(doc_id[rows[:-1][adj]])})
                     btf = bt.group_by(["term", "doc_id"]).aggregate(
                         [("doc_id", "count")])
-                    parts.append(btf.rename_columns(
+                    n_bg += 1
+                    tok_parts.append(btf.rename_columns(
                         ["term", "doc_id", "tf"]))
         for f in kw_fields:
             vals = pc.cast(batch[f], pa.string())
@@ -487,11 +533,29 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
                 "term": pa.array(kterm, type=pa.string()),
                 "doc_id": pa.array(doc_id[parent[ok]]),
                 "tf": pa.array(np.ones(int(ok.sum()), np.int64))}))
+        if n_uni > 1 or n_bg > 1:
+            # two text (or bigram) fields share the bare-token term space:
+            # SUM their tf per (term, doc) here — the segment encoder
+            # treats duplicate (term, doc) rows as retried-task echoes and
+            # DROPS them, which would silently lose the second field's tf
+            tt = pa.concat_tables(tok_parts)
+            g = tt.group_by(["term", "doc_id"]).aggregate([("tf", "sum")])
+            tok_parts = [pa.table({"term": g["term"], "doc_id": g["doc_id"],
+                                   "tf": g["tf_sum"]})]
+        parts = tok_parts + parts
         if not parts:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "tf": pa.array([], pa.int64()),
-                             "gkey": pa.array([], pa.int64())})
+            cols = {"term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64())}
+            if positional:
+                cols["pos"] = _empty_pos(0)
+            cols["gkey"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        if positional:
+            # every part carries the pos column so concat stays aligned
+            parts = [p if "pos" in p.column_names
+                     else p.append_column("pos", _empty_pos(p.num_rows))
+                     for p in parts]
         t = pa.concat_tables(parts)
         t = t.set_column(2, "tf", pc.cast(t["tf"], pa.int64()))
         term_np = np.asarray(t["term"].to_pandas(), dtype=object)

@@ -44,6 +44,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -113,14 +114,20 @@ def _make_decode_fn(tombs_ref, dpp: int, nsh: int):
         docs = rows["doc_id"].to_numpy().astype(np.int64)
         tfs = rows["tf"].to_numpy().astype(np.int64)
         term_rep = np.asarray(rows["term"].to_pandas(), dtype=object)
+        pos = rows["pos"] if "pos" in rows.column_names else None
         keep, docs = _alive_renumber(docs, tombs)
         if keep is not None:
             tfs, term_rep = tfs[keep], term_rep[keep]
+            if pos is not None:  # positions are per-posting — same mask
+                pos = pc.take(pos, pa.array(np.flatnonzero(keep)))
         gkey = (docs // dpp) * nsh + term_shard(term_rep, nsh)
-        return pa.table({"term": pa.array(term_rep, pa.string()),
-                         "doc_id": pa.array(docs),
-                         "tf": pa.array(tfs),
-                         "gkey": pa.array(gkey)})
+        cols = {"term": pa.array(term_rep, pa.string()),
+                "doc_id": pa.array(docs),
+                "tf": pa.array(tfs)}
+        if pos is not None:
+            cols["pos"] = pos
+        cols["gkey"] = pa.array(gkey)
+        return pa.table(cols)
 
     return decode_batch
 
@@ -245,9 +252,12 @@ def compact_index(src_dir: str, dst_dir: str, *,
     seg_meta_dir = os.path.join(dst_dir, "segments")
     os.makedirs(seg_meta_dir, exist_ok=True)
     atomic_write_json(os.path.join(seg_meta_dir, "_META.json"), tag)
+    seg_cols = ["term", "df", "doc_bytes", "tf_bytes"]
+    if seg_paths and "pos_bytes" in pq.read_schema(seg_paths[0]).names:
+        seg_cols.append("pos_bytes")  # positional index: carry positions
     postings = (read_parquet_clean(
                     seg_paths,
-                    columns=["term", "df", "doc_bytes", "tf_bytes"])
+                    columns=seg_cols)
                 .map_batches(_make_decode_fn(tombs_ref,
                                              cfg.docs_per_partition,
                                              cfg.num_shards),

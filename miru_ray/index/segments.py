@@ -23,9 +23,11 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..codec import bulk_encode_postings, decode_doc_ids, decode_tfs
+from ..codec import (_encode_and_split, bulk_encode_postings, decode_doc_ids,
+                     decode_positions, decode_tfs, position_gaps)
 from ..util import md5_64
 
 SEGMENT_SCHEMA = pa.schema([
@@ -44,6 +46,13 @@ SEGMENT_SCHEMA = pa.schema([
     ("block_last_doc", pa.list_(pa.int64())),
     ("block_max_tf", pa.list_(pa.int32())),
 ])
+
+#: positional-index variant: per-term within-doc position stream, delta-gap
+#: varints with one run per posting (run length == tf — the implied-split
+#: invariant the build asserts).  Only present when the index was built
+#: with ``IndexConfig.positional_fields``; default segments stay
+#: byte-identical to pre-positional builds.
+SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA.append(pa.field("pos_bytes", pa.binary()))
 
 
 def segment_rel_path(pid: int, shard: int) -> str:
@@ -67,6 +76,17 @@ def encode_segment_table(group: pa.Table,
     term_np = np.asarray(terms.to_pandas(), dtype=object)
     doc_np = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     tf_np = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    has_pos = "pos" in group.column_names
+    if has_pos:
+        pos_col = group["pos"]
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        pos_flat = pos_col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos_len = pc.list_value_length(pos_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos_src_starts = np.zeros(len(pos_len) + 1, np.int64)
+        np.cumsum(pos_len, out=pos_src_starts[1:])
 
     # sort by (term, doc_id) via integer codes — lexsort over object-dtype
     # strings is ~10× slower than factorize + int lexsort on big groups
@@ -75,6 +95,7 @@ def encode_segment_table(group: pa.Table,
     rank = np.empty(len(uniques), np.int64)
     rank[uniq_order] = np.arange(len(uniques))
     order = np.lexsort((doc_np, rank[codes]))
+    sel = order  # original-row index per FINAL posting (drives pos gather)
     doc_np, tf_np = doc_np[order], tf_np[order]
     sorted_ranks = rank[codes][order]
     # drop exact-duplicate (term, doc) rows — idempotence insurance against
@@ -87,6 +108,7 @@ def encode_segment_table(group: pa.Table,
             keep[1:] = ~dup
             doc_np, tf_np, sorted_ranks = (doc_np[keep], tf_np[keep],
                                            sorted_ranks[keep])
+            sel = sel[keep]
     is_start = np.empty(len(sorted_ranks), bool)
     is_start[0] = True
     np.not_equal(sorted_ranks[1:], sorted_ranks[:-1], out=is_start[1:])
@@ -104,7 +126,7 @@ def encode_segment_table(group: pa.Table,
         d, inv = np.unique(doc_np[keep], return_inverse=True)
         dls = np.bincount(inv, weights=tf_np[keep]).astype(np.int64)
         doclen = pa.table({"doc_id": pa.array(d), "dl": pa.array(dls)})
-    seg = pa.table({
+    cols = {
         "term": pa.array(sorted_terms, type=pa.string()),
         "df": pa.array(enc["df"]),
         "cf": pa.array(enc["cf"]),
@@ -118,7 +140,32 @@ def encode_segment_table(group: pa.Table,
         "block_max_tf": pa.ListArray.from_arrays(
             pa.array(boff, type=pa.int32()) if boff[-1] < 2**31 else pa.array(boff, type=pa.int64()),
             pa.array(enc["block_max_tf"], type=pa.int32())),
-    }).cast(SEGMENT_SCHEMA)
+    }
+    schema = SEGMENT_SCHEMA
+    if has_pos:
+        # gather each final posting's position run from the pre-sort flat
+        # stream (ONE fancy-index pass), then varint the delta-gapped
+        # stream split per TERM — decode splits runs by tf, so assert the
+        # invariant len(pos) == tf for every bare-token posting here
+        run_len = pos_len[sel]
+        is_kw_post = np.fromiter((":" in t for t in sorted_terms), bool,
+                                 count=len(sorted_terms))[sorted_ranks]
+        if not (np.array_equal(run_len[~is_kw_post], tf_np[~is_kw_post])
+                and not run_len[is_kw_post].any()):
+            raise ValueError("positional invariant violated: position "
+                             "count != tf for a tokenized posting")
+        out_starts = np.zeros(len(run_len) + 1, np.int64)
+        np.cumsum(run_len, out=out_starts[1:])
+        gather = (np.repeat(pos_src_starts[sel] - out_starts[:-1], run_len)
+                  + np.arange(out_starts[-1], dtype=np.int64))
+        flat = pos_flat[gather]
+        gaps = position_gaps(flat, out_starts[:-1])
+        # per-term split points in the flat position stream
+        term_pos_starts = out_starts[starts]
+        cols["pos_bytes"] = pa.array(
+            _encode_and_split(gaps, term_pos_starts), type=pa.binary())
+        schema = SEGMENT_SCHEMA_POS
+    seg = pa.table(cols).cast(schema)
     return (seg, doclen) if with_doclen else seg
 
 
@@ -193,26 +240,48 @@ def segment_rows_table(t: pa.Table) -> pa.Table:
     change has exactly one decode site to update."""
     dfs = t["df"].to_numpy()
     terms = np.asarray(t["term"].to_pandas(), dtype=object)
-    docs_out, tfs_out = [], []
+    has_pos = "pos_bytes" in t.column_names
+    docs_out, tfs_out, pos_out, plen_out = [], [], [], []
     for i in range(t.num_rows):
         df = int(dfs[i])
         docs_out.append(decode_doc_ids(t["doc_bytes"][i].as_py(), df))
-        tfs_out.append(decode_tfs(t["tf_bytes"][i].as_py(), df))
-    return pa.table({
+        tfs = decode_tfs(t["tf_bytes"][i].as_py(), df)
+        tfs_out.append(tfs)
+        if has_pos:
+            if ":" in terms[i]:  # keyword/bigram terms store no positions
+                pos_out.append(np.empty(0, np.int64))
+                plen_out.append(np.zeros(df, np.int64))
+            else:
+                pos_out.append(decode_positions(
+                    t["pos_bytes"][i].as_py(), tfs))
+                plen_out.append(tfs)
+    cols = {
         "term": pa.array(np.repeat(terms, dfs), pa.string()),
         "doc_id": pa.array(np.concatenate(docs_out) if docs_out
                            else np.empty(0, np.int64)),
         "tf": pa.array(np.concatenate(tfs_out) if tfs_out
                        else np.empty(0, np.int64)),
-    })
+    }
+    if has_pos:
+        plen = (np.concatenate(plen_out) if plen_out
+                else np.empty(0, np.int64))
+        off = np.zeros(len(plen) + 1, np.int64)
+        np.cumsum(plen, out=off[1:])
+        cols["pos"] = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32)),
+            pa.array((np.concatenate(pos_out) if pos_out
+                      else np.empty(0, np.int64)).astype(np.int32)))
+    return pa.table(cols)
 
 
 def segment_to_rows(path: str) -> pa.Table:
     """Decode a whole segment back to (term, doc_id, tf) rows — the input
     side of a segment merge/compaction (reference: LAB compaction,
     ``compactOnClosedWriters``)."""
-    return segment_rows_table(
-        pq.read_table(path, columns=["term", "df", "doc_bytes", "tf_bytes"]))
+    cols = ["term", "df", "doc_bytes", "tf_bytes"]
+    if "pos_bytes" in pq.read_schema(path).names:
+        cols.append("pos_bytes")
+    return segment_rows_table(pq.read_table(path, columns=cols))
 
 
 class SegmentReader:
@@ -258,6 +327,21 @@ class SegmentReader:
         docs = decode_doc_ids(self.table["doc_bytes"][row].as_py(), df)
         tfs = decode_tfs(self.table["tf_bytes"][row].as_py(), df)
         return docs, tfs
+
+    @property
+    def has_positions(self) -> bool:
+        return "pos_bytes" in self.table.column_names
+
+    def positions(self, row: int, tfs: np.ndarray | None = None) -> np.ndarray:
+        """Flat within-doc positions for one BARE-TOKEN term (split points
+        = cumsum of its tfs).  Keyword/bigram terms store no positions."""
+        term = self.terms[row]
+        if ":" in term:
+            return np.empty(0, np.int64)
+        if tfs is None:
+            tfs = decode_tfs(self.table["tf_bytes"][row].as_py(),
+                             int(self._df[row]))
+        return decode_positions(self.table["pos_bytes"][row].as_py(), tfs)
 
     def block_meta(self, row: int) -> tuple[np.ndarray, np.ndarray]:
         return (np.asarray(self.table["block_last_doc"][row].as_py(), dtype=np.int64),

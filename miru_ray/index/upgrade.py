@@ -132,8 +132,18 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
         had_old = (pid, shard) in old_cells
         # a manifest-listed cell whose file is missing is CORRUPTION —
         # let the decode raise rather than silently dropping postings
-        rows = (pa.concat_tables([segment_to_rows(seg_path), delta])
-                if had_old else delta)
+        if had_old:
+            old_rows = segment_to_rows(seg_path)
+            if "pos" in old_rows.column_names:
+                # positional base index: upgrade deltas are keyword terms
+                # (no positions) — pad empty runs so the concat aligns
+                import numpy as np
+                delta = delta.append_column("pos", pa.ListArray.from_arrays(
+                    pa.array(np.zeros(delta.num_rows + 1, np.int32)),
+                    pa.array([], pa.int32())))
+            rows = pa.concat_tables([old_rows, delta])
+        else:
+            rows = delta
         seg, dl = encode_segment_table(rows, with_doclen=True)
         write_segment(seg, seg_path)
         # a brand-new cell needs its (possibly empty) doclen sidecar so

@@ -375,6 +375,32 @@ def q_phrase_bigram_count(sf_dir: str,
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
 
 
+#: positional-demo config: within-doc token positions stored per posting
+#: (delta-gap varints) — phrases of ANY length answered from the index
+#: alone, the reference's Lucene-positions capability rebuilt natively
+POSITIONAL_CFG = IndexConfig(docs_per_partition=4000, num_shards=1,
+                             keyword_fields=(),
+                             positional_fields=("text",))
+
+
+def q_phrase_positional_count(sf_dir: str,
+                              phrase: str = "stream table hash") -> pa.Table:
+    """A THREE-token phrase count answered from a POSITIONAL index: AND
+    the terms' postings, then intersect (doc, pos−i) keys across terms —
+    exact adjacency for any phrase length with no stored-text gather
+    (beyond what bigrams can certify).  Same SQL oracle family as
+    ``fulltext_phrase_count``."""
+    from ..query.parser import parse_query
+    idir = index_dir_for(sf_dir, POSITIONAL_CFG)
+    key = (idir, 2)
+    s = _SEARCHERS.get(key)
+    if s is None or not s.readers:
+        s = Searcher(idir, num_readers=2)
+        _SEARCHERS[key] = s
+    ast = parse_query(f'"{phrase}"')
+    return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
+
+
 def phrase_count_sql(phrase: str = "spark merge") -> str:
     # normalize the phrase through the SAME tokenization the engine
     # applies (lowercase [a-z0-9]+): a raw phrase with case/punctuation —

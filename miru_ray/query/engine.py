@@ -379,6 +379,22 @@ class PartitionReader:
         self._post_cache[key] = val
         return val
 
+    def _positions(self, pid: int, term: str, cache: dict):
+        """(docs, tfs, flat_positions) for one bare token, or None when the
+        term is absent / the index stores no positions.  Split points of
+        the flat position stream are ``cumsum(tfs)``."""
+        key = (pid, term, "pos")
+        if key in cache:
+            return cache[key]
+        seg, row = self._lookup(pid, term)
+        val = None
+        if row is not None and seg.has_positions:
+            p = self._postings(pid, term, cache, resolved=(seg, row))
+            if p is not None:
+                val = (p[0], p[1], seg.positions(row, p[1]))
+        cache[key] = val
+        return val
+
     def _alive_mask(self, pid: int, mask: np.ndarray) -> np.ndarray:
         """AND the removal mask into a filter result (buildIndexMask
         semantics, ``MiruBitmaps.java:133-139``)."""
@@ -431,8 +447,12 @@ class PartitionReader:
             # Fields indexed with phrase bigrams AND the `2g:` pair
             # postings instead — exact for a 2-token phrase (no docstore
             # gather at all), a strictly tighter candidate set beyond.
+            use_pos = node.field in getattr(self.cfg, "positional_fields",
+                                            ())
             use_bigrams = (
-                node.field in getattr(self.cfg, "phrase_bigram_fields", ())
+                not use_pos
+                and node.field in getattr(self.cfg, "phrase_bigram_fields",
+                                          ())
                 and len(node.terms) >= 2)
             keys = ([f"2g:{a} {b}" for a, b in zip(node.terms,
                                                    node.terms[1:])]
@@ -449,6 +469,43 @@ class PartitionReader:
             if use_bigrams and len(node.terms) == 2:
                 return mask  # a single bigram IS exact adjacency
             cand = np.flatnonzero(mask) + base
+            if use_pos:
+                # exact adjacency for ANY phrase length from the position
+                # streams alone: term i at position p starts a match at
+                # p - i, so intersecting (doc, p - i) keys across terms
+                # leaves exactly the docs with a full adjacent run — no
+                # docstore gather (the index-only phrase path the
+                # reference gets from Lucene positions)
+                M = np.int64(1) << 32
+                ok = None
+                for i, t in enumerate(node.terms):
+                    pv = self._positions(pid, t, cache)
+                    if pv is None:
+                        ok = np.empty(0, np.int64)
+                        break
+                    docs, tfs, flat = pv
+                    at = np.searchsorted(docs, cand)
+                    at = at[(at < len(docs)) & (docs[np.minimum(
+                        at, len(docs) - 1)] == cand)]
+                    run_len = tfs[at]
+                    src = np.zeros(len(tfs) + 1, np.int64)
+                    np.cumsum(tfs, out=src[1:])
+                    out = np.zeros(len(at) + 1, np.int64)
+                    np.cumsum(run_len, out=out[1:])
+                    gather = (np.repeat(src[at] - out[:-1], run_len)
+                              + np.arange(out[-1], dtype=np.int64))
+                    p = flat[gather]
+                    d = np.repeat(docs[at] - base, run_len)
+                    keep = p >= i
+                    kk = d[keep] * M + (p[keep] - np.int64(i))
+                    ok = kk if ok is None else np.intersect1d(
+                        ok, kk, assume_unique=True)
+                    if not len(ok):
+                        break
+                mask = np.zeros(count, bool)
+                if ok is not None and len(ok):
+                    mask[np.unique(ok // M)] = True
+                return mask
             t = self._docstore(pid).to_table(
                 columns=["doc_id", node.field],
                 filter=pads.field("doc_id").isin(cand.tolist()))
