@@ -24,6 +24,7 @@ SURVEY.md §7.3).
 from __future__ import annotations
 
 import os
+import time
 from collections import defaultdict
 
 import numpy as np
@@ -172,8 +173,17 @@ class PartitionReader:
         pickle-by-value for driver-cwd independence), costing ~0.4 ms ×
         n_readers × fan-out rounds per query.  On a real cluster this is
         also one object-store copy per node instead of per call."""
+        if getattr(self, "_debug_delay_s", 0):
+            time.sleep(self._debug_delay_s)
         args, kwargs = packed
         return getattr(self, method)(*args, **kwargs)
+
+    def set_debug_delay(self, seconds: float) -> None:
+        """Fault-injection hook (tests only): make every packed call on
+        this reader sleep — the 'slow replica' the hedged fan-out must
+        race past (reference: MiruLowestLatencySolver racing a stalled
+        solver)."""
+        self._debug_delay_s = float(seconds)
 
     def topk_time_packed(self, shared: tuple, pids: list[int]):
         """``topk_time`` with the wave-invariant args (ast, k, expansions)
@@ -765,7 +775,8 @@ class Searcher:
 
     def __init__(self, index_dir: str, num_readers: int | None = None,
                  use_actors: bool = True, num_cpus: float = 0,
-                 preload_segments: bool = False):
+                 preload_segments: bool = False, replicas: int = 1,
+                 hedge_delay_s: float = 0.1):
         # num_cpus=0 by default: reader actors are query-latency-oriented and
         # idle between queries; reserving whole CPUs for them starves
         # co-running Dataset build stages of schedulable slots (a 4-CPU test
@@ -803,11 +814,27 @@ class Searcher:
         #: partitions actually evaluated by the last TIME query (the
         #: early-exit observability hook; tests assert it shrinks)
         self.last_time_partitions_evaluated = 0
+        #: replica racing (reference: MiruSolver / MiruLowestLatencySolver
+        #: — start 1 solver, add another every ~100 ms, take the first
+        #: answer, ``MiruServiceConfig.java:41-51``).  ``replicas`` > 1
+        #: hosts every partition in that many independent actor pools; a
+        #: fan-out call unanswered after ``hedge_delay_s`` is issued to
+        #: the next replica and the first completion wins (losers are
+        #: best-effort cancelled).  ``fanout_timeout_s`` stays the
+        #: fail-hard deadline (the reference's 30 s solver abandon).
+        self.hedge_delay_s = hedge_delay_s
+        #: hedge launches since construction (observability; tests assert
+        #: a slow replica fires it and a healthy pool does not)
+        self.hedges_fired = 0
+        replicas = max(1, int(replicas)) if use_actors else 1
         if use_actors:
-            self.readers = [self._spawn(i) for i in range(n)]
+            self._pools = [[self._spawn(i) for i in range(n)]
+                           for _r in range(replicas)]
+            self.readers = self._pools[0]
         else:
             self.readers = [PartitionReader(index_dir, a, preload_segments)
                             for a in assignment]
+            self._pools = [self.readers]
 
     def _spawn(self, i: int):
         cls = ray.remote(num_cpus=self._num_cpus)(PartitionReader)
@@ -815,29 +842,44 @@ class Searcher:
 
     # -------------- fan-out helper --------------
     def _fanout(self, method: str, *args, readers: list[int] | None = None,
-                **kwargs) -> list:
+                all_replicas: bool = False, **kwargs) -> list:
         """Call ``method`` on every reader (or the ``readers`` subset) in
         parallel.  A dead or hung actor is respawned from the manifest and
         its call retried once — a failed replica must not stall the query
-        (reference role: replica racing / lowest-latency solver)."""
+        (reference role: replica racing / lowest-latency solver).
+
+        ``all_replicas=True`` — for STATE-MUTATING methods (tombstone
+        loads): the call goes to every replica pool and waits for all of
+        them; racing would leave the losing replicas stale."""
         idxs = list(readers) if readers is not None \
             else list(range(len(self.readers)))
         if not self.use_actors:
             return [getattr(self.readers[i], method)(*args, **kwargs)
                     for i in idxs]
+        if all_replicas and len(self._pools) > 1:
+            packed = ray.put((args, kwargs))
+            refs = [pool[i].call_packed.remote(method, packed)
+                    for pool in self._pools for i in idxs]
+            res = ray.get(refs, timeout=self.fanout_timeout_s)
+            return res[:len(idxs)]  # pool-0 view (identical across pools)
         if args or kwargs:
             # serialize the (possibly AST-bearing) args once, fan out refs
             packed = ray.put((args, kwargs))
             return self._recoverable_get(
                 idxs,
-                lambda i: self.readers[i].call_packed.remote(method, packed))
+                lambda i, pool=0: self._pools[pool][i].call_packed.remote(
+                    method, packed))
         return self._recoverable_get(
-            idxs, lambda i: getattr(self.readers[i], method).remote())
+            idxs,
+            lambda i, pool=0: getattr(self._pools[pool][i], method).remote())
 
     def _recoverable_get(self, idxs: list[int], make_ref) -> list:
         """ray.get over per-reader refs; a dead/hung reader is killed,
         respawned, and its call re-issued once (``make_ref`` re-reads
-        ``self.readers``, so the retry binds the fresh actor)."""
+        ``self._pools``, so the retry binds the fresh actor).  With
+        ``replicas`` > 1, delegates to the hedged race instead."""
+        if len(self._pools) > 1:
+            return self._hedged_get(idxs, make_ref)
         refs = [make_ref(i) for i in idxs]
         try:
             return ray.get(refs, timeout=self.fanout_timeout_s)
@@ -857,6 +899,75 @@ class Searcher:
                 out.append(ray.get(make_ref(pos),
                                    timeout=self.fanout_timeout_s))
         return out
+
+    def _hedged_get(self, idxs: list[int], make_ref) -> list:
+        """Replica racing (MiruLowestLatencySolver semantics): issue each
+        reader call on pool 0; any call unanswered after ``hedge_delay_s``
+        is ALSO issued to the next replica pool, one more per tick, until
+        the pools are exhausted.  First completion per reader wins and the
+        losers are best-effort cancelled; a reader whose every replica
+        errored is respawned once, then the error propagates.
+        ``fanout_timeout_s`` remains the fail-hard deadline."""
+        nrep = len(self._pools)
+        t0 = time.monotonic()
+        inflight = {make_ref(i, 0): (i, 0) for i in idxs}
+        launched = {i: 1 for i in idxs}
+        results: dict[int, object] = {}
+        respawned: set[int] = set()
+        while len(results) < len(idxs):
+            budget = (None if self.fanout_timeout_s is None
+                      else self.fanout_timeout_s - (time.monotonic() - t0))
+            if budget is not None and budget <= 0:
+                raise ray.exceptions.GetTimeoutError(
+                    f"hedged fan-out exceeded {self.fanout_timeout_s}s")
+            can_hedge = any(launched[i] < nrep
+                            for i in idxs if i not in results)
+            wait_t = self.hedge_delay_s if can_hedge else budget
+            if budget is not None and wait_t is not None:
+                wait_t = min(wait_t, budget)
+            done, _ = ray.wait(list(inflight), num_returns=1,
+                               timeout=wait_t)
+            if not done:  # hedge tick: add one replica per straggler
+                for i in idxs:
+                    if i not in results and launched[i] < nrep:
+                        p = launched[i]
+                        inflight[make_ref(i, p)] = (i, p)
+                        launched[i] += 1
+                        self.hedges_fired += 1
+                continue
+            ref = done[0]
+            i, pool = inflight.pop(ref)
+            if i in results:
+                continue
+            try:
+                results[i] = ray.get(ref)
+            except Exception:
+                if any(j == i for (j, _p) in inflight.values()):
+                    continue  # a sibling replica is still racing
+                if launched[i] < nrep:  # fail fast to the next replica
+                    p = launched[i]
+                    inflight[make_ref(i, p)] = (i, p)
+                    launched[i] += 1
+                    self.hedges_fired += 1
+                    continue
+                if i in respawned:
+                    raise
+                respawned.add(i)
+                try:
+                    ray.kill(self._pools[pool][i])
+                except Exception:
+                    pass
+                self._pools[pool][i] = self._spawn(i)
+                inflight[make_ref(i, pool)] = (i, pool)
+                continue
+            for r, (j, _p) in list(inflight.items()):
+                if j == i:  # cancel the losing replicas
+                    inflight.pop(r)
+                    try:
+                        ray.cancel(r)
+                    except Exception:
+                        pass
+        return [results[i] for i in idxs]
 
     def _prepare(self, ast: Node, need_stats: bool = True):
         """Phase 1: global prefix expansion + global term stats (cached).
@@ -1036,8 +1147,9 @@ class Searcher:
             ridx = sorted(by_reader)
             if self.use_actors:
                 parts = self._recoverable_get(
-                    ridx, lambda i: self.readers[i].topk_time_packed.remote(
-                        shared, by_reader[i]))
+                    ridx,
+                    lambda i, pool=0: self._pools[pool][i]
+                    .topk_time_packed.remote(shared, by_reader[i]))
             else:
                 parts = [self.readers[i].topk_time(ast, k, expansions,
                                                    by_reader[i])
@@ -1097,7 +1209,8 @@ class Searcher:
         existing.update(int(d) for d in doc_ids)
         doc_list = sorted(existing)
         atomic_write_json(tpath, doc_list)
-        counts = self._fanout("load_tombstones", doc_list)
+        counts = self._fanout("load_tombstones", doc_list,
+                              all_replicas=True)
         return sum(counts)
 
     def _to_ast(self, query) -> Node:
@@ -1117,6 +1230,8 @@ class Searcher:
 
     def close(self):
         if self.use_actors:
-            for r in self.readers:
-                ray.kill(r)
+            for pool in self._pools:
+                for r in pool:
+                    ray.kill(r)
         self.readers = []
+        self._pools = [self.readers]
