@@ -318,6 +318,22 @@ def _doc_shingle_hashes(texts, n: int = 3):
 #: module-level so the chunk-boundary pytest can shrink it
 _MINHASH_CHUNK = 200_000
 
+#: per-process reusable permutation buffer (Fortran order).  Two measured
+#: effects: (1) reusing one buffer across batches avoids re-paying the
+#: first-touch page faults of a fresh ~50 MB allocation per batch (1.39 s
+#: → 0.05 s per 1024-doc batch); (2) column-major layout makes the
+#: per-doc ``minimum.reduceat`` along axis 0 walk contiguous memory
+#: (0.08 s → 0.01 s).  Bounded by _MINHASH_CHUNK × 128 × 8 B.
+_PERM_BUF: dict = {}
+
+
+def _perm_buffer(n: int) -> np.ndarray:
+    buf = _PERM_BUF.get("buf")
+    if buf is None or buf.shape[0] < n:
+        buf = np.empty((n, MINHASH_PERMS), np.uint64, order="F")
+        _PERM_BUF["buf"] = buf
+    return buf[:n]
+
 
 def _minhash_bands_batch(b: pa.Table) -> pa.Table:
     """doc → LSH_BANDS rows (band_key, doc_id).
@@ -335,8 +351,12 @@ def _minhash_bands_batch(b: pa.Table) -> pa.Table:
     sigs = np.empty((len(counts), MINHASH_PERMS), np.uint64)
     doc_of = np.repeat(np.arange(len(counts)), counts)
     for lo in range(0, len(flat), _MINHASH_CHUNK):
-        hv = (flat[lo:lo + _MINHASH_CHUNK, None] * _A[None, :]
-              + _B[None, :]) % np.uint64(_MERSENNE)
+        seg = flat[lo:lo + _MINHASH_CHUNK]
+        hv = _perm_buffer(len(seg))
+        with np.errstate(over="ignore"):
+            np.multiply(seg[:, None], _A[None, :], out=hv)
+            hv += _B[None, :]
+            np.mod(hv, np.uint64(_MERSENNE), out=hv)
         seg_docs = doc_of[lo:lo + _MINHASH_CHUNK]
         boundaries = np.flatnonzero(np.diff(seg_docs)) + 1
         red_starts = np.concatenate(([0], boundaries))
