@@ -401,6 +401,44 @@ def q_phrase_positional_count(sf_dir: str,
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
 
 
+def q_phrase_slop_count(sf_dir: str, a: str = "stream", b: str = "hash",
+                        slop: int = 2) -> pa.Table:
+    """Sloppy-phrase (ordered proximity) count from the POSITIONAL index:
+    ``"a b"~N`` matches docs where `b` follows `a` within N extra
+    positions — served by per-candidate greedy chains over the position
+    runs, no stored-text gather (``LuceneBackedQueryParser`` sloppy
+    phrases, reordering not licensed)."""
+    from ..query.parser import parse_query
+    idir = index_dir_for(sf_dir, POSITIONAL_CFG)
+    key = (idir, 2)
+    s = _SEARCHERS.get(key)
+    if s is None or not s.readers:
+        s = Searcher(idir, num_readers=2)
+        _SEARCHERS[key] = s
+    ast = parse_query(f'"{a} {b}"~{slop}')
+    return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
+
+
+def phrase_slop_sql(a: str = "stream", b: str = "hash",
+                    slop: int = 2) -> str:
+    # ordinality via parallel unnest (DuckDB zips equal-length unnests);
+    # EXISTS(b after a within slop) ⇔ the engine's ordered-near window
+    return f"""
+{SQL_PROLOGUE},
+otok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+         unnest(range(1, len(regexp_extract_all(lower(text),
+                                                '[a-z0-9]+')) + 1)) AS ord
+  FROM docs)
+SELECT count(*)::BIGINT AS n_matched FROM (
+  SELECT DISTINCT x.doc_id
+  FROM otok x JOIN otok y ON y.doc_id = x.doc_id
+   AND x.tok = '{a}' AND y.tok = '{b}'
+   AND y.ord > x.ord AND y.ord - x.ord - 1 <= {slop})
+""".strip()
+
+
 def phrase_count_sql(phrase: str = "spark merge") -> str:
     # normalize the phrase through the SAME tokenization the engine
     # applies (lowercase [a-z0-9]+): a raw phrase with case/punctuation —

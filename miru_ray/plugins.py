@@ -54,6 +54,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embed_semdedup_counts",
     "fulltext_phrase_bigram_count",
     "fulltext_phrase_positional_count",
+    "fulltext_phrase_slop_count",
     "embed_cluster_sample",
     "text_rarity_topk",
     # never driver-witnessed as of r03 (judge's list, VERDICT.md)
@@ -210,6 +211,8 @@ WHERE tf.term = 'spark' AND d.role = 'user'
         F.phrase_count_sql(), ("fulltext", "bigram"))
     reg("fulltext_phrase_positional_count", F.q_phrase_positional_count,
         F.phrase_count_sql("stream table hash"), ("fulltext", "positional"))
+    reg("fulltext_phrase_slop_count", F.q_phrase_slop_count,
+        F.phrase_slop_sql(), ("fulltext", "positional"))
     reg("fulltext_phrase_count", F.q_phrase_count, F.phrase_count_sql(),
         ("fulltext",))
     reg("fulltext_facet_role", F.q_facet_counts, F.facet_sql(),

@@ -49,6 +49,26 @@ from .filter import (And, Authz, Boost, Fuzzy, Node, Not, NumericRange,
 from .parser import parse_query
 
 
+def _ordered_near(pos_lists: list, slop: int) -> bool:
+    """True iff an in-order chain p1 < p2 < … < pk exists with
+    span − (k−1) ≤ slop (the sloppy-phrase window; no reordering).
+    Greedy earliest-next per start is exact: picking the smallest legal
+    next position minimizes the chain's end for that start, hence its
+    span."""
+    k = len(pos_lists)
+    for p1 in pos_lists[0]:
+        prev, ok = int(p1), True
+        for pl in pos_lists[1:]:
+            j = int(np.searchsorted(pl, prev + 1))
+            if j == len(pl):
+                ok = False
+                break
+            prev = int(pl[j])
+        if ok and prev - int(p1) - (k - 1) <= slop:
+            return True
+    return False
+
+
 def _lev_leq_mask(cands: np.ndarray, query: str, max_d: int) -> np.ndarray:
     """Boolean mask of candidate strings within ``max_d`` Levenshtein
     distance of ``query`` (identical terms INCLUDED — Lucene's fuzzy
@@ -459,8 +479,9 @@ class PartitionReader:
             # gather at all), a strictly tighter candidate set beyond.
             use_pos = node.field in getattr(self.cfg, "positional_fields",
                                             ())
+            slop = getattr(node, "slop", 0)
             use_bigrams = (
-                not use_pos
+                not use_pos and slop == 0
                 and node.field in getattr(self.cfg, "phrase_bigram_fields",
                                           ())
                 and len(node.terms) >= 2)
@@ -479,6 +500,33 @@ class PartitionReader:
             if use_bigrams and len(node.terms) == 2:
                 return mask  # a single bigram IS exact adjacency
             cand = np.flatnonzero(mask) + base
+            if use_pos and slop > 0:
+                # sloppy phrase from positions alone: per candidate doc,
+                # greedy in-order chain (earliest next position per term
+                # minimizes the chain's end, so greedy-per-start is exact
+                # for span − (k−1) ≤ slop).  The python loop is bounded
+                # by the AND-of-all-terms candidate count.
+                per = []
+                for t in node.terms:
+                    pv = self._positions(pid, t, cache)
+                    if pv is None:
+                        return np.zeros(count, bool)
+                    docs, tfs, flat = pv
+                    src = np.zeros(len(tfs) + 1, np.int64)
+                    np.cumsum(tfs, out=src[1:])
+                    per.append((docs, tfs, flat, src))
+                mask = np.zeros(count, bool)
+                for d in cand:
+                    pls = []
+                    for docs, tfs, flat, src in per:
+                        j = int(np.searchsorted(docs, d))
+                        if j >= len(docs) or docs[j] != d:
+                            pls = None
+                            break
+                        pls.append(flat[src[j]:src[j] + int(tfs[j])])
+                    if pls is not None and _ordered_near(pls, slop):
+                        mask[d - base] = True
+                return mask
             if use_pos:
                 # exact adjacency for ANY phrase length from the position
                 # streams alone: term i at position p starts a match at
@@ -519,14 +567,24 @@ class PartitionReader:
             t = self._docstore(pid).to_table(
                 columns=["doc_id", node.field],
                 filter=pads.field("doc_id").isin(cand.tolist()))
-            needle = " " + node.token_string() + " "
             # adjacency over the SAME token stream the index saw (stopwords
             # stripped when the index strips them — analyzer parity)
             stop = EN_STOPWORDS if self.cfg.remove_stopwords else None
-            ok_ids = [int(d) for d, txt in zip(t["doc_id"].to_pylist(),
-                                               t[node.field].to_pylist())
-                      if needle in
-                      " " + " ".join(py_tokenize(txt or "", stop)) + " "]
+            if slop > 0:
+                ok_ids = []
+                for d, txt in zip(t["doc_id"].to_pylist(),
+                                  t[node.field].to_pylist()):
+                    toks = np.array(py_tokenize(txt or "", stop),
+                                    dtype=object)
+                    pls = [np.flatnonzero(toks == tm) for tm in node.terms]
+                    if all(len(p) for p in pls) and _ordered_near(pls, slop):
+                        ok_ids.append(int(d))
+            else:
+                needle = " " + node.token_string() + " "
+                ok_ids = [int(d) for d, txt in zip(t["doc_id"].to_pylist(),
+                                                   t[node.field].to_pylist())
+                          if needle in
+                          " " + " ".join(py_tokenize(txt or "", stop)) + " "]
             mask = np.zeros(count, bool)
             mask[np.asarray(ok_ids, np.int64) - base] = True
             return mask

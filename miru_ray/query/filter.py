@@ -78,14 +78,20 @@ class TimeRange(Node):
 
 @dataclass(frozen=True)
 class Phrase(Node):
-    """Exact phrase over tokenized text: the terms must appear ADJACENT in
-    token order.  Evaluated as AND of the term postings (candidate mask)
-    followed by token-adjacency verification against the stored text —
-    the engine has no positional index (the reference defers phrases to
-    Lucene's parser; this is the documented equivalent that keeps the
-    segment format positions-free).  Scores like an AND of its terms."""
+    """Phrase over tokenized text.  ``slop=0`` (default): the terms must
+    appear ADJACENT in token order.  ``slop=N`` (``"a b"~N``, the sloppy
+    phrase of ``LuceneBackedQueryParser``): ORDERED proximity — the terms
+    must appear in order within a window of at most ``slop`` extra
+    positions (span − (k−1) ≤ slop; reordering is not licensed, a
+    documented divergence from Lucene's transposition-at-cost-2).
+
+    Evaluated as AND of the term postings (candidate mask) followed by
+    position verification — from the positional index when the field
+    stores positions, else against the stored text.  Scores like an AND
+    of its terms."""
     field: str
     terms: tuple
+    slop: int = 0
 
     def token_string(self) -> str:
         return " ".join(self.terms)

@@ -18,22 +18,25 @@ phrase semantics to Lucene's parser).
 from __future__ import annotations
 
 import re
+from dataclasses import replace
 
 from ..tokenize import py_tokenize
-from .filter import And, Boost, Fuzzy, Node, Not, NumericRange, Or, Prefix, Term
+from .filter import (And, Boost, Fuzzy, Node, Not, NumericRange, Or, Phrase,
+                     Prefix, Term)
 
 # bracket ranges (`field:[10 TO 20]`) tokenize as ONE atom — the inner
 # space must not split them.  Quoted phrases may carry a '-' or 'field:'
 # prefix; plain tokens EXCLUDE parens/quotes so ')' glued to a word still
 # closes its group instead of being swallowed by the word token.
 _TOKEN_SPLIT = re.compile(
-    r'-?(?:[\w.]+:)?"[^"]*"(?:\^\d+(?:\.\d+)?)?'
+    r'-?(?:[\w.]+:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
     r'|\(|\)|\S+:\[[^\]]*\]|[^\s()"]+')
 
 _RANGE = re.compile(r'^(-?\d+)\s+TO\s+(-?\d+)$', re.IGNORECASE)
 _BARE_BOOST = re.compile(r'^\^(\d+(?:\.\d+)?)$')
 _BOOST = re.compile(r'^(.*\S)\^(\d+(?:\.\d+)?)$')
 _FUZZY = re.compile(r'^(.*\S)~([12])?$')
+_SLOP = re.compile(r'^(.*")~(\d+)$')   # sloppy phrase '"a b"~N'
 
 
 def parse_query(q: str, default_field: str = "text",
@@ -140,9 +143,19 @@ def _atom(tok: str, default_field: str,
     boost = None
     m = _BOOST.match(tok)
     # strip a trailing ^N from any atom INCLUDING quoted phrases
-    # ('"big data"^2'), but never from inside the quotes ('"a^2"')
-    if m and ('"' not in tok or m.group(1).endswith('"')):
+    # ('"big data"^2') and sloppy phrases ('"big data"~2^3'), but never
+    # from inside the quotes ('"a^2"')
+    if m and ('"' not in tok
+              or re.search(r'"(~\d+)?$', m.group(1)) is not None):
         tok, boost = m.group(1), float(m.group(2))
+    m = _SLOP.match(tok)
+    if m:  # '"a b"~N' / 'f:"a b"~N': ordered proximity within slop
+        inner = _atom_base(m.group(1), default_field, stopwords)
+        if isinstance(inner, Phrase):
+            inner = replace(inner, slop=int(m.group(2)))
+        if inner is None or boost is None:
+            return inner
+        return Boost(inner, boost)
     if not tok.startswith('"') and ":\"" not in tok:
         m = _FUZZY.match(tok)
         if m and not tok.startswith("[") and "]" not in tok:

@@ -192,3 +192,72 @@ def test_multi_text_field_tf_sums(tmp_path, ray_session):
     row = r.lookup("merge")
     docs, tfs = r.postings(row)
     assert list(docs) == [0, 1] and list(tfs) == [1, 1]
+
+
+# ---------------------------------------------------------------------------
+# sloppy phrases ("a b"~N): ordered proximity within a window
+# ---------------------------------------------------------------------------
+
+def test_parser_slop_forms():
+    from miru_ray.query.filter import Boost, Phrase
+    from miru_ray.query.parser import parse_query
+    ast = parse_query('"alpha beta"~3')
+    assert isinstance(ast, Phrase) and ast.slop == 3
+    b = parse_query('"alpha beta"~2^3')
+    assert isinstance(b, Boost) and b.child.slop == 2
+    f = parse_query('text:"alpha beta"~1')
+    assert isinstance(f, Phrase) and f.slop == 1 and f.field == "text"
+    # plain phrase stays slop=0; '~' inside quotes is not slop syntax
+    assert parse_query('"alpha beta"').slop == 0
+
+
+def _brute_near(texts, terms, slop):
+    n = 0
+    for s in texts:
+        ts = re.findall(r"[a-z0-9]+", (s or "").lower())
+        pls = [[i for i, t in enumerate(ts) if t == q] for q in terms]
+        if any(not p for p in pls):
+            continue
+        found = False
+        for p1 in pls[0]:
+            prev, ok = p1, True
+            for pl in pls[1:]:
+                nxt = [x for x in pl if x > prev]
+                if not nxt:
+                    ok = False
+                    break
+                prev = nxt[0]
+            if ok and prev - p1 - (len(terms) - 1) <= slop:
+                found = True
+                break
+        n += found
+    return n
+
+
+def test_slop_parity_both_paths(pos_indexes, xs_path):
+    """Positional path, docstore path and a brute-force oracle agree on
+    ordered-proximity counts for sampled term tuples × slops."""
+    pos_dir, ref_dir = pos_indexes
+    sp = Searcher(pos_dir, num_readers=2)
+    sr = Searcher(ref_dir, num_readers=2)
+    texts = pq.read_table(xs_path, columns=["text"])["text"].to_pylist()
+    rnd = random.Random(3)
+    vocab = sorted({t for s in texts[:200]
+                    for t in re.findall(r"[a-z0-9]+", s.lower())})
+    cases = [(("alpha", "beta"), 1), (("alpha", "beta"), 4),
+             (("beta", "alpha", "merge"), 2)]
+    for _ in range(6):
+        k = rnd.choice([2, 3])
+        cases.append((tuple(rnd.sample(vocab, k)), rnd.choice([1, 2, 5])))
+    for terms, slop in cases:
+        ast = parse_query('"' + " ".join(terms) + f'"~{slop}')
+        want = _brute_near(texts, terms, slop)
+        assert sp.count(ast) == want, (terms, slop)
+        assert sr.count(ast) == want, (terms, slop)
+
+
+def test_slop_zero_equals_exact_phrase(pos_indexes):
+    pos_dir, _ = pos_indexes
+    sp = Searcher(pos_dir, num_readers=2)
+    assert sp.count(parse_query('"alpha beta"~0')) == \
+        sp.count(parse_query('"alpha beta"'))
