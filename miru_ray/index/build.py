@@ -70,7 +70,8 @@ from ..tokenize import EN_STOPWORDS, explode_tokens
 from ..util import (atomic_write_json, broadcast_get, input_fingerprint,
                     list_parquet_files, read_json, read_parquet_clean,
                     sorted_lookup, term_shard)
-from .segments import encode_segment_table, segment_rel_path, write_segment
+from .segments import (empty_pos_column, encode_segment_table,
+                       segment_rel_path, write_segment)
 
 logger = logging.getLogger(__name__)
 
@@ -408,10 +409,7 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
         raise ValueError("positional_fields must equal text_fields and "
                          "contain exactly one field")
     positional = bool(pos_fields)
-
-    def _empty_pos(n: int) -> pa.ListArray:
-        return pa.ListArray.from_arrays(
-            pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32()))
+    _empty_pos = empty_pos_column  # closure capture for Ray workers
 
     def to_postings(batch: pa.Table) -> pa.Table:
         if offsets_ref is not None:

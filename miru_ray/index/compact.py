@@ -253,8 +253,19 @@ def compact_index(src_dir: str, dst_dir: str, *,
     os.makedirs(seg_meta_dir, exist_ok=True)
     atomic_write_json(os.path.join(seg_meta_dir, "_META.json"), tag)
     seg_cols = ["term", "df", "doc_bytes", "tf_bytes"]
-    if seg_paths and "pos_bytes" in pq.read_schema(seg_paths[0]).names:
-        seg_cols.append("pos_bytes")  # positional index: carry positions
+    if getattr(cfg, "positional_fields", ()):
+        # positional index: carry positions.  Decided by the CONFIG, not
+        # a first-file schema sniff — a mixed directory (one segment
+        # missing pos_bytes) must fail loudly here, not silently strip
+        # every term's positions from the compacted output
+        missing = [p for p in seg_paths
+                   if "pos_bytes" not in pq.read_schema(p).names]
+        if missing:
+            raise ValueError(
+                "positional index has segments without pos_bytes "
+                f"(e.g. {os.path.basename(missing[0])}) — corrupt or "
+                "mixed-schema directory; rebuild before compacting")
+        seg_cols.append("pos_bytes")
     postings = (read_parquet_clean(
                     seg_paths,
                     columns=seg_cols)

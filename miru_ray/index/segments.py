@@ -55,6 +55,15 @@ SEGMENT_SCHEMA = pa.schema([
 SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA.append(pa.field("pos_bytes", pa.binary()))
 
 
+def empty_pos_column(n: int) -> pa.ListArray:
+    """All-empty ``pos`` runs for n posting rows — pads parts that carry
+    no positions (keyword/numeric/bigram terms, upgrade deltas) so they
+    concat-align with positional parts.  THE one definition: the encoder
+    keys its implied-split invariant off these lengths."""
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32()))
+
+
 def segment_rel_path(pid: int, shard: int) -> str:
     return f"segments/p{pid:05d}_s{shard:03d}.parquet"
 

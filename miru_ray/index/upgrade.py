@@ -44,8 +44,8 @@ from ..util import atomic_write_json, read_json, read_parquet_clean
 from .build import (MANIFEST_VERSION, _build_tag, _spill_postings,
                     doclen_rel_path, make_postings_fn,
                     write_doclen_partial)
-from .segments import (encode_segment_table, segment_rel_path,
-                       segment_to_rows, write_segment)
+from .segments import (empty_pos_column, encode_segment_table,
+                       segment_rel_path, segment_to_rows, write_segment)
 
 
 def check_additive(old: IndexConfig, new: IndexConfig) -> dict:
@@ -60,6 +60,12 @@ def check_additive(old: IndexConfig, new: IndexConfig) -> dict:
             getattr(new, "phrase_bigram_fields", ())):
         problems.append("phrase_bigram_fields differ (bigram postings "
                         "derive from text — full rebuild required)")
+    if tuple(getattr(old, "positional_fields", ())) != tuple(
+            getattr(new, "positional_fields", ())):
+        problems.append("positional_fields differ (position streams "
+                        "derive from text — full rebuild required; an "
+                        "exec-knob flip would leave phrase queries "
+                        "reading positions that were never stored)")
     for knob in ("docs_per_partition", "num_shards", "remove_stopwords"):
         if getattr(old, knob) != getattr(new, knob):
             problems.append(f"{knob} differs")
@@ -123,6 +129,8 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
     # always there and skip the sidecar forever
     old_cells = frozenset((s0["pid"], s0["shard"]) for s0 in m["segments"])
 
+    positional = bool(getattr(new_cfg, "positional_fields", ()))
+
     @ray.remote(num_cpus=1)
     def merge_cell(gdir: str, pid: int, shard: int) -> dict:
         import pyarrow as pa
@@ -130,20 +138,18 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
             ["term", "doc_id", "tf"])
         seg_path = os.path.join(index_dir, segment_rel_path(pid, shard))
         had_old = (pid, shard) in old_cells
+        if positional:
+            # positional index: upgrade deltas are keyword terms (no
+            # positions) — pad empty runs so the concat aligns AND so a
+            # brand-new cell still gets a pos_bytes column (a mixed
+            # segment schema would silently strip positions at the next
+            # compaction's whole-dir read)
+            delta = delta.append_column(
+                "pos", empty_pos_column(delta.num_rows))
         # a manifest-listed cell whose file is missing is CORRUPTION —
         # let the decode raise rather than silently dropping postings
-        if had_old:
-            old_rows = segment_to_rows(seg_path)
-            if "pos" in old_rows.column_names:
-                # positional base index: upgrade deltas are keyword terms
-                # (no positions) — pad empty runs so the concat aligns
-                import numpy as np
-                delta = delta.append_column("pos", pa.ListArray.from_arrays(
-                    pa.array(np.zeros(delta.num_rows + 1, np.int32)),
-                    pa.array([], pa.int32())))
-            rows = pa.concat_tables([old_rows, delta])
-        else:
-            rows = delta
+        rows = (pa.concat_tables([segment_to_rows(seg_path), delta])
+                if had_old else delta)
         seg, dl = encode_segment_table(rows, with_doclen=True)
         write_segment(seg, seg_path)
         # a brand-new cell needs its (possibly empty) doclen sidecar so

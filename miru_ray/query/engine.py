@@ -416,6 +416,9 @@ class PartitionReader:
         key = (pid, term, "pos")
         if key in cache:
             return cache[key]
+        if key in self._post_cache:  # hot phrase terms: decode once per
+            cache[key] = self._post_cache[key]  # reader, not per query
+            return cache[key]
         seg, row = self._lookup(pid, term)
         val = None
         if row is not None and seg.has_positions:
@@ -423,6 +426,9 @@ class PartitionReader:
             if p is not None:
                 val = (p[0], p[1], seg.positions(row, p[1]))
         cache[key] = val
+        if len(self._post_cache) >= self._post_cache_cap:
+            self._post_cache.clear()  # same epoch eviction as postings
+        self._post_cache[key] = val
         return val
 
     def _alive_mask(self, pid: int, mask: np.ndarray) -> np.ndarray:
@@ -916,10 +922,30 @@ class Searcher:
                     for i in idxs]
         if all_replicas and len(self._pools) > 1:
             packed = ray.put((args, kwargs))
-            refs = [pool[i].call_packed.remote(method, packed)
-                    for pool in self._pools for i in idxs]
-            res = ray.get(refs, timeout=self.fanout_timeout_s)
-            return res[:len(idxs)]  # pool-0 view (identical across pools)
+            refs = [(p, i, self._pools[p][i].call_packed.remote(
+                         method, packed))
+                    for p in range(len(self._pools)) for i in idxs]
+            res = {}
+            for p, i, ref in refs:
+                try:
+                    res[(p, i)] = ray.get(ref,
+                                          timeout=self.fanout_timeout_s)
+                except (ray.exceptions.RayActorError,
+                        ray.exceptions.GetTimeoutError):
+                    # a dead replica must not make mutations fail forever
+                    # while hedged reads keep succeeding: respawn it (the
+                    # fresh actor reads tombstones.json — already written
+                    # by remove_docs — in __init__) and retry once
+                    try:
+                        ray.kill(self._pools[p][i])
+                    except Exception:
+                        pass
+                    self._pools[p][i] = self._spawn(i)
+                    res[(p, i)] = ray.get(
+                        self._pools[p][i].call_packed.remote(method,
+                                                             packed),
+                        timeout=self.fanout_timeout_s)
+            return [res[(0, i)] for i in idxs]  # pool-0 view (identical)
         if args or kwargs:
             # serialize the (possibly AST-bearing) args once, fan out refs
             packed = ray.put((args, kwargs))
@@ -970,43 +996,56 @@ class Searcher:
         t0 = time.monotonic()
         inflight = {make_ref(i, 0): (i, 0) for i in idxs}
         launched = {i: 1 for i in idxs}
+        #: per-reader hedge deadline — steady completions from OTHER
+        #: readers must not starve a straggler's hedge (every straggler
+        #: hedges hedge_delay_s after ITS OWN launch, not after a fully
+        #: idle wait window)
+        next_due = {i: t0 + self.hedge_delay_s for i in idxs}
         results: dict[int, object] = {}
         respawned: set[int] = set()
+
+        def _hedge(i: int) -> None:
+            p = launched[i]
+            inflight[make_ref(i, p)] = (i, p)
+            launched[i] += 1
+            next_due[i] = time.monotonic() + self.hedge_delay_s
+            self.hedges_fired += 1
+
         while len(results) < len(idxs):
+            now = time.monotonic()
             budget = (None if self.fanout_timeout_s is None
-                      else self.fanout_timeout_s - (time.monotonic() - t0))
+                      else self.fanout_timeout_s - (now - t0))
             if budget is not None and budget <= 0:
                 raise ray.exceptions.GetTimeoutError(
                     f"hedged fan-out exceeded {self.fanout_timeout_s}s")
-            can_hedge = any(launched[i] < nrep
-                            for i in idxs if i not in results)
-            wait_t = self.hedge_delay_s if can_hedge else budget
+            for i in idxs:  # fire every hedge past its own deadline
+                if (i not in results and launched[i] < nrep
+                        and now >= next_due[i]):
+                    _hedge(i)
+            due = [next_due[i] - now for i in idxs
+                   if i not in results and launched[i] < nrep]
+            wait_t = min(due) if due else budget
             if budget is not None and wait_t is not None:
                 wait_t = min(wait_t, budget)
             done, _ = ray.wait(list(inflight), num_returns=1,
-                               timeout=wait_t)
-            if not done:  # hedge tick: add one replica per straggler
-                for i in idxs:
-                    if i not in results and launched[i] < nrep:
-                        p = launched[i]
-                        inflight[make_ref(i, p)] = (i, p)
-                        launched[i] += 1
-                        self.hedges_fired += 1
-                continue
+                               timeout=(max(wait_t, 0.0)
+                                        if wait_t is not None else None))
+            if not done:
+                continue  # loop head fires any now-due hedges
             ref = done[0]
             i, pool = inflight.pop(ref)
             if i in results:
                 continue
             try:
                 results[i] = ray.get(ref)
-            except Exception:
+            except ray.exceptions.RayActorError:
+                # actor DEATH only — an application-level error (a
+                # deterministic raise from the query itself) propagates
+                # immediately instead of re-executing on every replica
                 if any(j == i for (j, _p) in inflight.values()):
                     continue  # a sibling replica is still racing
                 if launched[i] < nrep:  # fail fast to the next replica
-                    p = launched[i]
-                    inflight[make_ref(i, p)] = (i, p)
-                    launched[i] += 1
-                    self.hedges_fired += 1
+                    _hedge(i)
                     continue
                 if i in respawned:
                     raise
@@ -1250,8 +1289,13 @@ class Searcher:
         for d in np.asarray(doc_ids):
             by_reader[pid_to_reader[int(d) // dpp]].append(int(d))
         if self.use_actors:
-            parts = ray.get([self.readers[i].gather.remote(ids, list(columns))
-                             for i, ids in by_reader.items()])
+            # through the recoverable/hedged machinery: a dead pool-0
+            # actor that hedged READS tolerate must not crash gather
+            order = sorted(by_reader)
+            parts = self._recoverable_get(
+                order,
+                lambda i, pool=0: self._pools[pool][i].gather.remote(
+                    by_reader[i], list(columns)))
         else:
             parts = [self.readers[i].gather(ids, list(columns))
                      for i, ids in by_reader.items()]

@@ -58,7 +58,7 @@ def test_codec_positions_roundtrip():
         assert np.array_equal(decode_positions(blob, counts), pos)
 
 
-def test_segment_positional_roundtrip():
+def test_segment_positional_roundtrip(tmp_path):
     def lst(offsets, vals):
         return pa.ListArray.from_arrays(
             pa.array(np.array(offsets, np.int32)),
@@ -71,8 +71,9 @@ def test_segment_positional_roundtrip():
     })
     seg = encode_segment_table(rows)
     assert "pos_bytes" in seg.schema.names
-    write_segment(seg, "/tmp/test_pos_seg.parquet")
-    r = SegmentReader("/tmp/test_pos_seg.parquet")
+    seg_path = str(tmp_path / "pos_seg.parquet")
+    write_segment(seg, seg_path)
+    r = SegmentReader(seg_path)
     assert r.has_positions
     row = r.lookup("alpha")
     docs, tfs = r.postings(row)
