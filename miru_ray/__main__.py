@@ -59,6 +59,12 @@ def main(argv=None) -> int:
     r.add_argument("--index", required=True)
     r.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
 
+    st = sub.add_parser("stats", help="print the index's lineage + "
+                        "per-partition/per-stage metrics from the manifest")
+    st.add_argument("--index", required=True)
+    st.add_argument("--partitions", action="store_true",
+                    help="include the per-partition/segment table")
+
     y = sub.add_parser("sync", help="replicate an index (resume + verify)")
     y.add_argument("--src", required=True)
     y.add_argument("--dst", required=True)
@@ -185,6 +191,38 @@ def _run(args) -> int:
         n = s.remove_docs([int(x) for x in args.doc_ids.split(",")])
         print(json.dumps({"tombstoned": n}))
         s.close()
+        return 0
+
+    if args.cmd == "stats":
+        # lineage + metrics without opening the index: everything a
+        # monitoring probe needs is in the committed manifest (the
+        # per-partition lineage the build stages record)
+        import os
+        from .util import read_json
+        m = read_json(os.path.join(args.index, "manifest.json"))
+        seg_bytes = sum(
+            os.path.getsize(os.path.join(args.index, s["path"]))
+            for s in m["segments"]
+            if os.path.exists(os.path.join(args.index, s["path"])))
+        out = {
+            "version": m["version"],
+            "fingerprint": m["fingerprint"],
+            "n_docs": m["n_docs"], "n_convs": m["n_convs"],
+            "total_len": m["total_len"], "avgdl": m["avgdl"],
+            "n_input_files": len(m.get("input_files", [])),
+            "n_partitions": len(m["partitions"]),
+            "n_segments": len(m["segments"]),
+            "n_terms": int(sum(s["n_terms"] for s in m["segments"])),
+            "n_postings": int(sum(s["n_postings"] for s in m["segments"])),
+            "segment_bytes": seg_bytes,
+            "positional": bool(
+                m["config"].get("positional_fields")),
+            "stage_metrics": m.get("stages", {}),
+        }
+        print(json.dumps(out))
+        if args.partitions:
+            for s in m["segments"]:
+                print(json.dumps(s))
         return 0
 
     if args.cmd == "compact":

@@ -127,3 +127,19 @@ def test_app_error_propagates_without_failover(xs_index):
         assert s.count(parse_query("alpha")) > 0
     finally:
         s.close()
+
+
+def test_stats_cli_reports_lineage(xs_index, capsys):
+    """`miru_ray stats` surfaces the manifest's lineage + stage metrics
+    (the per-partition lineage/metrics the north rule names) without
+    opening the index."""
+    import json as _json
+    from miru_ray.__main__ import main
+    assert main(["stats", "--index", xs_index]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert out["n_docs"] > 0 and out["n_partitions"] >= 1
+    assert out["n_postings"] > 0 and out["segment_bytes"] > 0
+    assert "segments" in out["stage_metrics"]
+    assert main(["stats", "--index", xs_index, "--partitions"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 1 + out["n_segments"]
