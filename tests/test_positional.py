@@ -262,3 +262,49 @@ def test_slop_zero_equals_exact_phrase(pos_indexes):
     sp = Searcher(pos_dir, num_readers=2)
     assert sp.count(parse_query('"alpha beta"~0')) == \
         sp.count(parse_query('"alpha beta"'))
+
+
+def test_positional_build_resumes_byte_identical(xs_path, tmp_path):
+    """A positional build interrupted after the docstore stage resumes to
+    byte-identical segments (the pos_bytes column flows through the same
+    spill/encode checkpoints as the rest of the postings row)."""
+    import hashlib
+    import os
+
+    def _hashes(d):
+        out = {}
+        for root, _dirs, files in os.walk(os.path.join(d, "segments")):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[f] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        return out
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(xs_path, a, POS_CFG)
+    r1 = build_index(xs_path, b, POS_CFG, stop_after_stage="docstore")
+    assert r1["incomplete"]
+    build_index(xs_path, b, POS_CFG)
+    assert _hashes(a) == _hashes(b)
+
+
+def test_ordered_near_matches_bruteforce():
+    """Property test: the greedy chain in _ordered_near agrees with an
+    exhaustive search over ALL in-order chains, across random position
+    sets (the greedy-earliest-minimizes-span argument, checked)."""
+    from itertools import product as _product
+
+    from miru_ray.query.engine import _ordered_near
+
+    rng = np.random.default_rng(11)
+    for _ in range(400):
+        k = int(rng.integers(2, 5))
+        pls = [np.unique(rng.integers(0, 14, size=rng.integers(1, 6)))
+               for _ in range(k)]
+        slop = int(rng.integers(0, 6))
+        got = _ordered_near(pls, slop)
+        want = any(
+            all(c[j] > c[j - 1] for j in range(1, k))
+            and c[-1] - c[0] - (k - 1) <= slop
+            for c in _product(*pls))
+        assert got == want, (pls, slop, got, want)
