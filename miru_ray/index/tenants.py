@@ -38,9 +38,20 @@ class TenantRegistry:
 
     # ---------------- catalog ----------------
 
+    def refresh(self) -> None:
+        """Re-read the catalog from disk — another PROCESS may have
+        registered tenants since this instance loaded (the reference's
+        registry is a shared Amza table; ours is the shared file)."""
+        self._catalog = (read_json(self.path)
+                         if os.path.exists(self.path) else {})
+
     def register(self, tenant: str, index_dir: str,
                  cfg: IndexConfig) -> None:
         manifest = read_json(os.path.join(index_dir, "manifest.json"))
+        # merge-on-write: reload first so two registrars in different
+        # processes don't clobber each other's tenants (last writer wins
+        # only on the SAME tenant id, which is the re-pointing flow)
+        self.refresh()
         self._catalog[str(tenant)] = {
             "index_dir": os.path.abspath(index_dir),
             "config": cfg.to_dict(),
@@ -51,6 +62,32 @@ class TenantRegistry:
         # from a Searcher opened on the OLD directory
         for key in [k for k in self._searchers if k[0] == str(tenant)]:
             self._searchers.pop(key).close()
+
+    def unregister(self, tenant: str, destroy: bool = False) -> None:
+        """Remove a tenant from the catalog (closing its searchers);
+        ``destroy=True`` also deletes the tenant's index directory —
+        refused when another registered tenant still points at it."""
+        t = str(tenant)
+        self.refresh()
+        entry = self._catalog.get(t)
+        if entry is None:
+            raise KeyError(f"unknown tenant {tenant!r}")
+        if destroy:
+            # validate BEFORE mutating: a refused destroy must leave the
+            # tenant registered, not half-removed
+            shared = [o for o, e in self._catalog.items()
+                      if o != t and e["index_dir"] == entry["index_dir"]]
+            if shared:
+                raise ValueError(
+                    f"index dir {entry['index_dir']} is still used by "
+                    f"tenant(s) {shared}; not destroying")
+        self._catalog.pop(t)
+        atomic_write_json(self.path, self._catalog)
+        for key in [k for k in self._searchers if k[0] == t]:
+            self._searchers.pop(key).close()
+        if destroy:
+            import shutil
+            shutil.rmtree(entry["index_dir"], ignore_errors=True)
 
     def tenants(self) -> list[str]:
         return sorted(self._catalog)

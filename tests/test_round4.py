@@ -470,3 +470,48 @@ def test_cluster_sample_balanced_and_deterministic(tmp_path):
     # n_per larger than the cluster returns the whole cluster
     full = cluster_sample(d, k=2, iters=2, n_per=100).to_pandas()
     assert len(full) == 40
+
+
+def test_tenant_registry_unregister_and_refresh(tmp_path):
+    """Round-4 registry ops: unregister (catalog + searcher teardown,
+    destroy refused while another tenant shares the dir), and merge-on-
+    write so two registrar INSTANCES don't clobber each other."""
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    from miru_ray.index.tenants import TenantRegistry
+
+    docs = pa.table({
+        "conv_id": pa.array(["c0"] * 6),
+        "turn_idx": pa.array(range(6), pa.int32()),
+        "role": pa.array(["user"] * 6),
+        "text": pa.array(["alpha"] * 6),
+        "ts": pa.array(np.arange(6) * 1000, pa.int64()),
+    })
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pq.write_table(docs, os.path.join(d, "docs.parquet"))
+    cfg = IndexConfig(docs_per_partition=10, num_shards=1,
+                      keyword_fields=("role",))
+    idir = str(tmp_path / "idx")
+    build_index(d, idir, cfg)
+
+    root = str(tmp_path / "registry")
+    a, b = TenantRegistry(root), TenantRegistry(root)
+    a.register("t1", idir, cfg)
+    b.register("t2", idir, cfg)   # merge-on-write must KEEP t1
+    a.refresh()
+    assert a.tenants() == ["t1", "t2"]
+    # destroy refused while t2 still points at the same dir — and the
+    # refusal leaves t1 REGISTERED (validate-before-mutate)
+    with pytest.raises(ValueError, match="still used"):
+        a.unregister("t1", destroy=True)
+    a.refresh()
+    assert "t1" in a.tenants() and os.path.exists(idir)
+    a.unregister("t2")
+    a.unregister("t1", destroy=True)  # now sole owner: dir removed
+    assert not os.path.exists(idir)
+    assert a.tenants() == []
+    with pytest.raises(KeyError):
+        a.unregister("t1")
+    a.close()
+    b.close()
