@@ -54,6 +54,12 @@ def main(argv=None) -> int:
                    help="include conv_id/turn_idx/text columns")
     s.add_argument("--highlight", action="store_true")
     s.add_argument("--num-readers", type=int, default=4)
+    s.add_argument("--replicas", type=int, default=1,
+                   help="reader replica pools per partition; >1 enables "
+                        "hedged query racing (first answer wins)")
+    s.add_argument("--hedge-delay", type=float, default=0.1,
+                   help="seconds before an unanswered reader call is "
+                        "also issued to the next replica")
 
     r = sub.add_parser("remove", help="tombstone documents")
     r.add_argument("--index", required=True)
@@ -161,7 +167,9 @@ def _run(args) -> int:
 
     if args.cmd == "search":
         from .query.engine import Searcher
-        s = Searcher(args.index, num_readers=args.num_readers)
+        s = Searcher(args.index, num_readers=args.num_readers,
+                     replicas=args.replicas,
+                     hedge_delay_s=args.hedge_delay)
         res = s.topk(args.query, args.k, args.strategy, use_wand=args.wand)
         out = res.to_pandas()
         if (args.gather or args.highlight) and len(out):
