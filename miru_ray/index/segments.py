@@ -26,8 +26,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..codec import (_encode_and_split, bulk_encode_postings, decode_doc_ids,
-                     decode_positions, decode_tfs, position_gaps)
+from ..codec import (BLOCK_SIZE, bulk_encode_postings, decode_doc_ids,
+                     decode_positions, decode_tfs, position_gaps,
+                     varint_decode, varint_encode)
 from ..util import md5_64
 
 SEGMENT_SCHEMA = pa.schema([
@@ -49,10 +50,14 @@ SEGMENT_SCHEMA = pa.schema([
 
 #: positional-index variant: per-term within-doc position stream, delta-gap
 #: varints with one run per posting (run length == tf — the implied-split
-#: invariant the build asserts).  Only present when the index was built
-#: with ``IndexConfig.positional_fields``; default segments stay
-#: byte-identical to pre-positional builds.
-SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA.append(pa.field("pos_bytes", pa.binary()))
+#: invariant the build asserts), plus per-BLOCK byte offsets into that
+#: stream for candidate-only decode (block-seek).  Only present when the
+#: index was built with ``IndexConfig.positional_fields``; default
+#: segments stay byte-identical to pre-positional builds.
+SEGMENT_SCHEMA_POS = (SEGMENT_SCHEMA
+                      .append(pa.field("pos_bytes", pa.binary()))
+                      .append(pa.field("pos_block_bytes",
+                                       pa.list_(pa.int64()))))
 
 
 def empty_pos_column(n: int) -> pa.ListArray:
@@ -171,8 +176,32 @@ def encode_segment_table(group: pa.Table,
         gaps = position_gaps(flat, out_starts[:-1])
         # per-term split points in the flat position stream
         term_pos_starts = out_starts[starts]
+        blob, nb = varint_encode(gaps, return_nbytes=True)
+        byte_off = np.zeros(len(gaps) + 1, np.int64)
+        np.cumsum(nb, out=byte_off[1:])
+        mv = memoryview(blob)
+        tps_ext = np.append(term_pos_starts, len(gaps))
         cols["pos_bytes"] = pa.array(
-            _encode_and_split(gaps, term_pos_starts), type=pa.binary())
+            [bytes(mv[byte_off[tps_ext[i]]:byte_off[tps_ext[i + 1]]])
+             for i in range(len(term_pos_starts))], type=pa.binary())
+        # block-seek metadata (DERIVED at encode time — compaction's
+        # decode→re-encode recomputes it): byte offset of each
+        # BLOCK_SIZE-posting block's position runs, relative to the
+        # term's pos_bytes start.  Every run starts with an absolute
+        # position and blocks are posting-aligned, so a reader can
+        # decode ONLY the blocks holding candidate postings instead of
+        # a hot term's whole per-partition stream.
+        boff2 = enc["block_offsets"]
+        nblocks = np.diff(boff2)
+        block_term = np.repeat(np.arange(len(term_pos_starts)), nblocks)
+        within = np.arange(len(block_term)) - boff2[block_term]
+        bpost = starts[block_term] + within * BLOCK_SIZE  # first posting
+        rel = (byte_off[out_starts[bpost]]
+               - byte_off[term_pos_starts[block_term]])
+        cols["pos_block_bytes"] = pa.ListArray.from_arrays(
+            pa.array(boff2, type=pa.int32()) if boff2[-1] < 2**31
+            else pa.array(boff2, type=pa.int64()),
+            pa.array(rel, type=pa.int64()))
         schema = SEGMENT_SCHEMA_POS
     seg = pa.table(cols).cast(schema)
     return (seg, doclen) if with_doclen else seg
@@ -351,6 +380,50 @@ class SegmentReader:
             tfs = decode_tfs(self.table["tf_bytes"][row].as_py(),
                              int(self._df[row]))
         return decode_positions(self.table["pos_bytes"][row].as_py(), tfs)
+
+    def positions_at(self, row: int, tfs: np.ndarray,
+                     idx: np.ndarray) -> np.ndarray:
+        """Block-seek decode: flat positions for ONLY the postings in
+        ``idx`` (sorted posting indices), concatenated in order (split
+        points = cumsum of ``tfs[idx]``).  Decodes just the BLOCK_SIZE-
+        posting blocks containing ``idx`` via the per-block byte offsets
+        — a hot term's whole per-partition stream never leaves disk for
+        a sparse candidate set.  Bit-identical to slicing the full
+        :meth:`positions` decode."""
+        if ":" in self.terms[row] or not len(idx):
+            return np.empty(0, np.int64)
+        if "pos_block_bytes" not in self.table.column_names:
+            # positional segment from before block-seek metadata existed:
+            # slice the full decode instead
+            run_starts = np.zeros(len(tfs) + 1, np.int64)
+            np.cumsum(tfs, out=run_starts[1:])
+            flat = self.positions(row, tfs)
+            take = np.concatenate([
+                np.arange(run_starts[j], run_starts[j + 1]) for j in idx])
+            return flat[take]
+        pos_bytes = self.table["pos_bytes"][row].as_py()
+        bo = np.asarray(self.table["pos_block_bytes"][row].as_py(),
+                        dtype=np.int64)
+        run_starts = np.zeros(len(tfs) + 1, np.int64)
+        np.cumsum(tfs, out=run_starts[1:])
+        out = []
+        mv = memoryview(pos_bytes)
+        for b in np.unique(idx // BLOCK_SIZE):
+            p0 = int(b) * BLOCK_SIZE
+            p1 = min(p0 + BLOCK_SIZE, len(tfs))
+            count = int(run_starts[p1] - run_starts[p0])
+            if count == 0:
+                continue
+            end = int(bo[b + 1]) if b + 1 < len(bo) else len(pos_bytes)
+            flat = decode_positions(mv[int(bo[b]):end], tfs[p0:p1])
+            # select the wanted runs inside this block
+            sel = idx[(idx >= p0) & (idx < p1)] - p0
+            local = run_starts[p0:p1 + 1] - run_starts[p0]
+            take = np.concatenate([
+                np.arange(local[j], local[j] + tfs[p0 + j])
+                for j in sel]) if len(sel) else np.empty(0, np.int64)
+            out.append(flat[take])
+        return (np.concatenate(out) if out else np.empty(0, np.int64))
 
     def block_meta(self, row: int) -> tuple[np.ndarray, np.ndarray]:
         return (np.asarray(self.table["block_last_doc"][row].as_py(), dtype=np.int64),

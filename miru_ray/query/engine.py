@@ -34,6 +34,7 @@ import pyarrow.dataset as pads
 
 import ray
 
+from ..codec import BLOCK_SIZE
 from ..config import IndexConfig
 from ..tokenize import EN_STOPWORDS, py_tokenize
 from ..util import atomic_write_json, read_json, term_shard
@@ -47,6 +48,9 @@ from .filter import (And, Authz, Boost, Fuzzy, Node, Not, NumericRange,
                      collect_fuzzies, collect_prefixes,
                      collect_ranges, collect_scoring_terms)
 from .parser import parse_query
+
+
+_MISS = object()  # cache-miss sentinel (None is a legitimate cached value)
 
 
 def _ordered_near(pos_lists: list, slop: int) -> bool:
@@ -431,6 +435,40 @@ class PartitionReader:
         self._post_cache[key] = val
         return val
 
+    def _positions_sel(self, pid: int, term: str, cache: dict,
+                       tfs: np.ndarray, at: np.ndarray):
+        """Flat positions for ONLY the postings in ``at`` (sorted posting
+        indices; split points = cumsum(tfs[at])), or None when the term
+        is absent / unpositional.  Serves from the cached full decode
+        when one exists; for a SPARSE candidate set it block-seeks
+        (``SegmentReader.positions_at``) instead of decoding a hot
+        term's whole per-partition stream — the bound that matters when
+        one partition holds millions of docs."""
+        key = (pid, term, "pos")
+        cached = cache.get(key, self._post_cache.get(key, _MISS))
+        if cached is None:
+            return None
+        if cached is not _MISS:
+            _docs, _tfs, flat = cached
+            src = np.zeros(len(tfs) + 1, np.int64)
+            np.cumsum(tfs, out=src[1:])
+            run_len = tfs[at]
+            out = np.zeros(len(at) + 1, np.int64)
+            np.cumsum(run_len, out=out[1:])
+            gather = (np.repeat(src[at] - out[:-1], run_len)
+                      + np.arange(out[-1], dtype=np.int64))
+            return flat[gather]
+        seg, row = self._lookup(pid, term)
+        if row is None or not seg.has_positions:
+            cache[key] = None
+            return None
+        if len(at) * BLOCK_SIZE < len(tfs) // 2:
+            return seg.positions_at(row, tfs, at)
+        pv = self._positions(pid, term, cache)  # dense: decode + cache
+        if pv is None:
+            return None
+        return self._positions_sel(pid, term, cache, tfs, at)
+
     def _alive_mask(self, pid: int, mask: np.ndarray) -> np.ndarray:
         """AND the removal mask into a filter result (buildIndexMask
         semantics, ``MiruBitmaps.java:133-139``)."""
@@ -511,25 +549,33 @@ class PartitionReader:
                 # greedy in-order chain (earliest next position per term
                 # minimizes the chain's end, so greedy-per-start is exact
                 # for span − (k−1) ≤ slop).  The python loop is bounded
-                # by the AND-of-all-terms candidate count.
+                # by the AND-of-all-terms candidate count; positions are
+                # fetched candidate-only (block-seek when sparse).
                 per = []
                 for t in node.terms:
-                    pv = self._positions(pid, t, cache)
-                    if pv is None:
+                    p = self._postings(pid, t, cache)
+                    if p is None:
                         return np.zeros(count, bool)
-                    docs, tfs, flat = pv
-                    src = np.zeros(len(tfs) + 1, np.int64)
-                    np.cumsum(tfs, out=src[1:])
-                    per.append((docs, tfs, flat, src))
+                    docs, tfs = p
+                    at = np.searchsorted(docs, cand)
+                    at = at[(at < len(docs)) & (docs[np.minimum(
+                        at, len(docs) - 1)] == cand)]
+                    flat = self._positions_sel(pid, t, cache, tfs, at)
+                    if flat is None:
+                        return np.zeros(count, bool)
+                    run_len = tfs[at]
+                    out = np.zeros(len(at) + 1, np.int64)
+                    np.cumsum(run_len, out=out[1:])
+                    per.append((docs[at], flat, out))
                 mask = np.zeros(count, bool)
                 for d in cand:
                     pls = []
-                    for docs, tfs, flat, src in per:
-                        j = int(np.searchsorted(docs, d))
-                        if j >= len(docs) or docs[j] != d:
+                    for docs_c, flat, out in per:
+                        j = int(np.searchsorted(docs_c, d))
+                        if j >= len(docs_c) or docs_c[j] != d:
                             pls = None
                             break
-                        pls.append(flat[src[j]:src[j] + int(tfs[j])])
+                        pls.append(flat[out[j]:out[j + 1]])
                     if pls is not None and _ordered_near(pls, slop):
                         mask[d - base] = True
                 return mask
@@ -539,29 +585,28 @@ class PartitionReader:
                 # p - i, so intersecting (doc, p - i) keys across terms
                 # leaves exactly the docs with a full adjacent run — no
                 # docstore gather (the index-only phrase path the
-                # reference gets from Lucene positions)
+                # reference gets from Lucene positions).  Positions are
+                # fetched for CANDIDATE postings only — block-seek when
+                # the candidate set is sparse relative to the term's df.
                 M = np.int64(1) << 32
                 ok = None
                 for i, t in enumerate(node.terms):
-                    pv = self._positions(pid, t, cache)
-                    if pv is None:
+                    p = self._postings(pid, t, cache)
+                    if p is None:
                         ok = np.empty(0, np.int64)
                         break
-                    docs, tfs, flat = pv
+                    docs, tfs = p
                     at = np.searchsorted(docs, cand)
                     at = at[(at < len(docs)) & (docs[np.minimum(
                         at, len(docs) - 1)] == cand)]
+                    flat = self._positions_sel(pid, t, cache, tfs, at)
+                    if flat is None:
+                        ok = np.empty(0, np.int64)
+                        break
                     run_len = tfs[at]
-                    src = np.zeros(len(tfs) + 1, np.int64)
-                    np.cumsum(tfs, out=src[1:])
-                    out = np.zeros(len(at) + 1, np.int64)
-                    np.cumsum(run_len, out=out[1:])
-                    gather = (np.repeat(src[at] - out[:-1], run_len)
-                              + np.arange(out[-1], dtype=np.int64))
-                    p = flat[gather]
                     d = np.repeat(docs[at] - base, run_len)
-                    keep = p >= i
-                    kk = d[keep] * M + (p[keep] - np.int64(i))
+                    keep = flat >= i
+                    kk = d[keep] * M + (flat[keep] - np.int64(i))
                     ok = kk if ok is None else np.intersect1d(
                         ok, kk, assume_unique=True)
                     if not len(ok):

@@ -308,3 +308,27 @@ def test_ordered_near_matches_bruteforce():
             and c[-1] - c[0] - (k - 1) <= slop
             for c in _product(*pls))
         assert got == want, (pls, slop, got, want)
+
+
+def test_positions_at_block_seek_parity(pos_indexes):
+    """Block-seek decode (positions_at) is bit-identical to slicing the
+    full positions decode, across random posting subsets of a real
+    segment, including multi-block terms."""
+    import os
+    pos_dir, _ = pos_indexes
+    seg_dir = os.path.join(pos_dir, "segments")
+    f = sorted(x for x in os.listdir(seg_dir) if x.endswith(".parquet"))[0]
+    r = SegmentReader(os.path.join(seg_dir, f))
+    assert "pos_block_bytes" in r.table.column_names
+    rng = np.random.default_rng(9)
+    rows = [i for i in range(len(r.terms)) if ":" not in r.terms[i]]
+    for row in rng.choice(rows, size=min(12, len(rows)), replace=False):
+        docs, tfs = r.postings(int(row))
+        full = r.positions(int(row), tfs)
+        rs = np.zeros(len(tfs) + 1, np.int64)
+        np.cumsum(tfs, out=rs[1:])
+        k = int(rng.integers(1, min(8, len(tfs)) + 1))
+        idx = np.sort(rng.choice(len(tfs), k, replace=False))
+        got = r.positions_at(int(row), tfs, idx)
+        want = np.concatenate([full[rs[j]:rs[j + 1]] for j in idx])
+        assert np.array_equal(got, want), (row, idx)
