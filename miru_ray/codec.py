@@ -146,15 +146,21 @@ def decode_tfs(tf_bytes: bytes, df: int) -> np.ndarray:
     return varint_decode(tf_bytes, df).astype(np.int64)
 
 
-def _encode_and_split(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
-    """Varint-encode a flat array once, then slice per-group byte ranges."""
+def _encode_and_split(values: np.ndarray, starts: np.ndarray,
+                      return_offsets: bool = False):
+    """Varint-encode a flat array once, then slice per-group byte ranges.
+
+    ``return_offsets=True`` also returns the per-VALUE byte-offset array
+    (len(values)+1) so callers can compute sub-group seek points (the
+    positional block-seek metadata) without re-encoding."""
     blob, nb = varint_encode(values, return_nbytes=True)
     byte_off = np.zeros(len(values) + 1, np.int64)
     np.cumsum(nb, out=byte_off[1:])
     bounds = np.append(starts, len(values))
     mv = memoryview(blob)
-    return [bytes(mv[byte_off[bounds[i]]:byte_off[bounds[i + 1]]])
-            for i in range(len(starts))]
+    blobs = [bytes(mv[byte_off[bounds[i]]:byte_off[bounds[i + 1]]])
+             for i in range(len(starts))]
+    return (blobs, byte_off) if return_offsets else blobs
 
 
 def bulk_encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,

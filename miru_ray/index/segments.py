@@ -26,9 +26,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..codec import (BLOCK_SIZE, bulk_encode_postings, decode_doc_ids,
-                     decode_positions, decode_tfs, position_gaps,
-                     varint_decode, varint_encode)
+from ..codec import (BLOCK_SIZE, _encode_and_split, bulk_encode_postings,
+                     decode_doc_ids, decode_positions, decode_tfs,
+                     position_gaps)
 from ..util import md5_64
 
 SEGMENT_SCHEMA = pa.schema([
@@ -176,14 +176,9 @@ def encode_segment_table(group: pa.Table,
         gaps = position_gaps(flat, out_starts[:-1])
         # per-term split points in the flat position stream
         term_pos_starts = out_starts[starts]
-        blob, nb = varint_encode(gaps, return_nbytes=True)
-        byte_off = np.zeros(len(gaps) + 1, np.int64)
-        np.cumsum(nb, out=byte_off[1:])
-        mv = memoryview(blob)
-        tps_ext = np.append(term_pos_starts, len(gaps))
-        cols["pos_bytes"] = pa.array(
-            [bytes(mv[byte_off[tps_ext[i]]:byte_off[tps_ext[i + 1]]])
-             for i in range(len(term_pos_starts))], type=pa.binary())
+        blobs, byte_off = _encode_and_split(gaps, term_pos_starts,
+                                            return_offsets=True)
+        cols["pos_bytes"] = pa.array(blobs, type=pa.binary())
         # block-seek metadata (DERIVED at encode time — compaction's
         # decode→re-encode recomputes it): byte offset of each
         # BLOCK_SIZE-posting block's position runs, relative to the

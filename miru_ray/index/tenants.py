@@ -16,6 +16,7 @@ rebuild/compaction, and at cluster scale independent placement.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from ..config import IndexConfig
 from ..query.engine import Searcher
@@ -35,59 +36,91 @@ class TenantRegistry:
         self._catalog: dict[str, dict] = (
             read_json(self.path) if os.path.exists(self.path) else {})
         self._searchers: dict[tuple[str, int], Searcher] = {}
+        #: index_dir each cached Searcher was OPENED on — a cross-process
+        #: re-point must not keep serving from the old directory
+        self._opened_dirs: dict[tuple[str, int], str] = {}
+
+    @contextmanager
+    def _locked(self):
+        """Advisory file lock serializing catalog read-modify-writes
+        across PROCESSES sharing this registry root (the reference's
+        registry is a coordinated Amza table; a shared filesystem catalog
+        needs the same mutual exclusion or two registrars clobber each
+        other).  Single-host scope — a multi-node deployment puts the
+        catalog in a real coordination service."""
+        import fcntl
+        fd = os.open(os.path.join(self.root, "tenants.lock"),
+                     os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     # ---------------- catalog ----------------
 
     def refresh(self) -> None:
         """Re-read the catalog from disk — another PROCESS may have
-        registered tenants since this instance loaded (the reference's
-        registry is a shared Amza table; ours is the shared file)."""
+        registered, re-pointed or removed tenants since this instance
+        loaded (the reference's registry is a shared Amza table; ours is
+        the shared file).  Cached searchers for VANISHED tenants close
+        here; re-pointed tenants close lazily in :meth:`searcher`."""
         self._catalog = (read_json(self.path)
                          if os.path.exists(self.path) else {})
+        for key in [k for k in self._searchers if k[0] not in self._catalog]:
+            self._searchers.pop(key).close()
+            self._opened_dirs.pop(key, None)
 
     def register(self, tenant: str, index_dir: str,
                  cfg: IndexConfig) -> None:
         manifest = read_json(os.path.join(index_dir, "manifest.json"))
-        # merge-on-write: reload first so two registrars in different
-        # processes don't clobber each other's tenants (last writer wins
-        # only on the SAME tenant id, which is the re-pointing flow)
-        self.refresh()
-        self._catalog[str(tenant)] = {
-            "index_dir": os.path.abspath(index_dir),
-            "config": cfg.to_dict(),
-            "n_docs": manifest["n_docs"],
-        }
-        atomic_write_json(self.path, self._catalog)
+        with self._locked():
+            # locked read-modify-write: two registrars in different
+            # processes must not clobber each other's tenants
+            self.refresh()
+            self._catalog[str(tenant)] = {
+                "index_dir": os.path.abspath(index_dir),
+                "config": cfg.to_dict(),
+                "n_docs": manifest["n_docs"],
+            }
+            atomic_write_json(self.path, self._catalog)
         # re-pointing a tenant (rebuild/upgrade) must not keep serving
         # from a Searcher opened on the OLD directory
         for key in [k for k in self._searchers if k[0] == str(tenant)]:
             self._searchers.pop(key).close()
+            self._opened_dirs.pop(key, None)
 
     def unregister(self, tenant: str, destroy: bool = False) -> None:
         """Remove a tenant from the catalog (closing its searchers);
         ``destroy=True`` also deletes the tenant's index directory —
-        refused when another registered tenant still points at it."""
+        refused when another registered tenant still points at it (the
+        check AND the delete run under the catalog lock, so a concurrent
+        register can't slip a new tenant onto the dir mid-destroy)."""
         t = str(tenant)
-        self.refresh()
-        entry = self._catalog.get(t)
-        if entry is None:
-            raise KeyError(f"unknown tenant {tenant!r}")
-        if destroy:
-            # validate BEFORE mutating: a refused destroy must leave the
-            # tenant registered, not half-removed
-            shared = [o for o, e in self._catalog.items()
-                      if o != t and e["index_dir"] == entry["index_dir"]]
-            if shared:
-                raise ValueError(
-                    f"index dir {entry['index_dir']} is still used by "
-                    f"tenant(s) {shared}; not destroying")
-        self._catalog.pop(t)
-        atomic_write_json(self.path, self._catalog)
-        for key in [k for k in self._searchers if k[0] == t]:
-            self._searchers.pop(key).close()
-        if destroy:
-            import shutil
-            shutil.rmtree(entry["index_dir"], ignore_errors=True)
+        with self._locked():
+            self.refresh()
+            entry = self._catalog.get(t)
+            if entry is None:
+                raise KeyError(f"unknown tenant {tenant!r}")
+            if destroy:
+                # validate BEFORE mutating: a refused destroy must leave
+                # the tenant registered, not half-removed
+                shared = [o for o, e in self._catalog.items()
+                          if o != t
+                          and e["index_dir"] == entry["index_dir"]]
+                if shared:
+                    raise ValueError(
+                        f"index dir {entry['index_dir']} is still used "
+                        f"by tenant(s) {shared}; not destroying")
+            self._catalog.pop(t)
+            atomic_write_json(self.path, self._catalog)
+            for key in [k for k in self._searchers if k[0] == t]:
+                self._searchers.pop(key).close()
+                self._opened_dirs.pop(key, None)
+            if destroy:
+                import shutil
+                shutil.rmtree(entry["index_dir"], ignore_errors=True)
 
     def tenants(self) -> list[str]:
         return sorted(self._catalog)
@@ -112,10 +145,18 @@ class TenantRegistry:
         routing layer: a tenant's queries only ever touch its own index
         directory and reader actors."""
         key = (str(tenant), num_readers)
+        cur_dir = self.index_dir(tenant)
         s = self._searchers.get(key)
+        if s is not None and self._opened_dirs.get(key) != cur_dir:
+            # the catalog (possibly via refresh() after a cross-process
+            # re-point) names a DIFFERENT directory than this Searcher
+            # was opened on — close it rather than serve stale results
+            self._searchers.pop(key).close()
+            s = None
         if s is None or not s.readers:
-            s = Searcher(self.index_dir(tenant), num_readers=num_readers)
+            s = Searcher(cur_dir, num_readers=num_readers)
             self._searchers[key] = s
+            self._opened_dirs[key] = cur_dir
         return s
 
     def count_all(self, query) -> dict[str, int]:
@@ -127,3 +168,4 @@ class TenantRegistry:
         for s in self._searchers.values():
             s.close()
         self._searchers.clear()
+        self._opened_dirs.clear()

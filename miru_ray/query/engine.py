@@ -413,17 +413,20 @@ class PartitionReader:
         self._post_cache[key] = val
         return val
 
-    def _positions(self, pid: int, term: str, cache: dict):
+    def _positions(self, pid: int, term: str, cache: dict,
+                   resolved: tuple | None = None):
         """(docs, tfs, flat_positions) for one bare token, or None when the
         term is absent / the index stores no positions.  Split points of
-        the flat position stream are ``cumsum(tfs)``."""
+        the flat position stream are ``cumsum(tfs)``.  ``resolved`` = an
+        already-computed (seg, row), same contract as :meth:`_postings`."""
         key = (pid, term, "pos")
         if key in cache:
             return cache[key]
         if key in self._post_cache:  # hot phrase terms: decode once per
             cache[key] = self._post_cache[key]  # reader, not per query
             return cache[key]
-        seg, row = self._lookup(pid, term)
+        seg, row = resolved if resolved is not None \
+            else self._lookup(pid, term)
         val = None
         if row is not None and seg.has_positions:
             p = self._postings(pid, term, cache, resolved=(seg, row))
@@ -444,30 +447,31 @@ class PartitionReader:
         (``SegmentReader.positions_at``) instead of decoding a hot
         term's whole per-partition stream — the bound that matters when
         one partition holds millions of docs."""
-        key = (pid, term, "pos")
-        cached = cache.get(key, self._post_cache.get(key, _MISS))
-        if cached is None:
-            return None
-        if cached is not _MISS:
-            _docs, _tfs, flat = cached
+        def _gather(flat: np.ndarray) -> np.ndarray:
             src = np.zeros(len(tfs) + 1, np.int64)
             np.cumsum(tfs, out=src[1:])
             run_len = tfs[at]
             out = np.zeros(len(at) + 1, np.int64)
             np.cumsum(run_len, out=out[1:])
-            gather = (np.repeat(src[at] - out[:-1], run_len)
-                      + np.arange(out[-1], dtype=np.int64))
-            return flat[gather]
+            take = (np.repeat(src[at] - out[:-1], run_len)
+                    + np.arange(out[-1], dtype=np.int64))
+            return flat[take]
+
+        key = (pid, term, "pos")
+        cached = cache.get(key, self._post_cache.get(key, _MISS))
+        if cached is None:
+            return None
+        if cached is not _MISS:
+            return _gather(cached[2])
         seg, row = self._lookup(pid, term)
         if row is None or not seg.has_positions:
             cache[key] = None
             return None
         if len(at) * BLOCK_SIZE < len(tfs) // 2:
             return seg.positions_at(row, tfs, at)
-        pv = self._positions(pid, term, cache)  # dense: decode + cache
-        if pv is None:
-            return None
-        return self._positions_sel(pid, term, cache, tfs, at)
+        # dense: decode + cache the full stream once, reusing (seg, row)
+        pv = self._positions(pid, term, cache, resolved=(seg, row))
+        return None if pv is None else _gather(pv[2])
 
     def _alive_mask(self, pid: int, mask: np.ndarray) -> np.ndarray:
         """AND the removal mask into a filter result (buildIndexMask

@@ -515,3 +515,44 @@ def test_tenant_registry_unregister_and_refresh(tmp_path):
         a.unregister("t1")
     a.close()
     b.close()
+
+
+def test_tenant_cross_process_repoint_closes_stale_searcher(tmp_path):
+    """Third-review finding: registry instance A must stop serving from a
+    Searcher opened on the OLD directory after instance B (another
+    'process') re-points the tenant and A refreshes."""
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    from miru_ray.index.tenants import TenantRegistry
+
+    def make(dirname, text):
+        docs = pa.table({
+            "conv_id": pa.array(["c0"] * 4),
+            "turn_idx": pa.array(range(4), pa.int32()),
+            "role": pa.array(["user"] * 4),
+            "text": pa.array([text] * 4),
+            "ts": pa.array(np.arange(4) * 1000, pa.int64()),
+        })
+        d = str(tmp_path / dirname)
+        os.makedirs(d)
+        pq.write_table(docs, os.path.join(d, "docs.parquet"))
+        idir = str(tmp_path / (dirname + "_idx"))
+        build_index(d, idir, IndexConfig(docs_per_partition=10,
+                                         num_shards=1, keyword_fields=()))
+        return idir
+
+    old_idx = make("old", "alpha")
+    new_idx = make("new", "beta")
+    cfg = IndexConfig(docs_per_partition=10, num_shards=1,
+                      keyword_fields=())
+    root = str(tmp_path / "registry")
+    a, b = TenantRegistry(root), TenantRegistry(root)
+    a.register("t", old_idx, cfg)
+    assert a.searcher("t").count("alpha") == 4  # caches over old_idx
+    b.register("t", new_idx, cfg)               # cross-process re-point
+    a.refresh()
+    # A must now answer from the NEW directory, not the stale cache
+    assert a.searcher("t").count("alpha") == 0
+    assert a.searcher("t").count("beta") == 4
+    a.close()
+    b.close()
