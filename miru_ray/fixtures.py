@@ -234,6 +234,20 @@ SELECT doc_id + 2 * (SELECT count(*) FROM documents) AS doc_id,
 FROM documents WHERE doc_id % 5 = 1
 """.strip()
 
+#: the source-carrying twin of :data:`DOCS_DUP_SQL` — identical rows plus
+#: the SOURCE column (injected copies inherit the duplicated row's source);
+#: engine equivalent: ``pipelines.curate._documents_src``
+DOCS_DUP_SRC_SQL = """
+SELECT doc_id, text, source FROM documents
+UNION ALL
+SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id, text, source
+FROM documents WHERE doc_id % 5 = 3
+UNION ALL
+SELECT doc_id + 2 * (SELECT count(*) FROM documents) AS doc_id,
+       regexp_replace(text, '^[a-z0-9]+', 'xdup') AS text, source
+FROM documents WHERE doc_id % 5 = 1
+""".strip()
+
 
 def derive_docs_dup(documents: pa.Table) -> pa.Table:
     """Arrow equivalent of :data:`DOCS_DUP_SQL` (exact same rows)."""

@@ -284,36 +284,45 @@ def rarity_topk(sf_dir: str, k: int = RARITY_TOPK) -> pa.Table:
     return pa.Table.from_pandas(parts, preserve_index=False)
 
 
+def predict_lang(text: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Per-doc vectorized language prediction — the ONE definition of the
+    trigram-vote + CJK-override heuristic, shared by :func:`langid` and
+    the composed curation pipeline so the two can never diverge.  One
+    ``pc.match_substring`` pass per profile trigram (25 vectorized scans
+    beats a Python row loop by ~an order of magnitude); ties break to the
+    alphabetically-first language (argmax rule), mirrored in SQL by the
+    CASE-branch order of :func:`_langid_sql`."""
+    langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
+    text = pc.fill_null(text, "")  # NULL text votes for nothing
+    #  (match_substring(null) yields object-dtype Nones that crash +=)
+    head = pc.utf8_lower(pc.utf8_slice_codeunits(text, 0, 500))
+    votes = np.zeros((len(text), len(langs)), np.int64)
+    for li, lang in enumerate(langs):
+        for tri in _LANG_PROFILES[lang]:
+            votes[:, li] += pc.match_substring(head, tri).to_numpy(
+                zero_copy_only=False)
+    pred = np.array(langs, dtype=object)[votes.argmax(axis=1)]
+    cjk = pc.match_substring_regex(
+        pc.utf8_slice_codeunits(text, 0, 200),
+        "[一-鿿]").to_numpy(zero_copy_only=False)
+    pred[cjk] = "zh"
+    return pred
+
+
 def langid(sf_dir: str) -> pa.Table:
     """Heuristic language ID vs the ``lang`` column: per-lang accuracy.
 
-    Trigram-vote heuristic + CJK codepoint check, Arrow-native and fully
-    vectorized: one ``pc.match_substring`` pass per profile trigram (25
-    vectorized scans beats a Python loop over rows by ~an order of
-    magnitude), then per-batch count partials merged by one tiny
-    groupby.  Deterministic and SQL-expressible (contains + CASE + the
-    alphabetical argmax tie-break), so it carries an exact DuckDB oracle.
-    The synthetic corpus draws every lang from one English-ish
-    vocabulary, so accuracy measures the plumbing, not linguistics.
+    Per-doc prediction via :func:`predict_lang`, then per-batch count
+    partials merged by one tiny groupby.  Deterministic and
+    SQL-expressible (contains + CASE + the alphabetical argmax
+    tie-break), so it carries an exact DuckDB oracle.  The synthetic
+    corpus draws every lang from one English-ish vocabulary, so accuracy
+    measures the plumbing, not linguistics.
     """
     ds = _documents(sf_dir, ["doc_id", "lang", "text"])
-    langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
 
     def langid_partial(b: pa.Table) -> pa.Table:
-        text = pc.fill_null(b["text"], "")  # NULL text votes for nothing
-        #  (match_substring(null) yields object-dtype Nones that crash +=)
-        head = pc.utf8_lower(pc.utf8_slice_codeunits(text, 0, 500))
-        votes = np.zeros((b.num_rows, len(langs)), np.int64)
-        for li, lang in enumerate(langs):
-            for tri in _LANG_PROFILES[lang]:
-                votes[:, li] += pc.match_substring(head, tri).to_numpy(
-                    zero_copy_only=False)
-        # ties break to the alphabetically-first language (argmax rule)
-        pred = np.array(langs, dtype=object)[votes.argmax(axis=1)]
-        cjk = pc.match_substring_regex(
-            pc.utf8_slice_codeunits(text, 0, 200),
-            "[一-鿿]").to_numpy(zero_copy_only=False)
-        pred[cjk] = "zh"
+        pred = predict_lang(b["text"])
         t = pa.table({"lang": b["lang"],
                       "correct": pa.array(
                           (pred == np.asarray(b["lang"].to_pandas(),
@@ -904,10 +913,11 @@ ORDER BY d.doc_id
 }
 
 
-def _langid_sql() -> str:
-    """Exact SQL reproduction of :func:`langid` — the trigram vote, the
-    first-index argmax tie-break (CASE order = alphabetical lang order),
-    and the CJK codepoint override are all deterministic."""
+def _langid_pred_fragments() -> tuple[str, str, list[str]]:
+    """The SQL fragments of :func:`predict_lang` — per-lang vote columns
+    (over a ``head`` expression) and the argmax CASE branches — shared by
+    :func:`_langid_sql` and the composed curation oracle so the SQL
+    reproduction of the heuristic exists exactly once."""
     langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
     votes = ",\n         ".join(
         "(" + " + ".join(
@@ -919,6 +929,14 @@ def _langid_sql() -> str:
                                for o in langs if o != lang)
         + f" THEN '{lang}'"
         for lang in langs[:-1])
+    return votes, branches, langs
+
+
+def _langid_sql() -> str:
+    """Exact SQL reproduction of :func:`langid` — the trigram vote, the
+    first-index argmax tie-break (CASE order = alphabetical lang order),
+    and the CJK codepoint override are all deterministic."""
+    votes, branches, langs = _langid_pred_fragments()
     return f"""
 WITH feat AS (
   SELECT lang,

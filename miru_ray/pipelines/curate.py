@@ -256,3 +256,268 @@ SELECT count(*) FILTER (keep)::BIGINT AS n_kept,
 FROM gated
 """.strip(),
 }
+
+
+# --------------- the full pretraining-corpus composition --------------------
+#
+# Every gate a pretraining data pipeline runs, COMPOSED as one job:
+# benchmark split -> exact dedup -> quality gate -> language ID ->
+# benchmark decontamination -> mixture sampling -> per-(source, lang)
+# token accounting.  Public precedent for the chain: C4 (Raffel et al.),
+# The Pile, GPT-3 appendix C decontamination, the Llama data reports.
+#
+# Scale shape (the part that matters at 100 TB): the corpus is expanded,
+# tokenized, shingled and language-scored in ONE streaming map_batches
+# pass; the only shuffle is the exact-dedup groupby(hash) — every gate
+# after it operates on group-constant FEATURES (identical text => identical
+# tokens/shingles/language), so text never crosses the shuffle.  The
+# benchmark side is an eval suite (corpus/29 here), gathered as distinct
+# shingle hashes and broadcast once (the decontaminate blocklist shape).
+# The survivor's (doc_id, source) identity rides the shuffle as one
+# zero-padded "doc_id|source" string so Min() picks the min-doc survivor
+# AND its source in a single aggregate.  Output is |sources| x |langs|
+# rows; nothing O(corpus) ever reaches the driver.
+
+
+def _documents_src(sf_dir: str) -> "ray.data.Dataset":
+    """The dup-planted corpus (fixtures.DOCS_DUP_SQL derivation) with the
+    SOURCE column carried through: injected copies inherit the source of
+    the row they duplicate — row-local, so it composes with map_batches."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ..util import read_parquet_clean
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.read_metadata(path).num_rows
+
+    def expand(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+        text = np.asarray(b["text"].to_pandas(), dtype=object)
+        src = np.asarray(b["source"].to_pandas(), dtype=object)
+        m_exact = doc_id % 5 == 3
+        m_near = doc_id % 5 == 1
+        near_text = np.array([re.sub("^[a-z0-9]+", "xdup", t, count=1)
+                              for t in text[m_near]], dtype=object)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [doc_id, doc_id[m_exact] + n,
+                 doc_id[m_near] + 2 * n]).astype(np.int64)),
+            "text": pa.array(np.concatenate(
+                [text, text[m_exact], near_text]), type=pa.string()),
+            "source": pa.array(np.concatenate(
+                [src, src[m_exact], src[m_near]]), type=pa.string()),
+        })
+
+    ds = read_parquet_clean(path, columns=["doc_id", "text", "source"])
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=8192)
+
+
+def pretrain_corpus_counts(sf_dir: str) -> pa.Table:
+    """Per-(source, predicted-lang) document and token counts of the fully
+    curated pretraining corpus — the end-to-end composition (see module
+    note above).  Gates, in order, all deterministic and SQL-mirrored:
+
+    1. benchmark split: ``doc_id % DECON_BENCH_MOD == 0`` is the eval
+       suite, excluded from training;
+    2. exact dedup: keep the smallest doc_id per distinct text;
+    3. quality: the shared :func:`_quality_mask` (length band + stopword
+       ratio);
+    4. decontamination: drop any survivor sharing a word 3-gram with the
+       benchmark set (GPT-3 appendix C shape);
+    5. mixture: keep iff ``md5_64(str(doc_id)) % 1e6 < rate(source)``
+       (the :mod:`..ops.mixing` hash-threshold rule).
+    """
+    from ..ops.dedup import _make_shingle_rows
+    from ..ops.mixing import RATE_MILLIONTHS, _M, _doc_hash_m
+    from ..ops.textstats import DECON_BENCH_MOD, _DECON_N, predict_lang
+    from ..util import broadcast_get, md5_64_bulk
+    shingle_rows = _make_shingle_rows(_DECON_N)
+    docs = _documents_src(sf_dir)
+
+    # pass 1: benchmark shingle hashes (eval-suite bounded), ray.put once
+    def bench_hashes(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy()
+        sub = b.filter(pa.array(doc % DECON_BENCH_MOD == 0))
+        if sub.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.uint64())})
+        rows = shingle_rows(sub.select(["doc_id", "text"]))
+        h = md5_64_bulk(np.asarray(rows["shingle"].to_pandas(),
+                                   dtype=object))
+        return pa.table({"g": pa.array(np.unique(h))})
+
+    bh = docs.map_batches(bench_hashes, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()  # benchmark-bounded
+    bench = (np.array([], np.uint64) if bh.empty
+             else np.unique(bh["g"].to_numpy().astype(np.uint64)))
+    bench_ref = ray.put(bench)
+
+    _FEAT = pa.schema([("h", pa.int64()), ("key", pa.string()),
+                       ("n_tokens", pa.int64()), ("n_stop", pa.int64()),
+                       ("contam", pa.int64()), ("pred_lang", pa.string())])
+
+    # pass 2: row-local features for the training side — the ONLY columns
+    # that cross the dedup shuffle; text stays inside this stage
+    def feat_batch(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy()
+        b = b.filter(pa.array(doc % DECON_BENCH_MOD != 0))
+        if b.num_rows == 0:
+            return _FEAT.empty_table()
+        if b["source"].null_count:
+            raise ValueError("pretrain_corpus_counts: NULL source")
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        h = md5_64(b["text"].to_pandas()).view(np.int64)
+        terms, rows, dl = explode_tokens(b["text"])
+        is_stop = pc.is_in(terms, value_set=_STOP_ARR).to_numpy(
+            zero_copy_only=False)
+        n_stop = np.zeros(b.num_rows, np.int64)
+        np.add.at(n_stop, rows, is_stop.astype(np.int64))
+        pred = predict_lang(b["text"])
+        # contamination: any per-doc distinct shingle in the benchmark set
+        bench = broadcast_get(bench_ref)
+        contam = np.zeros(b.num_rows, np.int64)
+        if len(bench):
+            sh = shingle_rows(b.select(["doc_id", "text"]))
+            hh = md5_64_bulk(np.asarray(sh["shingle"].to_pandas(),
+                                        dtype=object))
+            pos = np.searchsorted(bench, hh)
+            hit = (pos < len(bench)) & (
+                bench[np.minimum(pos, len(bench) - 1)] == hh)
+            hit_ids = np.unique(sh["doc_id"].to_numpy()[hit])
+            order = np.argsort(ids)  # batch ids are unique, order-free
+            contam[order[np.searchsorted(ids[order], hit_ids)]] = 1
+        src = np.asarray(b["source"].to_pandas(), dtype=object)
+        # 19 digits covers all of int64, so lexicographic min == numeric min
+        key = np.array([f"{i:019d}|{s}" for i, s in zip(ids, src)],
+                       dtype=object)
+        return pa.table({"h": pa.array(h), "key": pa.array(key, pa.string()),
+                         "n_tokens": pa.array(dl.astype(np.int64)),
+                         "n_stop": pa.array(n_stop),
+                         "contam": pa.array(contam),
+                         "pred_lang": pa.array(pred, pa.string())})
+
+    # the dedup shuffle: Min over the zero-padded key == min doc_id, and
+    # it carries the survivor's source; every other feature is
+    # group-constant (identical text), so Min just reads the value
+    surv = (docs.map_batches(feat_batch, batch_format="pyarrow",
+                             batch_size=8192)
+            .groupby("h")
+            .aggregate(Min("key", alias_name="key"),
+                       Min("n_tokens", alias_name="n_tokens"),
+                       Min("n_stop", alias_name="n_stop"),
+                       Min("contam", alias_name="contam"),
+                       Min("pred_lang", alias_name="pred_lang")))
+
+    rate_arr = np.array(RATE_MILLIONTHS, np.int64)
+
+    def gate_batch(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        key = pd.Series(np.asarray(t["key"].to_pandas(), dtype=object))
+        ids = key.str[:19].astype(np.int64).to_numpy()
+        src = key.str[20:].to_numpy(dtype=object)
+        nt = t["n_tokens"].to_numpy().astype(np.int64)
+        ns = t["n_stop"].to_numpy().astype(np.int64)
+        contam = t["contam"].to_numpy().astype(np.int64)
+        thr = rate_arr[(md5_64(src) % np.uint64(len(rate_arr)))
+                       .astype(np.int64)]
+        keep = (_quality_mask(nt, ns) & (contam == 0)
+                & (_doc_hash_m(ids) < thr))
+        if not keep.any():
+            return pa.table({"source": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        kept = pa.table({"source": pa.array(src[keep], pa.string()),
+                         "lang": t["pred_lang"].filter(pa.array(keep)),
+                         "one": pa.array(np.ones(int(keep.sum()), np.int64)),
+                         "n_tokens": pa.array(nt[keep])})
+        g = kept.group_by(["source", "lang"]).aggregate(
+            [("one", "sum"), ("n_tokens", "sum")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "n_docs": g["one_sum"],
+                         "n_tokens": g["n_tokens_sum"]})
+
+    out = (surv.map_batches(gate_batch, batch_format="pyarrow",
+                            batch_size=8192)
+           .groupby(["source", "lang"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas())  # |sources| x |langs| rows
+    out = out.sort_values(["source", "lang"]).reset_index(drop=True)
+    for c in ("n_docs", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out[["source", "lang", "n_docs",
+                                     "n_tokens"]], preserve_index=False)
+
+
+def _pretrain_sql() -> str:
+    """The composed oracle of :func:`pretrain_corpus_counts` — each stage
+    is the SAME SQL its standalone oracle uses (dup derivation from
+    fixtures, shingle CASE and md5 join from text_decontaminate, quality
+    band from curation_summary, vote/branch fragments from _langid_sql,
+    hash-threshold CASE from mix_sample_counts), so the composition can
+    only diverge where the engine's composition does."""
+    from ..fixtures import DOCS_DUP_SRC_SQL
+    from ..ops.mixing import RATE_MILLIONTHS, _M
+    from ..ops.textstats import (DECON_BENCH_MOD, _langid_pred_fragments)
+    votes, branches, langs = _langid_pred_fragments()
+    stops = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+    return f"""
+WITH documents_dup AS ({DOCS_DUP_SRC_SQL}),
+train AS (SELECT * FROM documents_dup WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+surv AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY text),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents_dup),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks),
+bench AS (SELECT DISTINCT md5_number_lower(unnest(s)) AS g FROM sh
+          WHERE doc_id % {DECON_BENCH_MOD} = 0),
+contam AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT doc_id, md5_number_lower(unnest(s)) AS g FROM sh
+        WHERE doc_id % {DECON_BENCH_MOD} <> 0) tr
+  JOIN bench ON tr.g = bench.g),
+feat AS (
+  SELECT d.doc_id, d.source,
+         len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens,
+         len(list_filter(regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+             x -> x IN ({stops}))) AS n_stop,
+         lower(substr(d.text, 1, 500)) AS head,
+         regexp_matches(substr(d.text, 1, 200), '[一-鿿]') AS cjk
+  FROM train d JOIN surv USING (doc_id)),
+votes AS (
+  SELECT doc_id, source, n_tokens, n_stop, cjk,
+         {votes}
+  FROM feat),
+pred AS (
+  SELECT doc_id, source, n_tokens, n_stop,
+         CASE WHEN cjk THEN 'zh'
+    {branches}
+    ELSE '{langs[-1]}' END AS lang
+  FROM votes),
+kept AS (
+  SELECT * FROM pred
+  WHERE n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+    AND (CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 1.0 END)
+        <= {MAX_STOP_RATIO}
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+    AND md5_number_lower(CAST(doc_id AS VARCHAR)) % {_M} <
+        (CASE md5_number_lower(source) % {len(RATE_MILLIONTHS)}
+              WHEN 0 THEN {RATE_MILLIONTHS[0]}
+              WHEN 1 THEN {RATE_MILLIONTHS[1]}
+              WHEN 2 THEN {RATE_MILLIONTHS[2]}
+              ELSE {RATE_MILLIONTHS[3]} END))
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens
+FROM kept GROUP BY source, lang ORDER BY source, lang
+""".strip()
+
+
+SQL["pretrain_corpus_counts"] = _pretrain_sql()

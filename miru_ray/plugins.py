@@ -47,6 +47,7 @@ _BUILTIN_LOADED = False
 # keeps its relative order and rotates through the remaining slots.
 _GATE_PRIORITY: tuple[str, ...] = (
     # round-4 additions (never witnessed by definition)
+    "pretrain_corpus_counts",
     "fulltext_fuzzy_count",
     "fulltext_boosted_topk",
     "tenant_route_counts",
@@ -355,6 +356,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
         Cu.SQL.get("curation_summary"), ("curation",))
     reg("curation_neardup_summary", Cu.curation_neardup_summary,
         Cu.SQL.get("curation_neardup_summary"), ("curation",))
+    reg("pretrain_corpus_counts", Cu.pretrain_corpus_counts,
+        Cu.SQL.get("pretrain_corpus_counts"), ("curation",))
     # ---- catwalk model build + strut scoring (§2.5) ----
     reg("catwalk_model", C.catwalk_model, C.SQL.get("catwalk_model"),
         ("catwalk",))
