@@ -323,8 +323,14 @@ def pretrain_corpus_counts(sf_dir: str) -> pa.Table:
     2. exact dedup: keep the smallest doc_id per distinct text;
     3. quality: the shared :func:`_quality_mask` (length band + stopword
        ratio);
-    4. decontamination: drop any survivor sharing a word 3-gram with the
-       benchmark set (GPT-3 appendix C shape);
+    4. decontamination: drop any survivor whose distinct word 3-grams
+       are >= 50% covered by the benchmark set (``2*hits >= n_shingles``,
+       exact integer on both engines) — the overlap-FRACTION shape of
+       the Llama-report decontamination rather than GPT-3's any-overlap
+       flag, because a shared-vocabulary corpus makes any-overlap
+       degenerate (at sf0.1 it flags 6755 of 6759 training docs; the
+       standalone :func:`~miru_ray.ops.textstats.decontaminate` op keeps
+       the any-overlap REPORT semantics);
     5. mixture: keep iff ``md5_64(str(doc_id)) % 1e6 < rate(source)``
        (the :mod:`..ops.mixing` hash-threshold rule).
     """
@@ -373,7 +379,8 @@ def pretrain_corpus_counts(sf_dir: str) -> pa.Table:
         n_stop = np.zeros(b.num_rows, np.int64)
         np.add.at(n_stop, rows, is_stop.astype(np.int64))
         pred = predict_lang(b["text"])
-        # contamination: any per-doc distinct shingle in the benchmark set
+        # contamination: >= 50% of the doc's distinct shingles are in the
+        # benchmark set (2*hits >= n_sh, integers — exact on both engines)
         bench = broadcast_get(bench_ref)
         contam = np.zeros(b.num_rows, np.int64)
         if len(bench):
@@ -383,9 +390,12 @@ def pretrain_corpus_counts(sf_dir: str) -> pa.Table:
             pos = np.searchsorted(bench, hh)
             hit = (pos < len(bench)) & (
                 bench[np.minimum(pos, len(bench) - 1)] == hh)
-            hit_ids = np.unique(sh["doc_id"].to_numpy()[hit])
             order = np.argsort(ids)  # batch ids are unique, order-free
-            contam[order[np.searchsorted(ids[order], hit_ids)]] = 1
+            row_of = order[np.searchsorted(ids[order],
+                                           sh["doc_id"].to_numpy())]
+            n_sh = np.bincount(row_of, minlength=b.num_rows)
+            hits = np.bincount(row_of[hit], minlength=b.num_rows)
+            contam[(n_sh > 0) & (2 * hits >= n_sh)] = 1
         src = np.asarray(b["source"].to_pandas(), dtype=object)
         # 19 digits covers all of int64, so lexicographic min == numeric min
         key = np.array([f"{i:019d}|{s}" for i, s in zip(ids, src)],
@@ -443,6 +453,11 @@ def pretrain_corpus_counts(sf_dir: str) -> pa.Table:
            .aggregate(Sum("n_docs", alias_name="n_docs"),
                       Sum("n_tokens", alias_name="n_tokens"))
            .to_pandas())  # |sources| x |langs| rows
+    if out.empty:  # an all-gated corpus loses column names via to_pandas
+        return pa.table({"source": pa.array([], pa.string()),
+                         "lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
     out = out.sort_values(["source", "lang"]).reset_index(drop=True)
     for c in ("n_docs", "n_tokens"):
         out[c] = out[c].astype(np.int64)
@@ -453,8 +468,9 @@ def pretrain_corpus_counts(sf_dir: str) -> pa.Table:
 def _pretrain_sql() -> str:
     """The composed oracle of :func:`pretrain_corpus_counts` — each stage
     is the SAME SQL its standalone oracle uses (dup derivation from
-    fixtures, shingle CASE and md5 join from text_decontaminate, quality
-    band from curation_summary, vote/branch fragments from _langid_sql,
+    fixtures, shingle CASE + md5 membership from text_decontaminate —
+    aggregated to the 50% coverage fraction here, quality band from
+    curation_summary, vote/branch fragments from _langid_sql,
     hash-threshold CASE from mix_sample_counts), so the composition can
     only diverge where the engine's composition does."""
     from ..fixtures import DOCS_DUP_SRC_SQL
@@ -479,11 +495,14 @@ sh AS (
   FROM toks),
 bench AS (SELECT DISTINCT md5_number_lower(unnest(s)) AS g FROM sh
           WHERE doc_id % {DECON_BENCH_MOD} = 0),
-contam AS (
-  SELECT DISTINCT tr.doc_id
+persh AS (
+  SELECT doc_id, count(*) AS n_sh,
+         sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END)
+           AS hits
   FROM (SELECT doc_id, md5_number_lower(unnest(s)) AS g FROM sh
-        WHERE doc_id % {DECON_BENCH_MOD} <> 0) tr
-  JOIN bench ON tr.g = bench.g),
+        WHERE doc_id % {DECON_BENCH_MOD} <> 0)
+  GROUP BY doc_id),
+contam AS (SELECT doc_id FROM persh WHERE 2 * hits >= n_sh),
 feat AS (
   SELECT d.doc_id, d.source,
          len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens,

@@ -63,7 +63,8 @@ def _brute(sf_dir):
         ratio = ns / nt if nt > 0 else 1.0
         if not (MIN_TOKENS <= nt <= MAX_TOKENS and ratio <= MAX_STOP_RATIO):
             continue
-        if _shingles(toks[i]) & bench_sh:
+        sh = _shingles(toks[i])
+        if sh and 2 * len(sh & bench_sh) >= len(sh):
             continue
         # uint64 % python-int promotes to float64 and mangles low bits —
         # modulo must stay in uint64 (same rule as the engine/mixing code)
@@ -106,16 +107,20 @@ def test_pretrain_gates_actually_fire(tmp_path, ray_session):
                   == 1_000_000)
     body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
             "lamda mu nu xi omicron pi rho sigma tau upsilon " * 3).strip()
-    bench_text = "secret bench trigram sequence here plus filler words"
+    # the benchmark doc is LONG (so a near-copy of it crosses the 50%
+    # shingle-coverage contamination bar while still passing quality) and
+    # vocabulary-DISJOINT from body (so the kept doc shares nothing)
+    bench_text = " ".join(f"zz{i}" for i in range(50))
     # doc_ids chosen to dodge the dup-derivation planting (%5 not in {1,3})
     # and the benchmark split (%29 != 0), except doc 29 = the benchmark doc
     rows = [
         (29, bench_text),                       # benchmark member
         (30, body + " unique one"),             # kept
-        (32, body + " secret bench trigram sequence here tail"),  # contam
+        (32, bench_text + " tail"),             # ~all shingles shared ->
+        # contaminated at the 50% bar (and passes quality: 62 tokens)
         (34, "too short"),                      # quality-dropped
-        (35, body + " unique one"),             # wait: %5==0, fine — exact
-        # dup of doc 30 (same text) -> dropped by dedup
+        (35, body + " unique one"),             # exact dup of doc 30
+        # (higher id) -> dropped by dedup
     ]
     t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
                   "text": pa.array([r[1] for r in rows], pa.string()),
