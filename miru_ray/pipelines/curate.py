@@ -313,10 +313,16 @@ def _documents_src(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(expand, batch_format="pyarrow", batch_size=8192)
 
 
-def pretrain_corpus_counts(sf_dir: str) -> pa.Table:
+def pretrain_corpus_counts(sf_dir: str,
+                           out_path: str | None = None) -> pa.Table:
     """Per-(source, predicted-lang) document and token counts of the fully
     curated pretraining corpus — the end-to-end composition (see module
-    note above).  Gates, in order, all deterministic and SQL-mirrored:
+    note above).  With ``out_path``, additionally stream the kept
+    (doc_id, source, lang, n_tokens) rows to Parquet from the SAME
+    grouped stream (the 100-TB sink: deterministic doc-id-range part
+    names, so a retried Ray task overwrites its own output; the
+    directory must not pre-exist).  Gates, in order, all deterministic
+    and SQL-mirrored:
 
     1. benchmark split: ``doc_id % DECON_BENCH_MOD == 0`` is the eval
        suite, excluded from training;
@@ -338,6 +344,10 @@ def pretrain_corpus_counts(sf_dir: str) -> pa.Table:
     from ..ops.mixing import RATE_MILLIONTHS, _M, _doc_hash_m
     from ..ops.textstats import DECON_BENCH_MOD, _DECON_N, predict_lang
     from ..util import broadcast_get, md5_64_bulk
+    if out_path is not None:
+        if os.path.exists(out_path):
+            raise FileExistsError(f"pretrain out_path exists: {out_path}")
+        os.makedirs(out_path)
     shingle_rows = _make_shingle_rows(_DECON_N)
     docs = _documents_src(sf_dir)
 
@@ -441,6 +451,15 @@ def pretrain_corpus_counts(sf_dir: str) -> pa.Table:
                          "lang": t["pred_lang"].filter(pa.array(keep)),
                          "one": pa.array(np.ones(int(keep.sum()), np.int64)),
                          "n_tokens": pa.array(nt[keep])})
+        if out_path is not None:
+            import pyarrow.parquet as pq
+            ik = ids[keep]
+            part = pa.table({"doc_id": pa.array(ik), "source": kept["source"],
+                             "lang": kept["lang"],
+                             "n_tokens": kept["n_tokens"]})
+            name = f"part-{int(ik.min()):019d}-{int(ik.max()):019d}.parquet"
+            pq.write_table(part, os.path.join(out_path, name),
+                           compression="zstd")
         g = kept.group_by(["source", "lang"]).aggregate(
             [("one", "sum"), ("n_tokens", "sum")])
         return pa.table({"source": g["source"], "lang": g["lang"],

@@ -156,3 +156,30 @@ def test_documents_src_matches_sql(ray_session):
            .sort_values("doc_id").reset_index(drop=True))
     for c in ("doc_id", "text", "source"):
         assert (sql[c].to_numpy() == eng[c].to_numpy()).all()
+
+
+def test_pretrain_export_reconciles_with_summary(tmp_path, ray_session):
+    """out_path: the streamed kept rows must aggregate to exactly the
+    returned (source, lang) summary, and be written with deterministic
+    range-named parts; a pre-existing directory refuses (export = one
+    directory per run)."""
+    import glob
+
+    import pandas as pd
+
+    from miru_ray.pipelines.curate import pretrain_corpus_counts
+    out = str(tmp_path / "kept")
+    got = pretrain_corpus_counts(SF, out_path=out).to_pandas()
+    parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert parts, "export wrote no part files"
+    rows = pd.concat([pq.read_table(p).to_pandas() for p in parts])
+    agg = (rows.groupby(["source", "lang"], as_index=False)
+           .agg(n_docs=("doc_id", "count"), n_tokens=("n_tokens", "sum"))
+           .sort_values(["source", "lang"]).reset_index(drop=True))
+    assert agg[["source", "lang"]].values.tolist() == \
+        got[["source", "lang"]].values.tolist()
+    assert (agg["n_docs"].to_numpy() == got["n_docs"].to_numpy()).all()
+    assert (agg["n_tokens"].to_numpy() == got["n_tokens"].to_numpy()).all()
+    assert rows["doc_id"].is_unique
+    with pytest.raises(FileExistsError):
+        pretrain_corpus_counts(SF, out_path=out)
