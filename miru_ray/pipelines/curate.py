@@ -382,6 +382,8 @@ def pretrain_corpus_counts(sf_dir: str,
         if b["source"].null_count:
             raise ValueError("pretrain_corpus_counts: NULL source")
         ids = b["doc_id"].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:  # zero-pad ordering needs ids >= 0
+            raise ValueError("pretrain_corpus_counts: negative doc_id")
         h = md5_64(b["text"].to_pandas()).view(np.int64)
         terms, rows, dl = explode_tokens(b["text"])
         is_stop = pc.is_in(terms, value_set=_STOP_ARR).to_numpy(
