@@ -341,7 +341,7 @@ def pretrain_corpus_counts(sf_dir: str,
        (the :mod:`..ops.mixing` hash-threshold rule).
     """
     from ..ops.dedup import _make_shingle_rows
-    from ..ops.mixing import RATE_MILLIONTHS, _M, _doc_hash_m
+    from ..ops.mixing import RATE_MILLIONTHS, _doc_hash_m
     from ..ops.textstats import DECON_BENCH_MOD, _DECON_N, predict_lang
     from ..util import broadcast_get, md5_64_bulk
     if out_path is not None:
