@@ -223,20 +223,9 @@ def derive_transcripts(documents: pa.Table) -> pa.Table:
 # where N = count(documents).  Plant sets are disjoint by construction.
 # ---------------------------------------------------------------------------
 
-DOCS_DUP_SQL = """
-SELECT doc_id, text FROM documents
-UNION ALL
-SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id, text
-FROM documents WHERE doc_id % 5 = 3
-UNION ALL
-SELECT doc_id + 2 * (SELECT count(*) FROM documents) AS doc_id,
-       regexp_replace(text, '^[a-z0-9]+', 'xdup') AS text
-FROM documents WHERE doc_id % 5 = 1
-""".strip()
-
-#: the source-carrying twin of :data:`DOCS_DUP_SQL` — identical rows plus
-#: the SOURCE column (injected copies inherit the duplicated row's source);
-#: engine equivalent: ``pipelines.curate._documents_src``
+#: the source-carrying derivation — injected copies inherit the
+#: duplicated row's source; engine equivalent:
+#: ``pipelines.curate._documents_src`` (via :func:`expand_docs_dup`)
 DOCS_DUP_SRC_SQL = """
 SELECT doc_id, text, source FROM documents
 UNION ALL
@@ -248,20 +237,55 @@ SELECT doc_id + 2 * (SELECT count(*) FROM documents) AS doc_id,
 FROM documents WHERE doc_id % 5 = 1
 """.strip()
 
+#: the (doc_id, text) form — kept a STANDALONE template (not a projection
+#: of DOCS_DUP_SRC_SQL) because dedup-family oracles must run on views
+#: that carry only (doc_id, text); both SQL strings are pinned to the one
+#: Arrow implementation below by tests, so they cannot drift apart
+DOCS_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id, text
+FROM documents WHERE doc_id % 5 = 3
+UNION ALL
+SELECT doc_id + 2 * (SELECT count(*) FROM documents) AS doc_id,
+       regexp_replace(text, '^[a-z0-9]+', 'xdup') AS text
+FROM documents WHERE doc_id % 5 = 1
+""".strip()
 
-def derive_docs_dup(documents: pa.Table) -> pa.Table:
-    """Arrow equivalent of :data:`DOCS_DUP_SQL` (exact same rows)."""
+
+def expand_docs_dup(b: pa.Table, n: int, with_source: bool = False
+                    ) -> pa.Table:
+    """THE Arrow implementation of the dup-planting rule (one place;
+    DOCS_DUP_SRC_SQL is its SQL twin) — batch-composable because the rule
+    is row-local given the base-table row count ``n``.  Negative doc_ids
+    raise: numpy's Python-style modulo and DuckDB's C-style modulo pick
+    DIFFERENT plant sets below zero, so the engines would silently
+    diverge."""
     import re
-    n = documents.num_rows
-    doc_id = documents["doc_id"].to_numpy()
-    text = np.asarray(documents["text"].to_pandas(), dtype=object)
+    doc_id = b["doc_id"].to_numpy()
+    if len(doc_id) and doc_id.min() < 0:
+        raise ValueError("docs_dup derivation: negative doc_id (engine "
+                         "and SQL modulo semantics diverge below zero)")
+    text = np.asarray(b["text"].to_pandas(), dtype=object)
     m_exact = doc_id % 5 == 3
     m_near = doc_id % 5 == 1
     near_text = np.array([re.sub("^[a-z0-9]+", "xdup", t, count=1)
                           for t in text[m_near]], dtype=object)
-    return pa.table({
+    cols = {
         "doc_id": pa.array(np.concatenate([
-            doc_id, doc_id[m_exact] + n, doc_id[m_near] + 2 * n]).astype(np.int64)),
+            doc_id, doc_id[m_exact] + n,
+            doc_id[m_near] + 2 * n]).astype(np.int64)),
         "text": pa.array(np.concatenate([text, text[m_exact], near_text]),
                          type=pa.string()),
-    })
+    }
+    if with_source:
+        src = np.asarray(b["source"].to_pandas(), dtype=object)
+        cols["source"] = pa.array(np.concatenate(
+            [src, src[m_exact], src[m_near]]), type=pa.string())
+    return pa.table(cols)
+
+
+def derive_docs_dup(documents: pa.Table) -> pa.Table:
+    """Arrow equivalent of :data:`DOCS_DUP_SQL` (exact same rows) — the
+    whole-table form of :func:`expand_docs_dup`."""
+    return expand_docs_dup(documents, documents.num_rows)

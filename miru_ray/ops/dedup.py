@@ -70,19 +70,8 @@ def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
 
 
 def _expand_batch(b: pa.Table, n: int) -> pa.Table:
-    import re
-    doc_id = b["doc_id"].to_numpy()
-    text = np.asarray(b["text"].to_pandas(), dtype=object)
-    m_exact = doc_id % 5 == 3
-    m_near = doc_id % 5 == 1
-    near_text = np.array([re.sub("^[a-z0-9]+", "xdup", t, count=1)
-                          for t in text[m_near]], dtype=object)
-    return pa.table({
-        "doc_id": pa.array(np.concatenate(
-            [doc_id, doc_id[m_exact] + n, doc_id[m_near] + 2 * n]).astype(np.int64)),
-        "text": pa.array(np.concatenate([text, text[m_exact], near_text]),
-                         type=pa.string()),
-    })
+    from ..fixtures import expand_docs_dup
+    return expand_docs_dup(b, n)
 
 
 def _shingles(tokens: list[str], n: int = 3) -> set[str]:

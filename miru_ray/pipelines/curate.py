@@ -52,18 +52,27 @@ def _quality_mask(nt: np.ndarray, ns: np.ndarray) -> np.ndarray:
         & (ratio <= MAX_STOP_RATIO)
 
 
+def _row_features(text: "pa.Array | pa.ChunkedArray"
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The ONE definition of the row-local curation features — (content
+    hash, n_tokens, n_stop) per doc — shared by every curation variant so
+    the dedup/quality semantics can never fork."""
+    h = md5_64(np.asarray(text.to_pandas(), dtype=object)).view(np.int64)
+    terms, rows, dl = explode_tokens(text)
+    is_stop = pc.is_in(terms, value_set=_STOP_ARR).to_numpy(
+        zero_copy_only=False)
+    n_stop = np.zeros(len(text), np.int64)
+    np.add.at(n_stop, rows, is_stop.astype(np.int64))
+    return h, dl.astype(np.int64), n_stop
+
+
 def _doc_stats_batch(b: pa.Table) -> pa.Table:
     """Row-local features: content hash + token/stopword counts.  These are
     the ONLY columns that cross the shuffle — text never does."""
-    h = md5_64(b["text"].to_pandas()).view(np.int64)
-    terms, rows, dl = explode_tokens(b["text"])
-    is_stop = pc.is_in(terms, value_set=_STOP_ARR).to_numpy(
-        zero_copy_only=False)
-    n_stop = np.zeros(b.num_rows, np.int64)
-    np.add.at(n_stop, rows, is_stop.astype(np.int64))
+    h, n_tokens, n_stop = _row_features(b["text"])
     return pa.table({"h": pa.array(h),
                      "doc_id": b["doc_id"],
-                     "n_tokens": pa.array(dl.astype(np.int64)),
+                     "n_tokens": pa.array(n_tokens),
                      "n_stop": pa.array(n_stop)})
 
 
@@ -266,13 +275,17 @@ FROM gated
 # token accounting.  Public precedent for the chain: C4 (Raffel et al.),
 # The Pile, GPT-3 appendix C decontamination, the Llama data reports.
 #
-# Scale shape (the part that matters at 100 TB): the corpus is expanded,
-# tokenized, shingled and language-scored in ONE streaming map_batches
-# pass; the only shuffle is the exact-dedup groupby(hash) — every gate
-# after it operates on group-constant FEATURES (identical text => identical
-# tokens/shingles/language), so text never crosses the shuffle.  The
-# benchmark side is an eval suite (corpus/29 here), gathered as distinct
-# shingle hashes and broadcast once (the decontaminate blocklist shape).
+# Scale shape (the part that matters at 100 TB): the TRAINING side is
+# expanded, tokenized, shingled and language-scored in ONE streaming
+# map_batches pass; the only shuffle is the exact-dedup groupby(hash) —
+# every gate after it operates on group-constant FEATURES (identical
+# text => identical tokens/shingles/language), so text never crosses the
+# shuffle.  The benchmark side is an eval suite (corpus/29 here),
+# gathered as distinct shingle hashes in a PRIOR streaming pass and
+# broadcast once (the decontaminate blocklist shape) — that pass re-scans
+# and re-expands the corpus rather than materializing the expanded
+# stream, because pinning a corpus-scale dataset in the object store to
+# save one cheap re-read is the wrong trade at 100 TB.
 # The survivor's (doc_id, source) identity rides the shuffle as one
 # zero-padded "doc_id|source" string so Min() picks the min-doc survivor
 # AND its source in a single aggregate.  Output is |sources| x |langs|
@@ -280,37 +293,21 @@ FROM gated
 
 
 def _documents_src(sf_dir: str) -> "ray.data.Dataset":
-    """The dup-planted corpus (fixtures.DOCS_DUP_SQL derivation) with the
-    SOURCE column carried through: injected copies inherit the source of
-    the row they duplicate — row-local, so it composes with map_batches."""
-    import re
-
+    """The dup-planted corpus (fixtures.DOCS_DUP_SRC_SQL derivation) with
+    the SOURCE column carried through: injected copies inherit the source
+    of the row they duplicate — row-local, so it composes with
+    map_batches.  One canonical planting implementation
+    (:func:`..fixtures.expand_docs_dup`) serves this, the dedup family,
+    and the whole-table test reference."""
     import pyarrow.parquet as pq
 
+    from ..fixtures import expand_docs_dup
     from ..util import read_parquet_clean
     path = os.path.join(sf_dir, "documents.parquet")
     n = pq.read_metadata(path).num_rows
-
-    def expand(b: pa.Table) -> pa.Table:
-        doc_id = b["doc_id"].to_numpy()
-        text = np.asarray(b["text"].to_pandas(), dtype=object)
-        src = np.asarray(b["source"].to_pandas(), dtype=object)
-        m_exact = doc_id % 5 == 3
-        m_near = doc_id % 5 == 1
-        near_text = np.array([re.sub("^[a-z0-9]+", "xdup", t, count=1)
-                              for t in text[m_near]], dtype=object)
-        return pa.table({
-            "doc_id": pa.array(np.concatenate(
-                [doc_id, doc_id[m_exact] + n,
-                 doc_id[m_near] + 2 * n]).astype(np.int64)),
-            "text": pa.array(np.concatenate(
-                [text, text[m_exact], near_text]), type=pa.string()),
-            "source": pa.array(np.concatenate(
-                [src, src[m_exact], src[m_near]]), type=pa.string()),
-        })
-
     ds = read_parquet_clean(path, columns=["doc_id", "text", "source"])
-    return ds.map_batches(expand, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(lambda b: expand_docs_dup(b, n, with_source=True),
+                          batch_format="pyarrow", batch_size=8192)
 
 
 def pretrain_corpus_counts(sf_dir: str,
@@ -384,12 +381,7 @@ def pretrain_corpus_counts(sf_dir: str,
         ids = b["doc_id"].to_numpy().astype(np.int64)
         if len(ids) and ids.min() < 0:  # zero-pad ordering needs ids >= 0
             raise ValueError("pretrain_corpus_counts: negative doc_id")
-        h = md5_64(b["text"].to_pandas()).view(np.int64)
-        terms, rows, dl = explode_tokens(b["text"])
-        is_stop = pc.is_in(terms, value_set=_STOP_ARR).to_numpy(
-            zero_copy_only=False)
-        n_stop = np.zeros(b.num_rows, np.int64)
-        np.add.at(n_stop, rows, is_stop.astype(np.int64))
+        h, n_tokens, n_stop = _row_features(b["text"])
         pred = predict_lang(b["text"])
         # contamination: >= 50% of the doc's distinct shingles are in the
         # benchmark set (2*hits >= n_sh, integers — exact on both engines)
@@ -413,7 +405,7 @@ def pretrain_corpus_counts(sf_dir: str,
         key = np.array([f"{i:019d}|{s}" for i, s in zip(ids, src)],
                        dtype=object)
         return pa.table({"h": pa.array(h), "key": pa.array(key, pa.string()),
-                         "n_tokens": pa.array(dl.astype(np.int64)),
+                         "n_tokens": pa.array(n_tokens),
                          "n_stop": pa.array(n_stop),
                          "contam": pa.array(contam),
                          "pred_lang": pa.array(pred, pa.string())})

@@ -117,7 +117,7 @@ def test_pretrain_gates_actually_fire(tmp_path, ray_session):
         (29, bench_text),                       # benchmark member
         (30, body + " unique one"),             # kept
         (32, bench_text + " tail"),             # ~all shingles shared ->
-        # contaminated at the 50% bar (and passes quality: 62 tokens)
+        # contaminated at the 50% bar (and passes quality: 51 tokens)
         (34, "too short"),                      # quality-dropped
         (35, body + " unique one"),             # exact dup of doc 30
         # (higher id) -> dropped by dedup
