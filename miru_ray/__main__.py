@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     s.add_argument("--gather", action="store_true",
                    help="include conv_id/turn_idx/text columns")
     s.add_argument("--highlight", action="store_true")
+    s.add_argument("--explain", action="store_true",
+                   help="print a per-term score breakdown for each hit "
+                        "(the MiruSolution / Lucene-explain analogue)")
     s.add_argument("--num-readers", type=int, default=4)
     s.add_argument("--replicas", type=int, default=1,
                    help="reader replica pools per partition; >1 enables "
@@ -188,6 +191,11 @@ def _run(args) -> int:
                          if c > 0 and ":" not in t]
                 out["fragment"] = highlight_rows(out["text"], terms)
                 out = out.drop(columns=["text"])
+        if args.explain and len(out):
+            out["explain"] = [
+                {**(e := s.explain(args.query, d, args.strategy)),
+                 "terms": e["terms"].to_pylist()}
+                for d in out["doc_id"].tolist()]
         for rec in out.to_dict(orient="records"):
             print(json.dumps(rec, default=str))
         s.close()

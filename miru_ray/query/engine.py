@@ -299,6 +299,35 @@ class PartitionReader:
                 out[t] = (df, cf)
         return out
 
+    def doc_term_info(self, doc_id: int, terms: list[str]) -> dict | None:
+        """Per-doc scoring inputs for :meth:`Searcher.explain`: the doc's
+        length, liveness, and the tf of each requested term IN THIS doc
+        (0 = absent).  None if the doc is outside this reader's
+        partitions."""
+        doc_id = int(doc_id)
+        pid = doc_id // self.cfg.docs_per_partition
+        if pid not in self.parts:
+            return None
+        base = self.parts[pid]["base"]
+        i = doc_id - base
+        if i < 0 or i >= self.parts[pid]["count"]:
+            return None
+        t = self._tombstones.get(pid)
+        alive = not (t is not None and len(t) and bool(np.isin(doc_id, t)))
+        cache: dict = {}
+        tfs = {}
+        for term in terms:
+            p = self._postings(pid, term, cache)
+            tf = 0
+            if p is not None:
+                docs, tfa = p
+                j = int(np.searchsorted(docs, doc_id))
+                if j < len(docs) and docs[j] == doc_id:
+                    tf = int(tfa[j])
+            tfs[term] = tf
+        return {"pid": pid, "dl": int(self.doclen[pid][i]),
+                "alive": alive, "tfs": tfs}
+
     def expand_prefix(self, prefix_key: str, cap: int) -> list[str]:
         """Local prefix expansion via term-dict range scan (terms sorted;
         reference: ``MiruAggregateUtil.java:1154-1167``).
@@ -1220,6 +1249,67 @@ class Searcher:
         docs, scores = S.topk_by_score(docs, scores, k)
         return pa.table({"doc_id": pa.array(docs),
                          "score": pa.array(np.round(scores, 6))})
+
+    def explain(self, query, doc_id: int, strategy: str = "bm25") -> dict:
+        """Score explanation for ONE document — the per-term inputs and
+        contributions behind its :meth:`topk` score (the reference ships a
+        ``MiruSolution`` + solution log with every answer,
+        ``miru-api/.../solution/MiruSolution.java``; Lucene's
+        ``explain()`` is the public analogue of the per-term breakdown).
+
+        Returns ``{"doc_id", "dl", "strategy", "alive", "total",
+        "terms": pa.Table}`` where the table has one row per scoring term
+        (ascending term order — the engine's deterministic accumulation
+        order) with (term, qcount, df, cf, tf, boost, contribution), and
+        ``total`` reproduces the doc's exhaustive-scoring result to the
+        same float64 accumulation, rounded to 6 decimals like topk.
+        Terms absent from the doc appear with tf = 0 and contribution 0.
+        A tombstoned doc reports ``alive=False`` (its would-be score is
+        still explained — removal gates answers, not arithmetic)."""
+        ast = self._to_ast(query)
+        expansions, term_counts, stats = self._prepare(ast)
+        boosts = self._boosts_for(ast, expansions) or {}
+        doc_id = int(doc_id)
+        reader_i = self._pid_to_reader().get(
+            doc_id // self.cfg.docs_per_partition)
+        if reader_i is None:
+            raise KeyError(f"doc {doc_id} is outside the index")
+        terms = sorted(t for t, c in term_counts.items()
+                       if c > 0 and t in stats)
+        info = self._fanout("doc_term_info", doc_id, terms,
+                            readers=[reader_i])[0]
+        if info is None:
+            raise KeyError(f"doc {doc_id} is outside the index")
+        n_docs = self.manifest["n_docs"]
+        avgdl = self.manifest["avgdl"] if self.manifest["avgdl"] > 0 else 1.0
+        dl = info["dl"]
+        rows, total = [], 0.0
+        for t in terms:  # ascending — the deterministic accumulation order
+            qc = term_counts[t]
+            df, cf = stats[t]
+            tf = info["tfs"][t]
+            w = 0.0
+            if tf > 0:
+                w = float(S.term_weight_arrays(
+                    strategy, qc, df, cf, n_docs, avgdl,
+                    self.cfg.k1, self.cfg.b,
+                    np.array([tf], np.float64),
+                    np.array([dl], np.float64))[0])
+            contrib = w * boosts.get(t, 1.0)
+            total += contrib
+            rows.append((t, qc, df, cf, tf, boosts.get(t, 1.0), contrib))
+        table = pa.table({
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "qcount": pa.array([r[1] for r in rows], pa.int64()),
+            "df": pa.array([r[2] for r in rows], pa.int64()),
+            "cf": pa.array([r[3] for r in rows], pa.int64()),
+            "tf": pa.array([r[4] for r in rows], pa.int64()),
+            "boost": pa.array([r[5] for r in rows], pa.float64()),
+            "contribution": pa.array([round(r[6], 6) for r in rows],
+                                     pa.float64())})
+        return {"doc_id": doc_id, "dl": dl, "strategy": strategy,
+                "alive": bool(info["alive"]), "total": round(total, 6),
+                "terms": table}
 
     def topk_paged(self, query, page_size: int = 10, max_pages: int = 100,
                    strategy: str = "bm25") -> pa.Table:
