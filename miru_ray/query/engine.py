@@ -1415,6 +1415,58 @@ class Searcher:
         expansions, _tc, _st = self._prepare(ast, need_stats=False)
         return sum(p["count"] for p in self._fanout("match", ast, expansions))
 
+    def count_at_least(self, query, n: int) -> bool:
+        """Early-exit threshold count — does the query match at least ``n``
+        docs?  The ``MiruAnswerEvaluator.isDone`` analogue
+        (``miru-plugin/.../solution/MiruAnswerEvaluator.java``: a solver
+        stops fanning out once the accumulated answer satisfies the
+        evaluator): per-reader counts are consumed AS THEY ARRIVE
+        (``ray.wait``) and the remaining calls are abandoned the moment the
+        partial sum reaches ``n`` — an existence check (n=1) over a
+        many-partition index stops after the first non-empty answer
+        instead of paying the full fan-out.  Unanswered calls are
+        best-effort cancelled; any reader failure falls back to the exact
+        :meth:`count` (correctness never rides the fast path).
+        ``last_count_readers_answered`` records how many readers were
+        actually consumed (observability, like the TIME early-exit
+        counter)."""
+        n = int(n)
+        self.last_count_readers_answered = 0
+        if n <= 0:
+            return True
+        ast = self._to_ast(query)
+        expansions, _tc, _st = self._prepare(ast, need_stats=False)
+        total = 0
+        if not self.use_actors:
+            for i, r in enumerate(self.readers):
+                total += r.match(ast, expansions)["count"]
+                self.last_count_readers_answered = i + 1
+                if total >= n:
+                    return True
+            return False
+        packed = ray.put(((ast, expansions), {}))
+        pending = [self._pools[0][i].call_packed.remote("match", packed)
+                   for i in range(len(self.readers))]
+        try:
+            while pending:
+                done, pending = ray.wait(pending, num_returns=1,
+                                         timeout=self.fanout_timeout_s)
+                if not done:  # hung reader: exact path handles respawn
+                    raise ray.exceptions.GetTimeoutError("count_at_least")
+                total += ray.get(done[0])["count"]
+                self.last_count_readers_answered += 1
+                if total >= n:
+                    for ref in pending:  # abandon the rest (isDone)
+                        try:
+                            ray.cancel(ref)
+                        except Exception:
+                            pass
+                    return True
+            return False
+        except (ray.exceptions.RayActorError,
+                ray.exceptions.GetTimeoutError):
+            return self.count(query) >= n
+
     def match_docs(self, query) -> np.ndarray:
         ast = self._to_ast(query)
         expansions, _tc, _st = self._prepare(ast, need_stats=False)

@@ -62,3 +62,20 @@ def test_explain_boost_scales_contribution(xs_searcher, xs_oracle):
 def test_explain_outside_index_raises(xs_searcher):
     with pytest.raises(KeyError):
         xs_searcher.explain(["anything"], 10**15)
+
+
+def test_count_at_least_early_exit(xs_searcher, xs_oracle):
+    """Threshold semantics exact at the boundary; an existence check
+    (n=1) on a term present in every reader's partitions consumes ONE
+    answer, not the full fan-out; an impossible term consumes all."""
+    vocab = _vocab(xs_oracle)
+    hot = max(vocab, key=lambda t: xs_oracle.cf_c[t])
+    true_n = xs_searcher.count([hot])
+    assert xs_searcher.count_at_least([hot], true_n) is True
+    assert xs_searcher.count_at_least([hot], true_n + 1) is False
+    assert xs_searcher.count_at_least([hot], 0) is True
+    assert xs_searcher.count_at_least([hot], 1) is True
+    assert xs_searcher.last_count_readers_answered == 1  # early exit
+    assert xs_searcher.count_at_least(["zzz_not_a_term"], 1) is False
+    assert xs_searcher.last_count_readers_answered == len(
+        xs_searcher.readers)
