@@ -877,6 +877,10 @@ def build_index(input_path: str | list[str], index_dir: str,
     manifest = {
         "version": MANIFEST_VERSION,
         "fingerprint": fp,
+        # doc-id-space token: minted by a FULL build, inherited unchanged
+        # by every append (appends extend the id space, rebuilds replace
+        # it) — realtime delivery keys its cursor on this
+        "doc_space": fp,
         "config": cfg.to_dict(),
         "input_files": files,
         "n_docs": int(n_docs),

@@ -47,6 +47,8 @@ _BUILTIN_LOADED = False
 # keeps its relative order and rotates through the remaining slots.
 _GATE_PRIORITY: tuple[str, ...] = (
     # round-4 additions (never witnessed by definition)
+    "metrics_bitslice_sum",
+    "stumptown_appender_counts",
     "pretrain_corpus_counts",
     "fulltext_fuzzy_count",
     "fulltext_boosted_topk",
@@ -283,6 +285,12 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
                      ("events_funnel", A.funnel_counts),
                      ("events_retention", A.retention_cohorts)):
         reg(name, fn, A.SQL.get(name), ("analytics",))
+    from .ops import bitslice as BS
+    reg("metrics_bitslice_sum", BS.metrics_bitslice_sum,
+        BS.SQL.get("metrics_bitslice_sum"), ("analytics", "metrics"))
+    from .index import logappender as LA
+    reg("stumptown_appender_counts", LA.stumptown_appender_counts,
+        LA.SQL.get("stumptown_appender_counts"), ("analytics", "ingest"))
     # ---- dedup family (§2.8 + training-data ops) ----
     for name, fn in (("dedup_exact_docs", D.exact_dedup),
                      ("dedup_exact_count", D.exact_dedup_count),

@@ -1,0 +1,184 @@
+"""Log appender WAL, realtime delivery, and the bit-sliced metric encode —
+the round-4 closers for SURVEY §2.1/§2.10's last out-of-scope rows."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from miru_ray.config import IndexConfig
+from miru_ray.index.build import build_index
+from miru_ray.index.delivery import ParquetDeliverySink, deliver_new
+from miru_ray.index.logappender import (LogAppender, SCHEMA, read_appended)
+
+
+def _records(n, start=0):
+    return pa.table({
+        "ts_us": pa.array(np.arange(start, start + n, dtype=np.int64)),
+        "level": pa.array(["INFO" if i % 3 else "ERROR"
+                           for i in range(start, start + n)]),
+        "logger": pa.array(["app"] * n),
+        "thread": pa.array(["main"] * n),
+        "message": pa.array([f"m{i:05d}" for i in range(start, start + n)]),
+    })
+
+
+# ---------------------------------------------------------------------------
+# log appender
+# ---------------------------------------------------------------------------
+
+def test_appender_lossless_roundtrip(tmp_path):
+    """Mixed single/bulk appends over several seal boundaries come back
+    complete, in order, payload-intact."""
+    d = str(tmp_path / "wal")
+    ap = LogAppender(d, batch_size=32, max_pending=1 << 20)
+    for i in range(10):  # singles first: exercises the row buffer
+        ap.append(i, "DEBUG", f"m{i:05d}", logger="app")
+    ap.append_batch(_records(100, start=10))  # bulk spans seal boundaries
+    for i in range(110, 117):
+        ap.append(i, "DEBUG", f"m{i:05d}", logger="app")
+    meta = ap.close()
+    assert meta["appended_records"] == 117
+    assert meta["dropped_records"] == 0
+    assert meta["n_shards"] == (117 + 31) // 32
+
+    got = read_appended(d).to_pandas().sort_values("ts_us")
+    assert len(got) == 117
+    assert list(got["ts_us"]) == list(range(117))
+    assert list(got["message"]) == [f"m{i:05d}" for i in range(117)]
+    # shard files themselves are ordered (the WAL property readers rely on)
+    t0 = pq.read_table(str(tmp_path / "wal" / "shard-000000.parquet"))
+    assert t0.num_rows == 32 and t0["ts_us"][0].as_py() == 0
+
+
+def test_appender_drops_oldest_under_pressure(tmp_path):
+    """Bounded queue: with the sink stalled, overflow drops the OLDEST
+    sealed batch and counts it — the app thread never blocks or raises."""
+    d = str(tmp_path / "wal")
+    ap = LogAppender(d, batch_size=10, max_pending=2)
+    ap.paused = True  # ingress stalled
+    ap.append_batch(_records(100))  # 10 sealed batches against capacity 2
+    assert ap.dropped_records == 80
+    meta = ap.close()  # close drains the surviving queue
+    assert meta["appended_records"] == 100
+    assert meta["dropped_records"] == 80
+    got = read_appended(d).to_pandas().sort_values("ts_us")
+    # survivors are the NEWEST two sealed batches
+    assert list(got["ts_us"]) == list(range(80, 100))
+
+
+def test_appender_close_idempotent_and_empty(tmp_path):
+    d = str(tmp_path / "wal")
+    ap = LogAppender(d)
+    m1 = ap.close()
+    m2 = ap.close()
+    assert m1 == m2 == {"n_shards": 0, "appended_records": 0,
+                        "dropped_records": 0}
+    assert read_appended(d).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# realtime delivery
+# ---------------------------------------------------------------------------
+
+def _split_convs(xs_table, tmp_path):
+    df = xs_table.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                          kind="mergesort")
+    convs = sorted(df["conv_id"].unique())
+    first = set(convs[: len(convs) // 2])
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(df[df["conv_id"].isin(first)],
+                                        preserve_index=False), a_path)
+    pq.write_table(pa.Table.from_pandas(df[~df["conv_id"].isin(first)],
+                                        preserve_index=False), b_path)
+    return a_path, b_path
+
+
+def test_delivery_full_then_append_then_noop(xs_table, tmp_path):
+    cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+    a_path, b_path = _split_convs(xs_table, tmp_path)
+    idx = str(tmp_path / "idx")
+    m1 = build_index([a_path], idx, cfg)
+
+    sink = ParquetDeliverySink(str(tmp_path / "sunk"))
+    r1 = deliver_new(idx, sink)
+    assert r1["delivered"] == m1["n_docs"]
+    got = sink.delivered().to_pandas().sort_values("doc_lo")
+    # ranges are disjoint, contiguous, and cover [0, n_docs) exactly
+    assert got["doc_lo"].iloc[0] == 0
+    assert (got["doc_lo"].iloc[1:].to_numpy()
+            == got["doc_hi"].iloc[:-1].to_numpy()).all()
+    assert got["doc_hi"].iloc[-1] == m1["n_docs"]
+
+    # clean re-delivery: nothing new
+    assert deliver_new(idx, sink) == {"delivered": 0, "ranges": 0}
+
+    # append → only the new tail delivers
+    m2 = build_index([a_path, b_path], idx, cfg)
+    assert "append" in m2["stages"]
+    r2 = deliver_new(idx, sink)
+    assert r2["delivered"] == m2["n_docs"] - m1["n_docs"]
+    got = sink.delivered().to_pandas()
+    assert got["doc_hi"].max() == m2["n_docs"]
+    # idempotent sink: no duplicate (pid, lo, hi) files
+    assert not got.duplicated(["pid", "doc_lo", "doc_hi"]).any()
+
+
+def test_delivery_at_least_once_and_rebuild_reset(xs_index, tmp_path):
+    import os
+    from miru_ray.util import read_json
+    sink = ParquetDeliverySink(str(tmp_path / "sunk"))
+    r1 = deliver_new(xs_index, sink)
+    assert r1["delivered"] > 0
+    # crash BEFORE the cursor write: simulate by removing the cursor —
+    # the whole range re-delivers (at-least-once), and the idempotent
+    # sink absorbs the duplicates
+    cpath = os.path.join(xs_index, "delivery", "cursor.json")
+    n_files = len(sink.delivered())
+    os.remove(cpath)
+    r2 = deliver_new(xs_index, sink)
+    assert r2 == r1
+    assert len(sink.delivered()) == n_files  # same keys → same files
+
+    # doc_space mismatch (rebuilt index) → cursor resets, full redelivery
+    c = read_json(cpath)
+    c["doc_space"] = "someone-elses-index"
+    from miru_ray.util import atomic_write_json
+    atomic_write_json(cpath, c)
+    r3 = deliver_new(xs_index, sink)
+    assert r3 == r1
+
+
+# ---------------------------------------------------------------------------
+# bit-sliced metric encode
+# ---------------------------------------------------------------------------
+
+def test_bitslice_partial_reconstructs_exact_sum():
+    from miru_ray.ops.bitslice import _bit_count_partial, BITS
+    vals = [0.01, 490.02, 123.456789, 0.25, 77.0]
+    t = pa.table({
+        "event_type": pa.array(["error"] * 5 + ["click"]),
+        "ts": pa.array([1_704_067_200_000_000 + i * 10**9
+                        for i in range(6)], pa.timestamp("us")),
+        "value": pa.array(vals + [999.0])})
+    out = _bit_count_partial(t, dt_us=3_600_000_000)
+    df = out.to_pandas()
+    planes = df[df["bit"] >= 0]
+    sv6 = int((planes["cnt"] * (1 << planes["bit"].to_numpy(np.int64)))
+              .sum())
+    # banker's rounding at ×1e6, matching round_even in the oracle
+    expect = sum(int(np.round(v * 1e6)) for v in vals)
+    assert sv6 == expect
+    assert df[df["bit"] == -1]["cnt"].sum() == 5  # click filtered out
+
+
+def test_bitslice_rejects_negative_values():
+    from miru_ray.ops.bitslice import _bit_count_partial
+    t = pa.table({
+        "event_type": pa.array(["error"]),
+        "ts": pa.array([1_704_067_200_000_000], pa.timestamp("us")),
+        "value": pa.array([-1.0])})
+    with pytest.raises(ValueError, match="non-negative"):
+        _bit_count_partial(t, dt_us=3_600_000_000)
