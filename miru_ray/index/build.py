@@ -49,6 +49,8 @@ O(conversations) anywhere at scale.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import logging
 import os
 import time
@@ -879,8 +881,12 @@ def build_index(input_path: str | list[str], index_dir: str,
         "fingerprint": fp,
         # doc-id-space token: minted by a FULL build, inherited unchanged
         # by every append (appends extend the id space, rebuilds replace
-        # it) — realtime delivery keys its cursor on this
-        "doc_space": fp,
+        # it) — realtime delivery keys its cursor on this.  Hash of the
+        # BUILD TAG, not the bare input fingerprint: a config-change
+        # rebuild over unchanged inputs re-encodes every doc and must
+        # re-deliver from 0
+        "doc_space": hashlib.sha256(
+            json.dumps(tag, sort_keys=True).encode()).hexdigest(),
         "config": cfg.to_dict(),
         "input_files": files,
         "n_docs": int(n_docs),

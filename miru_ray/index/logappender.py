@@ -70,6 +70,8 @@ class LogAppender:
     # -- producer side -----------------------------------------------------
     def append(self, ts_us: int, level: str, message: str,
                logger: str = "root", thread: str = "main") -> None:
+        if self._closed:
+            raise RuntimeError("appender is closed")
         c = self._cols
         c["ts_us"].append(ts_us)
         c["level"].append(level)
@@ -84,6 +86,8 @@ class LogAppender:
     def append_batch(self, t: pa.Table) -> None:
         """Vectorized append — the HTTP appender's batched POST body.
         Columns beyond the WAL schema are dropped; missing ones error."""
+        if self._closed:
+            raise RuntimeError("appender is closed")
         t = t.select([f.name for f in SCHEMA]).cast(SCHEMA)
         self.appended_records += t.num_rows
         # seal whole slices directly; tail joins the row buffer
@@ -168,7 +172,6 @@ def stumptown_appender_counts(sf_dir: str) -> pa.Table:
     import tempfile
 
     import pyarrow.compute as pc
-    import ray.data
     from ray.data.aggregate import Max, Sum
 
     from ..util import read_parquet_clean
@@ -221,18 +224,22 @@ def stumptown_appender_counts(sf_dir: str) -> pa.Table:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-#: appender-side level mapping mirrored in SQL — keep in lockstep with
-#: ``analytics._LEVEL_SQL`` (same CASE, same ELSE)
-SQL = {
-    "stumptown_appender_counts": """
-SELECT CASE event_type WHEN 'error' THEN 'ERROR'
-            WHEN 'purchase' THEN 'INFO' WHEN 'signup' THEN 'INFO'
-            ELSE 'DEBUG' END AS level,
+def _sql() -> dict:
+    # the level CASE is the ONE shared _LEVEL_SQL constant — the engine
+    # side imports LEVEL_OF from the same module, so a new level mapping
+    # updates both engines together
+    from ..ops.analytics import _LEVEL_SQL
+    return {
+        "stumptown_appender_counts": f"""
+SELECT {_LEVEL_SQL} AS level,
        count(*)::BIGINT AS n_records,
        max(event_type || '#' || CAST(event_id AS VARCHAR)) AS max_message
 FROM events GROUP BY 1 ORDER BY 1
 """.strip(),
-}
+    }
+
+
+SQL = _sql()
 
 
 def read_appended(out_dir: str, columns=None):
@@ -242,5 +249,8 @@ def read_appended(out_dir: str, columns=None):
     files = [os.path.join(out_dir, f"shard-{i:06d}.parquet")
              for i in range(meta["n_shards"])]
     if not files:
-        return ray.data.from_arrow(SCHEMA.empty_table())
+        empty = SCHEMA.empty_table()
+        if columns is not None:
+            empty = empty.select(columns)
+        return ray.data.from_arrow(empty)
     return ray.data.read_parquet(files, columns=columns)

@@ -55,39 +55,54 @@ METRIC_EVENT_TYPE = "error"
 
 
 def _bit_count_partial(t: pa.Table, dt_us: int) -> pa.Table:
-    """Per-batch (bucket, bit) → count partial: the sampler's encode."""
+    """Per-batch (bucket, bit) → count partial: the sampler's encode.
+
+    Two meta rows per bucket ride along with the bit planes: ``bit = -1``
+    carries the sample count (every watched row, NULL value included —
+    the oracle's ``count(*)``), and ``bit = -2`` the NON-NULL sample
+    count, so the fold can distinguish an all-NULL bucket (SQL
+    ``sum = NULL``) from an all-zero one (``sum = 0``)."""
     t = t.filter(pc.equal(t["event_type"], METRIC_EVENT_TYPE))
-    # a sample without a timestamp cannot be bucketed — the reference's
-    # sampler stamps every sample at capture time, so NULL ts is a
-    # malformed record; drop it rather than hand np.unique a NaN bucket
+    # a sample without a capture timestamp is malformed (the reference's
+    # sampler stamps every sample) — the oracle drops it with the same
+    # `ts IS NOT NULL` predicate, keeping both engines aligned
     t = t.filter(pc.is_valid(t["ts"]))
     if t.num_rows == 0:
         return pa.table({"bucket": pa.array([], pa.int64()),
                          "bit": pa.array([], pa.int64()),
                          "cnt": pa.array([], pa.int64())})
     t = _bucket_batch(t, dt_us)
+    buckets = t["bucket"].to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(buckets, return_inverse=True)
+    n_all = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    valid = pc.is_valid(t["value"]).to_numpy(zero_copy_only=False) \
+        .astype(bool)
     v6 = pc.cast(pc.round(pc.multiply(t["value"], 1e6)), pa.int64()) \
-        .to_numpy(zero_copy_only=False)
+        .to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+    vcodes = codes[valid]
     if (v6 < 0).any():
         # two's-complement bits would break the Σ count<<k identity; the
         # reference samples counters (non-negative longs) — enforce that
         raise ValueError("bit-sliced metrics require non-negative values")
-    buckets = t["bucket"].to_numpy(zero_copy_only=False)
-    uniq, codes = np.unique(buckets, return_inverse=True)
+    if len(v6) and (v6 >> BITS).any():
+        # a value above the indexed planes would silently truncate —
+        # fail loudly instead of reconstructing a short sum
+        raise ValueError(f"metric value exceeds {BITS} bit planes; "
+                         "raise BITS")
+    n_valid = np.bincount(vcodes, minlength=len(uniq)).astype(np.int64)
     # N×BITS plane membership, accumulated per bucket in one scatter-add
     planes = (v6[:, None] >> np.arange(BITS, dtype=np.int64)[None, :]) & 1
     counts = np.zeros((len(uniq), BITS), dtype=np.int64)
-    np.add.at(counts, codes, planes)
-    n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
-    # long form: the bit planes that actually have postings + the bit=-1
-    # presence row (sample count) per bucket
+    np.add.at(counts, vcodes, planes)
     bk, bit = np.nonzero(counts)
+    meta_bits = np.concatenate([np.full(len(uniq), -1, dtype=np.int64),
+                                np.full(len(uniq), -2, dtype=np.int64)])
     return pa.table({
-        "bucket": pa.array(np.concatenate([uniq, uniq[bk]]), pa.int64()),
-        "bit": pa.array(np.concatenate([np.full(len(uniq), -1,
-                                                dtype=np.int64), bit]),
-                        pa.int64()),
-        "cnt": pa.array(np.concatenate([n, counts[bk, bit]]), pa.int64())})
+        "bucket": pa.array(np.concatenate([uniq, uniq, uniq[bk]]),
+                           pa.int64()),
+        "bit": pa.array(np.concatenate([meta_bits, bit]), pa.int64()),
+        "cnt": pa.array(np.concatenate([n_all, n_valid, counts[bk, bit]]),
+                        pa.int64())})
 
 
 def metrics_bitslice_sum(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
@@ -110,14 +125,21 @@ def metrics_bitslice_sum(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
         .groupby("bucket", as_index=False)["sv6"].sum()
     n = term_counts[term_counts["bit"] == -1][["bucket", "cnt"]] \
         .rename(columns={"cnt": "n_events"})
-    out = n.merge(per_bucket, on="bucket", how="left")
+    nv = term_counts[term_counts["bit"] == -2][["bucket", "cnt"]] \
+        .rename(columns={"cnt": "n_valued"})
+    out = n.merge(nv, on="bucket", how="left").merge(per_bucket, on="bucket",
+                                                    how="left")
+    # no plane rows + some non-null samples = all-zero values → sum 0;
+    # no non-null samples at all → SQL sum() is NULL
     out["sv6"] = out["sv6"].fillna(0).astype(np.int64)
     out = out.sort_values("bucket").reset_index(drop=True)
+    sum_value = np.round(out["sv6"].to_numpy(np.int64) / 1e6, 6)
+    all_null = out["n_valued"].fillna(0).to_numpy(np.int64) == 0
     return pa.table({
         "bucket": pa.array(out["bucket"].to_numpy(np.int64)),
         "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
-        "sum_value": pa.array(np.round(out["sv6"].to_numpy(np.int64)
-                                       / 1e6, 6))})
+        "sum_value": pa.array(sum_value, pa.float64(),
+                              mask=all_null if all_null.any() else None)})
 
 
 SQL = {
@@ -126,7 +148,7 @@ SELECT (epoch_us(ts) - {T0_US}) // {US_PER_HOUR} AS bucket,
        count(*)::BIGINT AS n_events,
        round_even(sum(CAST(round_even(value * 1e6, 0) AS BIGINT)) / 1e6, 6)
            AS sum_value
-FROM events WHERE event_type = '{METRIC_EVENT_TYPE}'
+FROM events WHERE event_type = '{METRIC_EVENT_TYPE}' AND ts IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """.strip(),
 }

@@ -76,6 +76,14 @@ def test_appender_close_idempotent_and_empty(tmp_path):
     assert m1 == m2 == {"n_shards": 0, "appended_records": 0,
                         "dropped_records": 0}
     assert read_appended(d).count() == 0
+    # empty-path schema honors the columns arg like the non-empty path
+    assert (read_appended(d, columns=["level", "message"]).schema().names
+            == ["level", "message"])
+    # a closed appender refuses writes instead of swallowing them
+    with pytest.raises(RuntimeError, match="closed"):
+        ap.append(0, "INFO", "late")
+    with pytest.raises(RuntimeError, match="closed"):
+        ap.append_batch(_records(1))
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +133,13 @@ def test_delivery_full_then_append_then_noop(xs_table, tmp_path):
     # idempotent sink: no duplicate (pid, lo, hi) files
     assert not got.duplicated(["pid", "doc_lo", "doc_hi"]).any()
 
+    # config-change rebuild over the SAME inputs mints a new doc_space
+    # (docs re-encoded, ids re-meant) → delivery restarts from 0
+    cfg2 = IndexConfig(docs_per_partition=500, num_shards=2)
+    m3 = build_index([a_path, b_path], idx, cfg2, overwrite=True)
+    r3 = deliver_new(idx, sink)
+    assert r3["delivered"] == m3["n_docs"]
+
 
 def test_delivery_at_least_once_and_rebuild_reset(xs_index, tmp_path):
     import os
@@ -172,6 +187,39 @@ def test_bitslice_partial_reconstructs_exact_sum():
     expect = sum(int(np.round(v * 1e6)) for v in vals)
     assert sv6 == expect
     assert df[df["bit"] == -1]["cnt"].sum() == 5  # click filtered out
+
+
+def test_bitslice_null_value_and_ts_match_oracle_semantics():
+    """NULL value counts in n_events but not the sum (SQL count(*) vs
+    sum()); NULL ts is dropped on BOTH sides; an all-NULL bucket reports
+    a NULL sum, not 0."""
+    from miru_ray.ops.bitslice import _bit_count_partial
+    t0 = 1_704_067_200_000_000
+    t = pa.table({
+        "event_type": pa.array(["error"] * 4),
+        "ts": pa.array([t0, t0, None, t0 + 4 * 10**9],
+                       pa.timestamp("us")),
+        "value": pa.array([5.0, None, 1.0, None])})
+    df = _bit_count_partial(t, dt_us=3_600_000_000).to_pandas()
+    b0 = df[df["bucket"] == 0]
+    assert b0[b0["bit"] == -1]["cnt"].iloc[0] == 2   # count(*) keeps NULL
+    assert b0[b0["bit"] == -2]["cnt"].iloc[0] == 1   # one valued sample
+    # the NULL-ts row vanished entirely
+    assert df[df["bit"] == -1]["cnt"].sum() == 3
+    # bucket 1 holds only the NULL-valued sample: planes absent
+    b1 = df[df["bucket"] == 1]
+    assert b1[b1["bit"] == -2]["cnt"].iloc[0] == 0
+    assert (b1["bit"] >= 0).sum() == 0
+
+
+def test_bitslice_rejects_value_above_planes():
+    from miru_ray.ops.bitslice import _bit_count_partial, BITS
+    t = pa.table({
+        "event_type": pa.array(["error"]),
+        "ts": pa.array([1_704_067_200_000_000], pa.timestamp("us")),
+        "value": pa.array([float(1 << BITS) / 1e6 + 1.0])})
+    with pytest.raises(ValueError, match="bit planes"):
+        _bit_count_partial(t, dt_us=3_600_000_000)
 
 
 def test_bitslice_rejects_negative_values():
