@@ -715,6 +715,29 @@ FROM tf WHERE levenshtein(term, '{word}') <= {max_edits}
 """.strip()
 
 
+def q_wildcard_count(sf_dir: str, pattern: str = "s?ar*") -> pa.Table:
+    """Infix-wildcard term count (Lucene ``WildcardQuery`` via the
+    reference's Lucene-backed parser): docs containing ANY vocabulary
+    term matching the pattern (``*`` any run, ``?`` one char).  The
+    reader-side expansion bounds its term-dict scan by the literal
+    prefix and matches survivors with one vectorized LIKE kernel; the
+    registered query lifts the expansion cap so the oracle's uncapped
+    ``LIKE`` predicate is the same set."""
+    from ..query.filter import Wildcard
+    s = searcher_for(sf_dir)
+    ast = Wildcard("text", pattern, max_expansion=100_000)
+    return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
+
+
+def wildcard_count_sql(pattern: str = "s?ar*") -> str:
+    like = pattern.replace("*", "%").replace("?", "_")
+    return f"""
+{SQL_PROLOGUE}
+SELECT count(DISTINCT doc_id)::BIGINT AS n_matched
+FROM tf WHERE term LIKE '{like}'
+""".strip()
+
+
 def q_boosted_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Boosted BM25 top-k via the full parser path: ``spark^2 merge``
     doubles spark's per-doc contribution (Lucene boost syntax; the

@@ -49,6 +49,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # round-4 additions (never witnessed by definition)
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
+    "fulltext_wildcard_count",
     "pretrain_corpus_counts",
     "fulltext_fuzzy_count",
     "fulltext_boosted_topk",
@@ -225,6 +226,8 @@ WHERE tf.term = 'spark' AND d.role = 'user'
         F.more_like_this_sql(), ("fulltext",))
     reg("fulltext_fuzzy_count", F.q_fuzzy_count, F.fuzzy_count_sql(),
         ("fulltext", "fuzzy"))
+    reg("fulltext_wildcard_count", F.q_wildcard_count,
+        F.wildcard_count_sql(), ("fulltext", "wildcard"))
     reg("tenant_route_counts", F.q_tenant_route_counts,
         F.tenant_route_counts_sql(), ("tenant",))
     reg("fulltext_boosted_topk", F.q_boosted_topk,

@@ -43,10 +43,10 @@ from ..index.segments import (SegmentReader, bloom_may_contain,
                               read_segment_bloom)
 from . import scorer as S
 from .filter import (And, Authz, Boost, Fuzzy, Node, Not, NumericRange,
-                     Or, Phrase, Prefix, Term, TimeRange, and_terms,
-                     collect_boosts, collect_expansion_boosts,
-                     collect_fuzzies, collect_prefixes,
-                     collect_ranges, collect_scoring_terms)
+                     Or, Phrase, Prefix, Term, TimeRange, Wildcard,
+                     and_terms, collect_boosts, collect_expansion_boosts,
+                     collect_fuzzies, collect_prefixes, collect_ranges,
+                     collect_scoring_terms, collect_wildcards)
 from .parser import parse_query
 
 
@@ -380,6 +380,50 @@ class PartitionReader:
                 found.update(seg.terms[lo:min(hi, lo + cap + 1)])
         return sorted(found)[:cap + 1]
 
+    def expand_wildcard(self, key: str, cap: int) -> list[str]:
+        """Local wildcard expansion (Lucene ``WildcardQuery`` semantics;
+        same ``maxWildcardExpansion`` truncation contract as
+        :meth:`expand_prefix`).  The literal prefix before the first
+        wildcard bounds the term-dict scan; survivors match via ONE
+        vectorized SQL-LIKE kernel (``*``→``%``, ``?``→``_``), no
+        per-term Python loop.  A leading wildcard scans the field's full
+        term slice — the documented Lucene cost — still cap-bounded in
+        output and vectorized in evaluation."""
+        fld, _, pat = key.rpartition(":")  # same convention as fuzzy
+        first = min((j for j in (pat.find("*"), pat.find("?")) if j >= 0),
+                    default=len(pat))
+        lit = pat[:first]
+        like = (pat.replace("\\", "\\\\").replace("%", "\\%")
+                .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+        found: set[str] = set()
+        for pid in self.parts:
+            for shard in range(self.cfg.num_shards):
+                seg = self._segment(pid, shard)
+                if seg is None:
+                    continue
+                lo, hi = seg.prefix_range(f"{fld}:{lit}" if fld else lit)
+                cands = np.asarray(seg.terms[lo:hi], object)
+                if not len(cands):
+                    continue
+                if fld:
+                    vals = np.array([t[len(fld) + 1:] for t in cands],
+                                    dtype=object)
+                else:
+                    # text tokens never contain ':'; keyword/numeric
+                    # pseudo-terms always do — drop them (cf. expand_prefix)
+                    nc = pc.invert(pc.match_substring(
+                        pa.array(cands, pa.string()), ":")).to_numpy(
+                        zero_copy_only=False).astype(bool)
+                    cands = cands[nc]
+                    vals = cands
+                if not len(cands):
+                    continue
+                keep = pc.match_like(pa.array(vals, pa.string()),
+                                     like).to_numpy(
+                    zero_copy_only=False).astype(bool)
+                found.update(cands[keep])
+        return sorted(found)[:cap]
+
     def expand_fuzzy(self, term_key: str, max_edits: int,
                      cap: int) -> list[str]:
         """Local fuzzy expansion: vocabulary terms within ``max_edits``
@@ -528,7 +572,7 @@ class PartitionReader:
                 if p is not None:
                     mask[p[0] - base] = True
             return mask
-        if isinstance(node, Fuzzy):
+        if isinstance(node, (Fuzzy, Wildcard)):
             mask = np.zeros(count, bool)
             for t in expansions.get(node.expansion_key(), []):
                 p = self._postings(pid, t, cache)
@@ -1169,6 +1213,16 @@ class Searcher:
                                         fz.max_edits, fz.max_expansion):
                     found.update(res)
                 self._expansion_cache[ck] = sorted(found)[:fz.max_expansion]
+            expansions[key] = self._expansion_cache[ck]
+        for wc in collect_wildcards(ast):
+            key = wc.expansion_key()
+            ck = (key, wc.max_expansion)
+            if ck not in self._expansion_cache:
+                found = set()
+                for res in self._fanout("expand_wildcard", key,
+                                        wc.max_expansion):
+                    found.update(res)
+                self._expansion_cache[ck] = sorted(found)[:wc.max_expansion]
             expansions[key] = self._expansion_cache[ck]
         range_keys: set[str] = set()
         for r in collect_ranges(ast):

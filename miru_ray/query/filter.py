@@ -43,6 +43,24 @@ class Prefix(Node):
 
 
 @dataclass(frozen=True)
+class Wildcard(Node):
+    """Infix/leading wildcard ``pa*t?n`` (Lucene ``WildcardQuery``):
+    ``*`` = any run of characters, ``?`` = exactly one, anywhere in the
+    term.  Expanded against the sorted term dictionary — the literal
+    prefix before the first wildcard bounds the scan (empty for a
+    leading wildcard: full-dict scan, the documented Lucene cost) —
+    under the same ``maxWildcardExpansion`` cap as :class:`Prefix`.
+    A plain trailing ``*`` parses to the cheaper Prefix node instead."""
+    field: str
+    pattern: str
+    max_expansion: int = 1000
+
+    def expansion_key(self) -> str:
+        return (self.pattern if self.field == "text"
+                else f"{self.field}:{self.pattern}")
+
+
+@dataclass(frozen=True)
 class NumericRange(Node):
     """Inclusive numeric range ``field:[lo TO hi]`` over an int64 field
     indexed with the order-preserving lex encoding
@@ -235,6 +253,10 @@ def collect_fuzzies(node: Node) -> "list[Fuzzy]":
     return _walk_collect(node, [], Fuzzy)
 
 
+def collect_wildcards(node: Node) -> "list[Wildcard]":
+    return _walk_collect(node, [], Wildcard)
+
+
 def collect_boosts(node: Node, out: dict[str, float] | None = None,
                    mult: float = 1.0) -> dict[str, float]:
     """term_key → boost multiplier for every scoring term UNDER a Boost:
@@ -276,7 +298,7 @@ def collect_expansion_boosts(node: Node,
         out = {}
     if isinstance(node, Boost):
         collect_expansion_boosts(node.child, out, mult * node.boost)
-    elif mult != 1.0 and isinstance(node, Fuzzy):
+    elif mult != 1.0 and isinstance(node, (Fuzzy, Wildcard)):
         k = node.expansion_key()
         out[k] = out.get(k, 1.0) * mult
     elif mult != 1.0 and isinstance(node, Prefix):

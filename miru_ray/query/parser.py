@@ -9,6 +9,11 @@ operator AND; ``MUST`` → and, ``SHOULD`` → or, ``MUST_NOT`` → pButNotQ,
     clause  := ["-"|"NOT "] atom | atom "OR" atom ...
     atom    := [field ":"] term ["*"] | "(" query ")"
 
+Atoms may also carry Lucene suffix modifiers (``term~N`` fuzzy,
+``term^N`` boost, ``"a b"~N`` sloppy phrase) and infix/leading
+wildcards (``pa*t?n`` → :class:`Wildcard`; a single trailing ``*``
+stays the cheaper :class:`Prefix`).
+
 Quoted multi-term strings parse to :class:`Phrase` — exact token-adjacency
 match, evaluated as AND candidates + verification against stored text (the
 engine keeps its segment format positions-free; the reference defers
@@ -22,7 +27,7 @@ from dataclasses import replace
 
 from ..tokenize import py_tokenize
 from .filter import (And, Boost, Fuzzy, Node, Not, NumericRange, Or, Phrase,
-                     Prefix, Term)
+                     Prefix, Term, Wildcard)
 
 # bracket ranges (`field:[10 TO 20]`) tokenize as ONE atom — the inner
 # space must not split them.  Quoted phrases may carry a '-' or 'field:'
@@ -203,6 +208,18 @@ def _atom_base(tok: str, default_field: str,
         if m:
             return NumericRange(field, int(m.group(1)), int(m.group(2)))
         return None  # malformed range: dissolve the clause
+    if (("?" in tok or "*" in tok)
+            and not (tok.endswith("*") and "?" not in tok
+                     and "*" not in tok[:-1])):
+        # infix/leading wildcard (Lucene WildcardQuery) — a SINGLE
+        # trailing '*' stays on the cheaper Prefix path below.  Wildcard
+        # terms bypass the analyzer (Lucene does not analyze them) but
+        # lowercase to match the index's lowercased tokens.
+        pat = tok.lower()
+        if not pat.strip("*?"):
+            return None  # all-wildcard ('*', '??') dissolves, never a
+            #              silently-truncated match-all scan
+        return Wildcard(field, pat)
     if tok.endswith("*"):
         body = tok[:-1]
         if field == default_field:

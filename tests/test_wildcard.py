@@ -1,0 +1,87 @@
+"""Infix/leading wildcard queries (Lucene WildcardQuery) — parser,
+expansion, evaluation, boost composition."""
+
+import fnmatch
+
+import pytest
+
+from miru_ray.query.filter import (And, Boost, Prefix, Term, Wildcard)
+from miru_ray.query.parser import parse_query
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def test_parser_infix_and_leading_wildcards():
+    assert parse_query("qu*ry") == Wildcard("text", "qu*ry")
+    assert parse_query("q?ery") == Wildcard("text", "q?ery")
+    assert parse_query("*ery") == Wildcard("text", "*ery")
+    assert parse_query("role:ad*in") == Wildcard("role", "ad*in")
+    # a SINGLE trailing '*' stays on the cheaper Prefix path
+    assert parse_query("que*") == Prefix("text", "que")
+    # trailing '*' with another wildcard is a Wildcard
+    assert parse_query("q?e*") == Wildcard("text", "q?e*")
+    # lowercased like analyzed tokens
+    assert parse_query("Qu*RY") == Wildcard("text", "qu*ry")
+
+
+def test_parser_wildcard_composition():
+    n = parse_query("qu*ry spark")
+    assert n == And((Wildcard("text", "qu*ry"), Term("text", "spark")))
+    b = parse_query("qu*ry^2")
+    assert b == Boost(Wildcard("text", "qu*ry"), 2.0)
+    # all-wildcard atoms dissolve (never a silent truncated match-all)
+    assert parse_query("* spark") == Term("text", "spark")
+
+
+# ---------------------------------------------------------------------------
+# expansion + evaluation vs brute force
+# ---------------------------------------------------------------------------
+
+def _expected_docs(xs_oracle, pat, fields=("role:", "tool:")):
+    exp = set()
+    for t, docs in xs_oracle.postings.items():
+        if ":" in t:
+            continue
+        if fnmatch.fnmatchcase(t, pat):
+            exp.update(docs)
+    return exp
+
+
+@pytest.mark.parametrize("pat", ["qu*ry", "q?ery", "*uery", "s*k", "?????"])
+def test_wildcard_matches_brute_force(xs_searcher, xs_oracle, pat):
+    got = set(xs_searcher.match_docs(
+        Wildcard("text", pat, max_expansion=100_000)).tolist())
+    assert got == _expected_docs(xs_oracle, pat)
+
+
+def test_wildcard_keyword_field(xs_searcher, xs_oracle):
+    """Field-scoped wildcard expands only within that field's slice."""
+    got = set(xs_searcher.match_docs(
+        Wildcard("role", "*er", max_expansion=100_000)).tolist())
+    exp = set()
+    for t, docs in xs_oracle.postings.items():
+        if t.startswith("role:") and fnmatch.fnmatchcase(t[5:], "*er"):
+            exp.update(docs)
+    assert got == exp
+    assert got  # pattern chosen to actually match ('user' etc.)
+
+
+def test_wildcard_expansion_cap_truncates(xs_searcher):
+    """maxWildcardExpansion semantics: the capped match-set is a subset
+    of the uncapped one (silent truncation, like the reference)."""
+    full = set(xs_searcher.match_docs(
+        Wildcard("text", "?*", max_expansion=100_000)).tolist())
+    capped = set(xs_searcher.match_docs(
+        Wildcard("text", "?*", max_expansion=5)).tolist())
+    assert capped <= full
+    assert len(capped) < len(full)
+
+
+def test_wildcard_scores_like_expanded_or(xs_searcher):
+    """A wildcard's expansions join the scoring set with multiplicity 1 —
+    the parsed query path must give the same top-k as the explicit AST."""
+    a = xs_searcher.topk("qu*ry", 10, "bm25")
+    b = xs_searcher.topk(Wildcard("text", "qu*ry"), 10, "bm25")
+    assert a.equals(b)
