@@ -738,6 +738,25 @@ FROM tf WHERE term LIKE '{like}'
 """.strip()
 
 
+def q_regexp_count(sf_dir: str, pattern: str = "sp.rk|m.rge") -> pa.Table:
+    """Anchored regexp term count (Lucene ``RegexpQuery``): docs with
+    ANY vocabulary term fully matching the RE2 pattern.  Engine (Arrow)
+    and oracle (DuckDB ``regexp_full_match``) both compile RE2 — same
+    language, same anchoring, same answer by construction."""
+    from ..query.filter import Regexp
+    s = searcher_for(sf_dir)
+    ast = Regexp("text", pattern, max_expansion=100_000)
+    return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
+
+
+def regexp_count_sql(pattern: str = "sp.rk|m.rge") -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT count(DISTINCT doc_id)::BIGINT AS n_matched
+FROM tf WHERE regexp_full_match(term, '{pattern}')
+""".strip()
+
+
 def q_boosted_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Boosted BM25 top-k via the full parser path: ``spark^2 merge``
     doubles spark's per-doc contribution (Lucene boost syntax; the

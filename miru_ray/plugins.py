@@ -50,6 +50,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
     "fulltext_wildcard_count",
+    "fulltext_regexp_count",
     "pretrain_corpus_counts",
     "fulltext_fuzzy_count",
     "fulltext_boosted_topk",
@@ -228,6 +229,8 @@ WHERE tf.term = 'spark' AND d.role = 'user'
         ("fulltext", "fuzzy"))
     reg("fulltext_wildcard_count", F.q_wildcard_count,
         F.wildcard_count_sql(), ("fulltext", "wildcard"))
+    reg("fulltext_regexp_count", F.q_regexp_count,
+        F.regexp_count_sql(), ("fulltext", "regexp"))
     reg("tenant_route_counts", F.q_tenant_route_counts,
         F.tenant_route_counts_sql(), ("tenant",))
     reg("fulltext_boosted_topk", F.q_boosted_topk,

@@ -43,10 +43,11 @@ from ..index.segments import (SegmentReader, bloom_may_contain,
                               read_segment_bloom)
 from . import scorer as S
 from .filter import (And, Authz, Boost, Fuzzy, Node, Not, NumericRange,
-                     Or, Phrase, Prefix, Term, TimeRange, Wildcard,
+                     Or, Phrase, Prefix, Regexp, Term, TimeRange, Wildcard,
                      and_terms, collect_boosts, collect_expansion_boosts,
                      collect_fuzzies, collect_prefixes, collect_ranges,
-                     collect_scoring_terms, collect_wildcards)
+                     collect_regexps, collect_scoring_terms,
+                     collect_wildcards)
 from .parser import parse_query
 
 
@@ -71,6 +72,28 @@ def _ordered_near(pos_lists: list, slop: int) -> bool:
         if ok and prev - int(p1) - (k - 1) <= slop:
             return True
     return False
+
+
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _regex_literal_prefix(pat: str) -> str:
+    """Longest literal prefix of a regex usable as a term-dict scan
+    bound: plain characters up to the first metacharacter, stopping
+    short of a character a following quantifier could repeat away.
+    An alternation ANYWHERE voids the bound — a top-level `a|b` match
+    need not start with the left arm's literals, and telling top-level
+    from grouped apart is not worth the parse."""
+    if "|" in pat:
+        return ""
+    out = []
+    for i, ch in enumerate(pat):
+        if ch in _REGEX_META:
+            break
+        if i + 1 < len(pat) and pat[i + 1] in "*+?{":
+            break
+        out.append(ch)
+    return "".join(out)
 
 
 def _lev_leq_mask(cands: np.ndarray, query: str, max_d: int) -> np.ndarray:
@@ -424,6 +447,43 @@ class PartitionReader:
                 found.update(cands[keep])
         return sorted(found)[:cap]
 
+    def expand_regexp(self, key: str, cap: int) -> list[str]:
+        """Local regexp expansion (Lucene ``RegexpQuery``: anchored
+        full-term match).  Any literal prefix of the pattern bounds the
+        term-dict scan (cf. :meth:`expand_wildcard`); survivors match
+        via ONE vectorized RE2 kernel — the same regex engine the DuckDB
+        oracle compiles, so both sides accept the same language."""
+        fld, _, pat = key.rpartition(":")
+        pat = pat[1:-1]  # strip the /…/ delimiters of the expansion key
+        lit = _regex_literal_prefix(pat)
+        found: set[str] = set()
+        for pid in self.parts:
+            for shard in range(self.cfg.num_shards):
+                seg = self._segment(pid, shard)
+                if seg is None:
+                    continue
+                lo, hi = seg.prefix_range(f"{fld}:{lit}" if fld else lit)
+                cands = np.asarray(seg.terms[lo:hi], object)
+                if not len(cands):
+                    continue
+                if fld:
+                    vals = np.array([t[len(fld) + 1:] for t in cands],
+                                    dtype=object)
+                else:
+                    nc = pc.invert(pc.match_substring(
+                        pa.array(cands, pa.string()), ":")).to_numpy(
+                        zero_copy_only=False).astype(bool)
+                    cands = cands[nc]
+                    vals = cands
+                if not len(cands):
+                    continue
+                keep = pc.match_substring_regex(
+                    pa.array(vals, pa.string()),
+                    f"^(?:{pat})$").to_numpy(
+                    zero_copy_only=False).astype(bool)
+                found.update(cands[keep])
+        return sorted(found)[:cap]
+
     def expand_fuzzy(self, term_key: str, max_edits: int,
                      cap: int) -> list[str]:
         """Local fuzzy expansion: vocabulary terms within ``max_edits``
@@ -572,7 +632,7 @@ class PartitionReader:
                 if p is not None:
                     mask[p[0] - base] = True
             return mask
-        if isinstance(node, (Fuzzy, Wildcard)):
+        if isinstance(node, (Fuzzy, Wildcard, Regexp)):
             mask = np.zeros(count, bool)
             for t in expansions.get(node.expansion_key(), []):
                 p = self._postings(pid, t, cache)
@@ -1223,6 +1283,16 @@ class Searcher:
                                         wc.max_expansion):
                     found.update(res)
                 self._expansion_cache[ck] = sorted(found)[:wc.max_expansion]
+            expansions[key] = self._expansion_cache[ck]
+        for rx in collect_regexps(ast):
+            key = rx.expansion_key()
+            ck = (key, rx.max_expansion)
+            if ck not in self._expansion_cache:
+                found = set()
+                for res in self._fanout("expand_regexp", key,
+                                        rx.max_expansion):
+                    found.update(res)
+                self._expansion_cache[ck] = sorted(found)[:rx.max_expansion]
             expansions[key] = self._expansion_cache[ck]
         range_keys: set[str] = set()
         for r in collect_ranges(ast):

@@ -61,6 +61,23 @@ class Wildcard(Node):
 
 
 @dataclass(frozen=True)
+class Regexp(Node):
+    """Anchored regular-expression term query ``/pat/`` (Lucene
+    ``RegexpQuery``): the whole term must match ``pattern``.  Both the
+    engine (Arrow) and the oracle (DuckDB) compile RE2, so semantics are
+    identical by construction.  Expanded like :class:`Wildcard` — any
+    literal prefix of the pattern bounds the term-dict scan — under the
+    same cap."""
+    field: str
+    pattern: str
+    max_expansion: int = 1000
+
+    def expansion_key(self) -> str:
+        key = f"/{self.pattern}/"
+        return key if self.field == "text" else f"{self.field}:{key}"
+
+
+@dataclass(frozen=True)
 class NumericRange(Node):
     """Inclusive numeric range ``field:[lo TO hi]`` over an int64 field
     indexed with the order-preserving lex encoding
@@ -257,6 +274,10 @@ def collect_wildcards(node: Node) -> "list[Wildcard]":
     return _walk_collect(node, [], Wildcard)
 
 
+def collect_regexps(node: Node) -> "list[Regexp]":
+    return _walk_collect(node, [], Regexp)
+
+
 def collect_boosts(node: Node, out: dict[str, float] | None = None,
                    mult: float = 1.0) -> dict[str, float]:
     """term_key → boost multiplier for every scoring term UNDER a Boost:
@@ -298,7 +319,7 @@ def collect_expansion_boosts(node: Node,
         out = {}
     if isinstance(node, Boost):
         collect_expansion_boosts(node.child, out, mult * node.boost)
-    elif mult != 1.0 and isinstance(node, (Fuzzy, Wildcard)):
+    elif mult != 1.0 and isinstance(node, (Fuzzy, Wildcard, Regexp)):
         k = node.expansion_key()
         out[k] = out.get(k, 1.0) * mult
     elif mult != 1.0 and isinstance(node, Prefix):

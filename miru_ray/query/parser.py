@@ -12,7 +12,8 @@ operator AND; ``MUST`` → and, ``SHOULD`` → or, ``MUST_NOT`` → pButNotQ,
 Atoms may also carry Lucene suffix modifiers (``term~N`` fuzzy,
 ``term^N`` boost, ``"a b"~N`` sloppy phrase) and infix/leading
 wildcards (``pa*t?n`` → :class:`Wildcard`; a single trailing ``*``
-stays the cheaper :class:`Prefix`).
+stays the cheaper :class:`Prefix`) and anchored regexps (``/pat/`` /
+``field:/pat/`` → :class:`Regexp`, not analyzed).
 
 Quoted multi-term strings parse to :class:`Phrase` — exact token-adjacency
 match, evaluated as AND candidates + verification against stored text (the
@@ -27,7 +28,7 @@ from dataclasses import replace
 
 from ..tokenize import py_tokenize
 from .filter import (And, Boost, Fuzzy, Node, Not, NumericRange, Or, Phrase,
-                     Prefix, Term, Wildcard)
+                     Prefix, Regexp, Term, Wildcard)
 
 # bracket ranges (`field:[10 TO 20]`) tokenize as ONE atom — the inner
 # space must not split them.  Quoted phrases may carry a '-' or 'field:'
@@ -35,6 +36,7 @@ from .filter import (And, Boost, Fuzzy, Node, Not, NumericRange, Or, Phrase,
 # closes its group instead of being swallowed by the word token.
 _TOKEN_SPLIT = re.compile(
     r'-?(?:[\w.]+:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
+    r'|-?(?:[\w.]+:)?/[^/\s]+/(?:\^\d+(?:\.\d+)?)?'  # /regex/ may hold ()|
     r'|\(|\)|\S+:\[[^\]]*\]|[^\s()"]+')
 
 _RANGE = re.compile(r'^(-?\d+)\s+TO\s+(-?\d+)$', re.IGNORECASE)
@@ -199,8 +201,16 @@ def _atom_base(tok: str, default_field: str,
         # exact phrase: AND candidates + token-adjacency verification
         from .filter import Phrase
         return Phrase(field, tuple(terms))
+    if tok.startswith("/") and tok.endswith("/") and len(tok) > 2:
+        # /pat/ before the field split: a ':' inside the pattern must
+        # not be mistaken for a field qualifier
+        return Regexp(field, tok[1:-1])
     if ":" in tok:
         field, tok = tok.split(":", 1)
+    if tok.startswith("/") and tok.endswith("/") and len(tok) > 2:
+        # field:/pat/ — Lucene RegexpQuery; the pattern is NOT analyzed
+        # (write lowercase literals to match the lowercased index)
+        return Regexp(field, tok[1:-1])
     if tok.startswith("[") and tok.endswith("]") and field != default_field:
         # numeric range `field:[lo TO hi]` (inclusive, Lucene syntax) —
         # constant-score gate over the lex-encoded term range

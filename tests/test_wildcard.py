@@ -1,11 +1,13 @@
-"""Infix/leading wildcard queries (Lucene WildcardQuery) — parser,
-expansion, evaluation, boost composition."""
+"""Infix/leading wildcard and regexp queries (Lucene WildcardQuery /
+RegexpQuery) — parser, expansion, evaluation, boost composition."""
 
 import fnmatch
+import re
 
 import pytest
 
-from miru_ray.query.filter import (And, Boost, Prefix, Term, Wildcard)
+from miru_ray.query.filter import (And, Boost, Prefix, Regexp, Term,
+                                   Wildcard)
 from miru_ray.query.parser import parse_query
 
 
@@ -77,6 +79,41 @@ def test_wildcard_expansion_cap_truncates(xs_searcher):
         Wildcard("text", "?*", max_expansion=5)).tolist())
     assert capped <= full
     assert len(capped) < len(full)
+
+
+def test_parser_regexp_shapes():
+    assert parse_query("/sp.rk/") == Regexp("text", "sp.rk")
+    assert parse_query("/s(p|h)ark/") == Regexp("text", "s(p|h)ark")
+    assert parse_query("role:/us.r/") == Regexp("role", "us.r")
+    # a ':' inside the pattern is NOT a field qualifier
+    assert parse_query("/a:b/") == Regexp("text", "a:b")
+    assert parse_query("-/sp.rk/ merge") == parse_query("merge -/sp.rk/")
+    assert parse_query("/sp.rk/^2") == Boost(Regexp("text", "sp.rk"), 2.0)
+
+
+@pytest.mark.parametrize("pat", ["qu.ry", "qu.*", "s(p|h).rk", "[a-d]{4}"])
+def test_regexp_matches_brute_force(xs_searcher, xs_oracle, pat):
+    got = set(xs_searcher.match_docs(
+        Regexp("text", pat, max_expansion=100_000)).tolist())
+    rx = re.compile(f"^(?:{pat})$")
+    exp = set()
+    for t, docs in xs_oracle.postings.items():
+        if ":" not in t and rx.match(t):
+            exp.update(docs)
+    assert got == exp
+
+
+def test_regexp_literal_prefix_bound():
+    from miru_ray.query.engine import _regex_literal_prefix
+    assert _regex_literal_prefix("spark") == "spark"
+    assert _regex_literal_prefix("sp.rk") == "sp"
+    assert _regex_literal_prefix("spa*k") == "sp"   # 'a' is quantified away
+    assert _regex_literal_prefix("ab{2}c") == "a"
+    assert _regex_literal_prefix("(a|b)c") == ""
+    assert _regex_literal_prefix(".*") == ""
+    # alternation voids the bound even with a shared-looking prefix —
+    # 'merge' must be found by 'sp.rk|m.rge' despite not starting 'sp'
+    assert _regex_literal_prefix("sp.rk|m.rge") == ""
 
 
 def test_wildcard_scores_like_expanded_or(xs_searcher):
