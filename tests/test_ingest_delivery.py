@@ -166,6 +166,74 @@ def test_delivery_at_least_once_and_rebuild_reset(xs_index, tmp_path):
     assert r3 == r1
 
 
+def test_realtime_log_pipeline_end_to_end(tmp_path):
+    """The reference's actual log flow, composed from this round's parts:
+    app → LogAppender (client WAL) → index build → realtime delivery →
+    level-filtered query; then MORE logs → incremental append → delivery
+    of only the new tail.  Every stage is the production code path."""
+    from miru_ray.query.engine import Searcher
+    from miru_ray.query.filter import Term
+
+    def produce(wal_dir, loggers, n_per, start_ts):
+        ap = LogAppender(str(wal_dir), batch_size=64, max_pending=1 << 20)
+        for li, lg in enumerate(loggers):
+            for i in range(n_per):
+                lvl = "ERROR" if (li + i) % 5 == 0 else "INFO"
+                ap.append(start_ts + li * n_per + i, lvl,
+                          f"msg {lg} {i}", logger=lg)
+        ap.close()
+        return ap
+
+    def wal_to_input(wal_dir, out_path):
+        # WAL → transcript-shaped index input: logger = conversation,
+        # per-logger arrival order = turn, level = keyword field
+        t = (read_appended(str(wal_dir))
+             .to_pandas().sort_values(["logger", "ts_us"]))
+        t["turn_idx"] = t.groupby("logger").cumcount()
+        t = t.rename(columns={"logger": "conv_id", "message": "text"})
+        out = pa.table({
+            "conv_id": pa.array(t["conv_id"], pa.string()),
+            "turn_idx": pa.array(t["turn_idx"].to_numpy(np.int32)),
+            "text": pa.array(t["text"], pa.string()),
+            "level": pa.array(t["level"], pa.string()),
+            "ts": pa.array(t["ts_us"].to_numpy(np.int64),
+                           pa.timestamp("us"))})
+        pq.write_table(out, str(out_path))
+        return out
+
+    from miru_ray.config import IndexConfig
+    cfg = IndexConfig(docs_per_partition=100, num_shards=2,
+                      text_fields=("text",), keyword_fields=("level",))
+    produce(tmp_path / "wal1", [f"app-{i}" for i in range(4)], 50, 0)
+    in1 = str(tmp_path / "in1.parquet")
+    wal_to_input(tmp_path / "wal1", in1)
+    idx = str(tmp_path / "idx")
+    m1 = build_index([in1], idx, cfg)
+    assert m1["n_docs"] == 200
+
+    sink = ParquetDeliverySink(str(tmp_path / "delivered"))
+    assert deliver_new(idx, sink)["delivered"] == 200
+
+    s = Searcher(idx, num_readers=1)
+    try:
+        n_err = s.count(Term("level", "ERROR"))
+        assert n_err == sum(1 for li in range(4) for i in range(50)
+                            if (li + i) % 5 == 0)
+
+        # more logs land: NEW loggers (whole new conversations), append
+        produce(tmp_path / "wal2", [f"job-{i}" for i in range(2)], 30,
+                10_000)
+        in2 = str(tmp_path / "in2.parquet")
+        wal_to_input(tmp_path / "wal2", in2)
+        m2 = build_index([in1, in2], idx, cfg)
+        assert "append" in m2["stages"]
+        assert deliver_new(idx, sink)["delivered"] == 60
+        got = sink.delivered().to_pandas()
+        assert got["doc_hi"].max() == 260
+    finally:
+        s.close()
+
+
 # ---------------------------------------------------------------------------
 # bit-sliced metric encode
 # ---------------------------------------------------------------------------
