@@ -757,6 +757,31 @@ FROM tf WHERE regexp_full_match(term, '{pattern}')
 """.strip()
 
 
+def q_min_should_count(sf_dir: str,
+                       terms: tuple = ("spark", "merge", "dup"),
+                       m: int = 2) -> pa.Table:
+    """m-of-k boolean count (Lucene ``minimumNumberShouldMatch`` / ES
+    ``minimum_should_match``): docs containing at least ``m`` of the
+    ``k`` terms — evaluated as one vectorized per-doc match-count
+    threshold over the children's bitmaps, the bitmap-algebra answer to
+    the reference's Roaring AND/OR kernel composed m-of-k."""
+    from ..query.filter import MinShould, Term
+    s = searcher_for(sf_dir)
+    ast = MinShould(tuple(Term("text", t) for t in terms), m)
+    return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
+
+
+def min_should_count_sql(terms: tuple = ("spark", "merge", "dup"),
+                         m: int = 2) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+{SQL_PROLOGUE}
+SELECT count(*)::BIGINT AS n_matched FROM (
+  SELECT doc_id FROM tf WHERE term IN ({in_list})
+  GROUP BY doc_id HAVING count(DISTINCT term) >= {m})
+""".strip()
+
+
 def q_boosted_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Boosted BM25 top-k via the full parser path: ``spark^2 merge``
     doubles spark's per-doc contribution (Lucene boost syntax; the

@@ -51,6 +51,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stumptown_appender_counts",
     "fulltext_wildcard_count",
     "fulltext_regexp_count",
+    "fulltext_min_should_count",
     "pretrain_corpus_counts",
     "fulltext_fuzzy_count",
     "fulltext_boosted_topk",
@@ -231,6 +232,8 @@ WHERE tf.term = 'spark' AND d.role = 'user'
         F.wildcard_count_sql(), ("fulltext", "wildcard"))
     reg("fulltext_regexp_count", F.q_regexp_count,
         F.regexp_count_sql(), ("fulltext", "regexp"))
+    reg("fulltext_min_should_count", F.q_min_should_count,
+        F.min_should_count_sql(), ("fulltext", "boolean"))
     reg("tenant_route_counts", F.q_tenant_route_counts,
         F.tenant_route_counts_sql(), ("tenant",))
     reg("fulltext_boosted_topk", F.q_boosted_topk,

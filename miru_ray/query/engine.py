@@ -42,12 +42,12 @@ from ..index.build import doclen_rel_path
 from ..index.segments import (SegmentReader, bloom_may_contain,
                               read_segment_bloom)
 from . import scorer as S
-from .filter import (And, Authz, Boost, Fuzzy, Node, Not, NumericRange,
-                     Or, Phrase, Prefix, Regexp, Term, TimeRange, Wildcard,
-                     and_terms, collect_boosts, collect_expansion_boosts,
-                     collect_fuzzies, collect_prefixes, collect_ranges,
-                     collect_regexps, collect_scoring_terms,
-                     collect_wildcards)
+from .filter import (And, Authz, Boost, Fuzzy, MinShould, Node, Not,
+                     NumericRange, Or, Phrase, Prefix, Regexp, Term,
+                     TimeRange, Wildcard, and_terms, collect_boosts,
+                     collect_expansion_boosts, collect_fuzzies,
+                     collect_prefixes, collect_ranges, collect_regexps,
+                     collect_scoring_terms, collect_wildcards)
 from .parser import parse_query
 
 
@@ -250,6 +250,9 @@ class PartitionReader:
         if isinstance(node, Or):
             return (any(self._may_match(c, pid) for c in node.children)
                     if node.children else False)
+        if isinstance(node, MinShould):
+            return sum(self._may_match(c, pid)
+                       for c in node.children) >= node.m
         if isinstance(node, Not):
             return self._may_match(node.positive, pid)
         return True
@@ -797,6 +800,13 @@ class PartitionReader:
             for c in node.children:
                 mask |= self._eval(c, pid, cache, expansions)
             return mask
+        if isinstance(node, MinShould):
+            if not node.children or node.m > len(node.children):
+                return np.zeros(count, bool)
+            acc = np.zeros(count, np.int32)
+            for c in node.children:
+                acc += self._eval(c, pid, cache, expansions)
+            return acc >= node.m
         if isinstance(node, Not):
             mask = self._eval(node.positive, pid, cache, expansions)
             for c in node.negatives:

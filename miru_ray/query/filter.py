@@ -199,6 +199,18 @@ class Or(Node):
 
 
 @dataclass(frozen=True)
+class MinShould(Node):
+    """m-of-k boolean: matches docs satisfying at least ``m`` of the
+    child clauses (Lucene ``BooleanQuery.setMinimumNumberShouldMatch`` /
+    ES ``minimum_should_match``).  ``m=1`` degenerates to :class:`Or`,
+    ``m=len(children)`` to :class:`And`; evaluated as a vectorized
+    per-doc match-count threshold over the children's bitmaps.  Children
+    traverse exactly like Or's for term collection and boosts."""
+    children: tuple
+    m: int
+
+
+@dataclass(frozen=True)
 class Not(Node):
     """pButNotQ: ``positive AND NOT (q1 OR q2 ...)``
     (``MiruFilterOperation.java:11-22``)."""
@@ -233,7 +245,7 @@ def collect_scoring_terms(node: Node, counts: dict[str, int] | None = None,
             counts[t] = counts.get(t, 0) + polarity
     elif isinstance(node, Boost):
         collect_scoring_terms(node.child, counts, polarity)
-    elif isinstance(node, (And, Or)):
+    elif isinstance(node, (And, Or, MinShould)):
         for c in node.children:
             collect_scoring_terms(c, counts, polarity)
     elif isinstance(node, Not):
@@ -252,7 +264,7 @@ def _walk_collect(node: Node, out: list, want: type) -> list:
         out.append(node)
     elif isinstance(node, Boost):
         _walk_collect(node.child, out, want)
-    elif isinstance(node, (And, Or)):
+    elif isinstance(node, (And, Or, MinShould)):
         for c in node.children:
             _walk_collect(c, out, want)
     elif isinstance(node, Not):
@@ -298,7 +310,7 @@ def collect_boosts(node: Node, out: dict[str, float] | None = None,
     elif mult != 1.0 and isinstance(node, Phrase):
         for k in node.term_keys():
             out[k] = out.get(k, 1.0) * mult
-    elif isinstance(node, (And, Or)):
+    elif isinstance(node, (And, Or, MinShould)):
         for c in node.children:
             collect_boosts(c, out, mult)
     elif isinstance(node, Not):
@@ -325,7 +337,7 @@ def collect_expansion_boosts(node: Node,
     elif mult != 1.0 and isinstance(node, Prefix):
         k = node.term_key_prefix()
         out[k] = out.get(k, 1.0) * mult
-    elif isinstance(node, (And, Or)):
+    elif isinstance(node, (And, Or, MinShould)):
         for c in node.children:
             collect_expansion_boosts(c, out, mult)
     elif isinstance(node, Not):

@@ -116,6 +116,48 @@ def test_regexp_literal_prefix_bound():
     assert _regex_literal_prefix("sp.rk|m.rge") == ""
 
 
+def test_min_should_match_degenerate_and_threshold(xs_searcher, xs_oracle):
+    """m-of-k: m=1 == OR, m=k == AND, 1<m<k == per-doc count threshold
+    (brute-forced); empty/over-k children match nothing."""
+    from miru_ray.query.filter import MinShould, Or, And
+    vocab = sorted(t for t in xs_oracle.postings if ":" not in t)
+    terms = [t for t in vocab if len(xs_oracle.postings[t]) > 3][:4]
+    assert len(terms) == 4
+    kids = tuple(Term("text", t) for t in terms)
+
+    or_docs = set(xs_searcher.match_docs(Or(kids)).tolist())
+    and_docs = set(xs_searcher.match_docs(And(kids)).tolist())
+    assert set(xs_searcher.match_docs(
+        MinShould(kids, 1)).tolist()) == or_docs
+    assert set(xs_searcher.match_docs(
+        MinShould(kids, 4)).tolist()) == and_docs
+
+    got2 = set(xs_searcher.match_docs(MinShould(kids, 2)).tolist())
+    from collections import Counter
+    c = Counter()
+    for t in terms:
+        c.update(set(xs_oracle.postings[t]))
+    assert got2 == {d for d, n in c.items() if n >= 2}
+    assert and_docs <= got2 <= or_docs
+
+    assert xs_searcher.count(MinShould((), 1)) == 0
+    assert xs_searcher.count(MinShould(kids, 5)) == 0
+
+
+def test_min_should_match_composes(xs_searcher):
+    """MinShould children may be ANY clause (prefix, wildcard), and the
+    node nests inside boolean combinators."""
+    from miru_ray.query.filter import And, MinShould, Not
+    ms = MinShould((Prefix("text", "qu"), Wildcard("text", "s?ark"),
+                    Term("text", "merge")), 2)
+    n = xs_searcher.count(ms)
+    assert n > 0
+    gated = xs_searcher.count(And((ms, Term("text", "merge"))))
+    assert 0 < gated <= n
+    excl = xs_searcher.count(Not(ms, (Term("text", "merge"),)))
+    assert excl < n
+
+
 def test_wildcard_scores_like_expanded_or(xs_searcher):
     """A wildcard's expansions join the scoring set with multiplicity 1 —
     the parsed query path must give the same top-k as the explicit AST."""
