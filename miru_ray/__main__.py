@@ -99,6 +99,14 @@ def main(argv=None) -> int:
     u.add_argument("--add-list-keyword", default="",
                    help="comma-separated list<string> fields to add")
 
+    dv = sub.add_parser("deliver", help="realtime delivery: push doc-id "
+                        "ranges indexed since the last delivery to a "
+                        "Parquet sink (at-least-once, durable cursor)")
+    dv.add_argument("--index", required=True)
+    dv.add_argument("--out", required=True,
+                    help="sink directory (one Parquet file per range, "
+                         "idempotent on re-delivery)")
+
     si = sub.add_parser("siphon", help="run a siphon plugin over the index "
                                        "WAL (resumable, idempotent flush)")
     si.add_argument("--index", required=True)
@@ -111,7 +119,12 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     import ray
-    if not ray.is_initialized():
+    # only tear down a Ray session this CLI itself created: shutting down
+    # a caller's session kills every live actor, and the NEXT Ray call
+    # auto-inits a fresh cluster the old handles don't belong to ("It
+    # might be dead or it's from a different cluster" on each use)
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
     import logging
@@ -122,7 +135,8 @@ def main(argv=None) -> int:
     try:
         return _run(args)
     finally:
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
 
 
 def _run(args) -> int:
@@ -143,6 +157,12 @@ def _run(args) -> int:
                           ("n_docs", "n_convs", "total_len", "avgdl")}
                          | {"segments": len(m["segments"]),
                             "stages": m["stages"]}))
+        return 0
+
+    if args.cmd == "deliver":
+        from .index.delivery import ParquetDeliverySink, deliver_new
+        r = deliver_new(args.index, ParquetDeliverySink(args.out))
+        print(json.dumps(r))
         return 0
 
     if args.cmd == "upgrade":

@@ -782,6 +782,27 @@ SELECT count(*)::BIGINT AS n_matched FROM (
 """.strip()
 
 
+def q_exists_count(sf_dir: str, fld: str = "tool") -> pa.Table:
+    """Field-exists count (Lucene ``field:*`` / ES ``exists`` query):
+    docs holding ANY value for a keyword field.  The empty prefix
+    expands the field's whole ``field:`` term-dict slice — exact
+    because the build indexes a keyword term iff the value is non-null
+    and non-empty (build.py keyword encode), the same predicate the
+    oracle states directly."""
+    from ..query.filter import Prefix
+    s = searcher_for(sf_dir)
+    ast = Prefix(fld, "", max_expansion=100_000)
+    return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
+
+
+def exists_count_sql(fld: str = "tool") -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT count(*)::BIGINT AS n_matched FROM docs
+WHERE {fld} IS NOT NULL AND {fld} <> ''
+""".strip()
+
+
 def q_boosted_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Boosted BM25 top-k via the full parser path: ``spark^2 merge``
     doubles spark's per-doc contribution (Lucene boost syntax; the

@@ -52,6 +52,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "fulltext_wildcard_count",
     "fulltext_regexp_count",
     "fulltext_min_should_count",
+    "fulltext_exists_count",
     "pretrain_corpus_counts",
     "fulltext_fuzzy_count",
     "fulltext_boosted_topk",
@@ -234,6 +235,8 @@ WHERE tf.term = 'spark' AND d.role = 'user'
         F.regexp_count_sql(), ("fulltext", "regexp"))
     reg("fulltext_min_should_count", F.q_min_should_count,
         F.min_should_count_sql(), ("fulltext", "boolean"))
+    reg("fulltext_exists_count", F.q_exists_count,
+        F.exists_count_sql(), ("fulltext", "exists"))
     reg("tenant_route_counts", F.q_tenant_route_counts,
         F.tenant_route_counts_sql(), ("tenant",))
     reg("fulltext_boosted_topk", F.q_boosted_topk,

@@ -242,7 +242,10 @@ def _atom_base(tok: str, default_field: str,
                 return And(tuple(Term(field, t) for t in toks[:-1])
                            + (pre,))
             return pre
-        return Prefix(field, body) if body else None
+        # 'field:*' with an empty body = EXISTS query (Lucene field
+        # wildcard): every doc holding any value for the keyword field —
+        # the empty prefix expands the field's whole 'field:' term slice
+        return Prefix(field, body)
     if field == default_field:
         terms = py_tokenize(tok, stopwords)
         if not terms:

@@ -143,3 +143,27 @@ def test_stats_cli_reports_lineage(xs_index, capsys):
     assert main(["stats", "--index", xs_index, "--partitions"]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 1 + out["n_segments"]
+
+
+def test_cli_main_does_not_shut_down_callers_ray(xs_index, capsys):
+    """In-process main() must NOT tear down a Ray session it didn't
+    create — the bug: its unconditional finally-shutdown killed the
+    suite's shared cluster, and the next Ray call auto-inited a FRESH
+    one, so every pre-existing actor handle failed with 'from a
+    different cluster' (broke every later session-searcher test)."""
+    import ray
+
+    @ray.remote
+    class Canary:
+        def ping(self):
+            return 1
+
+    c = Canary.remote()
+    assert ray.get(c.ping.remote()) == 1
+    from miru_ray.__main__ import main
+    assert main(["stats", "--index", xs_index]) == 0
+    capsys.readouterr()
+    assert ray.is_initialized()
+    # the pre-existing actor must still belong to the live cluster
+    assert ray.get(c.ping.remote(), timeout=30) == 1
+    ray.kill(c)

@@ -81,6 +81,25 @@ def test_wildcard_expansion_cap_truncates(xs_searcher):
     assert len(capped) < len(full)
 
 
+def test_parser_field_exists():
+    """'field:*' = exists query (empty prefix expands the whole field
+    slice); a bare '*' still dissolves."""
+    assert parse_query("tool:*") == Prefix("tool", "")
+    assert parse_query("tool:* spark") == And((Prefix("tool", ""),
+                                               Term("text", "spark")))
+    assert parse_query("*") == parse_query("")  # match-none, not exists
+
+
+def test_exists_matches_docs_with_field(xs_searcher, xs_oracle):
+    got = set(xs_searcher.match_docs(
+        parse_query("tool:*")).tolist())
+    exp = set()
+    for t, docs in xs_oracle.postings.items():
+        if t.startswith("tool:"):
+            exp.update(docs)
+    assert got == exp and got
+
+
 def test_parser_regexp_shapes():
     assert parse_query("/sp.rk/") == Regexp("text", "sp.rk")
     assert parse_query("/s(p|h)ark/") == Regexp("text", "s(p|h)ark")
