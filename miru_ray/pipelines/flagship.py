@@ -703,7 +703,7 @@ def q_fuzzy_count(sf_dir: str, word: str = "sparc",
     is the same set."""
     from ..query.filter import Fuzzy
     s = searcher_for(sf_dir)
-    ast = Fuzzy("text", word, max_edits=max_edits, max_expansion=100_000)
+    ast = Fuzzy("text", word, max_edits=max_edits, max_expansion=1 << 62)
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
 
 
@@ -725,16 +725,20 @@ def q_wildcard_count(sf_dir: str, pattern: str = "s?ar*") -> pa.Table:
     ``LIKE`` predicate is the same set."""
     from ..query.filter import Wildcard
     s = searcher_for(sf_dir)
-    ast = Wildcard("text", pattern, max_expansion=100_000)
+    ast = Wildcard("text", pattern, max_expansion=1 << 62)
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
 
 
 def wildcard_count_sql(pattern: str = "s?ar*") -> str:
-    like = pattern.replace("*", "%").replace("?", "_")
+    # only '*' and '?' are wildcards (Lucene); literal '%'/'_'/'\' in
+    # the pattern must be escaped or the SQL side would treat them as
+    # LIKE metacharacters while the engine treats them as literals
+    like = (pattern.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace("*", "%").replace("?", "_"))
     return f"""
 {SQL_PROLOGUE}
 SELECT count(DISTINCT doc_id)::BIGINT AS n_matched
-FROM tf WHERE term LIKE '{like}'
+FROM tf WHERE term LIKE '{like}' ESCAPE '\\'
 """.strip()
 
 
@@ -745,7 +749,7 @@ def q_regexp_count(sf_dir: str, pattern: str = "sp.rk|m.rge") -> pa.Table:
     language, same anchoring, same answer by construction."""
     from ..query.filter import Regexp
     s = searcher_for(sf_dir)
-    ast = Regexp("text", pattern, max_expansion=100_000)
+    ast = Regexp("text", pattern, max_expansion=1 << 62)
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
 
 
@@ -766,6 +770,11 @@ def q_min_should_count(sf_dir: str,
     threshold over the children's bitmaps, the bitmap-algebra answer to
     the reference's Roaring AND/OR kernel composed m-of-k."""
     from ..query.filter import MinShould, Term
+    # duplicate clauses count per-clause in the engine (Lucene's
+    # should-clause semantics) but the SQL oracle dedups via
+    # count(DISTINCT term) — the registered pair is only a pair for
+    # distinct terms, so reject duplicates loudly
+    assert len(set(terms)) == len(terms), "terms must be distinct"
     s = searcher_for(sf_dir)
     ast = MinShould(tuple(Term("text", t) for t in terms), m)
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
@@ -791,7 +800,7 @@ def q_exists_count(sf_dir: str, fld: str = "tool") -> pa.Table:
     oracle states directly."""
     from ..query.filter import Prefix
     s = searcher_for(sf_dir)
-    ast = Prefix(fld, "", max_expansion=100_000)
+    ast = Prefix(fld, "", max_expansion=1 << 62)
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
 
 

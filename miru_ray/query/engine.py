@@ -24,6 +24,7 @@ SURVEY.md §7.3).
 from __future__ import annotations
 
 import os
+import re
 import time
 from collections import defaultdict
 
@@ -406,86 +407,66 @@ class PartitionReader:
                 found.update(seg.terms[lo:min(hi, lo + cap + 1)])
         return sorted(found)[:cap + 1]
 
-    def expand_wildcard(self, key: str, cap: int) -> list[str]:
-        """Local wildcard expansion (Lucene ``WildcardQuery`` semantics;
-        same ``maxWildcardExpansion`` truncation contract as
-        :meth:`expand_prefix`).  The literal prefix before the first
-        wildcard bounds the term-dict scan; survivors match via ONE
-        vectorized SQL-LIKE kernel (``*``→``%``, ``?``→``_``), no
-        per-term Python loop.  A leading wildcard scans the field's full
-        term slice — the documented Lucene cost — still cap-bounded in
-        output and vectorized in evaluation."""
-        fld, _, pat = key.rpartition(":")  # same convention as fuzzy
-        first = min((j for j in (pat.find("*"), pat.find("?")) if j >= 0),
-                    default=len(pat))
-        lit = pat[:first]
-        like = (pat.replace("\\", "\\\\").replace("%", "\\%")
-                .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+    def _expand_matching(self, fld: str, lit: str, regex: str,
+                         cap: int) -> list[str]:
+        """Shared expansion core for wildcard/regexp: scan each segment's
+        term dict bounded by the literal prefix ``lit`` (and the field
+        slice when ``fld`` is a keyword field), then keep survivors whose
+        VALUE fully matches ``regex`` via one vectorized RE2 kernel —
+        no per-term Python loop anywhere, including the field-prefix
+        strip (``utf8_slice_codeunits``)."""
+        text = fld == "text"
         found: set[str] = set()
         for pid in self.parts:
             for shard in range(self.cfg.num_shards):
                 seg = self._segment(pid, shard)
                 if seg is None:
                     continue
-                lo, hi = seg.prefix_range(f"{fld}:{lit}" if fld else lit)
+                lo, hi = seg.prefix_range(lit if text else f"{fld}:{lit}")
                 cands = np.asarray(seg.terms[lo:hi], object)
                 if not len(cands):
                     continue
-                if fld:
-                    vals = np.array([t[len(fld) + 1:] for t in cands],
-                                    dtype=object)
-                else:
+                arr = pa.array(cands, pa.string())
+                if text:
                     # text tokens never contain ':'; keyword/numeric
                     # pseudo-terms always do — drop them (cf. expand_prefix)
-                    nc = pc.invert(pc.match_substring(
-                        pa.array(cands, pa.string()), ":")).to_numpy(
+                    nc = pc.invert(pc.match_substring(arr, ":")).to_numpy(
                         zero_copy_only=False).astype(bool)
                     cands = cands[nc]
-                    vals = cands
+                    vals = pa.array(cands, pa.string())
+                else:
+                    vals = pc.utf8_slice_codeunits(arr, start=len(fld) + 1)
                 if not len(cands):
                     continue
-                keep = pc.match_like(pa.array(vals, pa.string()),
-                                     like).to_numpy(
+                keep = pc.match_substring_regex(vals, regex).to_numpy(
                     zero_copy_only=False).astype(bool)
                 found.update(cands[keep])
         return sorted(found)[:cap]
 
-    def expand_regexp(self, key: str, cap: int) -> list[str]:
+    def expand_wildcard(self, fld: str, pat: str, cap: int) -> list[str]:
+        """Local wildcard expansion (Lucene ``WildcardQuery`` semantics;
+        same ``maxWildcardExpansion`` truncation contract as
+        :meth:`expand_prefix`).  The literal prefix before the first
+        wildcard bounds the term-dict scan; a leading wildcard scans the
+        field's full term slice — the documented Lucene cost — still
+        cap-bounded in output and vectorized in evaluation.  Field and
+        pattern arrive as SEPARATE args (never re-split from a joined
+        key: patterns may legally contain ':')."""
+        first = min((j for j in (pat.find("*"), pat.find("?")) if j >= 0),
+                    default=len(pat))
+        rx = "^(?:" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in pat) + ")$"
+        return self._expand_matching(fld, pat[:first], rx, cap)
+
+    def expand_regexp(self, fld: str, pat: str, cap: int) -> list[str]:
         """Local regexp expansion (Lucene ``RegexpQuery``: anchored
         full-term match).  Any literal prefix of the pattern bounds the
-        term-dict scan (cf. :meth:`expand_wildcard`); survivors match
-        via ONE vectorized RE2 kernel — the same regex engine the DuckDB
-        oracle compiles, so both sides accept the same language."""
-        fld, _, pat = key.rpartition(":")
-        pat = pat[1:-1]  # strip the /…/ delimiters of the expansion key
-        lit = _regex_literal_prefix(pat)
-        found: set[str] = set()
-        for pid in self.parts:
-            for shard in range(self.cfg.num_shards):
-                seg = self._segment(pid, shard)
-                if seg is None:
-                    continue
-                lo, hi = seg.prefix_range(f"{fld}:{lit}" if fld else lit)
-                cands = np.asarray(seg.terms[lo:hi], object)
-                if not len(cands):
-                    continue
-                if fld:
-                    vals = np.array([t[len(fld) + 1:] for t in cands],
-                                    dtype=object)
-                else:
-                    nc = pc.invert(pc.match_substring(
-                        pa.array(cands, pa.string()), ":")).to_numpy(
-                        zero_copy_only=False).astype(bool)
-                    cands = cands[nc]
-                    vals = cands
-                if not len(cands):
-                    continue
-                keep = pc.match_substring_regex(
-                    pa.array(vals, pa.string()),
-                    f"^(?:{pat})$").to_numpy(
-                    zero_copy_only=False).astype(bool)
-                found.update(cands[keep])
-        return sorted(found)[:cap]
+        term-dict scan (cf. :meth:`expand_wildcard`); the match kernel
+        is RE2 — the same engine the DuckDB oracle compiles, so both
+        sides accept the same language."""
+        return self._expand_matching(fld, _regex_literal_prefix(pat),
+                                     f"^(?:{pat})$", cap)
 
     def expand_fuzzy(self, term_key: str, max_edits: int,
                      cap: int) -> list[str]:
@@ -1284,26 +1265,22 @@ class Searcher:
                     found.update(res)
                 self._expansion_cache[ck] = sorted(found)[:fz.max_expansion]
             expansions[key] = self._expansion_cache[ck]
-        for wc in collect_wildcards(ast):
-            key = wc.expansion_key()
-            ck = (key, wc.max_expansion)
-            if ck not in self._expansion_cache:
-                found = set()
-                for res in self._fanout("expand_wildcard", key,
-                                        wc.max_expansion):
-                    found.update(res)
-                self._expansion_cache[ck] = sorted(found)[:wc.max_expansion]
-            expansions[key] = self._expansion_cache[ck]
-        for rx in collect_regexps(ast):
-            key = rx.expansion_key()
-            ck = (key, rx.max_expansion)
-            if ck not in self._expansion_cache:
-                found = set()
-                for res in self._fanout("expand_regexp", key,
-                                        rx.max_expansion):
-                    found.update(res)
-                self._expansion_cache[ck] = sorted(found)[:rx.max_expansion]
-            expansions[key] = self._expansion_cache[ck]
+        # wildcard/regexp share one loop shape: field + pattern ship as
+        # SEPARATE fan-out args (an expansion key is an opaque cache
+        # handle, never re-parsed — patterns may contain ':')
+        for method, nodes in (("expand_wildcard", collect_wildcards(ast)),
+                              ("expand_regexp", collect_regexps(ast))):
+            for nd in nodes:
+                key = nd.expansion_key()
+                ck = (key, nd.max_expansion)
+                if ck not in self._expansion_cache:
+                    found = set()
+                    for res in self._fanout(method, nd.field, nd.pattern,
+                                            nd.max_expansion):
+                        found.update(res)
+                    self._expansion_cache[ck] = \
+                        sorted(found)[:nd.max_expansion]
+                expansions[key] = self._expansion_cache[ck]
         range_keys: set[str] = set()
         for r in collect_ranges(ast):
             key = r.expansion_key()

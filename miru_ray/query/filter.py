@@ -209,6 +209,13 @@ class MinShould(Node):
     children: tuple
     m: int
 
+    def __post_init__(self):
+        # m <= 0 would make `acc >= m` a silent match-all; Lucene's
+        # setMinimumNumberShouldMatch rejects nothing but a should-only
+        # query still needs one matching clause — require m >= 1
+        if self.m < 1:
+            raise ValueError(f"MinShould.m must be >= 1, got {self.m}")
+
 
 @dataclass(frozen=True)
 class Not(Node):

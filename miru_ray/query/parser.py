@@ -36,7 +36,9 @@ from .filter import (And, Boost, Fuzzy, Node, Not, NumericRange, Or, Phrase,
 # closes its group instead of being swallowed by the word token.
 _TOKEN_SPLIT = re.compile(
     r'-?(?:[\w.]+:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
-    r'|-?(?:[\w.]+:)?/[^/\s]+/(?:\^\d+(?:\.\d+)?)?'  # /regex/ may hold ()|
+    # /regex/ may hold ()| — but only when delimited (end/space/paren),
+    # so a path-like keyword value 'tool:/usr/bin' is NOT hijacked
+    r'|-?(?:[\w.]+:)?/[^/\s]+/(?:\^\d+(?:\.\d+)?)?(?=$|[\s()])'
     r'|\(|\)|\S+:\[[^\]]*\]|[^\s()"]+')
 
 _RANGE = re.compile(r'^(-?\d+)\s+TO\s+(-?\d+)$', re.IGNORECASE)
@@ -223,9 +225,11 @@ def _atom_base(tok: str, default_field: str,
                      and "*" not in tok[:-1])):
         # infix/leading wildcard (Lucene WildcardQuery) — a SINGLE
         # trailing '*' stays on the cheaper Prefix path below.  Wildcard
-        # terms bypass the analyzer (Lucene does not analyze them) but
-        # lowercase to match the index's lowercased tokens.
-        pat = tok.lower()
+        # terms bypass the analyzer (Lucene does not analyze them);
+        # TEXT patterns lowercase to match the lowercased tokens, but
+        # keyword-field values are indexed VERBATIM so their patterns
+        # must keep case (Term/Prefix preserve it too).
+        pat = tok.lower() if field == default_field else tok
         if not pat.strip("*?"):
             return None  # all-wildcard ('*', '??') dissolves, never a
             #              silently-truncated match-all scan

@@ -24,8 +24,10 @@ def test_parser_infix_and_leading_wildcards():
     assert parse_query("que*") == Prefix("text", "que")
     # trailing '*' with another wildcard is a Wildcard
     assert parse_query("q?e*") == Wildcard("text", "q?e*")
-    # lowercased like analyzed tokens
+    # TEXT patterns lowercase like analyzed tokens; keyword-field values
+    # are indexed verbatim so their patterns keep case
     assert parse_query("Qu*RY") == Wildcard("text", "qu*ry")
+    assert parse_query("level:ER*OR") == Wildcard("level", "ER*OR")
 
 
 def test_parser_wildcard_composition():
@@ -106,6 +108,9 @@ def test_parser_regexp_shapes():
     assert parse_query("role:/us.r/") == Regexp("role", "us.r")
     # a ':' inside the pattern is NOT a field qualifier
     assert parse_query("/a:b/") == Regexp("text", "a:b")
+    # path-like keyword values are NOT hijacked by the /…/ tokenizer
+    # alternative (only a delimited /…/ is a regexp)
+    assert parse_query("tool:/usr/bin") == Term("tool", "/usr/bin")
     assert parse_query("-/sp.rk/ merge") == parse_query("merge -/sp.rk/")
     assert parse_query("/sp.rk/^2") == Boost(Regexp("text", "sp.rk"), 2.0)
 
@@ -120,6 +125,27 @@ def test_regexp_matches_brute_force(xs_searcher, xs_oracle, pat):
         if ":" not in t and rx.match(t):
             exp.update(docs)
     assert got == exp
+
+
+def test_regexp_pattern_with_colon_reaches_terms(xs_searcher, xs_oracle):
+    """A ':' inside the pattern must survive the field/pattern plumbing
+    end to end (field and pattern ship as separate fan-out args, never
+    re-split from a joined key)."""
+    got = set(xs_searcher.match_docs(
+        Regexp("text", "qu:?ery", max_expansion=100_000)).tolist())
+    exp = set()
+    for t, docs in xs_oracle.postings.items():
+        if ":" not in t and re.match(r"^(?:qu:?ery)$", t):
+            exp.update(docs)
+    assert got == exp and got
+
+
+def test_min_should_rejects_nonpositive_m():
+    from miru_ray.query.filter import MinShould
+    with pytest.raises(ValueError, match="m must be >= 1"):
+        MinShould((Term("text", "a"),), 0)
+    with pytest.raises(ValueError, match="m must be >= 1"):
+        MinShould((Term("text", "a"),), -1)
 
 
 def test_regexp_literal_prefix_bound():
