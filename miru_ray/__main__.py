@@ -107,6 +107,18 @@ def main(argv=None) -> int:
                     help="sink directory (one Parquet file per range, "
                          "idempotent on re-delivery)")
 
+    rq = sub.add_parser("request", help="execute a MiruRequest-shaped JSON "
+                        "query document (the reference's POSTed request "
+                        "shape) and print the MiruResponse-shaped answer")
+    rq.add_argument("--index", help="index directory (single-tenant)")
+    rq.add_argument("--tenants", help="tenant registry root — routes by "
+                                      "the request's tenantId")
+    rq.add_argument("--json", dest="req_json",
+                    help="request document as a JSON string")
+    rq.add_argument("--file", dest="req_file",
+                    help="path of a JSON request document")
+    rq.add_argument("--num-readers", type=int, default=4)
+
     si = sub.add_parser("siphon", help="run a siphon plugin over the index "
                                        "WAL (resumable, idempotent flush)")
     si.add_argument("--index", required=True)
@@ -157,6 +169,33 @@ def _run(args) -> int:
                           ("n_docs", "n_convs", "total_len", "avgdl")}
                          | {"segments": len(m["segments"]),
                             "stages": m["stages"]}))
+        return 0
+
+    if args.cmd == "request":
+        from .query.request import execute_request
+        if bool(args.index) == bool(args.tenants):
+            raise SystemExit("request: exactly one of --index / --tenants")
+        if bool(args.req_json) == bool(args.req_file):
+            raise SystemExit("request: exactly one of --json / --file")
+        if args.req_file:
+            with open(args.req_file) as f:
+                req = json.load(f)
+        else:
+            req = json.loads(args.req_json)
+        if args.tenants:
+            from .index.tenants import TenantRegistry
+            reg = TenantRegistry(args.tenants)
+            try:
+                print(json.dumps(execute_request(reg, req)))
+            finally:
+                reg.close()
+        else:
+            from .query.engine import Searcher
+            s = Searcher(args.index, num_readers=args.num_readers)
+            try:
+                print(json.dumps(execute_request(s, req)))
+            finally:
+                s.close()
         return 0
 
     if args.cmd == "deliver":

@@ -1,0 +1,194 @@
+"""MiruRequest-shaped JSON query documents (query/request.py).
+
+The reference's public API is a JSON request (MiruRequest.java:14-36
+wrapping FullTextQuery.java:19-53); these tests assert the dict→AST
+translation exactly and the end-to-end execution's parity with the
+direct Searcher calls the rest of the suite already oracles.
+"""
+import json
+
+import pytest
+
+from miru_ray.config import IndexConfig
+from miru_ray.query.filter import (And, Authz, Not, Or, Prefix, Term,
+                                   TimeRange)
+from miru_ray.query.request import (execute_request, filter_to_ast,
+                                    request_to_ast)
+
+CFG = IndexConfig()
+
+
+def _req(query_str, **q):
+    return {"name": "t", "tenantId": "demo",
+            "query": {"query": query_str, "defaultField": "text",
+                      "desiredNumberOfResults": 10, **q}}
+
+
+# ---------------------------------------------------------------- mapping
+
+def test_filter_to_ast_shapes():
+    # one fieldFilter, many values = OR within the field
+    f = {"operation": "and",
+         "fieldFilters": [{"fieldName": "role",
+                           "values": ["user", {"parts": ["agent"]}]}]}
+    assert filter_to_ast(f) == Or((Term("role", "user"),
+                                   Term("role", "agent")))
+    # and across field filters + a subFilter
+    f = {"operation": "and",
+         "fieldFilters": [{"fieldName": "role", "values": ["user"]}],
+         "subFilters": [{"operation": "or",
+                         "fieldFilters": [{"fieldName": "tool",
+                                           "values": ["grep", "sed"]}]}]}
+    assert filter_to_ast(f) == And((Term("role", "user"),
+                                    Or((Term("tool", "grep"),
+                                        Term("tool", "sed")))))
+    # pButNotQ: first child minus the rest
+    f = {"operation": "pButNotQ",
+         "fieldFilters": [{"fieldName": "role", "values": ["user"]},
+                          {"fieldName": "tool", "values": ["grep"]}]}
+    assert filter_to_ast(f) == Not(Term("role", "user"),
+                                   (Term("tool", "grep"),))
+    # text-field values lowercase (analyzer parity); keyword keeps case
+    f = {"operation": "or",
+         "fieldFilters": [{"fieldName": "text", "values": ["Spark"]},
+                          {"fieldName": "role", "values": ["User"]}]}
+    assert filter_to_ast(f) == Or((Term("text", "spark"),
+                                   Term("role", "User")))
+    # NO_FILTER degenerates to None
+    assert filter_to_ast({"operation": "or"}) is None
+
+
+def test_filter_to_ast_rejects():
+    with pytest.raises(ValueError, match="unsupported filter operation"):
+        filter_to_ast({"operation": "xor",
+                       "fieldFilters": [{"fieldName": "role",
+                                         "values": ["user"]}]})
+    with pytest.raises(ValueError, match="multi-part"):
+        filter_to_ast({"operation": "or",
+                       "fieldFilters": [{"fieldName": "role",
+                                         "values": [{"parts": ["a", "b"]}]}]})
+
+
+def test_request_to_ast_composition():
+    req = _req("spark merge",
+               constraintsFilter={"operation": "and",
+                                  "fieldFilters": [{"fieldName": "role",
+                                                    "values": ["user"]}]},
+               timeRange={"smallestTimestamp": 100,
+                          "largestTimestamp": 200})
+    req["authzExpression"] = {"values": ["grp1", "team2"]}
+    ast, k, strategy = request_to_ast(req, CFG)
+    assert ast == And((And((Term("text", "spark"), Term("text", "merge"))),
+                       Term("role", "user"),
+                       TimeRange(100, 200),
+                       Authz(("grp1", "team2"), field="acl")))
+    assert k == 10
+    assert strategy == "ref-tfidf"  # the reference's TF_IDF scorer
+
+
+def test_request_to_ast_expansion_cap_and_strategy():
+    ast, _, strategy = request_to_ast(
+        _req("spa*", maxWildcardExpansion=3, strategy="BM25"), CFG)
+    assert ast == Prefix("text", "spa", max_expansion=3)
+    assert strategy == "bm25"
+    _, _, s2 = request_to_ast(_req("a", strategy="TIME"), CFG)
+    assert s2 == "time"
+
+
+def test_request_to_ast_rejects():
+    with pytest.raises(ValueError, match="non-empty"):
+        request_to_ast(_req("   "), CFG)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        request_to_ast(_req("a", strategy="LOUDEST"), CFG)
+    with pytest.raises(ValueError, match="at least 1"):
+        request_to_ast(_req("a", desiredNumberOfResults=0), CFG)
+
+
+# ---------------------------------------------------------------- execution
+
+def test_execute_bm25_parity(xs_searcher):
+    resp = execute_request(xs_searcher, _req("alpha merge",
+                                             strategy="BM25"))
+    direct = xs_searcher.topk("alpha merge", 10, "bm25")
+    got = [(r["docId"], r["score"]) for r in resp["answer"]["results"]]
+    want = list(zip(direct["doc_id"].to_pylist(),
+                    direct["score"].to_pylist()))
+    assert got == want
+    assert resp["answer"]["found"] == len(want)
+    assert json.dumps(resp)  # the whole response is JSON-serializable
+
+
+def test_execute_constraints_filter_parity(xs_searcher):
+    req = _req("alpha",
+               constraintsFilter={"operation": "and",
+                                  "fieldFilters": [{"fieldName": "role",
+                                                    "values": ["user"]}]})
+    resp = execute_request(xs_searcher, req)
+    direct = xs_searcher.topk(
+        And((Term("text", "alpha"), Term("role", "user"))), 10, "ref-tfidf")
+    assert [r["docId"] for r in resp["answer"]["results"]] \
+        == direct["doc_id"].to_pylist()
+    assert resp["answer"]["results"], "filtered query should still match"
+
+
+def test_execute_time_strategy_parity(xs_searcher):
+    resp = execute_request(xs_searcher, _req("alpha", strategy="TIME"))
+    direct = xs_searcher.topk_time(Term("text", "alpha"), 10)
+    assert [r["docId"] for r in resp["answer"]["results"]] \
+        == direct["doc_id"].to_pylist()
+    # TIME surfaces the ordering key: score == timestamp, descending
+    scores = [r["score"] for r in resp["answer"]["results"]]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["score"] == float(r["timestamp"])
+               for r in resp["answer"]["results"])
+
+
+def test_execute_gather_and_exhaustion(xs_searcher):
+    resp = execute_request(
+        xs_searcher,
+        _req("alpha", gatherTermsForFields=["conv_id", "text"],
+             desiredNumberOfResults=100000))
+    res = resp["answer"]["results"]
+    assert res and all(set(r["values"]) == {"conv_id", "text"}
+                       and "alpha" in r["values"]["text"].lower()
+                       and r["timestamp"] > 0 for r in res)
+    # asked for more than exist → exhausted; a tight k is not
+    assert resp["answer"]["resultsExhausted"]
+    assert not execute_request(
+        xs_searcher, _req("alpha"))["answer"]["resultsExhausted"]
+
+
+def test_execute_log_level(xs_searcher):
+    assert execute_request(xs_searcher, _req("alpha"))["log"] == []
+    req = _req("alpha")
+    req["logLevel"] = "INFO"
+    log = execute_request(xs_searcher, req)["log"]
+    assert log and any("strategy=ref-tfidf" in x for x in log)
+
+
+def test_execute_tenant_routing(xs_index, tmp_path):
+    from miru_ray.index.tenants import TenantRegistry
+    reg = TenantRegistry(str(tmp_path / "reg"))
+    try:
+        cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+        reg.register("acme", xs_index, cfg)
+        req = _req("alpha")
+        req["tenantId"] = "acme"
+        assert execute_request(reg, req)["answer"]["results"]
+        req["tenantId"] = "nobody"
+        with pytest.raises(KeyError):
+            execute_request(reg, req)
+        req.pop("tenantId")
+        with pytest.raises(ValueError, match="tenantId"):
+            execute_request(reg, req)
+    finally:
+        reg.close()
+
+
+def test_request_cli(xs_index, capsys):
+    from miru_ray.__main__ import main
+    req = json.dumps(_req("alpha merge", strategy="BM25"))
+    assert main(["request", "--index", xs_index, "--json", req,
+                 "--num-readers", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["answer"]["results"] and out["answer"]["found"] > 0
