@@ -121,7 +121,8 @@ stats AS (
 def bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
              mode: str = "and", authz: tuple | None = None,
              num_range: tuple | None = None,
-             boosts: dict | None = None) -> str:
+             boosts: dict | None = None,
+             keyword: tuple | None = None) -> str:
     # default mode "and" matches q_bm25's default — a default-arg
     # engine/oracle pair must agree or a future registration silently
     # compares an AND query against an OR oracle
@@ -138,6 +139,10 @@ def bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
         nf, lo, hi = num_range
         authz_pred += (f" JOIN docs nd ON nd.doc_id = tf.doc_id "
                        f"AND nd.{nf} BETWEEN {lo} AND {hi}")
+    if keyword:  # non-scoring keyword gate (constraintsFilter semantics)
+        kf, kv = keyword
+        authz_pred += (f" JOIN docs kd ON kd.doc_id = tf.doc_id "
+                       f"AND kd.{kf} = '{kv}'")
     return f"""
 {SQL_PROLOGUE},
 q(term, w) AS (VALUES {qvals}),
@@ -201,6 +206,30 @@ def q_ref_tfidf(sf_dir: str, terms: list[str], k: int = 10,
                 mode: str = "and") -> pa.Table:
     s = searcher_for(sf_dir)
     return s.topk(_ast(terms, mode), k, "ref-tfidf")
+
+
+def q_request_topk(sf_dir: str, terms: list[str], role: str,
+                   k: int = 10) -> pa.Table:
+    """Top-k served through the JSON request surface: a canned
+    MiruRequest document (``MiruRequest.java:14-36`` wrapping
+    ``FullTextQuery.java:19-53``) with a non-scoring ``constraintsFilter``
+    on ``role`` — the POSTed API path end-to-end (parse → filter AST →
+    strategy → answer), not a direct Searcher call."""
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    req = {"name": "gate", "tenantId": "flagship",
+           "query": {"query": " ".join(terms), "defaultField": "text",
+                     "strategy": "BM25", "desiredNumberOfResults": k,
+                     "constraintsFilter": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldType": "primary",
+                                           "fieldName": "role",
+                                           "values": [role]}]}}}
+    res = execute_request(s, req)["answer"]["results"]
+    return pa.table({"doc_id": pa.array([r["docId"] for r in res],
+                                        pa.int64()),
+                     "score": pa.array([r["score"] for r in res],
+                                       pa.float64())})
 
 
 def q_bm25_wand(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:

@@ -47,6 +47,7 @@ _BUILTIN_LOADED = False
 # keeps its relative order and rotates through the remaining slots.
 _GATE_PRIORITY: tuple[str, ...] = (
     # round-4 additions (never witnessed by definition)
+    "fulltext_request_topk",
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
     "fulltext_wildcard_count",
@@ -158,6 +159,12 @@ def _load_builtin_ops() -> None:
         F.bm25_sql(OR_TERMS, 10, mode="or"), ("fulltext",))
     reg("fulltext_bm25_wand", lambda sf: F.q_bm25_wand(sf, OR_TERMS, 10),
         F.bm25_sql(OR_TERMS, 10, mode="or"), ("fulltext",))
+    # the JSON request surface end-to-end (MiruRequest/FullTextQuery →
+    # MiruResponse): parse + non-scoring constraintsFilter + BM25
+    reg("fulltext_request_topk",
+        lambda sf: F.q_request_topk(sf, QUERY_TERMS, "user", 10),
+        F.bm25_sql(QUERY_TERMS, 10, mode="and", keyword=("role", "user")),
+        ("fulltext",))
     reg("fulltext_reftfidf_and",
         lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
         F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))

@@ -43,7 +43,7 @@ from ..index.build import doclen_rel_path
 from ..index.segments import (SegmentReader, bloom_may_contain,
                               read_segment_bloom)
 from . import scorer as S
-from .filter import (And, Authz, Boost, Fuzzy, MinShould, Node, Not,
+from .filter import (And, Authz, Boost, Filter, Fuzzy, MinShould, Node, Not,
                      NumericRange, Or, Phrase, Prefix, Regexp, Term,
                      TimeRange, Wildcard, and_terms, collect_boosts,
                      collect_expansion_boosts, collect_fuzzies,
@@ -256,6 +256,8 @@ class PartitionReader:
                        for c in node.children) >= node.m
         if isinstance(node, Not):
             return self._may_match(node.positive, pid)
+        if isinstance(node, (Boost, Filter)):
+            return self._may_match(node.child, pid)
         return True
 
     def load_tombstones(self, doc_ids: list[int]) -> int:
@@ -623,7 +625,9 @@ class PartitionReader:
                 if p is not None:
                     mask[p[0] - base] = True
             return mask
-        if isinstance(node, Boost):  # boosts affect scoring, not matching
+        if isinstance(node, (Boost, Filter)):
+            # Boost affects scoring, not matching; Filter gates without
+            # scoring — both evaluate exactly as their child
             return self._eval(node.child, pid, cache, expansions)
         if isinstance(node, NumericRange):
             # OR of the expanded term-range postings — a gate, never scored

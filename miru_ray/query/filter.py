@@ -172,6 +172,20 @@ class Boost(Node):
 
 
 @dataclass(frozen=True)
+class Filter(Node):
+    """Non-scoring gate: evaluates exactly as its child but contributes
+    NOTHING to scoring.  The reference's ``constraintsFilter`` is
+    bitmap-ANDed into the answer while only the parsed query's terms are
+    collected for TF_IDF (``FullTextCustomQuestion.java`` ANDs the filter
+    bitmap; the term collector walks the query only) — filters gate,
+    they never rank.  ``collect_scoring_terms`` and the boost collectors
+    deliberately do not descend into this node; the expansion collectors
+    (prefix/fuzzy/wildcard/regexp/range) do, because expansion is an
+    EVALUATION concern."""
+    child: Node
+
+
+@dataclass(frozen=True)
 class Authz(Node):
     """Authorization expression: the doc is visible iff its ACL list shares
     at least one entry with the principal's ``values`` (reference:
@@ -259,6 +273,7 @@ def collect_scoring_terms(node: Node, counts: dict[str, int] | None = None,
         collect_scoring_terms(node.positive, counts, polarity)
         for c in node.negatives:
             collect_scoring_terms(c, counts, -polarity)
+    # Filter is NOT descended into — its terms gate, they never score.
     # Prefix/Fuzzy terms are expanded per partition at eval time; their
     # expansions are collected there (engine.Searcher._prepare).
     return counts
@@ -269,7 +284,7 @@ def _walk_collect(node: Node, out: list, want: type) -> list:
     combinators and :class:`Boost` wrappers."""
     if isinstance(node, want):
         out.append(node)
-    elif isinstance(node, Boost):
+    elif isinstance(node, (Boost, Filter)):
         _walk_collect(node.child, out, want)
     elif isinstance(node, (And, Or, MinShould)):
         for c in node.children:

@@ -41,8 +41,8 @@ from typing import Any
 import pyarrow as pa
 
 from ..tokenize import EN_STOPWORDS
-from .filter import (And, Authz, Boost, MinShould, Node, Not, Or, Term,
-                     TimeRange)
+from .filter import (And, Authz, Boost, Filter, MinShould, Node, Not, Or,
+                     Term, TimeRange)
 from .parser import parse_query
 
 #: the reference's "currently supported" filter operations
@@ -130,6 +130,8 @@ def _recap(node: Node, cap: int) -> Node:
                    tuple(_recap(n, cap) for n in node.negatives))
     if isinstance(node, Boost):
         return Boost(_recap(node.child, cap), node.boost)
+    if isinstance(node, Filter):
+        return Filter(_recap(node.child, cap))
     return node
 
 
@@ -157,7 +159,9 @@ def request_to_ast(request: dict, cfg) -> tuple[Node, int, str]:
     if cf:
         node = filter_to_ast(cf, tuple(cfg.text_fields))
         if node is not None:
-            clauses.append(node)
+            # constraintsFilter gates without ranking (the reference ANDs
+            # the filter bitmap; only the parsed query's terms score)
+            clauses.append(Filter(node))
     tr = q.get("timeRange")
     if tr:
         clauses.append(TimeRange(int(tr["smallestTimestamp"]),

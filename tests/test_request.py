@@ -10,8 +10,8 @@ import json
 import pytest
 
 from miru_ray.config import IndexConfig
-from miru_ray.query.filter import (And, Authz, Not, Or, Prefix, Term,
-                                   TimeRange)
+from miru_ray.query.filter import (And, Authz, Filter, Not, Or, Prefix,
+                                   Term, TimeRange)
 from miru_ray.query.request import (execute_request, filter_to_ast,
                                     request_to_ast)
 
@@ -79,7 +79,7 @@ def test_request_to_ast_composition():
     req["authzExpression"] = {"values": ["grp1", "team2"]}
     ast, k, strategy = request_to_ast(req, CFG)
     assert ast == And((And((Term("text", "spark"), Term("text", "merge"))),
-                       Term("role", "user"),
+                       Filter(Term("role", "user")),
                        TimeRange(100, 200),
                        Authz(("grp1", "team2"), field="acl")))
     assert k == 10
@@ -125,10 +125,46 @@ def test_execute_constraints_filter_parity(xs_searcher):
                                                     "values": ["user"]}]})
     resp = execute_request(xs_searcher, req)
     direct = xs_searcher.topk(
-        And((Term("text", "alpha"), Term("role", "user"))), 10, "ref-tfidf")
+        And((Term("text", "alpha"), Filter(Term("role", "user")))),
+        10, "ref-tfidf")
     assert [r["docId"] for r in resp["answer"]["results"]] \
         == direct["doc_id"].to_pylist()
     assert resp["answer"]["results"], "filtered query should still match"
+
+
+def test_filter_node_gates_without_scoring(xs_searcher):
+    """The reference's constraintsFilter is bitmap-ANDed but never ranks:
+    a Filter-wrapped keyword term must restrict the doc set while leaving
+    each surviving doc's score identical to the bare query's."""
+    bare = xs_searcher.topk(Term("text", "alpha"), 100000, "bm25")
+    bare_scores = dict(zip(bare["doc_id"].to_pylist(),
+                           bare["score"].to_pylist()))
+    filt = xs_searcher.topk(
+        And((Term("text", "alpha"), Filter(Term("role", "user")))),
+        100000, "bm25")
+    scored = xs_searcher.topk(
+        And((Term("text", "alpha"), Term("role", "user"))), 100000, "bm25")
+    assert 0 < filt.num_rows < len(bare_scores)
+    # same doc set as the scoring AND (the gate is identical) ...
+    assert sorted(filt["doc_id"].to_pylist()) \
+        == sorted(scored["doc_id"].to_pylist())
+    # ... but Filter leaves the bare query's scores untouched, while the
+    # unwrapped keyword term adds its own BM25 contribution
+    assert all(bare_scores[d] == s
+               for d, s in zip(filt["doc_id"].to_pylist(),
+                               filt["score"].to_pylist()))
+    assert any(bare_scores[d] != s
+               for d, s in zip(scored["doc_id"].to_pylist(),
+                               scored["score"].to_pylist()))
+
+
+def test_filter_node_expansion_and_count(xs_searcher):
+    # expansion nodes inside a Filter still expand (evaluation concern)
+    n_wrapped = xs_searcher.count(
+        And((Term("text", "alpha"), Filter(Prefix("text", "mer")))))
+    n_plain = xs_searcher.count(
+        And((Term("text", "alpha"), Prefix("text", "mer"))))
+    assert n_wrapped == n_plain > 0
 
 
 def test_execute_time_strategy_parity(xs_searcher):
