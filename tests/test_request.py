@@ -228,3 +228,82 @@ def test_request_cli(xs_index, capsys):
                  "--num-readers", "2"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["answer"]["results"] and out["answer"]["found"] > 0
+
+
+def test_random_filter_documents_vs_brute_force(xs_searcher, xs_table):
+    """Equivalence fuzz: random nested MiruFilter documents evaluated by
+    the engine (filter_to_ast → match_docs) must equal a brute-force
+    pandas evaluation of the same document over the raw table."""
+    import numpy as np
+
+    from miru_ray.tokenize import py_tokenize
+
+    df = xs_table.to_pandas()  # already in (conv_id, turn_idx) doc order
+    roles = df["role"].to_numpy()
+    tools = df["tool"].fillna("").to_numpy()
+    token_sets = [frozenset(py_tokenize(t or "")) for t in df["text"]]
+    vocab = sorted(set().union(*token_sets))
+
+    def brute(f):
+        masks = []
+        for ff in f.get("fieldFilters", []):
+            vals = ff["values"]
+            if ff["fieldName"] == "role":
+                masks.append(np.isin(roles, vals))
+            elif ff["fieldName"] == "tool":
+                masks.append(np.isin(tools, vals))
+            else:
+                vs = [v.lower() for v in vals]
+                masks.append(np.array([any(v in s for v in vs)
+                                       for s in token_sets]))
+        masks += [brute(sub) for sub in f.get("subFilters", [])]
+        op = f["operation"]
+        if op == "and":
+            out = masks[0]
+            for m in masks[1:]:
+                out = out & m
+            return out
+        if op == "or":
+            out = masks[0]
+            for m in masks[1:]:
+                out = out | m
+            return out
+        neg = np.zeros(len(df), bool)
+        for m in masks[1:]:
+            neg |= m
+        return masks[0] & ~neg
+
+    rng = np.random.default_rng(7)
+
+    def rand_field_filter():
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            vals = list(rng.choice(["user", "assistant", "system", "tool"],
+                                   size=rng.integers(1, 3), replace=False))
+            return {"fieldName": "role", "values": vals}
+        if kind == 1:
+            vals = list(rng.choice(sorted(set(tools) - {""}),
+                                   size=rng.integers(1, 3), replace=False))
+            return {"fieldName": "tool", "values": vals}
+        vals = list(rng.choice(vocab[:60], size=rng.integers(1, 3),
+                               replace=False))
+        return {"fieldName": "text", "values": vals}
+
+    def rand_filter(depth):
+        f = {"operation": str(rng.choice(["and", "or", "pButNotQ"])),
+             "fieldFilters": [rand_field_filter()
+                              for _ in range(rng.integers(1, 3))]}
+        if depth > 0 and rng.random() < 0.6:
+            f["subFilters"] = [rand_filter(depth - 1)
+                               for _ in range(rng.integers(1, 3))]
+        return f
+
+    checked = nonempty = 0
+    for _ in range(40):
+        fdoc = rand_filter(2)
+        want = np.flatnonzero(brute(fdoc))
+        got = np.sort(xs_searcher.match_docs(filter_to_ast(fdoc)))
+        assert got.tolist() == want.tolist(), fdoc
+        checked += 1
+        nonempty += len(want) > 0
+    assert checked == 40 and nonempty >= 20  # the fuzz isn't vacuous
