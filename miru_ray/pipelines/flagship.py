@@ -232,6 +232,96 @@ def q_request_topk(sf_dir: str, terms: list[str], role: str,
                                        pa.float64())})
 
 
+def q_request_distinct_count(sf_dir: str, term: str = "spark",
+                             role: str = "user", field: str = "tool",
+                             desired: int = 100) -> pa.Table:
+    """DistinctCount served through the JSON request surface
+    (``DistinctCountQuery.java:14-41`` → ``DistinctCountAnswer.java:
+    10-26``): distinct ``field`` values among docs whose text contains
+    ``term`` and whose role matches — streamFilter ∧ constraintsFilter,
+    the reference's stream-scoped distinct.  ``desired`` is chosen above
+    the field's cardinality so ``aggregateTerms`` is the COMPLETE
+    distinct set (no truncation ambiguity in the oracle compare)."""
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    req = {"name": "distinctCount", "tenantId": "flagship",
+           "query": {"streamFilter": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "text",
+                                           "values": [term]}]},
+                     "constraintsFilter": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "role",
+                                           "values": [role]}]},
+                     "aggregateCountAroundField": field,
+                     "desiredNumberOfDistincts": desired}}
+    ans = execute_request(s, req)["answer"]
+    return pa.table({"value": pa.array(ans["aggregateTerms"],
+                                       pa.string())})
+
+
+def request_distinct_count_sql(term: str = "spark", role: str = "user",
+                               field: str = "tool") -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT DISTINCT d.{field} AS value
+FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+WHERE d.role = '{role}' AND d.{field} <> ''
+ORDER BY value
+""".strip()
+
+
+def q_request_aggregate_counts(sf_dir: str, term: str = "spark",
+                               start: int = 2,
+                               desired: int = 8) -> pa.Table:
+    """AggregateCounts (inbox / activity stream) through the JSON
+    request surface (``AggregateCountsQuery.java:13-45``,
+    ``AggregateCount.java:11-44``): docs whose text contains ``term``
+    and whose role is user/assistant, grouped by conversation, newest
+    stream order (latest ts desc, conv_id tie-break), paged
+    ``[start, start+desired)``."""
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    req = {"name": "aggregateCounts", "tenantId": "flagship",
+           "query": {"streamFilter": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "text",
+                                           "values": [term]}]},
+                     "constraints": {"inbox": {
+                         "constraintsFilter": {
+                             "operation": "or",
+                             "fieldFilters": [{"fieldName": "role",
+                                               "values": ["user",
+                                                          "assistant"]}]},
+                         "aggregateCountAroundField": "conv_id",
+                         "startFromDistinctN": start,
+                         "desiredNumberOfDistincts": desired}}}}
+    res = execute_request(s, req)["answer"]["constraints"]["inbox"]
+    rows = res["results"]
+    return pa.table({
+        "value": pa.array([r["distinctValue"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["count"] for r in rows], pa.int64()),
+        "latest_ts": pa.array([r["latestTimestamp"] for r in rows],
+                              pa.int64()).cast(pa.timestamp("us")),
+        "oldest_ts": pa.array([r["oldestTimestamp"] for r in rows],
+                              pa.int64()).cast(pa.timestamp("us")),
+    })
+
+
+def request_aggregate_counts_sql(term: str = "spark", start: int = 2,
+                                 desired: int = 8) -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT d.conv_id AS value, count(*)::BIGINT AS n_docs,
+       max(d.ts) AS latest_ts, min(d.ts) AS oldest_ts
+FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+WHERE d.role IN ('user', 'assistant')
+GROUP BY d.conv_id
+ORDER BY latest_ts DESC, value
+LIMIT {desired} OFFSET {start}
+""".strip()
+
+
 def q_bm25_wand(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     s = searcher_for(sf_dir)
     from ..query.filter import or_terms

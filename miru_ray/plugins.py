@@ -47,6 +47,8 @@ _BUILTIN_LOADED = False
 # keeps its relative order and rotates through the remaining slots.
 _GATE_PRIORITY: tuple[str, ...] = (
     # round-4 additions (never witnessed by definition)
+    "request_distinct_count",
+    "request_aggregate_counts",
     "fulltext_request_topk",
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
@@ -165,6 +167,12 @@ def _load_builtin_ops() -> None:
         lambda sf: F.q_request_topk(sf, QUERY_TERMS, "user", 10),
         F.bm25_sql(QUERY_TERMS, 10, mode="and", keyword=("role", "user")),
         ("fulltext",))
+    # the other two stream-plugin request endpoints, dispatched by query
+    # shape (DistinctCountQuery / AggregateCountsQuery → their answers)
+    reg("request_distinct_count", F.q_request_distinct_count,
+        F.request_distinct_count_sql(), ("request",))
+    reg("request_aggregate_counts", F.q_request_aggregate_counts,
+        F.request_aggregate_counts_sql(), ("request",))
     reg("fulltext_reftfidf_and",
         lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
         F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))

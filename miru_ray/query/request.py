@@ -13,6 +13,24 @@ solutions, totalElapsed, missingSchema, incompletePartitionIds, log}``
 ``FullTextAnswer{results: [ActivityScore{values, timestamp, score}],
 found, resultsExhausted}`` (``FullTextAnswer.java:16-18,66-70``).
 
+Beyond full text, the request surface dispatches two more of the
+reference's stream-plugin endpoints by query shape:
+``DistinctCountQuery{streamFilter, constraintsFilter, timeRange,
+aggregateCountAroundField, desiredNumberOfDistincts}`` →
+``DistinctCountAnswer{aggregateTerms, collectedDistincts,
+resultsExhausted}`` (``miru-stream-plugins/.../count/
+DistinctCountQuery.java:14-41``, ``DistinctCountAnswer.java:10-26``)
+and ``AggregateCountsQuery{streamFilter, collectTimeRange, constraints:
+{name → AggregateCountsQueryConstraint{constraintsFilter,
+aggregateCountAroundField, startFromDistinctN,
+desiredNumberOfDistincts, gatherTermsForFields}}}`` — the inbox /
+activity-stream aggregate whose per-value rows are
+``AggregateCount{distinctValue, count, latestTimestamp,
+oldestTimestamp, gatherLatestValues, gatherOldestValues}``
+(``filter/AggregateCountsQuery.java:13-45``,
+``AggregateCountsQueryConstraint.java:12-34``,
+``AggregateCount.java:11-44``), newest stream order, paged.
+
 This module accepts the same document shape as plain dicts (parsed JSON)
 and executes it against a :class:`~miru_ray.query.engine.Searcher`, or
 routes by ``tenantId`` through a
@@ -31,6 +49,11 @@ request payloads port over unchanged.  Documented deviations:
   (``MiruFilterOperation.java:12-22``); the rest raise.
 - ``authzExpression`` may carry an optional ``field`` key naming the
   index's ACL list-keyword column (default ``acl``).
+- stream answerers: ``streamId`` is accepted and ignored, the unread
+  knobs (``unreadOnly``, ``suppressUnreadFilter``,
+  ``includeUnreadState``) are REJECTED — read/unread state lives in the
+  events pipeline here (``events_unread_backfill``) — and
+  ``countTimeRange`` must equal ``collectTimeRange``.
 """
 from __future__ import annotations
 
@@ -184,6 +207,234 @@ def request_to_ast(request: dict, cfg) -> tuple[Node, int, str]:
     return ast, k, engine_strategy
 
 
+def _resolve_searcher(target, request: dict):
+    """Searcher (single index) or TenantRegistry routing by ``tenantId``
+    (the reference's ``MiruService`` resolves tenantId → partitions
+    before solving)."""
+    from ..index.tenants import TenantRegistry
+    if isinstance(target, TenantRegistry):
+        tenant = request.get("tenantId")
+        if tenant in (None, ""):
+            raise ValueError("request.tenantId is required with a "
+                             "tenant registry target")
+        return target.searcher(str(tenant))
+    return target
+
+
+def _respond(request: dict, searcher, answer: dict, t0: float,
+             log_lines: list[str]) -> dict:
+    """Wrap an answer in the MiruResponse envelope
+    (``MiruResponse.java:12-17``)."""
+    elapsed_ms = int((time.perf_counter() - t0) * 1000)
+    response = {
+        "answer": answer,
+        "solutions": [{"usedReaders": len(searcher.readers),
+                       "totalElapsed": elapsed_ms}],
+        "totalElapsed": elapsed_ms,
+        "missingSchema": False,
+        "incompletePartitionIds": [],
+        "log": [],
+    }
+    if str(request.get("logLevel") or "NONE").upper() != "NONE":
+        response["log"] = [
+            f"request name={request.get('name')!r} "
+            f"tenant={request.get('tenantId')!r}",
+            *log_lines,
+            f"elapsed_ms={elapsed_ms}",
+        ]
+    return response
+
+
+def _reject_unread_knobs(q: dict) -> None:
+    """Read/unread state in this repo lives in the events pipeline
+    (``events_unread_backfill``), not inside the index — the reference
+    threads per-stream unread bitmaps through these answerers
+    (``DistinctCountQuery.java:22,31``; ``AggregateCountsQuery.java:
+    33-35``), which we reject loudly rather than silently mis-answer."""
+    for knob in ("unreadOnly", "suppressUnreadFilter", "includeUnreadState"):
+        if q.get(knob):
+            raise ValueError(
+                f"{knob} is not supported: read/unread tracking is the "
+                "events pipeline's job here (events_unread_backfill), "
+                "not an index-side bitmap")
+
+
+def _gate_ast(request: dict, q: dict, cfg,
+              time_range: dict | None,
+              extra_filter: dict | None = None) -> Node:
+    """Non-scoring gate AST for the stream answerers: streamFilter ∧
+    constraintsFilter ∧ timeRange ∧ authzExpression.  Nothing here
+    scores, so no :class:`Filter` wrapper is needed.  Raises when no
+    clause survives — the reference's stream queries are per-user
+    scoped (``DistinctCountQuery.java:34-36`` requires the filters),
+    and an unfiltered gather would walk the whole corpus; an
+    unconstrained value enumeration is the facets operator's job."""
+    clauses: list[Node] = []
+    for f in (q.get("streamFilter"), q.get("constraintsFilter"),
+              extra_filter):
+        if f:
+            node = filter_to_ast(f, tuple(cfg.text_fields))
+            if node is not None:
+                clauses.append(node)
+    if time_range:
+        clauses.append(TimeRange(int(time_range["smallestTimestamp"]),
+                                 int(time_range["largestTimestamp"])))
+    az = request.get("authzExpression")
+    if az and az.get("values"):
+        clauses.append(Authz(tuple(str(v) for v in az["values"]),
+                             field=az.get("field", "acl")))
+    if not clauses:
+        raise ValueError(
+            "stream answerers need an effective streamFilter / "
+            "constraintsFilter (unfiltered value enumeration is the "
+            "facet operator, not a stream query)")
+    return clauses[0] if len(clauses) == 1 else And(tuple(clauses))
+
+
+def _py_scalar(v):
+    """numpy scalar → plain Python (JSON-serializable); passthrough
+    otherwise."""
+    item = getattr(v, "item", None)
+    return item() if callable(item) else v
+
+
+def _index_visible(values: list) -> list[str]:
+    """Drop nulls and empty strings — the term composer never indexes
+    empty field values, so a docstore-side gather must apply the same
+    visibility rule the postings side gets for free."""
+    return sorted(str(v) for v in values if v not in (None, ""))
+
+
+def _execute_distinct_count(searcher, request: dict, t0: float) -> dict:
+    """DistinctCountQuery → DistinctCountAnswer
+    (``DistinctCountQuery.java:14-41``, ``DistinctCountAnswer.java:
+    10-26``): among docs matching streamFilter ∧ constraintsFilter ∧
+    timeRange, the distinct values of ``aggregateCountAroundField``.
+
+    Shape: one filter evaluation (postings algebra) then ONE docstore
+    gather bounded by the filtered candidate set — the same walk the
+    reference's question does over its filtered bitmap reading the
+    activity index.  The stream filters are per-user selective by
+    construction; this is NOT a full-corpus distinct (that's the facet
+    operator, postings-only)."""
+    q = request.get("query") or {}
+    _reject_unread_knobs(q)
+    field = str(q["aggregateCountAroundField"])
+    desired = int(q.get("desiredNumberOfDistincts") or 0)
+    if desired < 1:  # DistinctCountQuery.java:39-40 checkArgument
+        raise ValueError("desiredNumberOfDistincts must be at least 1")
+    ast = _gate_ast(request, q, searcher.cfg, q.get("timeRange"))
+    ids = searcher.match_docs(ast)
+    values: list[str] = []
+    if len(ids):
+        col = searcher.gather(ids, columns=[field])[field]
+        values = _index_visible(col.unique().to_pylist())
+    answer = {"aggregateTerms": values[:desired],
+              "collectedDistincts": len(values),
+              # every partition was visited and the engine is exact, so
+              # "exhausted" means the page covers every distinct
+              # (DistinctCountAnswerEvaluator keeps solving while
+              # collected < desired)
+              "resultsExhausted": len(values) <= desired}
+    return _respond(request, searcher, answer, t0,
+                    [f"distinctCount field={field!r} ast={ast!r}",
+                     f"collected={len(values)}"])
+
+
+def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
+    """AggregateCountsQuery → AggregateCountsAnswer
+    (``AggregateCountsQuery.java:13-45``, constraint shape
+    ``AggregateCountsQueryConstraint.java:12-34``, per-value row
+    ``AggregateCount.java:11-44``): the activity-stream / inbox
+    aggregate — matching docs grouped by ``aggregateCountAroundField``,
+    newest stream order (latest timestamp desc), paged by
+    ``startFromDistinctN`` / ``desiredNumberOfDistincts``.
+
+    Per constraint: one filter evaluation + ONE gather of
+    (value, ts, gather fields) over the filtered candidates — the
+    reference's answerer walks the same filtered bitmap newest-first
+    reading the same columns.  ``countTimeRange`` must equal
+    ``collectTimeRange`` (single-pass collection; a separate count
+    window is a documented deviation), and unread knobs are rejected
+    (see :func:`_reject_unread_knobs`)."""
+    import pandas as pd
+    q = request.get("query") or {}
+    _reject_unread_knobs(q)
+    constraints = q.get("constraints")
+    if not isinstance(constraints, dict) or not constraints:
+        raise ValueError("aggregateCounts requires a non-empty "
+                         "constraints map (name → constraint)")
+    collect_tr = q.get("collectTimeRange")
+    count_tr = q.get("countTimeRange")
+    if count_tr and count_tr != collect_tr:
+        raise ValueError("countTimeRange differing from collectTimeRange "
+                         "is not supported (counts are collected in the "
+                         "same pass)")
+    answer_constraints: dict[str, dict] = {}
+    exhausted = True
+    log: list[str] = []
+    for cname, c in constraints.items():
+        field = str(c["aggregateCountAroundField"])
+        start = int(c.get("startFromDistinctN") or 0)
+        if start < 0:  # AggregateCountsQueryConstraint.java:29
+            raise ValueError("startFromDistinctN must be at least 0")
+        desired = int(c.get("desiredNumberOfDistincts") or 0)
+        if desired < 1:  # AggregateCountsQueryConstraint.java:31
+            raise ValueError("desiredNumberOfDistincts must be at least 1")
+        gfields = [str(f) for f in (c.get("gatherTermsForFields") or [])]
+        ast = _gate_ast(request, q, searcher.cfg, collect_tr,
+                        extra_filter=c.get("constraintsFilter"))
+        ids = searcher.match_docs(ast)
+        results: list[dict] = []
+        total = 0
+        if len(ids):
+            cols = list(dict.fromkeys([field, "ts"] + gfields))
+            gat = searcher.gather(ids, columns=cols)
+            pdf = gat.to_pandas()
+            # µs via Arrow, not datetime64.astype (whose unit is a
+            # pandas-version coin flip)
+            pdf["_ts"] = gat["ts"].cast(pa.int64()).to_numpy()
+            pdf = pdf[~pdf[field].isin(["", None]) & pdf[field].notna()]
+            if len(pdf):
+                pdf = pdf.sort_values(["_ts", "doc_id"], kind="stable")
+                grp = pdf.groupby(field, sort=True)
+                counts = grp.size()
+                last, first = grp.last(), grp.first()
+                page = pd.DataFrame({
+                    "n": counts, "latest": last["_ts"],
+                    "oldest": first["_ts"]}).sort_values(
+                        # newest stream order; value breaks ts ties so
+                        # paging is deterministic
+                        ["latest", field], ascending=[False, True],
+                        kind="stable")
+                total = len(page)
+                window = page.iloc[start:start + desired]
+                for v, row in window.iterrows():
+                    results.append({
+                        "distinctValue": str(v),
+                        "count": int(row["n"]),
+                        "latestTimestamp": int(row["latest"]),
+                        "oldestTimestamp": int(row["oldest"]),
+                        "gatherLatestValues": {
+                            f: _py_scalar(last.at[v, f]) for f in gfields},
+                        "gatherOldestValues": {
+                            f: _py_scalar(first.at[v, f]) for f in gfields},
+                    })
+        answer_constraints[cname] = {
+            "results": results,
+            "aggregateTerms": [r["distinctValue"] for r in results],
+            "skippedDistincts": min(start, total),
+            "collectedDistincts": total,
+        }
+        if start + desired < total:
+            exhausted = False
+        log.append(f"constraint {cname!r} field={field!r} "
+                   f"total={total} page=[{start}:{start + desired}]")
+    answer = {"constraints": answer_constraints,
+              "resultsExhausted": exhausted}
+    return _respond(request, searcher, answer, t0, log)
+
+
 def execute_request(target, request: dict) -> dict:
     """Execute a MiruRequest-shaped document and return a
     MiruResponse-shaped dict (JSON-serializable).
@@ -191,18 +442,20 @@ def execute_request(target, request: dict) -> dict:
     ``target`` is a Searcher (single index) or a TenantRegistry — with a
     registry the request's ``tenantId`` selects the tenant's index, the
     reference's routing step (``MiruService`` resolves tenantId →
-    partitions before solving)."""
+    partitions before solving).
+
+    The wrapped query dispatches on shape, mirroring the reference's
+    per-plugin endpoints: a ``aggregateCountAroundField`` at the top
+    level is a DistinctCountQuery, a ``constraints`` map is an
+    AggregateCountsQuery, anything else is a FullTextQuery (which
+    requires ``query.query``)."""
     t0 = time.perf_counter()
-    from ..index.tenants import TenantRegistry
-    if isinstance(target, TenantRegistry):
-        tenant = request.get("tenantId")
-        if tenant in (None, ""):
-            raise ValueError("request.tenantId is required with a "
-                             "tenant registry target")
-        searcher = target.searcher(str(tenant))
-    else:
-        searcher = target
+    searcher = _resolve_searcher(target, request)
     q = request.get("query") or {}
+    if "aggregateCountAroundField" in q:
+        return _execute_distinct_count(searcher, request, t0)
+    if "constraints" in q:
+        return _execute_aggregate_counts(searcher, request, t0)
     ast, k, strategy = request_to_ast(request, searcher.cfg)
     if strategy == "time":
         res = searcher.topk_time(ast, k)
@@ -233,27 +486,11 @@ def execute_request(target, request: dict) -> dict:
         r = rows.get(int(d), {"values": {}, "timestamp": 0})
         results.append({"docId": int(d), "values": r["values"],
                         "timestamp": r["timestamp"], "score": s})
-    elapsed_ms = int((time.perf_counter() - t0) * 1000)
     answer = {"results": results, "found": len(results),
               # all partitions were visited (or provably pruned): fewer
               # than desired means the index has no more
               # (FullTextAnswerEvaluator.java:19-40)
               "resultsExhausted": len(results) < k}
-    response = {
-        "answer": answer,
-        "solutions": [{"usedReaders": len(searcher.readers),
-                       "totalElapsed": elapsed_ms}],
-        "totalElapsed": elapsed_ms,
-        "missingSchema": False,
-        "incompletePartitionIds": [],
-        "log": [],
-    }
-    if str(request.get("logLevel") or "NONE").upper() != "NONE":
-        response["log"] = [
-            f"request name={request.get('name')!r} "
-            f"tenant={request.get('tenantId')!r}",
-            f"ast={ast!r}",
-            f"strategy={strategy} k={k}",
-            f"found={len(results)} elapsed_ms={elapsed_ms}",
-        ]
-    return response
+    return _respond(request, searcher, answer, t0,
+                    [f"ast={ast!r}", f"strategy={strategy} k={k}",
+                     f"found={len(results)}"])

@@ -307,3 +307,167 @@ def test_random_filter_documents_vs_brute_force(xs_searcher, xs_table):
         checked += 1
         nonempty += len(want) > 0
     assert checked == 40 and nonempty >= 20  # the fuzz isn't vacuous
+
+
+# ------------------------------------------- stream answerers (r4 late)
+
+def _stream_req(**q):
+    return {"name": "stream", "tenantId": "demo", "query": q}
+
+
+def _text_filter(*terms):
+    return {"operation": "or",
+            "fieldFilters": [{"fieldName": "text", "values": list(terms)}]}
+
+
+def test_distinct_count_parity(xs_searcher, xs_table):
+    """DistinctCountQuery end-to-end vs a brute-force pandas evaluation
+    of the same filters over the raw table."""
+    from miru_ray.tokenize import py_tokenize
+    df = xs_table.to_pandas()
+    has = df["text"].map(lambda t: "alpha" in set(py_tokenize(t or "")))
+    expect = sorted(set(df.loc[has & (df["role"] == "user"), "tool"])
+                    - {"", None})
+    resp = execute_request(xs_searcher, _stream_req(
+        streamFilter=_text_filter("alpha"),
+        constraintsFilter={"operation": "and",
+                           "fieldFilters": [{"fieldName": "role",
+                                             "values": ["user"]}]},
+        aggregateCountAroundField="tool",
+        desiredNumberOfDistincts=100))
+    ans = resp["answer"]
+    assert ans["aggregateTerms"] == expect
+    assert ans["collectedDistincts"] == len(expect)
+    assert ans["resultsExhausted"]
+    assert expect  # not vacuous
+
+
+def test_distinct_count_truncation_flag(xs_searcher):
+    full = execute_request(xs_searcher, _stream_req(
+        streamFilter=_text_filter("alpha"),
+        aggregateCountAroundField="tool",
+        desiredNumberOfDistincts=100))["answer"]
+    assert full["collectedDistincts"] > 1
+    one = execute_request(xs_searcher, _stream_req(
+        streamFilter=_text_filter("alpha"),
+        aggregateCountAroundField="tool",
+        desiredNumberOfDistincts=1))["answer"]
+    # truncated page, full count, not exhausted
+    assert one["aggregateTerms"] == full["aggregateTerms"][:1]
+    assert one["collectedDistincts"] == full["collectedDistincts"]
+    assert not one["resultsExhausted"]
+
+
+def test_stream_answerers_reject(xs_searcher):
+    with pytest.raises(ValueError, match="unreadOnly"):
+        execute_request(xs_searcher, _stream_req(
+            streamFilter=_text_filter("alpha"), unreadOnly=True,
+            aggregateCountAroundField="tool",
+            desiredNumberOfDistincts=5))
+    with pytest.raises(ValueError, match="at least 1"):
+        execute_request(xs_searcher, _stream_req(
+            streamFilter=_text_filter("alpha"),
+            aggregateCountAroundField="tool",
+            desiredNumberOfDistincts=0))
+    with pytest.raises(ValueError, match="streamFilter"):
+        execute_request(xs_searcher, _stream_req(
+            aggregateCountAroundField="tool",
+            desiredNumberOfDistincts=5))
+    with pytest.raises(ValueError, match="countTimeRange"):
+        execute_request(xs_searcher, _stream_req(
+            streamFilter=_text_filter("alpha"),
+            collectTimeRange={"smallestTimestamp": 0,
+                              "largestTimestamp": 10},
+            countTimeRange={"smallestTimestamp": 0,
+                            "largestTimestamp": 99},
+            constraints={"c": {"aggregateCountAroundField": "conv_id",
+                               "desiredNumberOfDistincts": 5}}))
+
+
+def _brute_aggregate(df, tokens, roles):
+    """(value, count, latest_ts, oldest_ts, latest_role, oldest_role) in
+    newest stream order, ties by (ts, doc order)."""
+    from miru_ray.tokenize import py_tokenize
+    has = df["text"].map(
+        lambda t: bool(set(py_tokenize(t or "")) & set(tokens)))
+    sel = df[has & df["role"].isin(roles)]
+    out = []
+    for conv, g in sel.groupby("conv_id"):
+        g = g.sort_values("ts", kind="stable")  # doc order breaks ties
+        out.append({"value": conv, "count": len(g),
+                    "latest": int(g["ts"].iloc[-1].value),
+                    "oldest": int(g["ts"].iloc[0].value),
+                    "latest_role": g["role"].iloc[-1],
+                    "oldest_role": g["role"].iloc[0]})
+    out.sort(key=lambda r: (-r["latest"], r["value"]))
+    return out
+
+
+def test_aggregate_counts_parity_and_paging(xs_searcher, xs_table):
+    df = xs_table.to_pandas()
+    # pandas Timestamp .value is ns; the engine speaks µs
+    brute = _brute_aggregate(df, ["alpha"], ["user", "assistant"])
+    for r in brute:
+        r["latest"] //= 1000
+        r["oldest"] //= 1000
+    assert len(brute) >= 5  # the paging below isn't vacuous
+    start, desired = 1, 3
+    resp = execute_request(xs_searcher, _stream_req(
+        streamFilter=_text_filter("alpha"),
+        constraints={"inbox": {
+            "constraintsFilter": {
+                "operation": "or",
+                "fieldFilters": [{"fieldName": "role",
+                                  "values": ["user", "assistant"]}]},
+            "aggregateCountAroundField": "conv_id",
+            "startFromDistinctN": start,
+            "desiredNumberOfDistincts": desired,
+            "gatherTermsForFields": ["role"]}}))
+    ans = resp["answer"]
+    con = ans["constraints"]["inbox"]
+    assert con["collectedDistincts"] == len(brute)
+    assert con["skippedDistincts"] == start
+    assert not ans["resultsExhausted"]
+    want = brute[start:start + desired]
+    got = con["results"]
+    assert [r["distinctValue"] for r in got] == [w["value"] for w in want]
+    assert [r["count"] for r in got] == [w["count"] for w in want]
+    assert [r["latestTimestamp"] for r in got] == [w["latest"] for w in want]
+    assert [r["oldestTimestamp"] for r in got] == [w["oldest"] for w in want]
+    assert [r["gatherLatestValues"]["role"] for r in got] == \
+        [w["latest_role"] for w in want]
+    assert [r["gatherOldestValues"]["role"] for r in got] == \
+        [w["oldest_role"] for w in want]
+    # page past the end: empty results, everything skipped, exhausted
+    tail = execute_request(xs_searcher, _stream_req(
+        streamFilter=_text_filter("alpha"),
+        constraints={"inbox": {
+            "aggregateCountAroundField": "conv_id",
+            "startFromDistinctN": len(brute) + 5,
+            "desiredNumberOfDistincts": 3}}))["answer"]
+    tcon = tail["constraints"]["inbox"]
+    assert tcon["results"] == [] and tail["resultsExhausted"]
+    assert tcon["skippedDistincts"] == tcon["collectedDistincts"] == \
+        len(brute)
+
+
+def test_aggregate_counts_collect_time_range(xs_searcher, xs_table):
+    """collectTimeRange gates which docs enter the aggregate."""
+    df = xs_table.to_pandas()
+    ts_us = df["ts"].astype("int64")
+    if str(df["ts"].dtype).endswith("[ns]"):
+        ts_us = ts_us // 1000
+    lo, hi = int(ts_us.min()), int(ts_us.quantile(0.5))
+    df2 = df[(ts_us >= lo) & (ts_us <= hi)]
+    brute = _brute_aggregate(df2, ["alpha"], ["user", "assistant",
+                                              "system", "tool"])
+    resp = execute_request(xs_searcher, _stream_req(
+        streamFilter=_text_filter("alpha"),
+        collectTimeRange={"smallestTimestamp": lo, "largestTimestamp": hi},
+        constraints={"c": {"aggregateCountAroundField": "conv_id",
+                           "startFromDistinctN": 0,
+                           "desiredNumberOfDistincts": 10 ** 6}}))
+    got = resp["answer"]["constraints"]["c"]["results"]
+    assert [r["distinctValue"] for r in got] == [w["value"] for w in brute]
+    assert [r["count"] for r in got] == [w["count"] for w in brute]
+    assert brute  # not vacuous
