@@ -322,6 +322,77 @@ LIMIT {desired} OFFSET {start}
 """.strip()
 
 
+#: the analytics gate query's window: the fixture's first hour
+#: (ts = 2024-01-01 + doc_id seconds), 24 segments of 150 s
+_ANALYTICS_N = 24
+_ANALYTICS_HOURS = 1
+_ANALYTICS_ROLES = ("assistant", "user")
+
+
+def q_request_analytics(sf_dir: str, term: str = "spark") -> pa.Table:
+    """AnalyticsQuery through the JSON request surface
+    (``AnalyticsQuery.java:14-28`` → ``AnalyticsAnswer.java:13-27``):
+    per-segment counts of docs whose text contains ``term``, one
+    waveform per role filter, over the fixture's first hour split into
+    24 segments — postings + ts arrays only, no docstore gather."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    req = {"name": "analytics", "tenantId": "flagship",
+           "query": {"constraintsFilter": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "text",
+                                           "values": [term]}]},
+                     "scoreSets": [{"key": "hour0",
+                                    "timeRange": {
+                                        "smallestTimestamp": lo,
+                                        "largestTimestamp": hi},
+                                    "divideTimeRangeIntoNSegments":
+                                        _ANALYTICS_N}],
+                     "analyticsFilters": {
+                         r: {"operation": "and",
+                             "fieldFilters": [{"fieldName": "role",
+                                               "values": [r]}]}
+                         for r in _ANALYTICS_ROLES}}}
+    rows = execute_request(s, req)["answer"]["waveforms"]["hour0"]
+    names, segs, counts = [], [], []
+    for r in rows:
+        for i, c in enumerate(r["waveform"]):
+            names.append(r["id"])
+            segs.append(i)
+            counts.append(c)
+    return pa.table({"filter_name": pa.array(names, pa.string()),
+                     "segment": pa.array(segs, pa.int64()),
+                     "n_docs": pa.array(counts, pa.int64())})
+
+
+def request_analytics_sql(term: str = "spark") -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    n = _ANALYTICS_N
+    roles = ", ".join(f"('{r}')" for r in _ANALYTICS_ROLES)
+    return f"""
+{SQL_PROLOGUE},
+hits AS (
+  SELECT d.role AS role,
+         ((epoch_us(d.ts) - {lo}) * {n}) // ({hi} - {lo}) AS segment
+  FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+  WHERE epoch_us(d.ts) >= {lo} AND epoch_us(d.ts) < {hi}
+)
+SELECT r.filter_name, s.segment AS segment,
+       coalesce(c.n, 0)::BIGINT AS n_docs
+FROM (VALUES {roles}) r(filter_name)
+CROSS JOIN (SELECT unnest(range(0, {n})) AS segment) s
+LEFT JOIN (SELECT role, segment, count(*) AS n
+           FROM hits GROUP BY 1, 2) c
+  ON c.role = r.filter_name AND c.segment = s.segment
+ORDER BY 1, 2
+""".strip()
+
+
 def q_bm25_wand(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     s = searcher_for(sf_dir)
     from ..query.filter import or_terms

@@ -49,6 +49,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # round-4 additions (never witnessed by definition)
     "request_distinct_count",
     "request_aggregate_counts",
+    "request_analytics_waveform",
     "fulltext_request_topk",
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
@@ -173,6 +174,8 @@ def _load_builtin_ops() -> None:
         F.request_distinct_count_sql(), ("request",))
     reg("request_aggregate_counts", F.q_request_aggregate_counts,
         F.request_aggregate_counts_sql(), ("request",))
+    reg("request_analytics_waveform", F.q_request_analytics,
+        F.request_analytics_sql(), ("request",))
     reg("fulltext_reftfidf_and",
         lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
         F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))

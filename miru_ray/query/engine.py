@@ -953,6 +953,35 @@ class PartitionReader:
         return {"count": total,
                 "doc_ids": np.concatenate(docs) if docs else np.empty(0, np.int64)}
 
+    def waveform(self, ast: Node, expansions: dict, lo: int, hi: int,
+                 n: int) -> np.ndarray:
+        """Per-segment match counts over ``[lo, hi)`` split into ``n``
+        equal time segments — the Analytics answerer's per-partition
+        partial (reference: ``miru-analytics-plugins/.../Analytics.java``
+        walks the filter bitmap per time segment).  Postings algebra +
+        the in-memory ts arrays only; partitions whose ts zone lies
+        outside the window are skipped before any postings are read."""
+        counts = np.zeros(n, np.int64)
+        width = int(hi) - int(lo)
+        for pid in self.parts:
+            zlo, zhi = self._ts_range[pid]
+            if zhi < lo or zlo >= hi:
+                continue  # zone outside the waveform window
+            if not self._may_match(ast, pid):
+                continue  # zone-map pruned
+            mask = self._alive_mask(pid, self._eval(ast, pid, {},
+                                                    expansions))
+            sel = np.flatnonzero(mask)
+            if not len(sel):
+                continue
+            ts = self.ts[pid][sel]
+            in_r = (ts >= lo) & (ts < hi)
+            if not in_r.any():
+                continue
+            idx = (ts[in_r] - lo) * n // width
+            counts += np.bincount(idx, minlength=n)
+        return counts
+
     def zone_maps(self) -> dict[int, tuple[int, int]]:
         """Per-partition (min_ts, max_ts) — the driver's newest-first visit
         order and early-exit bound come from these."""
@@ -1529,6 +1558,26 @@ class Searcher:
         ast = self._to_ast(query)
         expansions, _tc, _st = self._prepare(ast, need_stats=False)
         return sum(p["count"] for p in self._fanout("match", ast, expansions))
+
+    def waveform(self, query, lo: int, hi: int, n: int) -> np.ndarray:
+        """Time-bucket histogram of matching docs: ``[lo, hi)`` µs split
+        into ``n`` equal segments, summed across readers — the
+        AnalyticsQuery per-filter waveform (reference:
+        ``miru-analytics-plugins/.../AnalyticsQuery.java:14-28``).  Each
+        reader returns one int64[n] partial from postings + ts arrays
+        (no docstore access), so the fan-in is O(readers × n)."""
+        if n < 1:  # AnalyticsQueryScoreSet.java:29
+            raise ValueError("Segments must be at least 1")
+        if hi <= lo:  # the score set requires an explicit, non-empty range
+            raise ValueError("waveform needs lo < hi (an explicit time "
+                             "range; ScoreSet rejects ALL_TIME)")
+        ast = self._to_ast(query)
+        expansions, _tc, _st = self._prepare(ast, need_stats=False)
+        parts = self._fanout("waveform", ast, expansions,
+                             int(lo), int(hi), int(n))
+        if not parts:
+            return np.zeros(n, np.int64)
+        return np.sum(np.stack(parts), axis=0).astype(np.int64)
 
     def count_at_least(self, query, n: int) -> bool:
         """Early-exit threshold count — does the query match at least ``n``

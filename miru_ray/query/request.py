@@ -29,7 +29,13 @@ activity-stream aggregate whose per-value rows are
 oldestTimestamp, gatherLatestValues, gatherOldestValues}``
 (``filter/AggregateCountsQuery.java:13-45``,
 ``AggregateCountsQueryConstraint.java:12-34``,
-``AggregateCount.java:11-44``), newest stream order, paged.
+``AggregateCount.java:11-44``), newest stream order, paged; and
+``AnalyticsQuery{scoreSets: [{key, timeRange,
+divideTimeRangeIntoNSegments}], constraintsFilter, analyticsFilters:
+{name → MiruFilter}}`` → ``AnalyticsAnswer{waveforms: {key →
+[{id, waveform}]}}`` (``miru-analytics-plugins/.../
+AnalyticsQuery.java:14-28``), per-segment match counts served from
+postings + ts arrays with no docstore access.
 
 This module accepts the same document shape as plain dicts (parsed JSON)
 and executes it against a :class:`~miru_ray.query.engine.Searcher`, or
@@ -435,6 +441,54 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
     return _respond(request, searcher, answer, t0, log)
 
 
+def _execute_analytics(searcher, request: dict, t0: float) -> dict:
+    """AnalyticsQuery → AnalyticsAnswer
+    (``miru-analytics-plugins/.../AnalyticsQuery.java:14-28``, score set
+    ``AnalyticsQueryScoreSet.java:12-30``, answer
+    ``AnalyticsAnswer.java:13-27``): for each score set — an EXPLICIT
+    time range split into N equal segments — and each named analytics
+    filter, the per-segment count of docs matching constraintsFilter ∧
+    that filter.  Served entirely from postings algebra + the readers'
+    ts arrays (one int64[n] partial per reader per filter — no docstore
+    gather at any point), with partitions outside the window zone-pruned
+    before any postings load.  Segments are half-open ``[lo, hi)`` with
+    ``segment = (ts - lo) * n // (hi - lo)`` — exact integer bucketing
+    (the reference walks per-segment id ranges of its time index; the
+    arithmetic form is equivalent and SQL-expressible)."""
+    q = request.get("query") or {}
+    _reject_unread_knobs(q)
+    score_sets = q.get("scoreSets")
+    if not isinstance(score_sets, (list, tuple)) or not score_sets:
+        raise ValueError("analytics requires a non-empty scoreSets list")
+    afilters = q.get("analyticsFilters")
+    if not isinstance(afilters, dict) or not afilters:
+        raise ValueError("analytics requires a non-empty analyticsFilters "
+                         "map (name → MiruFilter)")
+    waveforms: dict[str, list[dict]] = {}
+    log: list[str] = []
+    for ss in score_sets:
+        key = str(ss["key"])
+        tr = ss.get("timeRange")
+        if not tr:  # AnalyticsQueryScoreSet.java:25 rejects ALL_TIME
+            raise ValueError("score set requires an explicit timeRange")
+        lo = int(tr["smallestTimestamp"])
+        hi = int(tr["largestTimestamp"])
+        n = int(ss.get("divideTimeRangeIntoNSegments") or 0)
+        rows = []
+        for name, af in afilters.items():
+            ast = _gate_ast(request,
+                            {"constraintsFilter": q.get("constraintsFilter")},
+                            searcher.cfg, None, extra_filter=af)
+            wave = searcher.waveform(ast, lo, hi, n)
+            rows.append({"id": str(name),
+                         "waveform": [int(x) for x in wave]})
+        waveforms[key] = rows
+        log.append(f"scoreSet {key!r} [{lo},{hi})/{n} × "
+                   f"{len(afilters)} filters")
+    answer = {"waveforms": waveforms, "resultsExhausted": True}
+    return _respond(request, searcher, answer, t0, log)
+
+
 def execute_request(target, request: dict) -> dict:
     """Execute a MiruRequest-shaped document and return a
     MiruResponse-shaped dict (JSON-serializable).
@@ -447,8 +501,9 @@ def execute_request(target, request: dict) -> dict:
     The wrapped query dispatches on shape, mirroring the reference's
     per-plugin endpoints: a ``aggregateCountAroundField`` at the top
     level is a DistinctCountQuery, a ``constraints`` map is an
-    AggregateCountsQuery, anything else is a FullTextQuery (which
-    requires ``query.query``)."""
+    AggregateCountsQuery, a ``scoreSets`` list is an AnalyticsQuery,
+    anything else is a FullTextQuery (which requires
+    ``query.query``)."""
     t0 = time.perf_counter()
     searcher = _resolve_searcher(target, request)
     q = request.get("query") or {}
@@ -456,6 +511,8 @@ def execute_request(target, request: dict) -> dict:
         return _execute_distinct_count(searcher, request, t0)
     if "constraints" in q:
         return _execute_aggregate_counts(searcher, request, t0)
+    if "scoreSets" in q or "analyticsFilters" in q:
+        return _execute_analytics(searcher, request, t0)
     ast, k, strategy = request_to_ast(request, searcher.cfg)
     if strategy == "time":
         res = searcher.topk_time(ast, k)

@@ -471,3 +471,71 @@ def test_aggregate_counts_collect_time_range(xs_searcher, xs_table):
     assert [r["distinctValue"] for r in got] == [w["value"] for w in brute]
     assert [r["count"] for r in got] == [w["count"] for w in brute]
     assert brute  # not vacuous
+
+
+# ------------------------------------------------------------- analytics
+
+def test_analytics_waveform_parity(xs_searcher, xs_table):
+    """AnalyticsQuery end-to-end vs a brute-force per-segment histogram
+    of the same filters over the raw table (half-open [lo, hi), exact
+    integer bucketing)."""
+    from miru_ray.tokenize import py_tokenize
+    df = xs_table.to_pandas()
+    ts_us = df["ts"].astype("int64")
+    if str(df["ts"].dtype).endswith("[ns]"):
+        ts_us = ts_us // 1000
+    lo, hi = int(ts_us.min()), int(ts_us.max()) + 1
+    n = 7
+    has = df["text"].map(lambda t: "alpha" in set(py_tokenize(t or "")))
+
+    def brute(role):
+        sel = ts_us[has & (df["role"] == role)]
+        sel = sel[(sel >= lo) & (sel < hi)]
+        seg = (sel - lo) * n // (hi - lo)
+        return [int((seg == i).sum()) for i in range(n)]
+
+    resp = execute_request(xs_searcher, _stream_req(
+        constraintsFilter=_text_filter("alpha"),
+        scoreSets=[{"key": "all",
+                    "timeRange": {"smallestTimestamp": lo,
+                                  "largestTimestamp": hi},
+                    "divideTimeRangeIntoNSegments": n}],
+        analyticsFilters={
+            r: {"operation": "and",
+                "fieldFilters": [{"fieldName": "role", "values": [r]}]}
+            for r in ("user", "assistant")}))
+    rows = {r["id"]: r["waveform"]
+            for r in resp["answer"]["waveforms"]["all"]}
+    assert rows["user"] == brute("user")
+    assert rows["assistant"] == brute("assistant")
+    assert sum(rows["user"]) + sum(rows["assistant"]) > 0  # not vacuous
+    assert resp["answer"]["resultsExhausted"]
+
+
+def test_analytics_waveform_rejects(xs_searcher):
+    base = dict(constraintsFilter=_text_filter("alpha"),
+                analyticsFilters={"u": _text_filter("alpha")})
+    with pytest.raises((ValueError, KeyError)):
+        # missing timeRange (ScoreSet rejects ALL_TIME)
+        execute_request(xs_searcher, _stream_req(
+            scoreSets=[{"key": "k",
+                        "divideTimeRangeIntoNSegments": 4}], **base))
+    with pytest.raises(ValueError, match="at least 1"):
+        execute_request(xs_searcher, _stream_req(
+            scoreSets=[{"key": "k",
+                        "timeRange": {"smallestTimestamp": 0,
+                                      "largestTimestamp": 10},
+                        "divideTimeRangeIntoNSegments": 0}], **base))
+    with pytest.raises(ValueError, match="lo < hi"):
+        execute_request(xs_searcher, _stream_req(
+            scoreSets=[{"key": "k",
+                        "timeRange": {"smallestTimestamp": 10,
+                                      "largestTimestamp": 10},
+                        "divideTimeRangeIntoNSegments": 4}], **base))
+    with pytest.raises(ValueError, match="analyticsFilters"):
+        execute_request(xs_searcher, _stream_req(
+            constraintsFilter=_text_filter("alpha"),
+            scoreSets=[{"key": "k",
+                        "timeRange": {"smallestTimestamp": 0,
+                                      "largestTimestamp": 10},
+                        "divideTimeRangeIntoNSegments": 4}]))
