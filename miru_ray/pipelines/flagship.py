@@ -393,6 +393,128 @@ ORDER BY 1, 2
 """.strip()
 
 
+_TRENDING_K = 5
+
+
+def q_request_trending(sf_dir: str, term: str = "spark",
+                       field: str = "tool") -> pa.Table:
+    """TrendingQuery through the JSON request surface
+    (``TrendingQuery.java:14-47`` → ``TrendingAnswer`` /
+    ``Trendy.java:11-28``): distinct ``tool`` values gathered from the
+    term dictionary, one batched waveform fan-out over the fixture's
+    first hour (24 segments) under the ``text:{term}`` constraint, then
+    all four reference strategies ranked top-5 each
+    (``TrendingInjectable.java:117-215``)."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    tr = {"smallestTimestamp": lo, "largestTimestamp": hi}
+    req = {"name": "trending", "tenantId": "flagship",
+           "query": {"constraintsFilter": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "text",
+                                           "values": [term]}]},
+                     "aggregateCountAroundField": field,
+                     "distinctQueries": [[{
+                         "timeRange": tr,
+                         "gatherDistinctsForField": field}]],
+                     "scoreSets": [{"key": "hour0",
+                                    "strategies": ["LINEAR_REGRESSION",
+                                                   "LEADER", "PEAKS",
+                                                   "HIGHEST_PEAK"],
+                                    "timeRange": tr,
+                                    "divideTimeRangeIntoNSegments":
+                                        _ANALYTICS_N,
+                                    "desiredNumberOfDistincts":
+                                        _TRENDING_K}]}}
+    res = execute_request(s, req)["answer"]["scoreSets"]["hour0"]["results"]
+    strat, vals, ranks = [], [], []
+    for sname in sorted(res):
+        for t in res[sname]:
+            strat.append(sname)
+            vals.append(t["distinctValue"])
+            ranks.append(float(t["rank"]))
+    return pa.table({"strategy": pa.array(strat, pa.string()),
+                     "distinct_value": pa.array(vals, pa.string()),
+                     "trend_rank": pa.array(ranks, pa.float64())})
+
+
+def request_trending_sql(term: str = "spark", field: str = "tool") -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    n = _ANALYTICS_N
+    k = _TRENDING_K
+    sx = n * (n - 1) // 2
+    sxx = (n - 1) * n * (2 * n - 1) // 6
+    den = n * sxx - sx * sx
+    # the PeakDet walk needs WITH RECURSIVE, declared on the top-level
+    # WITH (same state machine as the events_trending_peaks oracle,
+    # with the reference's per-term threshold mx/6 + bucket95/100)
+    prologue = SQL_PROLOGUE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+{prologue},
+hits AS (
+  SELECT d.{field} AS v,
+         ((epoch_us(d.ts) - {lo}) * {n}) // ({hi} - {lo}) AS seg
+  FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+  WHERE epoch_us(d.ts) >= {lo} AND epoch_us(d.ts) < {hi}
+    AND d.{field} <> ''
+),
+vals AS (SELECT DISTINCT v FROM hits),
+grid AS (SELECT t.v, u.i AS seg
+         FROM vals t, unnest(generate_series(0, {n - 1})) AS u(i)),
+wave AS (SELECT g.v, g.seg, COALESCE(c.cnt, 0)::DOUBLE AS y
+         FROM grid g
+         LEFT JOIN (SELECT v, seg, count(*) AS cnt
+                    FROM hits GROUP BY 1, 2) c
+           ON c.v = g.v AND c.seg = g.seg),
+agg AS (SELECT v, sum(seg * y) AS sxy, sum(y) AS sy, max(y) AS mx
+        FROM wave GROUP BY v),
+b95 AS (SELECT quantile_cont(mx, 0.95) AS q FROM agg),
+pd AS (SELECT a.v, a.mx / 6.0 + b.q / 100.0 AS delta FROM agg a, b95 b),
+walk(v, pos, mn, mx, look, peaks) AS (
+  SELECT v, -1, 1e308, -1e308, true, 0 FROM pd
+  UNION ALL
+  SELECT w.v, w.pos + 1,
+         CASE WHEN w.look AND dd.y < greatest(w.mx, dd.y) - pd.delta
+              THEN dd.y ELSE least(w.mn, dd.y) END,
+         CASE WHEN NOT w.look AND dd.y > least(w.mn, dd.y) + pd.delta
+              THEN dd.y ELSE greatest(w.mx, dd.y) END,
+         CASE WHEN w.look AND dd.y < greatest(w.mx, dd.y) - pd.delta
+              THEN false
+              WHEN NOT w.look AND dd.y > least(w.mn, dd.y) + pd.delta
+              THEN true ELSE w.look END,
+         w.peaks + CASE WHEN w.look AND dd.y < greatest(w.mx, dd.y)
+                                               - pd.delta
+                        THEN 1 ELSE 0 END
+  FROM walk w
+  JOIN wave dd ON dd.v = w.v AND dd.seg = w.pos + 1
+  JOIN pd ON pd.v = w.v),
+npeaks AS (SELECT v, peaks FROM walk WHERE pos = {n - 1})
+SELECT * FROM (
+  SELECT 'HIGHEST_PEAK' AS strategy, v AS distinct_value,
+         mx AS trend_rank
+  FROM agg ORDER BY trend_rank DESC, v LIMIT {k})
+UNION ALL
+SELECT * FROM (
+  SELECT 'LEADER' AS strategy, v AS distinct_value, sy AS trend_rank
+  FROM agg ORDER BY trend_rank DESC, v LIMIT {k})
+UNION ALL
+SELECT * FROM (
+  SELECT 'LINEAR_REGRESSION' AS strategy, v AS distinct_value,
+         ({n} * sxy - {sx} * sy) / {den} AS trend_rank
+  FROM agg ORDER BY trend_rank DESC, v LIMIT {k})
+UNION ALL
+SELECT * FROM (
+  SELECT 'PEAKS' AS strategy, p.v AS distinct_value,
+         p.peaks::DOUBLE AS trend_rank
+  FROM npeaks p ORDER BY trend_rank DESC, v LIMIT {k})
+""".strip()
+
+
 def q_bm25_wand(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     s = searcher_for(sf_dir)
     from ..query.filter import or_terms

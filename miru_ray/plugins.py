@@ -50,6 +50,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "request_distinct_count",
     "request_aggregate_counts",
     "request_analytics_waveform",
+    "request_trending_topn",
     "fulltext_request_topk",
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
@@ -176,6 +177,8 @@ def _load_builtin_ops() -> None:
         F.request_aggregate_counts_sql(), ("request",))
     reg("request_analytics_waveform", F.q_request_analytics,
         F.request_analytics_sql(), ("request",))
+    reg("request_trending_topn", F.q_request_trending,
+        F.request_trending_sql(), ("request",))
     reg("fulltext_reftfidf_and",
         lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
         F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))

@@ -958,29 +958,46 @@ class PartitionReader:
         """Per-segment match counts over ``[lo, hi)`` split into ``n``
         equal time segments — the Analytics answerer's per-partition
         partial (reference: ``miru-analytics-plugins/.../Analytics.java``
-        walks the filter bitmap per time segment).  Postings algebra +
-        the in-memory ts arrays only; partitions whose ts zone lies
-        outside the window are skipped before any postings are read."""
-        counts = np.zeros(n, np.int64)
+        walks the filter bitmap per time segment)."""
+        return self.waveform_multi([ast], expansions, lo, hi, n)[0]
+
+    def waveform_multi(self, asts: list[Node], expansions: dict, lo: int,
+                       hi: int, n: int) -> np.ndarray:
+        """``(len(asts), n)`` per-segment match counts over ``[lo, hi)``
+        split into ``n`` equal time segments, one row per filter — the
+        batched Analytics/Trending per-partition partial (reference:
+        ``Analytics.java`` walks one filter bitmap per time segment per
+        named filter; ``TrendingQuestion.java:138-199`` asks it for one
+        filter per distinct term).  Postings algebra + the in-memory ts
+        arrays only.  Batching matters at trending cardinalities: the
+        postings cache is shared across the batch (a term appearing in
+        many filters decodes once per partition) and the per-partition
+        segment index is computed once, so T filters cost one partition
+        sweep, not T."""
+        out = np.zeros((len(asts), n), np.int64)
         width = int(hi) - int(lo)
         for pid in self.parts:
             zlo, zhi = self._ts_range[pid]
             if zhi < lo or zlo >= hi:
                 continue  # zone outside the waveform window
-            if not self._may_match(ast, pid):
-                continue  # zone-map pruned
-            mask = self._alive_mask(pid, self._eval(ast, pid, {},
-                                                    expansions))
-            sel = np.flatnonzero(mask)
-            if not len(sel):
+            live = [i for i, a in enumerate(asts)
+                    if self._may_match(a, pid)]  # zone-map pruned per ast
+            if not live:
                 continue
-            ts = self.ts[pid][sel]
+            ts = self.ts[pid]
             in_r = (ts >= lo) & (ts < hi)
             if not in_r.any():
                 continue
-            idx = (ts[in_r] - lo) * n // width
-            counts += np.bincount(idx, minlength=n)
-        return counts
+            seg = np.zeros(len(ts), np.int64)
+            seg[in_r] = (ts[in_r] - lo) * n // width
+            cache: dict = {}  # postings decode shared across the batch
+            for i in live:
+                mask = self._alive_mask(
+                    pid, self._eval(asts[i], pid, cache, expansions))
+                m = mask & in_r
+                if m.any():
+                    out[i] += np.bincount(seg[m], minlength=n)
+        return out
 
     def zone_maps(self) -> dict[int, tuple[int, int]]:
         """Per-partition (min_ts, max_ts) — the driver's newest-first visit
@@ -1566,17 +1583,30 @@ class Searcher:
         ``miru-analytics-plugins/.../AnalyticsQuery.java:14-28``).  Each
         reader returns one int64[n] partial from postings + ts arrays
         (no docstore access), so the fan-in is O(readers × n)."""
+        return self.waveforms([query], lo, hi, n)[0]
+
+    def waveforms(self, queries: list, lo: int, hi: int,
+                  n: int) -> np.ndarray:
+        """Batched :meth:`waveform`: ``(len(queries), n)`` histograms in
+        ONE reader fan-out — the Analytics answerer's many named filters
+        and Trending's per-distinct-term filters ship as one packed batch
+        instead of one fan-out round per filter
+        (``TrendingQuestion.java:138-199`` batches exactly this way via
+        ``Analytics.analyze`` over term-keyed filters)."""
         if n < 1:  # AnalyticsQueryScoreSet.java:29
             raise ValueError("Segments must be at least 1")
         if hi <= lo:  # the score set requires an explicit, non-empty range
             raise ValueError("waveform needs lo < hi (an explicit time "
                              "range; ScoreSet rejects ALL_TIME)")
-        ast = self._to_ast(query)
-        expansions, _tc, _st = self._prepare(ast, need_stats=False)
-        parts = self._fanout("waveform", ast, expansions,
+        asts = [self._to_ast(q) for q in queries]
+        expansions: dict = {}
+        for ast in asts:  # per-key fan-outs dedupe via _expansion_cache
+            exp, _tc, _st = self._prepare(ast, need_stats=False)
+            expansions.update(exp)
+        parts = self._fanout("waveform_multi", asts, expansions,
                              int(lo), int(hi), int(n))
         if not parts:
-            return np.zeros(n, np.int64)
+            return np.zeros((len(asts), n), np.int64)
         return np.sum(np.stack(parts), axis=0).astype(np.int64)
 
     def count_at_least(self, query, n: int) -> bool:

@@ -474,18 +474,203 @@ def _execute_analytics(searcher, request: dict, t0: float) -> dict:
         lo = int(tr["smallestTimestamp"])
         hi = int(tr["largestTimestamp"])
         n = int(ss.get("divideTimeRangeIntoNSegments") or 0)
-        rows = []
-        for name, af in afilters.items():
-            ast = _gate_ast(request,
-                            {"constraintsFilter": q.get("constraintsFilter")},
-                            searcher.cfg, None, extra_filter=af)
-            wave = searcher.waveform(ast, lo, hi, n)
-            rows.append({"id": str(name),
-                         "waveform": [int(x) for x in wave]})
-        waveforms[key] = rows
+        names = list(afilters)
+        asts = [_gate_ast(request,
+                          {"constraintsFilter": q.get("constraintsFilter")},
+                          searcher.cfg, None, extra_filter=afilters[name])
+                for name in names]
+        waves = searcher.waveforms(asts, lo, hi, n)  # ONE fan-out for all
+        waveforms[key] = [{"id": str(name),
+                           "waveform": [int(x) for x in wave]}
+                          for name, wave in zip(names, waves)]
         log.append(f"scoreSet {key!r} [{lo},{hi})/{n} × "
                    f"{len(afilters)} filters")
     answer = {"waveforms": waveforms, "resultsExhausted": True}
+    return _respond(request, searcher, answer, t0, log)
+
+
+_TRENDING_STRATEGIES = ("LINEAR_REGRESSION", "LEADER", "PEAKS",
+                        "HIGHEST_PEAK")
+
+
+def _gather_distinct_terms(searcher, dq: dict) -> set[str]:
+    """One DistinctsQuery (``DistinctsQuery.java:16-38``): the distinct
+    values of ``gatherDistinctsForField``, optionally restricted by
+    ``prefixes`` and/or a ``constraintsFilter``.
+
+    Two paths, mirroring ``Distincts.gatherDirect``: with a constraints
+    filter, one filter evaluation + a docstore gather bounded by the
+    filtered candidate set (the reference walks its filtered bitmap
+    against the activity index); without one, a term-dictionary
+    enumeration by prefix — postings-only, no doc sweep.  The explicit
+    ``timeRange`` requirement is the reference's (constructor
+    Preconditions); it gates the filtered path and is recorded-but-inert
+    on the dictionary path (a term dict has no time axis)."""
+    field = str(dq["gatherDistinctsForField"])
+    if not dq.get("timeRange"):  # DistinctsQuery.java:32 rejects ALL_TIME
+        raise ValueError("distinctQueries entries require an explicit "
+                         "timeRange")
+    prefixes = [p["parts"][0] if isinstance(p, dict) else str(p)
+                for p in (dq.get("prefixes") or [])]
+    cf = dq.get("constraintsFilter")
+    if cf:
+        ast = _gate_ast({}, {"constraintsFilter": cf}, searcher.cfg,
+                        dq.get("timeRange"))
+        ids = searcher.match_docs(ast)
+        vals: set[str] = set()
+        if len(ids):
+            col = searcher.gather(ids, columns=[field])[field]
+            vals = set(_index_visible(col.unique().to_pylist()))
+        if prefixes:
+            vals = {v for v in vals
+                    if any(v.startswith(p) for p in prefixes)}
+        return vals
+    cap = 1000  # same loud-failure bound as the facet operator
+    found: set[str] = set()
+    for pre in (prefixes or [""]):
+        for res in searcher._fanout("expand_prefix", f"{field}:{pre}",
+                                    cap + 1):
+            found.update(res)
+    if len(found) > cap:
+        raise ValueError(f"distinct gather over {field!r} exceeds {cap} "
+                         "values; constrain with prefixes or a filter")
+    return {k.split(":", 1)[1] for k in found}
+
+
+def _trend_slope_num_den(wave) -> tuple[int, int]:
+    """Exact-integer simple-regression slope of ``y = wave`` over
+    ``x = 0..n-1`` as a (numerator, denominator) pair:
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` — algebraically equal
+    to ``SimpleRegression.slope()`` (``TrendingInjectable.java:165-168``
+    feeds (i, count_i)); integer accumulation + ONE float division makes
+    the engine bit-equal to the SQL oracle's same expression."""
+    n = len(wave)
+    sx = n * (n - 1) // 2
+    sxx = (n - 1) * n * (2 * n - 1) // 6
+    sy = int(sum(int(y) for y in wave))
+    sxy = int(sum(i * int(y) for i, y in enumerate(wave)))
+    return n * sxy - sx * sy, n * sxx - sx * sx
+
+
+def _execute_trending(searcher, request: dict, t0: float) -> dict:
+    """TrendingQuery → TrendingAnswer (``TrendingQuery.java:14-47``,
+    ``TrendingQueryScoreSet.java:14-41``, scoring
+    ``TrendingInjectable.java:117-215``, answer
+    ``TrendingAnswer.java:16-27`` / ``Trendy.java:11-28``):
+
+    1. gather distinct terms of ``aggregateCountAroundField`` from the
+       ``distinctQueries`` grid (inner lists OR, outer list AND —
+       ``TrendingQuery.java:24``);
+    2. per score set, ONE batched waveform fan-out — each term becomes
+       the analytics filter ``field=term ∧ constraintsFilter``
+       (``TrendingQuestion.java:138-199`` drives Analytics.analyze over
+       the terms' postings exactly this way);
+    3. rank per strategy into top-``desiredNumberOfDistincts`` heaps:
+       LINEAR_REGRESSION = regression slope over (segment, count),
+       LEADER = Σcount, HIGHEST_PEAK = max count, PEAKS = PeakDet count
+       at threshold ``highest/6 + bucket95/100``
+       (``TrendingInjectable.java:125-190``).  bucket95 is the 95th
+       percentile (linear interpolation, R-7 — a fixed, SQL-expressible
+       choice where commons-math's LEGACY estimator is R-6; documented
+       divergence) of the per-term highest buckets among terms with any
+       count in this score set.
+
+    Determinism the reference leaves to heap order: ties rank by
+    (rank DESC, distinctValue ASC); terms consumed by an earlier score
+    set's retain set are skipped by later ones (``consumed``,
+    ``TrendingInjectable.java:149-151,207``); zero-count terms never
+    rank (``hasCounts``, ``TrendingInjectable.java:156-164``)."""
+    import numpy as np
+
+    from ..ops.analytics import _peakdet
+    q = request.get("query") or {}
+    _reject_unread_knobs(q)
+    field = str(q["aggregateCountAroundField"])
+    score_sets = q.get("scoreSets")
+    if not isinstance(score_sets, (list, tuple)) or not score_sets:
+        raise ValueError("trending requires a non-empty scoreSets list")
+    and_terms: set[str] | None = None
+    for inner in (q.get("distinctQueries") or []):
+        or_terms: set[str] = set()
+        for dq in inner:
+            or_terms |= _gather_distinct_terms(searcher, dq)
+        and_terms = or_terms if and_terms is None \
+            else (and_terms & or_terms)
+    # empty distinctQueries grid → no terms → empty waveforms
+    # (TrendingQuestion.java:122-126: andTerms null → zero termIds)
+    terms = sorted(and_terms or set())
+    waveforms_out: dict[str, list[dict]] = {}
+    score_out: dict[str, dict] = {}
+    consumed: set[str] = set()
+    log: list[str] = []
+    for ss in score_sets:
+        key = str(ss["key"])
+        strategies = [str(s) for s in (ss.get("strategies") or ())]
+        if not strategies:  # TrendingQueryScoreSet.java:31
+            raise ValueError("Must specify at least one strategy")
+        for s in strategies:
+            if s not in _TRENDING_STRATEGIES:
+                raise ValueError(f"unknown trending strategy {s!r}")
+        tr = ss.get("timeRange")
+        if not tr:  # TrendingQueryScoreSet.java:34 rejects ALL_TIME
+            raise ValueError("score set requires an explicit timeRange")
+        lo = int(tr["smallestTimestamp"])
+        hi = int(tr["largestTimestamp"])
+        n = int(ss.get("divideTimeRangeIntoNSegments") or 0)
+        desired = int(ss.get("desiredNumberOfDistincts") or 0)
+        if desired < 1:  # TrendingQueryScoreSet.java:39
+            raise ValueError("Number of distincts must be at least 1")
+        asts = [_gate_ast(request,
+                          {"constraintsFilter": q.get("constraintsFilter")},
+                          searcher.cfg, None,
+                          extra_filter={"operation": "and",
+                                        "fieldFilters": [
+                                            {"fieldName": field,
+                                             "values": [v]}]})
+                for v in terms]
+        waves = (searcher.waveforms(asts, lo, hi, n) if terms
+                 else np.zeros((0, n), np.int64))
+        has = [bool(waves[i].any()) for i in range(len(terms))]
+        bucket95 = 0.0
+        if "PEAKS" in strategies and any(has):
+            highest = [float(waves[i].max())
+                       for i in range(len(terms)) if has[i]]
+            bucket95 = float(np.percentile(np.array(highest), 95))
+        ranked: dict[str, list[tuple[float, str]]] = \
+            {s: [] for s in strategies}
+        for i, v in enumerate(terms):
+            if v in consumed or not has[i]:
+                continue
+            w = waves[i]
+            if "LINEAR_REGRESSION" in ranked:
+                num, den = _trend_slope_num_den(w)
+                ranked["LINEAR_REGRESSION"].append(
+                    (num / den if den else 0.0, v))
+            if "LEADER" in ranked:
+                ranked["LEADER"].append((float(w.sum()), v))
+            if "PEAKS" in ranked:
+                thresh = float(w.max()) / 6 + bucket95 / 100
+                ranked["PEAKS"].append(
+                    (float(_peakdet(w.astype(np.float64), thresh)), v))
+            if "HIGHEST_PEAK" in ranked:
+                ranked["HIGHEST_PEAK"].append((float(w.max()), v))
+        retain: set[str] = set()
+        results: dict[str, list[dict]] = {}
+        for s, rows in ranked.items():
+            rows.sort(key=lambda r: (-r[0], r[1]))
+            top = rows[:desired]
+            results[s] = [{"distinctValue": v, "rank": r} for r, v in top]
+            retain.update(v for _r, v in top)
+        idx = {v: i for i, v in enumerate(terms)}
+        waveforms_out[key] = [
+            {"id": v, "waveform": [int(x) for x in waves[idx[v]]]}
+            for v in terms if v in retain]
+        score_out[key] = {"results": results}
+        consumed |= retain
+        log.append(f"scoreSet {key!r} [{lo},{hi})/{n} × {len(terms)} "
+                   f"terms → retain {len(retain)}")
+    answer = {"waveforms": waveforms_out, "scoreSets": score_out,
+              "resultsExhausted": True}
     return _respond(request, searcher, answer, t0, log)
 
 
@@ -499,14 +684,17 @@ def execute_request(target, request: dict) -> dict:
     partitions before solving).
 
     The wrapped query dispatches on shape, mirroring the reference's
-    per-plugin endpoints: a ``aggregateCountAroundField`` at the top
-    level is a DistinctCountQuery, a ``constraints`` map is an
-    AggregateCountsQuery, a ``scoreSets`` list is an AnalyticsQuery,
-    anything else is a FullTextQuery (which requires
+    per-plugin endpoints: ``scoreSets`` + ``aggregateCountAroundField``
+    is a TrendingQuery, a bare ``aggregateCountAroundField`` is a
+    DistinctCountQuery, a ``constraints`` map is an
+    AggregateCountsQuery, a bare ``scoreSets`` list is an
+    AnalyticsQuery, anything else is a FullTextQuery (which requires
     ``query.query``)."""
     t0 = time.perf_counter()
     searcher = _resolve_searcher(target, request)
     q = request.get("query") or {}
+    if "scoreSets" in q and "aggregateCountAroundField" in q:
+        return _execute_trending(searcher, request, t0)
     if "aggregateCountAroundField" in q:
         return _execute_distinct_count(searcher, request, t0)
     if "constraints" in q:

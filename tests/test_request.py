@@ -539,3 +539,163 @@ def test_analytics_waveform_rejects(xs_searcher):
                         "timeRange": {"smallestTimestamp": 0,
                                       "largestTimestamp": 10},
                         "divideTimeRangeIntoNSegments": 4}]))
+
+
+# -------------------------------------------------------------- trending
+
+def _brute_trending(df, token, field, lo, hi, n):
+    """Per-field-value waveforms + the four strategy ranks, straight off
+    the raw table (independent float arithmetic; the engine accumulates
+    in exact integers — equal doubles for these magnitudes)."""
+    import numpy as np
+
+    from miru_ray.ops.analytics import _peakdet
+    from miru_ray.tokenize import py_tokenize
+    ts_us = df["ts"].astype("int64")
+    if str(df["ts"].dtype).endswith("[ns]"):
+        ts_us = ts_us // 1000
+    has = df["text"].map(lambda t: token in set(py_tokenize(t or "")))
+    sel = df[has & (ts_us >= lo) & (ts_us < hi) & (df[field] != "")]
+    sel_ts = ts_us[sel.index]
+    waves = {}
+    for v, g in sel.groupby(field):
+        seg = ((sel_ts[g.index] - lo) * n // (hi - lo)).to_numpy()
+        w = np.bincount(seg, minlength=n).astype(np.int64)
+        if w.any():
+            waves[v] = w
+    x = np.arange(n, dtype=float)
+    sx, sxx = x.sum(), (x * x).sum()
+    b95 = float(np.percentile(
+        np.array([float(w.max()) for w in waves.values()]), 95))
+    ranks = {"LINEAR_REGRESSION": {}, "LEADER": {}, "PEAKS": {},
+             "HIGHEST_PEAK": {}}
+    for v, w in waves.items():
+        y = w.astype(float)
+        ranks["LINEAR_REGRESSION"][v] = \
+            (n * (x * y).sum() - sx * y.sum()) / (n * sxx - sx * sx)
+        ranks["LEADER"][v] = float(y.sum())
+        ranks["HIGHEST_PEAK"][v] = float(y.max())
+        ranks["PEAKS"][v] = float(_peakdet(y, float(y.max()) / 6
+                                           + b95 / 100))
+    return waves, ranks
+
+
+def _trending_req(lo, hi, n, desired, field="tool", token="alpha",
+                  n_sets=1, **extra):
+    tr = {"smallestTimestamp": lo, "largestTimestamp": hi}
+    ss = [{"key": f"k{i}", "strategies": ["LINEAR_REGRESSION", "LEADER",
+                                          "PEAKS", "HIGHEST_PEAK"],
+           "timeRange": tr, "divideTimeRangeIntoNSegments": n,
+           "desiredNumberOfDistincts": desired} for i in range(n_sets)]
+    return _stream_req(
+        constraintsFilter=_text_filter(token),
+        aggregateCountAroundField=field,
+        distinctQueries=[[{"timeRange": tr,
+                           "gatherDistinctsForField": field}]],
+        scoreSets=ss, **extra)
+
+
+def test_trending_parity(xs_searcher, xs_table):
+    df = xs_table.to_pandas()
+    ts_us = df["ts"].astype("int64")
+    if str(df["ts"].dtype).endswith("[ns]"):
+        ts_us = ts_us // 1000
+    lo, hi, n, desired = int(ts_us.min()), int(ts_us.max()) + 1, 6, 4
+    waves, ranks = _brute_trending(df, "alpha", "tool", lo, hi, n)
+    assert len(waves) > desired  # the top-k cut below isn't vacuous
+    resp = execute_request(xs_searcher, _trending_req(lo, hi, n, desired))
+    got = resp["answer"]["scoreSets"]["k0"]["results"]
+    for strat, want in ranks.items():
+        expect = sorted(((r, v) for v, r in want.items()),
+                        key=lambda t: (-t[0], t[1]))[:desired]
+        assert [(t["rank"], t["distinctValue"]) for t in got[strat]] \
+            == expect, strat
+    # retained waveforms match the brute histograms
+    wf = {r["id"]: r["waveform"]
+          for r in resp["answer"]["waveforms"]["k0"]}
+    retained = {t["distinctValue"] for s in got.values() for t in s}
+    assert set(wf) == retained
+    for v, w in wf.items():
+        assert w == list(waves[v]), v
+
+
+def test_trending_consumed_and_grid(xs_searcher, xs_table):
+    df = xs_table.to_pandas()
+    ts_us = df["ts"].astype("int64")
+    if str(df["ts"].dtype).endswith("[ns]"):
+        ts_us = ts_us // 1000
+    lo, hi, n = int(ts_us.min()), int(ts_us.max()) + 1, 6
+    # two identical score sets: the second must skip everything the
+    # first retained (consumed semantics)
+    resp = execute_request(xs_searcher,
+                           _trending_req(lo, hi, n, 3, n_sets=2))
+    sets = resp["answer"]["scoreSets"]
+    first = {t["distinctValue"] for s in sets["k0"]["results"].values()
+             for t in s}
+    second = {t["distinctValue"] for s in sets["k1"]["results"].values()
+              for t in s}
+    assert first and second and not (first & second)
+    # AND grid: intersecting with a prefix-restricted gather cuts terms
+    tr = {"smallestTimestamp": lo, "largestTimestamp": hi}
+    req = _trending_req(lo, hi, n, 10)
+    req["query"]["distinctQueries"].append(
+        [{"timeRange": tr, "gatherDistinctsForField": "tool",
+          "prefixes": ["tool_0"]}])
+    got = execute_request(xs_searcher, req)["answer"]["scoreSets"]["k0"]
+    vals = {t["distinctValue"] for s in got["results"].values() for t in s}
+    assert vals and all(v.startswith("tool_0") for v in vals)
+    # constraintsFilter path gathers from the docstore: restricting the
+    # gather to user-role docs must yield a subset of the full gather
+    req2 = _trending_req(lo, hi, n, 20)
+    req2["query"]["distinctQueries"] = [[
+        {"timeRange": tr, "gatherDistinctsForField": "tool",
+         "constraintsFilter": {"operation": "and",
+                               "fieldFilters": [{"fieldName": "role",
+                                                 "values": ["user"]}]}}]]
+    got2 = execute_request(xs_searcher, req2)["answer"]["scoreSets"]["k0"]
+    vals2 = {t["distinctValue"] for s in got2["results"].values()
+             for t in s}
+    full = execute_request(
+        xs_searcher, _trending_req(lo, hi, n, 20))["answer"]["scoreSets"]
+    vals_full = {t["distinctValue"]
+                 for s in full["k0"]["results"].values() for t in s}
+    assert vals2 and vals2 <= vals_full
+
+
+def test_trending_rejects(xs_searcher):
+    tr = {"smallestTimestamp": 0, "largestTimestamp": 10}
+    base = dict(constraintsFilter=_text_filter("alpha"),
+                aggregateCountAroundField="tool",
+                distinctQueries=[[{"timeRange": tr,
+                                   "gatherDistinctsForField": "tool"}]])
+    with pytest.raises(ValueError, match="at least one strategy"):
+        execute_request(xs_searcher, _stream_req(
+            scoreSets=[{"key": "k", "timeRange": tr,
+                        "divideTimeRangeIntoNSegments": 4,
+                        "desiredNumberOfDistincts": 5}], **base))
+    with pytest.raises(ValueError, match="unknown trending strategy"):
+        execute_request(xs_searcher, _stream_req(
+            scoreSets=[{"key": "k", "strategies": ["SLOPE"],
+                        "timeRange": tr,
+                        "divideTimeRangeIntoNSegments": 4,
+                        "desiredNumberOfDistincts": 5}], **base))
+    with pytest.raises(ValueError, match="timeRange"):
+        execute_request(xs_searcher, _stream_req(
+            scoreSets=[{"key": "k", "strategies": ["LEADER"],
+                        "divideTimeRangeIntoNSegments": 4,
+                        "desiredNumberOfDistincts": 5}], **base))
+    with pytest.raises(ValueError, match="at least 1"):
+        execute_request(xs_searcher, _stream_req(
+            scoreSets=[{"key": "k", "strategies": ["LEADER"],
+                        "timeRange": tr,
+                        "divideTimeRangeIntoNSegments": 4,
+                        "desiredNumberOfDistincts": 0}], **base))
+    with pytest.raises(ValueError, match="explicit\\s+timeRange"):
+        execute_request(xs_searcher, _stream_req(
+            constraintsFilter=_text_filter("alpha"),
+            aggregateCountAroundField="tool",
+            distinctQueries=[[{"gatherDistinctsForField": "tool"}]],
+            scoreSets=[{"key": "k", "strategies": ["LEADER"],
+                        "timeRange": tr,
+                        "divideTimeRangeIntoNSegments": 4,
+                        "desiredNumberOfDistincts": 5}]))
