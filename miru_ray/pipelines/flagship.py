@@ -29,7 +29,11 @@ CACHE_ROOT = "/tmp/miru_ray_cache"
 _SEARCHERS: dict[str, Searcher] = {}
 _TENANT_REGISTRIES: dict = {}
 
+#: conv_id joins the keyword fields (97-value enum in the derived
+#: transcripts) as the reco plugin's "user" axis — MiruActivity indexes
+#: every queried field the same way (MiruActivity.java:34-60)
 FLAGSHIP_CFG = IndexConfig(docs_per_partition=2000, num_shards=2,
+                           keyword_fields=("role", "tool", "conv_id"),
                            list_keyword_fields=("acl",),
                            numeric_fields=("turn_idx",))
 
@@ -512,6 +516,93 @@ SELECT * FROM (
   SELECT 'PEAKS' AS strategy, p.v AS distinct_value,
          p.peaks::DOUBLE AS trend_rank
   FROM npeaks p ORDER BY trend_rank DESC, v LIMIT {k})
+""".strip()
+
+
+#: conv-000070's parents in the 10-min window are NOT closed under the
+#: derived fixture's (t, t+4 mod 7) tool-pairing, so its contributor
+#: neighborhood recommends tools outside its own set — most "me" convs
+#: degenerate to empty under top-5 (their top contributors share exactly
+#: their tools); K=10 reaches the count-1 contributors that carry new
+#: tools, and the tool_2 exclusion removes a live recommendation
+_RECO_CONV = "conv-000070"
+_RECO_WINDOW_S = 600
+_RECO_K = 10
+_RECO_REMOVE_PREFIX = "tool_2"
+
+
+def q_request_reco(sf_dir: str) -> pa.Table:
+    """RecoQuery through the JSON request surface
+    (``RecoQuery.java:12-41`` → ``RecoAnswer``): for conversation
+    ``conv-000007``, the tools it has NOT used in the fixture's first
+    10 minutes, scored by how much the conversations that share its
+    tools used them — the full 3-hop collaborative filter
+    (``CollaborativeFiltering.java:56-240``) with a
+    removeDistinctsQuery excluding the ``tool_1`` prefix."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    lo = _TS_BASE_US
+    hi = lo + _RECO_WINDOW_S * 1_000_000
+    tr = {"smallestTimestamp": lo, "largestTimestamp": hi}
+    req = {"name": "reco", "tenantId": "flagship",
+           "query": {"timeRange": tr,
+                     "constraintsFilter": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "conv_id",
+                                           "values": [_RECO_CONV]}]},
+                     "aggregateFieldName1": "tool",
+                     "aggregateFieldName2": "conv_id",
+                     "aggregateFieldName3": "tool",
+                     "removeDistinctsQuery": {
+                         "timeRange": tr,
+                         "gatherDistinctsForField": "tool",
+                         "prefixes": [_RECO_REMOVE_PREFIX]},
+                     "desiredNumberOfDistincts": _RECO_K}}
+    res = execute_request(s, req)["answer"]["results"]
+    return pa.table({
+        "distinct_value": pa.array([r["distinctValue"] for r in res],
+                                   pa.string()),
+        "reco_rank": pa.array([float(r["rank"]) for r in res],
+                              pa.float64())})
+
+
+def request_reco_sql() -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    hi = lo + _RECO_WINDOW_S * 1_000_000
+    return f"""
+{SQL_PROLOGUE},
+win AS (
+  SELECT * FROM docs
+  WHERE epoch_us(ts) >= {lo} AND epoch_us(ts) <= {hi}
+),
+myok AS (SELECT * FROM win WHERE conv_id = '{_RECO_CONV}'),
+parents AS (SELECT DISTINCT tool FROM myok WHERE tool <> ''),
+otherok AS (
+  SELECT w.* FROM win w JOIN parents p ON w.tool = p.tool
+  WHERE w.conv_id <> '{_RECO_CONV}'
+),
+contrib AS (
+  SELECT conv_id, count(*) AS c FROM otherok GROUP BY 1
+  ORDER BY c DESC, conv_id ASC LIMIT {_RECO_K}
+),
+hop3 AS (
+  SELECT DISTINCT co.conv_id, w.tool, co.c
+  FROM contrib co JOIN win w ON w.conv_id = co.conv_id
+  WHERE w.tool <> ''
+),
+excl AS (
+  SELECT tool FROM parents
+  UNION
+  SELECT DISTINCT tool FROM win
+  WHERE tool LIKE '{_RECO_REMOVE_PREFIX}%' AND tool <> ''
+)
+SELECT h.tool AS distinct_value, sum(h.c)::DOUBLE AS reco_rank
+FROM hop3 h
+WHERE h.tool NOT IN (SELECT tool FROM excl)
+GROUP BY 1
+ORDER BY reco_rank DESC, distinct_value ASC LIMIT {_RECO_K}
 """.strip()
 
 

@@ -51,6 +51,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "request_aggregate_counts",
     "request_analytics_waveform",
     "request_trending_topn",
+    "request_reco_tools",
     "fulltext_request_topk",
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
@@ -179,6 +180,8 @@ def _load_builtin_ops() -> None:
         F.request_analytics_sql(), ("request",))
     reg("request_trending_topn", F.q_request_trending,
         F.request_trending_sql(), ("request",))
+    reg("request_reco_tools", F.q_request_reco,
+        F.request_reco_sql(), ("request",))
     reg("fulltext_reftfidf_and",
         lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
         F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))

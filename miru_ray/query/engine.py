@@ -999,6 +999,71 @@ class PartitionReader:
                     out[i] += np.bincount(seg[m], minlength=n)
         return out
 
+    def term_match_counts(self, ast: Node, term_keys: list[str],
+                          expansions: dict) -> dict[str, int]:
+        """Per-term match counts under a gate: for each posting-list key
+        in ``term_keys``, the number of alive docs in
+        ``postings[key] ∧ ast`` — the reco plugin's gather/stream
+        primitive (``MiruAggregateUtil.gather/stream`` walking per-term
+        bitmaps against an answer bitmap,
+        ``CollaborativeFiltering.java:92-151``).  The gate evaluates
+        ONCE per partition and the postings cache is shared across the
+        key batch."""
+        out: dict[str, int] = {k: 0 for k in term_keys}
+        for pid in self.parts:
+            if not self._may_match(ast, pid):
+                continue
+            base = self.parts[pid]["base"]
+            amask = self._alive_mask(pid, self._eval(ast, pid, {},
+                                                     expansions))
+            if not amask.any():
+                continue
+            cache: dict = {}
+            for k in term_keys:
+                p = self._postings(pid, k, cache)
+                if p is not None:
+                    out[k] += int(amask[p[0] - base].sum())
+        return out
+
+    def term_pair_rows(self, ast: Node, row_keys: list[str],
+                       col_keys: list[str],
+                       expansions: dict) -> dict[str, set]:
+        """Per-row-term distinct col-terms under a gate: for each row key
+        (a contributor's postings), the set of col keys whose postings
+        intersect ``postings[row] ∧ ast`` — reco's hop-3 gather
+        (``CollaborativeFiltering.java:178-207``: each contributor's
+        ok-activity bitmap gathered for distinct field-3 terms).  A
+        (row, col) pair already proven non-empty is skipped in later
+        partitions."""
+        out: dict[str, set] = {r: set() for r in row_keys}
+        for pid in self.parts:
+            if not self._may_match(ast, pid):
+                continue
+            base = self.parts[pid]["base"]
+            count = self.parts[pid]["count"]
+            amask = self._alive_mask(pid, self._eval(ast, pid, {},
+                                                     expansions))
+            if not amask.any():
+                continue
+            cache: dict = {}
+            for r in row_keys:
+                missing = [c for c in col_keys if c not in out[r]]
+                if not missing:
+                    continue
+                p = self._postings(pid, r, cache)
+                if p is None:
+                    continue
+                rmask = np.zeros(count, bool)
+                rmask[p[0] - base] = True
+                rmask &= amask
+                if not rmask.any():
+                    continue
+                for c in missing:
+                    pc_ = self._postings(pid, c, cache)
+                    if pc_ is not None and rmask[pc_[0] - base].any():
+                        out[r].add(c)
+        return out
+
     def zone_maps(self) -> dict[int, tuple[int, int]]:
         """Per-partition (min_ts, max_ts) — the driver's newest-first visit
         order and early-exit bound come from these."""

@@ -674,6 +674,148 @@ def _execute_trending(searcher, request: dict, t0: float) -> dict:
     return _respond(request, searcher, answer, t0, log)
 
 
+def _expand_field_keys(searcher, field: str, cap: int = 10_000) -> list[str]:
+    """All ``field:value`` posting keys of a keyword field, enumerated
+    from the term dictionaries (loud failure past ``cap`` — reco/trending
+    aggregate fields are enum-cardinality by contract)."""
+    found: set[str] = set()
+    for res in searcher._fanout("expand_prefix", f"{field}:", cap + 1):
+        found.update(res)
+    if len(found) > cap:
+        raise ValueError(f"field {field!r} exceeds {cap} distinct indexed "
+                         "values; reco aggregate fields must be "
+                         "enum-cardinality")
+    if not found:
+        raise ValueError(f"field {field!r} has no indexed values (is it a "
+                         "keyword field of this index?)")
+    return sorted(found)
+
+
+def _execute_reco(searcher, request: dict, t0: float) -> dict:
+    """RecoQuery → RecoAnswer (``RecoQuery.java:12-41``,
+    ``CollaborativeFiltering.java:56-240``, ``RecoAnswer.java:13-70``):
+    *"I have viewed these things; among others who have also viewed
+    these things, what have they viewed that I have not?"*
+
+    1. ``myOk = constraintsFilter ∧ ok`` where ``ok = scorableFilter ∧
+       timeRange ∧ authz ∧ alive`` (``RecoQuestion.java:85-124``);
+    2. ``distinctParents`` = field-1 values in myOk (hop 1);
+    3. ``otherOk = (⋁ field1=parent) ∧ ok ∧ ¬myOk``; contributors =
+       top-K field-2 values by otherOk doc count (hop 2, the
+       ``MinMaxPriorityQueue`` bound, ``CollaborativeFiltering.java:
+       131-151``);
+    4. each contributor's full ok activity gathered for distinct
+       field-3 values, minus ``distinctParents`` and the
+       ``removeDistinctsQuery`` gather; each surviving value scores
+       the contributor's count (hop 3, ``.java:178-207``);
+       ``field2 == field3`` short-circuits to the contributors
+       themselves (``.java:153-156``).
+
+    Exactness divergence (documented): the reference solves per
+    partition and merges per-partition heaps
+    (``RecoAnswerMerger.java``), which can drop cross-partition mass at
+    heap boundaries; here every hop merges globally across readers
+    BEFORE the top-K cut, so counts are exact over the whole index.
+    Ties rank (count DESC, value ASC) where the reference's heap order
+    is unspecified."""
+    q = request.get("query") or {}
+    _reject_unread_knobs(q)
+    tr = q.get("timeRange")
+    if not tr:  # RecoQuery.java:32 rejects ALL_TIME
+        raise ValueError("reco requires an explicit timeRange")
+    f1 = str(q["aggregateFieldName1"])
+    f2 = str(q["aggregateFieldName2"])
+    f3 = str(q["aggregateFieldName3"])
+    desired = int(q.get("desiredNumberOfDistincts") or 0)
+    if desired < 1:  # RecoQuery.java:39
+        raise ValueError("Number of distincts must be at least 1")
+    cf = q.get("constraintsFilter")
+    my_ast = filter_to_ast(cf, tuple(searcher.cfg.text_fields)) \
+        if cf else None
+    if my_ast is None:  # RecoQuery.java:35 checkNotNull
+        raise ValueError("reco requires an effective constraintsFilter "
+                         "(the 'my activity' scope)")
+    ok_clauses: list[Node] = []
+    sf = q.get("scorableFilter")
+    if sf:
+        node = filter_to_ast(sf, tuple(searcher.cfg.text_fields))
+        if node is not None:
+            ok_clauses.append(node)
+    ok_clauses.append(TimeRange(int(tr["smallestTimestamp"]),
+                                int(tr["largestTimestamp"])))
+    az = request.get("authzExpression")
+    if az and az.get("values"):
+        ok_clauses.append(Authz(tuple(str(v) for v in az["values"]),
+                                field=az.get("field", "acl")))
+    ok_ast = ok_clauses[0] if len(ok_clauses) == 1 \
+        else And(tuple(ok_clauses))
+    myok_ast = And((my_ast, ok_ast))
+    log: list[str] = []
+
+    def _merged_counts(ast, keys: list[str]) -> dict[str, int]:
+        tot: dict[str, int] = {k: 0 for k in keys}
+        for part in searcher._fanout("term_match_counts", ast, keys, {}):
+            for k, c in part.items():
+                tot[k] += c
+        return tot
+
+    zones = searcher._zone_maps()
+    exhausted = bool(zones) and \
+        int(tr["smallestTimestamp"]) > max(z[1] for z in zones.values())
+
+    def _answer(rows: list[tuple[str, float]]) -> dict:
+        results = [{"distinctValue": v, "rank": float(r)}
+                   for v, r in rows]
+        answer = {"results": results, "partitionsVisited": len(zones),
+                  "resultsExhausted": exhausted}
+        return _respond(request, searcher, answer, t0, log)
+
+    # resolve every aggregate field upfront (schema.getFieldId throws
+    # before any bitmap work in the reference, RecoQuestion.java:78-80)
+    keys1 = _expand_field_keys(searcher, f1)
+    keys2 = keys1 if f2 == f1 else _expand_field_keys(searcher, f2)
+    keys3 = keys2 if f3 == f2 else (
+        keys1 if f3 == f1 else _expand_field_keys(searcher, f3))
+    # hop 1: my distinct parents <field1>
+    parents = {k for k, c in _merged_counts(myok_ast, keys1).items()
+               if c > 0}
+    log.append(f"hop1 {len(parents)}/{len(keys1)} parents")
+    if not parents:
+        return _answer([])
+    # hop 2: contributors <field2> ranked by otherOk counts
+    or1 = Or(tuple(Term(f1, k.split(":", 1)[1]) for k in sorted(parents)))
+    otherok_ast = Not(And((or1, ok_ast)), (myok_ast,))
+    counts2 = _merged_counts(otherok_ast, keys2)
+    ranked2 = sorted(((c, k) for k, c in counts2.items() if c > 0),
+                     key=lambda t: (-t[0], t[1]))[:desired]
+    log.append(f"hop2 {len(ranked2)} contributors")
+    if f2 == f3:  # CollaborativeFiltering.java:153-156 special case
+        return _answer([(k.split(":", 1)[1], float(c))
+                        for c, k in ranked2])
+    # exclusions: my parents (+ the removeDistinctsQuery gather)
+    excl = {k.split(":", 1)[1] for k in parents} if f1 == f3 else set()
+    rdq = q.get("removeDistinctsQuery")
+    if rdq:
+        excl |= _gather_distinct_terms(searcher, rdq)
+    # hop 3: contributors' distinct parents <field3>, scored by count
+    contrib_keys = [k for _c, k in ranked2]
+    rows: dict[str, set] = {k: set() for k in contrib_keys}
+    for part in searcher._fanout("term_pair_rows", ok_ast, contrib_keys,
+                                 keys3, {}):
+        for k, vs in part.items():
+            rows[k] |= vs
+    scored: dict[str, int] = {}
+    for c, k in ranked2:
+        for v3 in rows[k]:
+            val = v3.split(":", 1)[1]
+            if val not in excl:
+                scored[val] = scored.get(val, 0) + c
+    top = sorted(((c, v) for v, c in scored.items()),
+                 key=lambda t: (-t[0], t[1]))[:desired]
+    log.append(f"hop3 {len(scored)} scored parents")
+    return _answer([(v, float(c)) for c, v in top])
+
+
 def execute_request(target, request: dict) -> dict:
     """Execute a MiruRequest-shaped document and return a
     MiruResponse-shaped dict (JSON-serializable).
@@ -693,6 +835,8 @@ def execute_request(target, request: dict) -> dict:
     t0 = time.perf_counter()
     searcher = _resolve_searcher(target, request)
     q = request.get("query") or {}
+    if "aggregateFieldName1" in q:
+        return _execute_reco(searcher, request, t0)
     if "scoreSets" in q and "aggregateCountAroundField" in q:
         return _execute_trending(searcher, request, t0)
     if "aggregateCountAroundField" in q:

@@ -699,3 +699,136 @@ def test_trending_rejects(xs_searcher):
                         "timeRange": tr,
                         "divideTimeRangeIntoNSegments": 4,
                         "desiredNumberOfDistincts": 5}]))
+
+
+# ------------------------------------------------------------------ reco
+
+def _brute_reco(df, me, lo, hi, desired, rm_prefix=None, role=None):
+    """CollaborativeFiltering.java 3-hop, straight off the raw table."""
+    ts_us = df["ts"].astype("int64")
+    if str(df["ts"].dtype).endswith("[ns]"):
+        ts_us = ts_us // 1000
+    win = df[(ts_us >= lo) & (ts_us <= hi)]
+    if role is not None:
+        win = win[win["role"] == role]
+    my = win[win["conv_id"] == me]
+    parents = set(my["tool"]) - {""}
+    other = win[win["tool"].isin(parents) & (win["conv_id"] != me)]
+    contrib = sorted(((len(g), c) for c, g in other.groupby("conv_id")),
+                     key=lambda t: (-t[0], t[1]))[:desired]
+    excl = set(parents)
+    if rm_prefix:
+        excl |= {t for t in set(win["tool"]) - {""}
+                 if t.startswith(rm_prefix)}
+    score: dict = {}
+    for cnt, c in contrib:
+        tools = set(win.loc[win["conv_id"] == c, "tool"]) - {""}
+        for t in tools - excl:
+            score[t] = score.get(t, 0) + cnt
+    top = sorted(((s, t) for t, s in score.items()),
+                 key=lambda r: (-r[0], r[1]))[:desired]
+    return contrib, [(t, float(s)) for s, t in top]
+
+
+def _reco_req(me, lo, hi, desired, f2="conv_id", f3="tool", **extra):
+    tr = {"smallestTimestamp": lo, "largestTimestamp": hi}
+    return _stream_req(
+        timeRange=tr,
+        constraintsFilter={"operation": "and",
+                           "fieldFilters": [{"fieldName": "conv_id",
+                                             "values": [me]}]},
+        aggregateFieldName1="tool", aggregateFieldName2=f2,
+        aggregateFieldName3=f3, desiredNumberOfDistincts=desired, **extra)
+
+
+def _xs_reco_searcher(xs_path, tmp_path_factory):
+    """xs index with conv_id as a keyword field (the reco 'user' axis)."""
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    from miru_ray.query.engine import Searcher
+    d = str(tmp_path_factory.mktemp("idx") / "xs_reco")
+    build_index(xs_path, d, IndexConfig(
+        docs_per_partition=1000, num_shards=2,
+        keyword_fields=("role", "tool", "conv_id")))
+    return Searcher(d, num_readers=2)
+
+
+@pytest.fixture(scope="module")
+def reco_searcher(ray_session, xs_path, tmp_path_factory):
+    s = _xs_reco_searcher(xs_path, tmp_path_factory)
+    yield s
+    s.close()
+
+
+def test_reco_parity(reco_searcher, xs_table):
+    df = xs_table.to_pandas()
+    ts_us = df["ts"].astype("int64")
+    lo, hi = int(ts_us.min()), int(ts_us.quantile(0.6))
+    me = "conv-00000008"
+    _contrib, want = _brute_reco(df, me, lo, hi, 8, rm_prefix="tool_0")
+    assert len(want) >= 3  # not vacuous
+    resp = execute_request(reco_searcher, _reco_req(
+        me, lo, hi, 8,
+        removeDistinctsQuery={
+            "timeRange": {"smallestTimestamp": lo, "largestTimestamp": hi},
+            "gatherDistinctsForField": "tool",
+            "prefixes": ["tool_0"]}))
+    ans = resp["answer"]
+    got = [(r["distinctValue"], r["rank"]) for r in ans["results"]]
+    assert got == want
+    assert ans["partitionsVisited"] >= 1
+    assert not ans["resultsExhausted"]
+    # the exclusion is live: without it, some tool_0* tool ranks
+    _c, want_norm = _brute_reco(df, me, lo, hi, 8)
+    assert {t for t, _ in want_norm} - {t for t, _ in want}
+
+
+def test_reco_field2_eq_field3_short_circuit(reco_searcher, xs_table):
+    """field2 == field3: the ranked contributors ARE the answer
+    (CollaborativeFiltering.java:153-156)."""
+    df = xs_table.to_pandas()
+    ts_us = df["ts"].astype("int64")
+    lo, hi = int(ts_us.min()), int(ts_us.quantile(0.6))
+    me = "conv-00000008"
+    contrib, _w = _brute_reco(df, me, lo, hi, 6)
+    resp = execute_request(reco_searcher, _reco_req(
+        me, lo, hi, 6, f2="conv_id", f3="conv_id"))
+    got = [(r["distinctValue"], r["rank"]) for r in resp["answer"]["results"]]
+    assert got == [(c, float(n)) for n, c in contrib]
+    assert got  # not vacuous
+
+
+def test_reco_scorable_filter_gates_ok(reco_searcher, xs_table):
+    """scorableFilter restricts the ok-activity universe
+    (RecoQuestion.java:85-95)."""
+    df = xs_table.to_pandas()
+    ts_us = df["ts"].astype("int64")
+    lo, hi = int(ts_us.min()), int(ts_us.max()) + 1
+    me = "conv-00000008"
+    _c, want = _brute_reco(df, me, lo, hi, 8, role="user")
+    resp = execute_request(reco_searcher, _reco_req(
+        me, lo, hi, 8,
+        scorableFilter={"operation": "and",
+                        "fieldFilters": [{"fieldName": "role",
+                                          "values": ["user"]}]}))
+    got = [(r["distinctValue"], r["rank"]) for r in resp["answer"]["results"]]
+    assert got == want and got
+
+
+def test_reco_rejects(reco_searcher):
+    tr = {"smallestTimestamp": 0, "largestTimestamp": 10}
+    with pytest.raises(ValueError, match="timeRange"):
+        execute_request(reco_searcher, _stream_req(
+            constraintsFilter=_text_filter("alpha"),
+            aggregateFieldName1="tool", aggregateFieldName2="conv_id",
+            aggregateFieldName3="tool", desiredNumberOfDistincts=5))
+    with pytest.raises(ValueError, match="at least 1"):
+        execute_request(reco_searcher, _reco_req("c", 0, 10, 0))
+    with pytest.raises(ValueError, match="constraintsFilter"):
+        execute_request(reco_searcher, _stream_req(
+            timeRange=tr, aggregateFieldName1="tool",
+            aggregateFieldName2="conv_id", aggregateFieldName3="tool",
+            desiredNumberOfDistincts=5))
+    with pytest.raises(ValueError, match="keyword field"):
+        execute_request(reco_searcher, _reco_req(
+            "c", 0, 10, 5, f2="nosuchfield"))
