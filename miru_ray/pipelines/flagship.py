@@ -606,6 +606,80 @@ ORDER BY reco_rank DESC, distinct_value ASC LIMIT {_RECO_K}
 """.strip()
 
 
+def q_request_uniques(sf_dir: str, field: str = "tool",
+                      role: str = "user") -> pa.Table:
+    """UniquesQuery through the JSON request surface
+    (``UniquesQuery.java:17-41`` → ``UniquesAnswer``): the count of
+    distinct ``tool`` values among ``role=user`` docs in the fixture's
+    first hour."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    req = {"name": "uniques", "tenantId": "flagship",
+           "query": {"timeRange": {"smallestTimestamp": lo,
+                                   "largestTimestamp": hi},
+                     "gatherUniquesForField": field,
+                     "constraints": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "role",
+                                           "values": [role]}]}}}
+    n = execute_request(s, req)["answer"]["uniques"]
+    return pa.table({"uniques": pa.array([int(n)], pa.int64())})
+
+
+def request_uniques_sql(field: str = "tool", role: str = "user") -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    return f"""
+{SQL_PROLOGUE}
+SELECT count(DISTINCT {field})::BIGINT AS uniques
+FROM docs
+WHERE role = '{role}' AND {field} <> ''
+  AND epoch_us(ts) >= {lo} AND epoch_us(ts) <= {hi}
+""".strip()
+
+
+def q_request_distincts(sf_dir: str, field: str = "tool",
+                        term: str = "spark") -> pa.Table:
+    """DistinctsQuery through the JSON request surface
+    (``DistinctsQuery.java:16-38`` → ``DistinctsAnswer``): the distinct
+    ``tool`` values among first-hour docs whose text contains ``term``
+    (the filtered-gather path)."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    req = {"name": "distincts", "tenantId": "flagship",
+           "query": {"timeRange": {"smallestTimestamp": lo,
+                                   "largestTimestamp": hi},
+                     "gatherDistinctsForField": field,
+                     "constraintsFilter": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "text",
+                                           "values": [term]}]}}}
+    vals = execute_request(s, req)["answer"]["results"]
+    return pa.table({"value": pa.array(vals, pa.string())})
+
+
+def request_distincts_sql(field: str = "tool",
+                          term: str = "spark") -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    return f"""
+{SQL_PROLOGUE}
+SELECT DISTINCT d.{field} AS value
+FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+WHERE d.{field} <> ''
+  AND epoch_us(d.ts) >= {lo} AND epoch_us(d.ts) <= {hi}
+ORDER BY value
+""".strip()
+
+
 def q_bm25_wand(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     s = searcher_for(sf_dir)
     from ..query.filter import or_terms

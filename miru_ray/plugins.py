@@ -52,6 +52,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "request_analytics_waveform",
     "request_trending_topn",
     "request_reco_tools",
+    "request_uniques_count",
+    "request_distincts_values",
     "fulltext_request_topk",
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
@@ -182,6 +184,10 @@ def _load_builtin_ops() -> None:
         F.request_trending_sql(), ("request",))
     reg("request_reco_tools", F.q_request_reco,
         F.request_reco_sql(), ("request",))
+    reg("request_uniques_count", F.q_request_uniques,
+        F.request_uniques_sql(), ("request",))
+    reg("request_distincts_values", F.q_request_distincts,
+        F.request_distincts_sql(), ("request",))
     reg("fulltext_reftfidf_and",
         lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
         F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))

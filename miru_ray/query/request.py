@@ -691,6 +691,41 @@ def _expand_field_keys(searcher, field: str, cap: int = 10_000) -> list[str]:
     return sorted(found)
 
 
+def _execute_distincts(searcher, request: dict, t0: float) -> dict:
+    """DistinctsQuery → DistinctsAnswer (``DistinctsQuery.java:16-38``,
+    ``DistinctsAnswer.java:13-36``): the distinct values of
+    ``gatherDistinctsForField`` under prefixes / constraintsFilter /
+    timeRange, sorted — the standalone distincts plugin endpoint (the
+    same gather trending composes via its distinctQueries grid)."""
+    q = request.get("query") or {}
+    _reject_unread_knobs(q)
+    vals = sorted(_gather_distinct_terms(searcher, q))
+    answer = {"results": vals, "collectedDistincts": len(vals),
+              "resultsExhausted": True}
+    return _respond(request, searcher, answer, t0,
+                    [f"distincts {len(vals)} values"])
+
+
+def _execute_uniques(searcher, request: dict, t0: float) -> dict:
+    """UniquesQuery → UniquesAnswer (``UniquesQuery.java:17-41``,
+    ``UniquesAnswer.java:12-33``): the COUNT of distinct values of
+    ``gatherUniquesForField`` under prefixes / ``constraints`` filter /
+    timeRange (the uniques plugin answers cardinality-only — its
+    answerer ORs per-term bitmaps and takes the cardinality; counting
+    the gathered value set is the same number)."""
+    q = request.get("query") or {}
+    _reject_unread_knobs(q)
+    vals = _gather_distinct_terms(
+        searcher, {"gatherDistinctsForField": q["gatherUniquesForField"],
+                   "timeRange": q.get("timeRange"),
+                   # @JsonProperty("constraints") — UniquesQuery.java:28
+                   "constraintsFilter": q.get("constraints"),
+                   "prefixes": q.get("prefixes")})
+    answer = {"uniques": len(vals), "resultsExhausted": True}
+    return _respond(request, searcher, answer, t0,
+                    [f"uniques {len(vals)}"])
+
+
 def _execute_reco(searcher, request: dict, t0: float) -> dict:
     """RecoQuery → RecoAnswer (``RecoQuery.java:12-41``,
     ``CollaborativeFiltering.java:56-240``, ``RecoAnswer.java:13-70``):
@@ -837,6 +872,10 @@ def execute_request(target, request: dict) -> dict:
     q = request.get("query") or {}
     if "aggregateFieldName1" in q:
         return _execute_reco(searcher, request, t0)
+    if "gatherUniquesForField" in q:
+        return _execute_uniques(searcher, request, t0)
+    if "gatherDistinctsForField" in q:
+        return _execute_distincts(searcher, request, t0)
     if "scoreSets" in q and "aggregateCountAroundField" in q:
         return _execute_trending(searcher, request, t0)
     if "aggregateCountAroundField" in q:

@@ -832,3 +832,38 @@ def test_reco_rejects(reco_searcher):
     with pytest.raises(ValueError, match="keyword field"):
         execute_request(reco_searcher, _reco_req(
             "c", 0, 10, 5, f2="nosuchfield"))
+
+
+# -------------------------------------------------- distincts / uniques
+
+def test_distincts_and_uniques_parity(xs_searcher, xs_table):
+    from miru_ray.tokenize import py_tokenize
+    df = xs_table.to_pandas()
+    ts_us = df["ts"].astype("int64")
+    lo, hi = int(ts_us.min()), int(ts_us.quantile(0.5))
+    tr = {"smallestTimestamp": lo, "largestTimestamp": hi}
+    has = df["text"].map(lambda t: "alpha" in set(py_tokenize(t or "")))
+    win = df[has & (ts_us >= lo) & (ts_us <= hi)]
+    want = sorted(set(win["tool"]) - {""})
+    assert want  # not vacuous
+    got = execute_request(xs_searcher, _stream_req(
+        timeRange=tr, gatherDistinctsForField="tool",
+        constraintsFilter=_text_filter("alpha")))["answer"]
+    assert got["results"] == want
+    assert got["collectedDistincts"] == len(want)
+    # uniques = the same gather, cardinality only (JSON name
+    # 'constraints' per UniquesQuery.java:28)
+    uq = execute_request(xs_searcher, _stream_req(
+        timeRange=tr, gatherUniquesForField="tool",
+        constraints=_text_filter("alpha")))["answer"]
+    assert uq["uniques"] == len(want)
+    # prefixes restrict the filtered gather
+    pre = execute_request(xs_searcher, _stream_req(
+        timeRange=tr, gatherDistinctsForField="tool",
+        constraintsFilter=_text_filter("alpha"),
+        prefixes=["tool_0"]))["answer"]
+    assert pre["results"] == [v for v in want if v.startswith("tool_0")]
+    # dictionary path (no filter): every indexed value of the field
+    full = execute_request(xs_searcher, _stream_req(
+        timeRange=tr, gatherDistinctsForField="tool"))["answer"]
+    assert full["results"] == sorted(set(df["tool"]) - {""})
