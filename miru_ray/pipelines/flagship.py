@@ -680,6 +680,222 @@ ORDER BY value
 """.strip()
 
 
+_CATWALK_TOPN = 50  # top convs per numerator — LIVE cut (97 convs exist)
+
+
+def _catwalk_defn(features) -> dict:
+    return {"catwalkId": "flagship",
+            "gatherField": "conv_id",
+            "scorableField": "conv_id",
+            "features": features,
+            "featureStrategy": "UNIT_WEIGHTED",
+            "numeratorCount": 2}
+
+
+def _catwalk_model_query(lo: int, hi: int) -> dict:
+    return {"timeRange": {"smallestTimestamp": lo, "largestTimestamp": hi},
+            "modelFilters": [
+                {"operation": "and",
+                 "fieldFilters": [{"fieldName": "role",
+                                   "values": [r]}]}
+                for r in ("user", "assistant")],
+            "desiredNumberOfResults": _CATWALK_TOPN}
+
+
+def q_request_catwalk(sf_dir: str) -> pa.Table:
+    """CatwalkQuery through the JSON request surface
+    (``CatwalkQuery.java:14-121`` → ``CatwalkAnswer``): the in-index
+    naive-Bayes model over the first hour — numerator sets = top-50
+    convs by user- and assistant-doc counts, feature = ``tool``,
+    numerators = window doc counts of the numerator convs per value,
+    denominator = corpus-wide value counts
+    (``Catwalk.java:88-215``)."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    req = {"name": "catwalk", "tenantId": "flagship",
+           "query": {"definition": _catwalk_defn(
+                         [{"name": "tools", "featureFields": ["tool"],
+                           "featureScalar": 1.0}]),
+                     "modelQuery": _catwalk_model_query(lo, hi)}}
+    rows = execute_request(s, req)["answer"]["results"][0]
+    return pa.table({
+        "value": pa.array([r["termIds"][0] for r in rows], pa.string()),
+        "num_user": pa.array([r["numerators"][0] for r in rows],
+                             pa.int64()),
+        "num_assistant": pa.array([r["numerators"][1] for r in rows],
+                                  pa.int64()),
+        "denominator": pa.array([r["denominator"] for r in rows],
+                                pa.int64())})
+
+
+def _catwalk_sql_fragments(lo: int, hi: int) -> str:
+    """Shared oracle CTEs: window, top-N numerator conv sets, per-value
+    window numerators + corpus denominators for tool and role."""
+    return f"""
+win AS (
+  SELECT * FROM docs
+  WHERE epoch_us(ts) >= {lo} AND epoch_us(ts) <= {hi}
+),
+top_u AS (
+  SELECT conv_id FROM (
+    SELECT conv_id, count(*) AS c FROM win WHERE role = 'user'
+    GROUP BY 1 ORDER BY c DESC, conv_id ASC LIMIT {_CATWALK_TOPN})),
+top_a AS (
+  SELECT conv_id FROM (
+    SELECT conv_id, count(*) AS c FROM win WHERE role = 'assistant'
+    GROUP BY 1 ORDER BY c DESC, conv_id ASC LIMIT {_CATWALK_TOPN})),
+den_tool AS (SELECT tool AS v, count(*) AS d FROM docs
+             WHERE tool <> '' GROUP BY 1),
+nu_tool AS (SELECT tool AS v, count(*) AS n FROM win
+            WHERE tool <> ''
+              AND conv_id IN (SELECT conv_id FROM top_u) GROUP BY 1),
+na_tool AS (SELECT tool AS v, count(*) AS n FROM win
+            WHERE tool <> ''
+              AND conv_id IN (SELECT conv_id FROM top_a) GROUP BY 1),
+den_role AS (SELECT role AS v, count(*) AS d FROM docs GROUP BY 1),
+nu_role AS (SELECT role AS v, count(*) AS n FROM win
+            WHERE conv_id IN (SELECT conv_id FROM top_u) GROUP BY 1),
+na_role AS (SELECT role AS v, count(*) AS n FROM win
+            WHERE conv_id IN (SELECT conv_id FROM top_a) GROUP BY 1)
+""".strip()
+
+
+def request_catwalk_sql() -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    return f"""
+{SQL_PROLOGUE},
+{_catwalk_sql_fragments(lo, hi)}
+SELECT d.v AS value,
+       coalesce(nu.n, 0)::BIGINT AS num_user,
+       coalesce(na.n, 0)::BIGINT AS num_assistant,
+       d.d::BIGINT AS denominator
+FROM den_tool d
+LEFT JOIN nu_tool nu ON nu.v = d.v
+LEFT JOIN na_tool na ON na.v = d.v
+ORDER BY value
+""".strip()
+
+
+_STRUT_K = 10
+
+
+def q_request_strut(sf_dir: str) -> pa.Table:
+    """StrutQuery through the JSON request surface
+    (``StrutQuery.java:20-76`` → ``StrutAnswer``/``HotOrNot``): rank
+    first-half-hour conversations by the catwalk model built over the
+    first hour — two single-field features (tool ×1.0, role ×0.5),
+    featureStrategy UNIT_WEIGHTED, numeratorScalars (0.5, 0.4) combined
+    REGRESSION_WEIGHTED (``Strut.java:354-407``)."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    chi = lo + 1_800 * 1_000_000  # candidates: the first half hour
+    req = {"name": "strut", "tenantId": "flagship",
+           "query": {
+               "catwalkDefinition": _catwalk_defn(
+                   [{"name": "tools", "featureFields": ["tool"],
+                     "featureScalar": 1.0},
+                    {"name": "roles", "featureFields": ["role"],
+                     "featureScalar": 0.5}]),
+               "modelScalars": [
+                   {"catwalkModelQuery": _catwalk_model_query(lo, hi),
+                    "scalar": 1.0}],
+               "timeRange": {"smallestTimestamp": lo,
+                             "largestTimestamp": chi},
+               "constraintFilter": {
+                   "operation": "and",
+                   "fieldFilters": [{"fieldName": "role",
+                                     "values": ["user", "assistant",
+                                                "system", "tool"]}]},
+               "numeratorStrategy": "REGRESSION_WEIGHTED",
+               "numeratorScalars": [0.5, 0.4],
+               "desiredNumberOfResults": _STRUT_K}}
+    rows = execute_request(s, req)["answer"]["results"]
+    return pa.table({
+        "value": pa.array([r["value"] for r in rows], pa.string()),
+        "score": pa.array([round(float(r["score"]), 6) for r in rows],
+                          pa.float64()),
+        "latest_ts": pa.array([r["timestamp"] for r in rows],
+                              pa.int64()),
+        "n_docs": pa.array([r["count"] for r in rows], pa.int64())})
+
+
+def request_strut_sql() -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    chi = lo + 1_800 * 1_000_000
+    return f"""
+{SQL_PROLOGUE},
+{_catwalk_sql_fragments(lo, hi)},
+candwin AS (
+  SELECT * FROM docs
+  WHERE epoch_us(ts) >= {lo} AND epoch_us(ts) <= {chi}
+),
+-- per-value model scores s_i = least(num/den, 1), NaN-free
+s_tool AS (
+  SELECT d.v,
+         CASE WHEN d.d > 0
+              THEN least(coalesce(nu.n, 0) / d.d::DOUBLE, 1.0)
+              ELSE 0.0 END AS su,
+         CASE WHEN d.d > 0
+              THEN least(coalesce(na.n, 0) / d.d::DOUBLE, 1.0)
+              ELSE 0.0 END AS sa
+  FROM den_tool d
+  LEFT JOIN nu_tool nu ON nu.v = d.v
+  LEFT JOIN na_tool na ON na.v = d.v),
+s_role AS (
+  SELECT d.v,
+         CASE WHEN d.d > 0
+              THEN least(coalesce(nu.n, 0) / d.d::DOUBLE, 1.0)
+              ELSE 0.0 END AS su,
+         CASE WHEN d.d > 0
+              THEN least(coalesce(na.n, 0) / d.d::DOUBLE, 1.0)
+              ELSE 0.0 END AS sa
+  FROM den_role d
+  LEFT JOIN nu_role nu ON nu.v = d.v
+  LEFT JOIN na_role na ON na.v = d.v),
+-- per-candidate feature scores: max over observed values of s x scalar
+f_tool AS (
+  SELECT c.conv_id, max(s.su) * 1.0 AS fu, max(s.sa) * 1.0 AS fa
+  FROM (SELECT DISTINCT conv_id, tool FROM candwin
+        WHERE tool <> '') c
+  JOIN s_tool s ON s.v = c.tool GROUP BY 1),
+f_role AS (
+  SELECT c.conv_id, max(s.su) * 0.5 AS fu, max(s.sa) * 0.5 AS fa
+  FROM (SELECT DISTINCT conv_id, role FROM candwin) c
+  JOIN s_role s ON s.v = c.role GROUP BY 1),
+cand AS (
+  SELECT conv_id, max(epoch_us(ts)) AS latest_ts,
+         count(*) AS n_docs
+  FROM candwin GROUP BY 1),
+-- featureStrategy UNIT_WEIGHTED: sum positives / n_features (=2);
+-- numeratorStrategy REGRESSION_WEIGHTED over scaled (0.5, 0.4)
+scored AS (
+  SELECT c.conv_id, c.latest_ts, c.n_docs,
+         greatest((coalesce(CASE WHEN t.fu > 0 THEN t.fu END, 0)
+                   + coalesce(CASE WHEN r.fu > 0 THEN r.fu END, 0)) / 2
+                  * 0.5, 0)
+         + greatest((coalesce(CASE WHEN t.fa > 0 THEN t.fa END, 0)
+                     + coalesce(CASE WHEN r.fa > 0 THEN r.fa END, 0)) / 2
+                    * 0.4, 0) AS score
+  FROM cand c
+  LEFT JOIN f_tool t ON t.conv_id = c.conv_id
+  LEFT JOIN f_role r ON r.conv_id = c.conv_id)
+SELECT conv_id AS value, round(score, 6) AS score,
+       latest_ts::BIGINT AS latest_ts, n_docs::BIGINT AS n_docs
+FROM scored
+ORDER BY scored.score DESC, value ASC LIMIT {_STRUT_K}
+""".strip()
+
+
 def q_bm25_wand(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     s = searcher_for(sf_dir)
     from ..query.filter import or_terms

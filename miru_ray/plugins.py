@@ -54,6 +54,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "request_reco_tools",
     "request_uniques_count",
     "request_distincts_values",
+    "request_catwalk_model",
+    "request_strut_topn",
     "fulltext_request_topk",
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
@@ -188,6 +190,10 @@ def _load_builtin_ops() -> None:
         F.request_uniques_sql(), ("request",))
     reg("request_distincts_values", F.q_request_distincts,
         F.request_distincts_sql(), ("request",))
+    reg("request_catwalk_model", F.q_request_catwalk,
+        F.request_catwalk_sql(), ("request",))
+    reg("request_strut_topn", F.q_request_strut,
+        F.request_strut_sql(), ("request",))
     reg("fulltext_reftfidf_and",
         lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
         F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))

@@ -977,7 +977,10 @@ class PartitionReader:
         out = np.zeros((len(asts), n), np.int64)
         width = int(hi) - int(lo)
         for pid in self.parts:
-            zlo, zhi = self._ts_range[pid]
+            zone = self._ts_range.get(pid)
+            if zone is None:
+                continue  # empty partition (post-removal) — no docs
+            zlo, zhi = zone
             if zhi < lo or zlo >= hi:
                 continue  # zone outside the waveform window
             live = [i for i, a in enumerate(asts)
@@ -1023,6 +1026,37 @@ class PartitionReader:
                 p = self._postings(pid, k, cache)
                 if p is not None:
                     out[k] += int(amask[p[0] - base].sum())
+        return out
+
+    def term_match_stats(self, ast: Node, term_keys: list[str],
+                         expansions: dict) -> dict[str, tuple[int, int]]:
+        """:meth:`term_match_counts` + the latest matching-doc timestamp:
+        ``key → (count, max_ts_us)`` — the strut candidate gather needs
+        both (``HotOrNot.timestamp``/``count``,
+        ``Strut.java:180-182``).  ``max_ts`` is -1 for keys with no
+        match."""
+        out: dict[str, tuple[int, int]] = {k: (0, -1) for k in term_keys}
+        for pid in self.parts:
+            if not self._may_match(ast, pid):
+                continue
+            base = self.parts[pid]["base"]
+            amask = self._alive_mask(pid, self._eval(ast, pid, {},
+                                                     expansions))
+            if not amask.any():
+                continue
+            ts = self.ts[pid]
+            cache: dict = {}
+            for k in term_keys:
+                p = self._postings(pid, k, cache)
+                if p is None:
+                    continue
+                hit = amask[p[0] - base]
+                n = int(hit.sum())
+                if not n:
+                    continue
+                c0, t0 = out[k]
+                out[k] = (c0 + n,
+                          max(t0, int(ts[p[0][hit] - base].max())))
         return out
 
     def term_pair_rows(self, ast: Node, row_keys: list[str],
@@ -1660,6 +1694,12 @@ class Searcher:
         ``Analytics.analyze`` over term-keyed filters)."""
         if n < 1:  # AnalyticsQueryScoreSet.java:29
             raise ValueError("Segments must be at least 1")
+        if n > 100_000:
+            # each reader materializes a (filters × n) int64 partial;
+            # an unbounded client-supplied n is a memory DoS, not a
+            # resolution anyone renders — fail loudly
+            raise ValueError("divideTimeRangeIntoNSegments capped at "
+                             f"100000 (got {n})")
         if hi <= lo:  # the score set requires an explicit, non-empty range
             raise ValueError("waveform needs lo < hi (an explicit time "
                              "range; ScoreSet rejects ALL_TIME)")

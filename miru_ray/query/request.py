@@ -827,8 +827,12 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
     if f2 == f3:  # CollaborativeFiltering.java:153-156 special case
         return _answer([(k.split(":", 1)[1], float(c))
                         for c, k in ranked2])
-    # exclusions: my parents (+ the removeDistinctsQuery gather)
-    excl = {k.split(":", 1)[1] for k in parents} if f1 == f3 else set()
+    # exclusions: my parents (+ the removeDistinctsQuery gather).  The
+    # reference removes distinctParents from the field-3 sets by RAW
+    # TermId regardless of field (MiruTermId carries no field prefix,
+    # CollaborativeFiltering.java:158-166,201) — so parent VALUES are
+    # excluded even when field1 != field3
+    excl = {k.split(":", 1)[1] for k in parents}
     rdq = q.get("removeDistinctsQuery")
     if rdq:
         excl |= _gather_distinct_terms(searcher, rdq)
@@ -870,6 +874,12 @@ def execute_request(target, request: dict) -> dict:
     t0 = time.perf_counter()
     searcher = _resolve_searcher(target, request)
     q = request.get("query") or {}
+    if "catwalkDefinition" in q:
+        from .strutcat import execute_strut
+        return execute_strut(searcher, request, t0)
+    if "definition" in q and "modelQuery" in q:
+        from .strutcat import execute_catwalk
+        return execute_catwalk(searcher, request, t0)
     if "aggregateFieldName1" in q:
         return _execute_reco(searcher, request, t0)
     if "gatherUniquesForField" in q:

@@ -1,0 +1,410 @@
+"""Catwalk model-build + Strut scoring request answerers — the
+reference's naive-Bayes-flavored "hot or not" ranking family, over the
+transcript index.
+
+Reference shapes:
+
+- ``CatwalkQuery{definition: CatwalkDefinition{catwalkId, gatherField,
+  scorableField, features: [CatwalkFeature{name, featureFields,
+  featureFilter, featureScalar}], featureStrategy, scorableFilter,
+  numeratorCount}, modelQuery: CatwalkModelQuery{timeRange,
+  modelFilters[], desiredNumberOfResults}}`` →
+  ``CatwalkAnswer{results: per-feature [FeatureScore{termIds,
+  numerators[], denominator, numPartitions}], modelCounts, totalCount,
+  timeRange, resultsExhausted, resultsClosed, destroyed}``
+  (``miru-catwalk-shared/.../CatwalkQuery.java:14-121``,
+  ``CatwalkAnswer.java:14-46``, model build
+  ``miru-stream-plugins/.../catwalk/Catwalk.java:88-215``,
+  ``CatwalkQuestion.java:60-140``).
+
+- ``StrutQuery{catwalkDefinition, modelScalars: [StrutModelScalar],
+  timeRange, constraintFilter, numeratorStrategy, numeratorScalars,
+  desiredNumberOfResults, includeFeatures, gatherTermsForFields, ...}``
+  → ``StrutAnswer{results: [HotOrNot{value, gatherLatestValues, score,
+  features, timestamp, unread, count}], modelTotalPartitionCount,
+  resultsExhausted}`` (``StrutQuery.java:20-76``,
+  ``StrutAnswer.java:8-28``, ``HotOrNot.java:16-44``, scoring
+  ``Strut.java:72-247,354-407``).
+
+Semantics implemented exactly (and where not, why):
+
+- Numerator gather-term sets: per model filter, the top-N gatherField
+  terms by doc count under ``alive ∧ authz ∧ timeRange ∧ filter``
+  (``CatwalkQuestion.java:94-134``; N = ``desiredNumberOfResults`` —
+  the reference reads ``topNTermsPerNumerator`` from deploy config,
+  the query's knob is the natural stand-in).  Ties break (count DESC,
+  term ASC) where the reference heap's order is unspecified.
+- Feature numerators: ``numerator_i[v] = |postings(v) ∧ gate ∧
+  (⋁ postings(g ∈ set_i))|`` — equal to the reference's per-answer-term
+  doc counts summed over the numerator set, because gatherField is
+  single-valued per doc.  Feature DENOMINATOR is corpus-wide (NOT
+  time-gated): ``|postings(v) ∧ featureFilter|`` (``Catwalk.java:
+  150-163`` ANDs only the combo postings and the feature mask), alive-
+  masked here (tombstoned docs should not count; the reference's
+  removal mask reaches its numerators but not this AND — a bug we do
+  not reproduce).
+- Single-field features only: a multi-field feature enumerates the
+  VALUE CROSS-PRODUCT per doc, which requires a docstore combo walk
+  (the reference's activityIndex.getAll) — rejected loudly in v1; the
+  events-table catwalk pipeline (``pipelines/catwalk.py``) covers
+  composite features at scale.
+- Strut scoring (``Strut.java:354-407`` float math in float64):
+  ``s_i(v) = clamp(numerator_i[v] / denominator[v], ≤1, NaN→0)``;
+  per-feature score = max over the candidate's observed values of
+  ``s_i(v) × featureScalar`` (the running-max ``score()``);
+  ``termScores[i] = finalizeScore(per-feature, featureStrategy)`` with
+  UNIT_WEIGHTED = Σ positive / n_features, REGRESSION_WEIGHTED = Σ
+  positive, MAX = max; final = ``scaleScore(termScores,
+  numeratorScalars, numeratorStrategy)`` (scale then finalize again).
+- ``HotOrNot.timestamp``/``count`` = the candidate's latest matching
+  doc ts / matching doc count; results rank (score DESC, value ASC).
+- unread integration (unreadStreamId / unreadOnly / countUnread) is
+  rejected loudly — read/unread lives in the events pipeline
+  (``events_unread_backfill``).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from .filter import And, Authz, Node, Or, Term, TimeRange
+
+_STRATEGIES = ("UNIT_WEIGHTED", "REGRESSION_WEIGHTED", "MAX")
+
+
+def _finalize(scores: np.ndarray, strategy: str) -> float:
+    """``Strut.finalizeScore`` (``Strut.java:366-397``): combine one
+    row of per-feature (or per-numerator scaled) scores.  Zero entries
+    are 'no signal' — UNIT_WEIGHTED still divides by the FULL length
+    (``sum / scores.length``, not the positive count)."""
+    pos = scores[scores > 0]
+    if strategy == "UNIT_WEIGHTED":
+        return float(pos.sum() / len(scores)) if len(pos) else 0.0
+    if strategy == "REGRESSION_WEIGHTED":
+        return float(pos.sum())
+    if strategy == "MAX":
+        return float(pos.max()) if len(pos) else 0.0
+    raise ValueError(f"Strategy not supported: {strategy}")
+
+
+def _scale(term_scores: np.ndarray, scalars: np.ndarray,
+           strategy: str) -> float:
+    """``Strut.scaleScore`` (``Strut.java:399-407``)."""
+    return _finalize(term_scores * scalars, strategy)
+
+
+def _ok_clauses(request: dict, tr: dict | None, cfg) -> list[Node]:
+    clauses: list[Node] = []
+    if tr:
+        clauses.append(TimeRange(int(tr["smallestTimestamp"]),
+                                 int(tr["largestTimestamp"])))
+    az = request.get("authzExpression")
+    if az and az.get("values"):
+        clauses.append(Authz(tuple(str(v) for v in az["values"]),
+                             field=az.get("field", "acl")))
+    return clauses
+
+
+def _and(clauses: list[Node]) -> Node | None:
+    if not clauses:
+        return None
+    return clauses[0] if len(clauses) == 1 else And(tuple(clauses))
+
+
+def _feature_fields(defn: dict,
+                    cfg) -> list[tuple[str, str, float, Node | None]]:
+    """Validated features as (name, field, scalar, filter_ast)."""
+    from .request import filter_to_ast
+    feats = defn.get("features")
+    if not isinstance(feats, (list, tuple)) or not feats:
+        raise ValueError("catwalkDefinition requires a non-empty "
+                         "features list")
+    out = []
+    for f in feats:
+        fields = f.get("featureFields") or []
+        if len(fields) != 1:
+            raise ValueError(
+                "multi-field features need a docstore combo walk — "
+                "single-field features only here; composite features "
+                "run in the events catwalk pipeline (pipelines/catwalk)")
+        ff = f.get("featureFilter")
+        out.append((str(f.get("name") or fields[0]), str(fields[0]),
+                    float(f.get("featureScalar", 1.0)),
+                    filter_to_ast(ff, tuple(cfg.text_fields))
+                    if ff else None))
+    return out
+
+
+def _build_model(searcher, request: dict, defn: dict, mq: dict):
+    """The Catwalk model: per feature, per value — numerators[] +
+    denominator (``Catwalk.java:88-215``).  Returns (features,
+    model: {field → {value → (nums tuple, den)}}, numerator_sets,
+    modelCounts)."""
+    from .request import _expand_field_keys, filter_to_ast
+    gather = str(defn["gatherField"])
+    feats = _feature_fields(defn, searcher.cfg)
+    filters = mq.get("modelFilters")
+    if not isinstance(filters, (list, tuple)) or not filters:
+        raise ValueError("modelQuery requires a non-empty modelFilters "
+                         "list")
+    nc = int(defn.get("numeratorCount") or len(filters))
+    if nc != len(filters):  # CatwalkQuery.java:16 checkArgument
+        raise ValueError("Numerator count must equal model filters length")
+    top_n = int(mq.get("desiredNumberOfResults") or 0)
+    if top_n < 1:  # CatwalkModelQuery.java:108
+        raise ValueError("Number of results must be at least 1")
+    base = _ok_clauses(request, mq.get("timeRange"), searcher.cfg)
+    gather_keys = _expand_field_keys(searcher, gather)
+
+    def _counts(ast: Node | None, keys: list[str]) -> dict[str, int]:
+        if ast is None:
+            # alive-only gate: an always-true TimeRange
+            ast = TimeRange(-(2 ** 62), 2 ** 62)
+        tot = {k: 0 for k in keys}
+        for part in searcher._fanout("term_match_counts", ast, keys, {}):
+            for k, c in part.items():
+                tot[k] += c
+        return tot
+
+    numerator_sets: list[list[str]] = []
+    for mf in filters:
+        fl = filter_to_ast(mf, tuple(searcher.cfg.text_fields)) \
+            if mf else None
+        gate = _and(base + ([fl] if fl is not None else []))
+        counts = _counts(gate, gather_keys)
+        ranked = sorted(((c, k) for k, c in counts.items() if c > 0),
+                        key=lambda t: (-t[0], t[1]))[:top_n]
+        numerator_sets.append([k for _c, k in ranked])
+    model: dict[str, dict[str, tuple[tuple, int]]] = {}
+    model_counts: list[int] = []
+    for _name, field, _scalar, fmask in feats:
+        vkeys = _expand_field_keys(searcher, field)
+        # denominator: corpus-wide value counts (∧ featureFilter, alive)
+        dens = _counts(fmask, vkeys)
+        nums: list[dict[str, int]] = []
+        walked = 0
+        for si, set_i in enumerate(numerator_sets):
+            if not set_i:
+                nums.append({k: 0 for k in vkeys})
+                continue
+            or_g = Or(tuple(Term(gather, k.split(":", 1)[1])
+                            for k in set_i))
+            gate = _and(base + [or_g])
+            counts = _counts(gate, vkeys)
+            nums.append(counts)
+            walked += sum(counts.values())
+        model_counts.append(walked)
+        model[field] = {
+            k.split(":", 1)[1]: (tuple(nums[i][k] for i in range(nc)),
+                                 dens[k])
+            for k in vkeys}
+    return feats, model, numerator_sets, model_counts
+
+
+def execute_catwalk(searcher, request: dict, t0: float) -> dict:
+    """CatwalkQuery → CatwalkAnswer."""
+    from .request import _reject_unread_knobs, _respond
+    q = request.get("query") or {}
+    _reject_unread_knobs(q)
+    defn = q["definition"]
+    mq = q.get("modelQuery") or {}
+    feats, model, numerator_sets, model_counts = \
+        _build_model(searcher, request, defn, mq)
+    results = []
+    for _name, field, _scalar, _fmask in feats:
+        rows = []
+        for v in sorted(model[field]):
+            nums, den = model[field][v]
+            if not den and not any(nums):
+                continue  # value never observed under the masks
+            rows.append({"termIds": [v], "numerators": list(nums),
+                         "denominator": int(den), "numPartitions": 1})
+        results.append(rows)
+    zones = searcher._zone_maps()
+    lo = min((z[0] for z in zones.values()), default=0)
+    hi = max((z[1] for z in zones.values()), default=0)
+    tr = mq.get("timeRange") or {}
+    answer = {
+        "results": results,
+        "modelCounts": [int(c) for c in model_counts],
+        "totalCount": int(searcher.manifest["n_docs"]),
+        "timeRange": {"smallestTimestamp": int(lo),
+                      "largestTimestamp": int(hi)},
+        "resultsExhausted": bool(zones) and
+            int(tr.get("smallestTimestamp", 0)) > hi,
+        "resultsClosed": False,
+        "destroyed": False,
+    }
+    sizes = [len(s) for s in numerator_sets]
+    return _respond(request, searcher, answer, t0,
+                    [f"catwalk numeratorSets={sizes} "
+                     f"features={[f[1] for f in feats]}"])
+
+
+def execute_strut(searcher, request: dict, t0: float) -> dict:
+    """StrutQuery → StrutAnswer."""
+    from .request import (_expand_field_keys, _reject_unread_knobs,
+                          _respond, filter_to_ast)
+    q = request.get("query") or {}
+    _reject_unread_knobs(q)
+    for knob in ("unreadStreamId", "suppressUnreadFilter"):
+        if q.get(knob):
+            raise ValueError(f"{knob} is unsupported: read/unread state "
+                             "lives in the events pipeline "
+                             "(events_unread_backfill)")
+    defn = q["catwalkDefinition"]
+    gather = str(defn["gatherField"])
+    scalars_q = q.get("modelScalars")
+    if not isinstance(scalars_q, (list, tuple)) or not scalars_q:
+        raise ValueError("modelScalars must be non-empty")
+    n_strategy = str(q.get("numeratorStrategy") or "")
+    if n_strategy not in _STRATEGIES:
+        raise ValueError(f"Strategy not supported: {n_strategy!r}")
+    f_strategy = str(defn.get("featureStrategy") or "")
+    if f_strategy not in _STRATEGIES:
+        raise ValueError(f"Strategy not supported: {f_strategy!r}")
+    desired = int(q.get("desiredNumberOfResults") or 0)
+    if desired < 1:  # StrutQuery.java:50
+        raise ValueError("Number of results must be at least 1")
+    tr = q.get("timeRange")
+    if not tr:  # StrutQuery.java:42 checkNotNull
+        raise ValueError("strut requires an explicit timeRange")
+    cf = q.get("constraintFilter")
+    c_ast = filter_to_ast(cf, tuple(searcher.cfg.text_fields)) \
+        if cf else None
+    if c_ast is None:  # StrutQuery.java:43
+        raise ValueError("strut requires an effective constraintFilter")
+    gate = _and([c_ast] + _ok_clauses(request, tr, searcher.cfg))
+
+    # models: one per StrutModelScalar (StrutModelCache analogue: keyed
+    # per-searcher memo — built once, reused across queries)
+    cache = getattr(searcher, "_strut_models", None)
+    if cache is None:
+        cache = searcher._strut_models = {}
+    models = []
+    for ms in scalars_q:
+        import json as _json
+        key = (str(defn.get("catwalkId")),
+               _json.dumps(ms.get("catwalkModelQuery"), sort_keys=True),
+               _json.dumps({k: defn.get(k) for k in
+                            ("gatherField", "features")}, sort_keys=True,
+                           default=str))
+        if key not in cache:
+            cache[key] = _build_model(searcher, request, defn,
+                                      ms.get("catwalkModelQuery") or {})
+        feats, model, _sets, _mc = cache[key]
+        models.append((feats, model, float(ms.get("scalar", 1.0))))
+    feats = models[0][0]
+    nc = len((q.get("numeratorScalars") or ()))
+    num_scalars = np.asarray([float(x) for x in
+                              (q.get("numeratorScalars") or ())],
+                             np.float64)
+    for _f, model, _s in models:
+        any_field = feats[0][1]
+        sample = next(iter(model[any_field].values()), ((), 0))
+        if len(sample[0]) != nc:
+            # StrutQuery.java:46-47 checkArgument
+            raise ValueError("numeratorScalars must be the same length "
+                             "as catwalkModelQuery.modelFilters")
+
+    # candidates: gatherField terms active under constraint ∧ timeRange
+    gather_keys = _expand_field_keys(searcher, gather)
+    stats: dict[str, tuple[int, int]] = {k: (0, -1) for k in gather_keys}
+    for part in searcher._fanout("term_match_stats", gate, gather_keys,
+                                 {}):
+        for k, (c, t) in part.items():
+            c0, t0_ = stats[k]
+            stats[k] = (c0 + c, max(t0_, t))
+    cands = [k for k in gather_keys if stats[k][0] > 0]
+    # candidate → observed values per feature field, under the gate
+    observed: dict[str, dict[str, set]] = {f[1]: {} for f in feats}
+    for _name, field, _scalar, _fmask in feats:
+        vkeys = _expand_field_keys(searcher, field)
+        rows: dict[str, set] = {k: set() for k in cands}
+        for part in searcher._fanout("term_pair_rows", gate, cands,
+                                     vkeys, {}):
+            for k, vs in part.items():
+                rows[k] |= vs
+        observed[field] = rows
+
+    include_features = bool(q.get("includeFeatures"))
+    scored: list[tuple[float, str, dict]] = []
+    sum_scalars = float(sum(s for _f, _m, s in models))
+    for k in cands:
+        value = k.split(":", 1)[1]
+        # per-numerator scalar-weighted MEAN across models
+        # (StrutModelScorer.scoreInternal: scores[n] += v_m[n]·scalar_m
+        # then /= Σ scalars, StrutModelScorer.java:210-239)
+        per_model_scores = np.zeros(nc, np.float64)
+        hotness: list[list[dict]] = [[] for _ in feats]
+        for feats_m, model, model_scalar in models:
+            feat_scores = np.zeros((nc, len(feats_m)), np.float64)
+            for fi, (_name, field, fscalar, _fm) in enumerate(feats_m):
+                if fscalar <= 0:
+                    continue  # score() keeps current when scalar <= 0
+                for vkey in observed[field].get(k, ()):
+                    v = vkey.split(":", 1)[1]
+                    nums, den = model[field].get(v, ((0,) * nc, 0))
+                    s = np.asarray(nums, np.float64)
+                    s = np.minimum(np.divide(
+                        s, den, out=np.zeros_like(s),
+                        where=den > 0), 1.0)  # clamp >1, NaN→0
+                    upd = s * fscalar
+                    feat_scores[:, fi] = np.where(
+                        feat_scores[:, fi] > 0,
+                        np.maximum(feat_scores[:, fi], upd), upd)
+                    if include_features and s.any():
+                        hotness[fi].append(
+                            {"values": [v],
+                             "scaledScore": _scale(s, num_scalars,
+                                                   n_strategy),
+                             "scores": [float(x) for x in s]})
+            term_scores = np.asarray(
+                [_finalize(feat_scores[i], f_strategy)
+                 for i in range(nc)], np.float64)
+            per_model_scores += term_scores * model_scalar
+        if sum_scalars > 0:
+            per_model_scores /= sum_scalars
+        score = _scale(per_model_scores, num_scalars, n_strategy)
+        extra = {"features": hotness if include_features else None}
+        scored.append((score, value, extra))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    top = scored[:desired]
+
+    gtf = [str(f) for f in (q.get("gatherTermsForFields") or ())]
+    results = []
+    for score, value, extra in top:
+        k = f"{gather}:{value}"
+        row = {"value": value, "score": score,
+               "timestamp": int(stats[k][1]),
+               "unread": False, "count": int(stats[k][0]),
+               "gatherLatestValues": None,
+               "features": extra["features"]}
+        results.append(row)
+    if gtf and results:
+        # latest matching doc per candidate → gather its field values
+        by_ts: dict[int, str] = {}
+        for row in results:
+            ids = searcher.match_docs(
+                _and([Term(gather, row["value"]), gate]))
+            if len(ids):
+                # newest doc: max ts then max doc id — find via stats ts
+                by_ts[int(ids.max())] = row["value"]
+        if by_ts:
+            gat = searcher.gather(sorted(by_ts), columns=gtf)
+            cols = {f: gat[f].to_pylist() for f in gtf}
+            ids_col = gat["doc_id"].to_pylist()
+            val_rows = {by_ts[int(d)]: i for i, d in enumerate(ids_col)}
+            for row in results:
+                i = val_rows.get(row["value"])
+                if i is not None:
+                    row["gatherLatestValues"] = {
+                        f: [cols[f][i]] for f in gtf}
+    answer = {"results": results,
+              "modelTotalPartitionCount": len(searcher._zone_maps()),
+              "resultsExhausted": True}
+    return _respond(request, searcher, answer, t0,
+                    [f"strut {len(cands)} candidates × "
+                     f"{len(feats)} features × {len(models)} models"])

@@ -532,6 +532,13 @@ def test_analytics_waveform_rejects(xs_searcher):
                         "timeRange": {"smallestTimestamp": 10,
                                       "largestTimestamp": 10},
                         "divideTimeRangeIntoNSegments": 4}], **base))
+    with pytest.raises(ValueError, match="capped"):
+        # unbounded n would allocate (filters x n) int64 per reader
+        execute_request(xs_searcher, _stream_req(
+            scoreSets=[{"key": "k",
+                        "timeRange": {"smallestTimestamp": 0,
+                                      "largestTimestamp": 10},
+                        "divideTimeRangeIntoNSegments": 10 ** 9}], **base))
     with pytest.raises(ValueError, match="analyticsFilters"):
         execute_request(xs_searcher, _stream_req(
             constraintsFilter=_text_filter("alpha"),
