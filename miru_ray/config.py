@@ -50,6 +50,16 @@ class IndexConfig:
     # posting must equal tf for the implied-split decode, which a second
     # text field sharing the term space would break.
     positional_fields: tuple[str, ...] = ()
+    # power-bits fields: (bits_field, int64_source_column) pairs.  The
+    # source value is indexed as its SET BITS — one `field:<i>` term per
+    # set bit i plus a `field:+`/`field:-` sign term (the reference's
+    # metric-sampler encoding, SampleTrawl.java:50-67: sign first, then
+    # String.valueOf(i) per bit; Long.MIN_VALUE flips lossily to
+    # Long.MAX_VALUE).  Bit-sliced aggregates (MetricsQuery/AnomalyQuery
+    # per-segment SUM/AVG) are then pure postings algebra: ~65 terms per
+    # field regardless of value cardinality.  The column is DERIVED at
+    # index time; it need not exist in the input parquet.
+    power_bits_fields: tuple[tuple[str, str], ...] = ()
     # int64 columns indexed as `field:<lex>` terms where <lex> is the
     # order-preserving fixed-width encoding (miru_ray.lexnum) — numeric
     # range queries become contiguous term-dict range scans (reference:
@@ -115,6 +125,7 @@ class IndexConfig:
                   "numeric_fields", "id_fields", "phrase_bigram_fields",
                   "positional_fields"):
             d[k] = list(d[k])
+        d["power_bits_fields"] = [list(p) for p in d["power_bits_fields"]]
         return d
 
     @classmethod
@@ -124,8 +135,11 @@ class IndexConfig:
         d.setdefault("numeric_fields", ())
         d.setdefault("phrase_bigram_fields", ())
         d.setdefault("positional_fields", ())
+        d.setdefault("power_bits_fields", ())
         for k in ("text_fields", "keyword_fields", "list_keyword_fields",
                   "numeric_fields", "id_fields", "phrase_bigram_fields",
                   "positional_fields"):
             d[k] = tuple(d[k])
+        d["power_bits_fields"] = tuple(tuple(p)
+                                       for p in d["power_bits_fields"])
         return cls(**d)

@@ -402,6 +402,7 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
     kw_fields = cfg.keyword_fields
     list_kw_fields = cfg.list_keyword_fields
     num_fields = cfg.numeric_fields
+    pb_fields = tuple(getattr(cfg, "power_bits_fields", ()))
     bg_fields = frozenset(getattr(cfg, "phrase_bigram_fields", ()))
     pos_fields = tuple(getattr(cfg, "positional_fields", ()))
     if pos_fields and (len(pos_fields) != 1 or pos_fields != text_fields):
@@ -513,6 +514,41 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
                 "term": pa.array(kterm, type=pa.string()),
                 "doc_id": pa.array(doc_id[keep]),
                 "tf": pa.array(np.ones(int(keep.sum()), np.int64))}))
+        for f, src in pb_fields:
+            # power-bits: index the int value AS ITS SET BITS — a sign
+            # term (`f:+`/`f:-`) plus one `f:<i>` term per set bit of the
+            # magnitude (SampleTrawl.java:50-67; Long.MIN_VALUE flips
+            # lossily to Long.MAX_VALUE exactly as the reference does).
+            # Bit-sliced per-segment SUM is then Σ 2^i·card(bit_i) — the
+            # anomaly family's self-consistent weighting (Anomaly.sum
+            # multiplier `1L << i`; AnomalyQueryPluginRegion rebuilds
+            # values the same way).
+            vals = pc.cast(batch[src], pa.int64())
+            keep = pc.is_valid(vals).to_numpy(
+                zero_copy_only=False).astype(bool)
+            if not keep.any():
+                continue
+            v = pc.fill_null(vals, 0).to_numpy(zero_copy_only=False)[keep]
+            dk = doc_id[keep]
+            neg = v < 0
+            i64 = np.iinfo(np.int64)
+            mag = np.where(neg, np.where(v == i64.min, i64.max, -v),
+                           v).astype(np.uint64)
+            sterm = np.where(neg, f + ":-", f + ":+").astype(object)
+            parts.append(pa.table({
+                "term": pa.array(sterm, pa.string()),
+                "doc_id": pa.array(dk),
+                "tf": pa.array(np.ones(len(dk), np.int64))}))
+            for bit in range(int(mag.max()).bit_length()):
+                sel = ((mag >> np.uint64(bit)) & np.uint64(1)).astype(bool)
+                if not sel.any():
+                    continue
+                n_b = int(sel.sum())
+                parts.append(pa.table({
+                    "term": pa.array(np.full(n_b, f"{f}:{bit}", object),
+                                     pa.string()),
+                    "doc_id": pa.array(dk[sel]),
+                    "tf": pa.array(np.ones(n_b, np.int64))}))
         for f in list_kw_fields:
             # one `field:value` term per list element (multiTerm fields) —
             # zero-copy explode via list offsets + parent_indices
@@ -625,7 +661,8 @@ def build_segments(docstore_dir: str, index_dir: str, cfg: IndexConfig,
                    tag: dict | None = None) -> list[dict]:
     cols = list(dict.fromkeys(
         ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
-        + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)))
+        + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)
+        + [src for _f, src in getattr(cfg, "power_bits_fields", ())]))
     docs = read_parquet_clean(docstore_dir, columns=cols,
                               file_extensions=["parquet"])
     postings = docs.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
@@ -829,7 +866,9 @@ def build_index(input_path: str | list[str], index_dir: str,
         t0 = time.perf_counter()
         cols = (["conv_id", "turn_idx"] + list(cfg.text_fields)
                 + list(cfg.keyword_fields) + list(cfg.list_keyword_fields)
-                + list(cfg.numeric_fields))
+                + list(cfg.numeric_fields)
+                + [src for _f, src in
+                   getattr(cfg, "power_bits_fields", ())])
         ds = _read_input(files, columns=sorted(set(cols)))
         if use_join:
             ds = _assign_ids_join(ds, offsets_path, cfg)
@@ -1084,7 +1123,8 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     postings_fn = make_postings_fn(cfg)
     cols = list(dict.fromkeys(
         ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
-        + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)))
+        + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)
+        + [src for _f, src in getattr(cfg, "power_bits_fields", ())]))
 
     @ray.remote(num_cpus=1)
     def rebuild_partition(pid: int) -> list[dict]:

@@ -896,6 +896,252 @@ ORDER BY scored.score DESC, value ASC LIMIT {_STRUT_K}
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# Stumptown / Metrics / Anomaly request endpoints (the last three plugin
+# shapes): waveform counts + newest-N docs, and bit-sliced SUM/AVG over a
+# power-bits field
+# ---------------------------------------------------------------------------
+
+#: power-bits config: turn_idx indexed as its SET BITS (`bits:<i>` terms +
+#: a `bits:+` sign term per doc — SampleTrawl.java:50-67, the metric
+#: sampler's schema) so MetricsQuery/AnomalyQuery per-segment SUM/AVG are
+#: pure postings algebra (~12 bit planes here, value-cardinality-free)
+METRICS_CFG = IndexConfig(docs_per_partition=4000, num_shards=1,
+                          keyword_fields=("role", "tool"),
+                          power_bits_fields=(("bits", "turn_idx"),))
+
+
+def _cfg_searcher(sf_dir: str, cfg: IndexConfig,
+                  num_readers: int = 2) -> Searcher:
+    """Cached Searcher over the (sf_dir, cfg) index — the non-default-
+    config variant of :func:`searcher_for`."""
+    idir = index_dir_for(sf_dir, cfg)
+    key = (idir, num_readers)
+    s = _SEARCHERS.get(key)
+    if s is None or not s.readers:
+        s = Searcher(idir, num_readers=num_readers)
+        _SEARCHERS[key] = s
+    return s
+
+
+_STUMP_N = 12
+_STUMP_DESIRED = 3
+_WAVE_ROLES = ("assistant", "user")
+
+
+def _role_filters(roles=_WAVE_ROLES) -> dict:
+    return {r: {"operation": "and",
+                "fieldFilters": [{"fieldName": "role", "values": [r]}]}
+            for r in roles}
+
+
+def q_request_stumptown(sf_dir: str, term: str = "spark") -> pa.Table:
+    """StumptownQuery through the JSON request surface
+    (``StumptownQuery.java:15-37`` → ``StumptownAnswer``): per role
+    filter under a ``text:{term}`` constraint over the first hour — the
+    12-segment count waveform PLUS the newest 3 matching docs
+    (chronologically descending, ``Stumptown.java:57-68``).  Output is
+    long-form ``(filter_name, kind, k, v)``: kind='wave' rows carry
+    (segment, count); kind='doc'/'ts' rows carry (rank, doc_id/ts_us)."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    req = {"name": "stumptown", "tenantId": "flagship",
+           "query": {"timeRange": {"smallestTimestamp": lo,
+                                   "largestTimestamp": hi},
+                     "divideTimeRangeIntoNSegments": _STUMP_N,
+                     "desiredNumberOfResultsPerWaveform": _STUMP_DESIRED,
+                     "constraintsFilter": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "text",
+                                           "values": [term]}]},
+                     "stumptownFilters": _role_filters()}}
+    waves = execute_request(s, req)["answer"]["waveforms"]
+    names, kinds, ks, vs = [], [], [], []
+    for name in sorted(waves):
+        w = waves[name]
+        for i, c in enumerate(w["waveform"]):
+            names.append(name), kinds.append("wave")
+            ks.append(i), vs.append(int(c))
+        for rank, r in enumerate(w["results"]):
+            names.append(name), kinds.append("doc")
+            ks.append(rank), vs.append(int(r["docId"]))
+            names.append(name), kinds.append("ts")
+            ks.append(rank), vs.append(int(r["timestamp"]))
+    return pa.table({"filter_name": pa.array(names, pa.string()),
+                     "kind": pa.array(kinds, pa.string()),
+                     "k": pa.array(ks, pa.int64()),
+                     "v": pa.array(vs, pa.int64())})
+
+
+def request_stumptown_sql(term: str = "spark") -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    n = _STUMP_N
+    roles = ", ".join(f"('{r}')" for r in _WAVE_ROLES)
+    return f"""
+{SQL_PROLOGUE},
+hits AS (
+  -- the gate TimeRange is INCLUSIVE [lo, hi] (buildTimeRangeMask); the
+  -- waveform bucketing below re-clips to [lo, hi)
+  SELECT d.role AS role, d.doc_id, epoch_us(d.ts) AS ts_us
+  FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+  WHERE epoch_us(d.ts) >= {lo} AND epoch_us(d.ts) <= {hi}
+    AND d.role IN (SELECT role FROM (VALUES {roles}) r(role))
+),
+wave AS (
+  SELECT r.role, s.segment, coalesce(c.n, 0) AS v
+  FROM (VALUES {roles}) r(role)
+  CROSS JOIN (SELECT unnest(range(0, {n})) AS segment) s
+  LEFT JOIN (SELECT role, ((ts_us - {lo}) * {n}) // ({hi} - {lo}) AS seg,
+                    count(*) AS n
+             FROM hits WHERE ts_us < {hi} GROUP BY 1, 2) c
+    ON c.role = r.role AND c.seg = s.segment
+),
+newest AS (
+  SELECT role, doc_id, ts_us,
+         row_number() OVER (PARTITION BY role
+                            ORDER BY ts_us DESC, doc_id DESC) - 1 AS rank
+  FROM hits
+)
+SELECT filter_name, kind, k::BIGINT AS k, v::BIGINT AS v FROM (
+  SELECT role AS filter_name, 'wave' AS kind, segment AS k, v FROM wave
+  UNION ALL
+  SELECT role, 'doc', rank, doc_id FROM newest
+  WHERE rank < {_STUMP_DESIRED}
+  UNION ALL
+  SELECT role, 'ts', rank, ts_us FROM newest
+  WHERE rank < {_STUMP_DESIRED})
+ORDER BY filter_name, kind, k
+""".strip()
+
+
+_METRICS_N = 6
+
+
+def q_request_metrics(sf_dir: str) -> pa.Table:
+    """MetricsQuery through the JSON request surface
+    (``MetricsQuery.java:17-41`` → ``MetricsAnswer``): per role filter
+    over the first hour in 6 segments, the bit-sliced per-segment
+    AVERAGE of turn_idx — reconstructed purely from the `bits` field's
+    per-plane cardinalities (``Metrics.metricingAvg``; integer
+    division).  The window is the CORPUS span (ts is 1 s per doc and
+    roles cycle mod 4, so all 6 segments are non-empty per role at
+    every sf and the oracle is a plain floor-division; the some-empty
+    interpolation branch is pytest-covered instead)."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = _cfg_searcher(sf_dir, METRICS_CFG)
+    lo = _TS_BASE_US
+    hi = lo + int(s.manifest["n_docs"]) * 1_000_000
+    req = {"name": "metrics", "tenantId": "flagship",
+           "query": {"timeRange": {"smallestTimestamp": lo,
+                                   "largestTimestamp": hi},
+                     "divideTimeRangeIntoNSegments": _METRICS_N,
+                     "powerBitsFieldName": "bits",
+                     "filters": _role_filters()}}
+    rows = execute_request(s, req)["answer"]["waveforms"]
+    names, segs, vals = [], [], []
+    for r in rows:
+        for i, v in enumerate(r["waveform"]):
+            names.append(r["id"]), segs.append(i), vals.append(int(v))
+    return pa.table({"filter_name": pa.array(names, pa.string()),
+                     "segment": pa.array(segs, pa.int64()),
+                     "avg_value": pa.array(vals, pa.int64())})
+
+
+def request_metrics_sql() -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    n = _METRICS_N
+    roles = ", ".join(f"('{r}')" for r in _WAVE_ROLES)
+    return f"""
+{SQL_PROLOGUE},
+win AS (SELECT {lo}::BIGINT AS lo,
+               {lo} + (SELECT count(*) FROM docs) * 1000000 AS hi),
+hits AS (
+  SELECT d.role AS role, d.turn_idx,
+         ((epoch_us(d.ts) - w.lo) * {n}) // (w.hi - w.lo) AS segment
+  FROM docs d CROSS JOIN win w
+  WHERE epoch_us(d.ts) >= w.lo AND epoch_us(d.ts) < w.hi
+)
+SELECT r.role AS filter_name, s.segment::BIGINT AS segment,
+       -- Σ 2^i·card(bit_i) == Σ value; // count == metricingAvg's
+       -- integer division (every segment is non-empty here)
+       coalesce(c.s // c.n, 0)::BIGINT AS avg_value
+FROM (VALUES {roles}) r(role)
+CROSS JOIN (SELECT unnest(range(0, {n})) AS segment) s
+LEFT JOIN (SELECT role, segment, sum(turn_idx) AS s, count(*) AS n
+           FROM hits GROUP BY 1, 2) c
+  ON c.role = r.role AND c.segment = s.segment
+ORDER BY 1, 2
+""".strip()
+
+
+def q_request_anomaly(sf_dir: str) -> pa.Table:
+    """AnomalyQuery through the JSON request surface
+    (``AnomalyQuery.java:18-48`` → ``AnomalyAnswer``): one base filter
+    expanded over ``expansionField='role'`` with a trailing-``*``
+    expansion (term-dictionary scan, ``AnomalyQuestion.java:150-170``),
+    waveform keys ``name-value``; per key the bit-sliced per-segment
+    SUM of turn_idx, sign-partitioned positive − negative
+    (``Anomaly.sum`` with ``1L << i`` weights)."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = _cfg_searcher(sf_dir, METRICS_CFG)
+    lo = _TS_BASE_US
+    hi = lo + int(s.manifest["n_docs"]) * 1_000_000
+    req = {"name": "anomaly", "tenantId": "flagship",
+           "query": {"timeRange": {"smallestTimestamp": lo,
+                                   "largestTimestamp": hi},
+                     "divideTimeRangeIntoNSegments": _METRICS_N,
+                     "powerBitsFieldName": "bits",
+                     "filters": {"turns": {
+                         "operation": "and",
+                         "fieldFilters": [{"fieldName": "role",
+                                           "values": ["user", "assistant",
+                                                      "system", "tool"]}]}},
+                     "expansionField": "role",
+                     "expansionValues": ["*"]}}
+    waves = execute_request(s, req)["answer"]["waveforms"]
+    keys, segs, vals = [], [], []
+    for key in sorted(waves):
+        for i, v in enumerate(waves[key]):
+            keys.append(key), segs.append(i), vals.append(int(v))
+    return pa.table({"key": pa.array(keys, pa.string()),
+                     "segment": pa.array(segs, pa.int64()),
+                     "sum_value": pa.array(vals, pa.int64())})
+
+
+def request_anomaly_sql() -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    n = _METRICS_N
+    return f"""
+{SQL_PROLOGUE},
+win AS (SELECT {lo}::BIGINT AS lo,
+               {lo} + (SELECT count(*) FROM docs) * 1000000 AS hi),
+hits AS (
+  SELECT 'turns-' || d.role AS key, d.turn_idx,
+         ((epoch_us(d.ts) - w.lo) * {n}) // (w.hi - w.lo) AS segment
+  FROM docs d CROSS JOIN win w
+  WHERE epoch_us(d.ts) >= w.lo AND epoch_us(d.ts) < w.hi
+)
+SELECT k.key, s.segment::BIGINT AS segment,
+       coalesce(c.s, 0)::BIGINT AS sum_value
+FROM (SELECT DISTINCT 'turns-' || role AS key FROM docs
+      WHERE role <> '') k
+CROSS JOIN (SELECT unnest(range(0, {n})) AS segment) s
+LEFT JOIN (SELECT key, segment, sum(turn_idx) AS s
+           FROM hits GROUP BY 1, 2) c
+  ON c.key = k.key AND c.segment = s.segment
+ORDER BY 1, 2
+""".strip()
+
+
 def q_bm25_wand(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     s = searcher_for(sf_dir)
     from ..query.filter import or_terms

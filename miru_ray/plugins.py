@@ -56,6 +56,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "request_distincts_values",
     "request_catwalk_model",
     "request_strut_topn",
+    "request_stumptown_topn",
+    "request_metrics_avg",
+    "request_anomaly_sum",
     "fulltext_request_topk",
     "metrics_bitslice_sum",
     "stumptown_appender_counts",
@@ -194,6 +197,12 @@ def _load_builtin_ops() -> None:
         F.request_catwalk_sql(), ("request",))
     reg("request_strut_topn", F.q_request_strut,
         F.request_strut_sql(), ("request",))
+    reg("request_stumptown_topn", F.q_request_stumptown,
+        F.request_stumptown_sql(), ("request",))
+    reg("request_metrics_avg", F.q_request_metrics,
+        F.request_metrics_sql(), ("request",))
+    reg("request_anomaly_sum", F.q_request_anomaly,
+        F.request_anomaly_sql(), ("request",))
     reg("fulltext_reftfidf_and",
         lambda sf: F.q_ref_tfidf(sf, QUERY_TERMS, 10, "and"),
         F.ref_tfidf_sql(QUERY_TERMS, 10, mode="and"), ("fulltext",))

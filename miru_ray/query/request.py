@@ -880,6 +880,14 @@ def execute_request(target, request: dict) -> dict:
     if "definition" in q and "modelQuery" in q:
         from .strutcat import execute_catwalk
         return execute_catwalk(searcher, request, t0)
+    if "stumptownFilters" in q:
+        from .waves import execute_stumptown
+        return execute_stumptown(searcher, request, t0)
+    if "powerBitsFieldName" in q:
+        from .waves import execute_anomaly, execute_metrics
+        if q.get("expansionField") or q.get("expansionValues"):
+            return execute_anomaly(searcher, request, t0)
+        return execute_metrics(searcher, request, t0)
     if "aggregateFieldName1" in q:
         return _execute_reco(searcher, request, t0)
     if "gatherUniquesForField" in q:

@@ -874,3 +874,208 @@ def test_distincts_and_uniques_parity(xs_searcher, xs_table):
     full = execute_request(xs_searcher, _stream_req(
         timeRange=tr, gatherDistinctsForField="tool"))["answer"]
     assert full["results"] == sorted(set(df["tool"]) - {""})
+
+
+# ------------------------------------------- stumptown / metrics / anomaly
+
+def _seg(ts_us, lo, hi, n):
+    import numpy as np
+    ts_us = np.asarray(ts_us, np.int64)
+    return (ts_us - lo) * n // (hi - lo)
+
+
+def test_stumptown_parity(xs_searcher, xs_table):
+    """Waveform counts + newest-N results vs a brute-force recompute
+    (Stumptown.java:38-72: per-segment cardinalities, newest docs
+    chronologically descending)."""
+    import numpy as np
+
+    from miru_ray.tokenize import py_tokenize
+    df = xs_table.to_pandas().reset_index(drop=True)
+    df["doc_id"] = np.arange(len(df))
+    ts_us = df["ts"].astype("int64").to_numpy()
+    lo, hi = int(ts_us.min()), int(np.quantile(ts_us, 0.7))
+    n = 8
+    has = df["text"].map(lambda t: "alpha" in set(py_tokenize(t or "")))
+    resp = execute_request(xs_searcher, {
+        "name": "st", "tenantId": "demo",
+        "query": {"timeRange": {"smallestTimestamp": lo,
+                                "largestTimestamp": hi},
+                  "divideTimeRangeIntoNSegments": n,
+                  "desiredNumberOfResultsPerWaveform": 4,
+                  "constraintsFilter": _text_filter("alpha"),
+                  "stumptownFilters": {
+                      r: {"operation": "and",
+                          "fieldFilters": [{"fieldName": "role",
+                                            "values": [r]}]}
+                      for r in ("user", "tool")}}})
+    waves = resp["answer"]["waveforms"]
+    assert set(waves) == {"user", "tool"}
+    for role in ("user", "tool"):
+        m = has & (df["role"] == role) & (ts_us >= lo) & (ts_us <= hi)
+        sub = df[m]
+        inwin = sub[sub["ts"].astype("int64") < hi]
+        want_wave = np.bincount(
+            _seg(inwin["ts"].astype("int64"), lo, hi, n),
+            minlength=n).tolist()
+        assert waves[role]["waveform"] == want_wave
+        newest = sub.sort_values(["ts", "doc_id"],
+                                 ascending=[False, False]).head(4)
+        assert [r["docId"] for r in waves[role]["results"]] == \
+            newest["doc_id"].tolist()
+        assert [r["timestamp"] for r in waves[role]["results"]] == \
+            newest["ts"].astype("int64").tolist()
+
+
+@pytest.fixture(scope="module")
+def bits_searcher(ray_session, tmp_path_factory):
+    """Tiny power-bits index: val column with positive / negative / zero
+    / huge / Long.MIN_VALUE entries (SampleTrawl.java:50-67 encoding)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    from miru_ray.query.engine import Searcher
+    i64 = np.iinfo(np.int64)
+    # ts seconds: 0,1,2,3,8,9,10,11 over a [0,12) window of 6 segments
+    # → segments 2 (4-5 s) and 3 (6-7 s) are EMPTY (interpolation branch)
+    secs = [0, 1, 2, 3, 8, 9, 10, 11]
+    vals = [5, -3, 0, 7, i64.min, 2 ** 62, 2 ** 62, 2 ** 62]
+    roles = ["user", "assistant"] * 4
+    t = pa.table({
+        "conv_id": pa.array(["conv-0"] * 8),
+        "turn_idx": pa.array(list(range(8)), pa.int32()),
+        "role": pa.array(roles),
+        "text": pa.array([f"doc number {i}" for i in range(8)]),
+        "tool": pa.array([""] * 8),
+        "ts": pa.array([s * 1_000_000 for s in secs], pa.timestamp("us")),
+        "val": pa.array(vals, pa.int64()),
+    })
+    src = tmp_path_factory.mktemp("bits") / "t.parquet"
+    pq.write_table(t, str(src))
+    d = str(tmp_path_factory.mktemp("bits") / "idx")
+    build_index(str(src), d, IndexConfig(
+        docs_per_partition=4, num_shards=1, keyword_fields=("role",),
+        power_bits_fields=(("bits", "val"),)))
+    s = Searcher(d, num_readers=2)
+    yield s
+    s.close()
+
+
+_I64MAX = (1 << 63) - 1
+
+
+def test_metrics_avg_interpolation_and_magnitude(bits_searcher):
+    """metricingAvg over the bits index: sign IGNORED (magnitudes sum,
+    MetricsQuestion.java:147-155 fetches only bit terms), empty segments
+    linearly interpolated with flat extension (Anomaly.java:36-100),
+    per-segment overflow saturates at Long.MAX_VALUE
+    (Anomaly.java:118-123)."""
+    resp = execute_request(bits_searcher, {
+        "name": "m", "tenantId": "demo",
+        "query": {"timeRange": {"smallestTimestamp": 0,
+                                "largestTimestamp": 12_000_000},
+                  "divideTimeRangeIntoNSegments": 6,
+                  "powerBitsFieldName": "bits",
+                  "filters": {"all": {
+                      "operation": "and",
+                      "fieldFilters": [{"fieldName": "role",
+                                        "values": ["user",
+                                                   "assistant"]}]}}}})
+    [w] = resp["answer"]["waveforms"]
+    assert w["id"] == "all"
+    # magnitudes: 5,3,0,7, i64max, 2^62 ×3; segments of 2 s:
+    #   seg0 = (5+3)//2 = 4;  seg1 = (0+7)//2 = 3
+    #   seg4 = (i64max + 2^62) → saturates to i64max, //2
+    #   seg5 = (2^62 + 2^62) = 2^63 → saturates to i64max, //2
+    #   seg2, seg3 empty → interpolate between seg1 (x=1, y=3) and
+    #   seg4 (x=4, y=i64max//2): trunc(3 + (y4-3)*k/3), k=1,2
+    y4 = _I64MAX // 2
+    exp2 = int(3 + (y4 - 3) * 1 / 3)
+    exp3 = int(3 + (y4 - 3) * 2 / 3)
+    assert w["waveform"] == [4, 3, exp2, exp3, y4, y4]
+
+
+def test_anomaly_sign_expansion_and_keys(bits_searcher):
+    """Anomaly: sign-partitioned sums merged positive − negative
+    (AnomalyQuestion.java:210-235), expansion values join each filter as
+    `name-value` keys, trailing-* expands from the term dictionary."""
+    base = {"operation": "and",
+            "fieldFilters": [{"fieldName": "role",
+                              "values": ["user", "assistant"]}]}
+    q = {"timeRange": {"smallestTimestamp": 0,
+                       "largestTimestamp": 12_000_000},
+         "divideTimeRangeIntoNSegments": 6,
+         "powerBitsFieldName": "bits",
+         "filters": {"t": base},
+         "expansionField": "role",
+         "expansionValues": ["*"]}
+    resp = execute_request(bits_searcher, {"name": "a", "tenantId": "demo",
+                                           "query": q})
+    waves = resp["answer"]["waveforms"]
+    assert set(waves) == {"t-user", "t-assistant"}
+    # user docs: secs 0,2,8,10 → vals 5,0,min,2^62
+    #   seg0 = 5, seg1 = 0, seg4 = −i64max (min flips lossily to max
+    #   magnitude, negative sign), seg5 = 2^62
+    assert waves["t-user"] == [5, 0, 0, 0, -_I64MAX, 2 ** 62]
+    # assistant docs: secs 1,3,9,11 → vals −3,7,2^62,2^62
+    assert waves["t-assistant"] == [-3, 7, 0, 0, 2 ** 62, 2 ** 62]
+    # literal expansion values behave like the star scan, same keys
+    q2 = dict(q, expansionValues=["user"])
+    w2 = execute_request(bits_searcher, {"name": "a", "tenantId": "demo",
+                                         "query": q2})
+    assert w2["answer"]["waveforms"] == {"t-user": waves["t-user"]}
+    # empty expansion → bare filter names (AnomalyQuestion.java:186-189;
+    # expansionField present keeps the anomaly dispatch — without BOTH
+    # knobs the JSON shape is a MetricsQuery, as in the reference where
+    # the endpoint URL disambiguates)
+    q3 = dict(q, expansionValues=[])
+    w3 = execute_request(bits_searcher, {"name": "a", "tenantId": "demo",
+                                         "query": q3})
+    assert list(w3["answer"]["waveforms"]) == ["t"]
+    # bare filter spans both roles: seg4 = 2^62 − i64max (the min flip),
+    # seg5 = 2^62 + 2^62 saturating at Long.MAX_VALUE before the merge
+    assert w3["answer"]["waveforms"]["t"] == [
+        2, 7, 0, 0, 2 ** 62 - _I64MAX, _I64MAX]
+
+
+def test_waves_rejects(bits_searcher, xs_searcher):
+    base = {"name": "r", "tenantId": "demo"}
+    with pytest.raises(ValueError, match="timeRange"):
+        execute_request(bits_searcher, {
+            **base, "query": {"divideTimeRangeIntoNSegments": 4,
+                              "powerBitsFieldName": "bits",
+                              "filters": {"x": {}}}})
+    with pytest.raises(ValueError, match="Segments"):
+        execute_request(bits_searcher, {
+            **base, "query": {"timeRange": {"smallestTimestamp": 0,
+                                            "largestTimestamp": 10},
+                              "powerBitsFieldName": "bits",
+                              "filters": {"x": {}}}})
+    with pytest.raises(ValueError, match="filters"):
+        execute_request(bits_searcher, {
+            **base, "query": {"timeRange": {"smallestTimestamp": 0,
+                                            "largestTimestamp": 10},
+                              "divideTimeRangeIntoNSegments": 4,
+                              "powerBitsFieldName": "bits"}})
+    # an index built WITHOUT the power-bits field fails loudly
+    with pytest.raises(ValueError, match="power-bits"):
+        execute_request(xs_searcher, {
+            **base, "query": {"timeRange": {"smallestTimestamp": 0,
+                                            "largestTimestamp": 10},
+                              "divideTimeRangeIntoNSegments": 4,
+                              "powerBitsFieldName": "bits",
+                              "filters": {"x": {
+                                  "operation": "and",
+                                  "fieldFilters": [{
+                                      "fieldName": "role",
+                                      "values": ["user"]}]}}}})
+    # stumptown requires the filters map too
+    with pytest.raises(ValueError, match="stumptownFilters"):
+        execute_request(xs_searcher, {
+            **base, "query": {"timeRange": {"smallestTimestamp": 0,
+                                            "largestTimestamp": 10},
+                              "divideTimeRangeIntoNSegments": 4,
+                              "stumptownFilters": {}}})
