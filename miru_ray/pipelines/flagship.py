@@ -906,7 +906,8 @@ ORDER BY scored.score DESC, value ASC LIMIT {_STRUT_K}
 #: a `bits:+` sign term per doc — SampleTrawl.java:50-67, the metric
 #: sampler's schema) so MetricsQuery/AnomalyQuery per-segment SUM/AVG are
 #: pure postings algebra (~12 bit planes here, value-cardinality-free)
-METRICS_CFG = IndexConfig(docs_per_partition=4000, num_shards=1,
+METRICS_CFG = IndexConfig(docs_per_partition=100_000, num_shards=1,
+                          text_fields=(),  # metrics tenants don't score
                           keyword_fields=("role", "tool"),
                           power_bits_fields=(("bits", "turn_idx"),))
 
