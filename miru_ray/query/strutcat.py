@@ -385,13 +385,14 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
         results.append(row)
     if gtf and results:
         # latest matching doc per candidate → gather its field values
+        # (ts order, NOT doc-id order: ids group by conversation here,
+        # so the max id is not the newest doc)
         by_ts: dict[int, str] = {}
         for row in results:
-            ids = searcher.match_docs(
-                _and([Term(gather, row["value"]), gate]))
-            if len(ids):
-                # newest doc: max ts then max doc id — find via stats ts
-                by_ts[int(ids.max())] = row["value"]
+            newest = searcher.topk_time(
+                _and([Term(gather, row["value"]), gate]), 1)
+            if newest.num_rows:
+                by_ts[int(newest["doc_id"][0].as_py())] = row["value"]
         if by_ts:
             gat = searcher.gather(sorted(by_ts), columns=gtf)
             cols = {f: gat[f].to_pylist() for f in gtf}

@@ -1079,3 +1079,202 @@ def test_waves_rejects(bits_searcher, xs_searcher):
                                             "largestTimestamp": 10},
                               "divideTimeRangeIntoNSegments": 4,
                               "stumptownFilters": {}}})
+
+
+# ----------------------------------------------------- catwalk / strut
+
+def _cw_defn(features, top_n):
+    return {"catwalkId": "t", "gatherField": "conv_id",
+            "scorableField": "conv_id", "features": features,
+            "featureStrategy": "UNIT_WEIGHTED",
+            "numeratorCount": 2}
+
+
+def _cw_model_q(lo, hi, top_n):
+    return {"timeRange": {"smallestTimestamp": lo, "largestTimestamp": hi},
+            "modelFilters": [
+                {"operation": "and",
+                 "fieldFilters": [{"fieldName": "role", "values": [r]}]}
+                for r in ("user", "assistant")],
+            "desiredNumberOfResults": top_n}
+
+
+def _brute_catwalk(df, lo, hi, top_n, field):
+    """Catwalk.java:88-215 recompute: numerator sets = top-N convs by
+    doc count under each role filter in the window (count DESC, conv
+    ASC); numerators = window doc counts of set members per value;
+    denominator = corpus-wide value counts."""
+    ts = df["ts"].astype("int64")
+    win = df[(ts >= lo) & (ts <= hi)]
+    sets = []
+    for r in ("user", "assistant"):
+        cnt = win[win["role"] == r].groupby("conv_id").size()
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        sets.append({c for c, _n in ranked[:top_n]})
+    vis = df[field][df[field] != ""]
+    den = vis.groupby(vis).size()
+    out = {}
+    for v in sorted(den.index):
+        nums = []
+        for s in sets:
+            m = win[(win[field] == v) & win["conv_id"].isin(s)]
+            nums.append(len(m))
+        out[v] = (nums, int(den[v]))
+    return out
+
+
+def test_catwalk_parity(reco_searcher, xs_table):
+    import numpy as np
+    df = xs_table.to_pandas().reset_index(drop=True)
+    ts = df["ts"].astype("int64")
+    lo, hi = int(ts.min()), int(ts.quantile(0.5))
+    resp = execute_request(reco_searcher, {
+        "name": "cw", "tenantId": "demo",
+        "query": {"definition": _cw_defn(
+                      [{"name": "tools", "featureFields": ["tool"],
+                        "featureScalar": 1.0}], 5),
+                  "modelQuery": _cw_model_q(lo, hi, 5)}})
+    ans = resp["answer"]
+    want = _brute_catwalk(df, lo, hi, 5, "tool")
+    got = {r["termIds"][0]: (r["numerators"], r["denominator"])
+           for r in ans["results"][0]}
+    # engine drops never-observed values; every brute row with any
+    # signal must match exactly
+    for v, (nums, den) in want.items():
+        if den or any(nums):
+            assert got[v] == (nums, den), v
+    assert ans["totalCount"] == len(df)
+    assert not ans["destroyed"]
+
+
+def _strut_req(lo, hi, chi, k, **over):
+    q = {"catwalkDefinition": _cw_defn(
+             [{"name": "tools", "featureFields": ["tool"],
+               "featureScalar": 1.0},
+              {"name": "roles", "featureFields": ["role"],
+               "featureScalar": 0.5}], 5),
+         "modelScalars": [{"catwalkModelQuery": _cw_model_q(lo, hi, 5),
+                           "scalar": 1.0}],
+         "timeRange": {"smallestTimestamp": lo, "largestTimestamp": chi},
+         "constraintFilter": {
+             "operation": "and",
+             "fieldFilters": [{"fieldName": "role",
+                               "values": ["user", "assistant",
+                                          "system", "tool"]}]},
+         "numeratorStrategy": "REGRESSION_WEIGHTED",
+         "numeratorScalars": [0.5, 0.4],
+         "desiredNumberOfResults": k}
+    q.update(over)
+    return {"name": "st", "tenantId": "demo", "query": q}
+
+
+def _brute_strut(df, lo, hi, chi, k):
+    """Strut.java:354-407 recompute (single model, scalar 1.0):
+    s_i(v) = clamp(num_i/den ≤ 1); feature score = max over observed
+    values of s·featureScalar; UNIT_WEIGHTED finalize = Σ positive / 2;
+    REGRESSION_WEIGHTED scale over (0.5, 0.4)."""
+    import numpy as np
+    ts = df["ts"].astype("int64")
+    model = {"tool": _brute_catwalk(df, lo, hi, 5, "tool"),
+             "role": _brute_catwalk(df, lo, hi, 5, "role")}
+    cand_win = df[(ts >= lo) & (ts <= chi)]
+    rows = []
+    for conv, sub in cand_win.groupby("conv_id"):
+        feat = np.zeros((2, 2))  # [numerator, feature]
+        for fi, (field, scalar) in enumerate((("tool", 1.0),
+                                              ("role", 0.5))):
+            vals = set(sub[field]) - {""}
+            for v in vals:
+                nums, den = model[field].get(v, ([0, 0], 0))
+                s = np.minimum(np.array(nums, float) /
+                               max(den, 1) * (den > 0), 1.0)
+                upd = s * scalar
+                feat[:, fi] = np.maximum(feat[:, fi], upd)
+        term = np.array([f[f > 0].sum() / 2 if (f > 0).any() else 0.0
+                         for f in feat])
+        scaled = term * np.array([0.5, 0.4])
+        pos = scaled[scaled > 0]
+        score = float(pos.sum()) if len(pos) else 0.0
+        sub_ts = sub["ts"].astype("int64")
+        rows.append((score, conv, int(sub_ts.max()), len(sub)))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    return rows[:k]
+
+
+def test_strut_parity_and_gather(reco_searcher, xs_table):
+    df = xs_table.to_pandas().reset_index(drop=True)
+    df["doc_id"] = range(len(df))
+    ts = df["ts"].astype("int64")
+    lo, hi = int(ts.min()), int(ts.quantile(0.5))
+    chi = int(ts.quantile(0.25))
+    resp = execute_request(reco_searcher, _strut_req(
+        lo, hi, chi, 8, includeFeatures=True,
+        gatherTermsForFields=["role"]))
+    got = resp["answer"]["results"]
+    want = _brute_strut(df, lo, hi, chi, 8)
+    assert [(r["value"], round(r["score"], 9)) for r in got] == \
+        [(v, round(s, 9)) for s, v, _t, _n in want]
+    assert [(r["timestamp"], r["count"]) for r in got] == \
+        [(t, n) for _s, _v, t, n in want]
+    # includeFeatures: some hotness rows surface for a scoring result
+    assert any(r["features"] and any(r["features"]) for r in got
+               if r["score"] > 0)
+    # gatherLatestValues = the NEWEST matching doc's field values
+    # (ts order, not doc-id order)
+    for r in got:
+        sub = df[(df["conv_id"] == r["value"]) & (ts >= lo) & (ts <= chi)]
+        newest = sub.sort_values(["ts", "doc_id"],
+                                 ascending=False).iloc[0]
+        assert r["gatherLatestValues"] == {"role": [newest["role"]]}
+
+
+def test_strut_model_cache_reused(reco_searcher, xs_table):
+    ts = xs_table["ts"].cast("int64").to_pandas()
+    lo, hi = int(ts.min()), int(ts.quantile(0.5))
+    chi = int(ts.quantile(0.25))
+    reco_searcher._strut_models = {}
+    r1 = execute_request(reco_searcher, _strut_req(lo, hi, chi, 5))
+    assert len(reco_searcher._strut_models) == 1
+    r2 = execute_request(reco_searcher, _strut_req(lo, hi, chi, 5))
+    assert len(reco_searcher._strut_models) == 1  # hit, not rebuilt
+    assert r1["answer"]["results"] == r2["answer"]["results"]
+
+
+def test_strutcat_rejects(reco_searcher, xs_table):
+    ts = xs_table["ts"].cast("int64").to_pandas()
+    lo, hi = int(ts.min()), int(ts.quantile(0.5))
+    chi = int(ts.quantile(0.25))
+    # numeratorCount must equal modelFilters length
+    bad = _cw_model_q(lo, hi, 5)
+    bad["modelFilters"] = bad["modelFilters"][:1]
+    with pytest.raises(ValueError, match="Numerator count"):
+        execute_request(reco_searcher, {
+            "name": "cw", "tenantId": "demo",
+            "query": {"definition": _cw_defn(
+                          [{"name": "t", "featureFields": ["tool"]}], 5),
+                      "modelQuery": bad}})
+    # desiredNumberOfResults >= 1 (CatwalkModelQuery.java:108)
+    with pytest.raises(ValueError, match="at least 1"):
+        execute_request(reco_searcher, {
+            "name": "cw", "tenantId": "demo",
+            "query": {"definition": _cw_defn(
+                          [{"name": "t", "featureFields": ["tool"]}], 5),
+                      "modelQuery": _cw_model_q(lo, hi, 0)}})
+    # multi-field features need the docstore combo walk — rejected
+    with pytest.raises(ValueError, match="multi-field"):
+        execute_request(reco_searcher, {
+            "name": "cw", "tenantId": "demo",
+            "query": {"definition": _cw_defn(
+                          [{"name": "x",
+                            "featureFields": ["tool", "role"]}], 5),
+                      "modelQuery": _cw_model_q(lo, hi, 5)}})
+    # strut: unknown strategy / scalar-length mismatch / unread knob
+    with pytest.raises(ValueError, match="Strategy not supported"):
+        execute_request(reco_searcher, _strut_req(
+            lo, hi, chi, 5, numeratorStrategy="MEAN"))
+    with pytest.raises(ValueError, match="same length"):
+        execute_request(reco_searcher, _strut_req(
+            lo, hi, chi, 5, numeratorScalars=[0.5, 0.4, 0.3]))
+    with pytest.raises(ValueError, match="unreadStreamId"):
+        execute_request(reco_searcher, _strut_req(
+            lo, hi, chi, 5, unreadStreamId="u1"))
