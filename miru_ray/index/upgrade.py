@@ -76,6 +76,15 @@ def check_additive(old: IndexConfig, new: IndexConfig) -> dict:
         if missing:
             problems.append(f"{kind} removed: {missing}")
         added[kind] = tuple(f for f in n if f not in o)
+    # power-bits pairs are additive like any keyword field (their terms
+    # derive from a stored int column, tf=1, zero doclen effect); a
+    # removed or re-sourced pair is not
+    o_pb = [tuple(p) for p in getattr(old, "power_bits_fields", ())]
+    n_pb = [tuple(p) for p in getattr(new, "power_bits_fields", ())]
+    missing_pb = [p for p in o_pb if p not in n_pb]
+    if missing_pb:
+        problems.append(f"power_bits_fields removed: {missing_pb}")
+    added["power_bits_fields"] = tuple(p for p in n_pb if p not in o_pb)
     if problems:
         raise ValueError("config change is not additive: "
                          + "; ".join(problems))
@@ -95,25 +104,30 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
             "only touched cells into the new format and leave a MIXED "
             "index — rebuild (or compact) to the current format first")
     added = check_additive(IndexConfig.from_dict(m["config"]), new_cfg)
+    added_pb = added.pop("power_bits_fields")
     new_fields = [f for kind in added.values() for f in kind]
     fp = m["fingerprint"]
     new_tag = _build_tag(fp, new_cfg)
-    if not new_fields:
+    if not new_fields and not added_pb:
         m["config"] = new_cfg.to_dict()  # exec-knob-only change
         atomic_write_json(manifest_path, m)
         return m
 
-    # [1] delta postings from the docstore (it stores every input column)
+    # [1] delta postings from the docstore (it stores every input column;
+    # power-bits terms derive from their SOURCE column there)
     delta_cfg = IndexConfig(
         text_fields=(),
         keyword_fields=added["keyword_fields"],
         list_keyword_fields=added["list_keyword_fields"],
         numeric_fields=added["numeric_fields"],
+        power_bits_fields=added_pb,
         docs_per_partition=new_cfg.docs_per_partition,
         num_shards=new_cfg.num_shards,
         remove_stopwords=new_cfg.remove_stopwords)
     docstore_dir = os.path.join(index_dir, "docstore")
-    docs = read_parquet_clean(docstore_dir, columns=["doc_id", *new_fields],
+    read_cols = list(dict.fromkeys(
+        ["doc_id", *new_fields] + [src for _f, src in added_pb]))
+    docs = read_parquet_clean(docstore_dir, columns=read_cols,
                               file_extensions=["parquet"])
     postings = docs.map_batches(make_postings_fn(delta_cfg),
                                 batch_format="pyarrow", batch_size=8192)

@@ -556,3 +556,54 @@ def test_tenant_cross_process_repoint_closes_stale_searcher(tmp_path):
     assert a.searcher("t").count("beta") == 4
     a.close()
     b.close()
+
+
+def test_additive_upgrade_power_bits(tmp_path):
+    """power_bits_fields joins the additive-upgrade surface: adding a
+    bits field re-encodes only its postings (derived from the docstore's
+    stored source column) and matches a fresh build byte-for-byte;
+    removing or re-sourcing one refuses loudly."""
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    from miru_ray.index.upgrade import check_additive, upgrade_index
+    from miru_ray.query.engine import Searcher
+
+    docs = pa.table({
+        "conv_id": pa.array([f"c{i % 3}" for i in range(30)]),
+        "turn_idx": pa.array([i // 3 for i in range(30)], pa.int32()),
+        "role": pa.array(["user", "assistant"][i % 2] for i in range(30)),
+        "text": pa.array([f"alpha tok{i % 7}" for i in range(30)]),
+        "ts": pa.array(np.arange(30) * 1000, pa.int64()),
+    })
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(docs, os.path.join(src, "docs.parquet"))
+    old_cfg = IndexConfig(docs_per_partition=8, num_shards=2,
+                          keyword_fields=("role",))
+    new_cfg = IndexConfig(docs_per_partition=8, num_shards=2,
+                          keyword_fields=("role",),
+                          power_bits_fields=(("bits", "turn_idx"),))
+
+    up_dir = str(tmp_path / "upgraded")
+    build_index(src, up_dir, old_cfg)
+    upgrade_index(up_dir, new_cfg)
+    fresh_dir = str(tmp_path / "fresh")
+    build_index(src, fresh_dir, new_cfg)
+    assert _dir_bytes(up_dir, "segments") == _dir_bytes(fresh_dir,
+                                                        "segments")
+    from miru_ray.util import read_json
+    mu, mf = (read_json(os.path.join(d, "manifest.json"))
+              for d in (up_dir, fresh_dir))
+    assert mu["config"] == mf["config"]
+    assert mu["segments"] == mf["segments"]
+    s = Searcher(up_dir, num_readers=1)
+    # turn_idx 0..9: bit 3 set for 8,9 → 3 convs × 2 turns = 6 docs
+    assert s.count("bits:3") == 6
+    assert s.count("bits:+") == 30
+    s.close()
+    with pytest.raises(ValueError, match="power_bits_fields removed"):
+        check_additive(new_cfg, old_cfg)
+    with pytest.raises(ValueError, match="power_bits_fields removed"):
+        check_additive(new_cfg, IndexConfig(
+            docs_per_partition=8, num_shards=2, keyword_fields=("role",),
+            power_bits_fields=(("bits", "ts"),)))  # re-sourced
