@@ -111,6 +111,14 @@ def _filters_map(q: dict, key: str) -> dict:
     return m
 
 
+def _exhausted(searcher, lo: int) -> bool:
+    """``resultsExhausted = smallestTimestamp > timeIndex.largest``
+    (``MetricsQuestion.java:77``, same in the stumptown/anomaly
+    questions): the window starts past everything indexed."""
+    zones = searcher._zone_maps()
+    return bool(zones) and lo > max(z[1] for z in zones.values())
+
+
 def execute_stumptown(searcher, request: dict, t0: float) -> dict:
     """StumptownQuery → StumptownAnswer: per named filter, the
     per-segment count waveform in ONE batched fan-out, plus the newest
@@ -136,7 +144,8 @@ def execute_stumptown(searcher, request: dict, t0: float) -> dict:
                 results.append({"docId": int(d), "timestamp": int(t)})
         out[str(name)] = {"waveform": [int(x) for x in wave],
                           "results": results}
-    answer = {"waveforms": out, "resultsExhausted": True}
+    answer = {"waveforms": out,
+              "resultsExhausted": _exhausted(searcher, lo)}
     return _respond(request, searcher, answer, t0,
                     [f"stumptown [{lo},{hi})/{n} × {len(names)} filters "
                      f"desired={desired}"])
@@ -242,7 +251,8 @@ def execute_metrics(searcher, request: dict, t0: float) -> dict:
                   "waveform": [int(x) for x in
                                _avg_interpolated(sums[i], raws[i])]}
                  for i, name in enumerate(names)]
-    answer = {"waveforms": waveforms, "resultsExhausted": True}
+    answer = {"waveforms": waveforms,
+              "resultsExhausted": _exhausted(searcher, lo)}
     return _respond(request, searcher, answer, t0,
                     [f"metrics field={field!r} bits={bits} "
                      f"[{lo},{hi})/{n} × {len(names)} filters"])
@@ -295,7 +305,7 @@ def execute_anomaly(searcher, request: dict, t0: float) -> dict:
     pos_sums, neg_sums = by_sign["+"][0], by_sign["-"][0]
     answer = {"waveforms": {k: [int(x) for x in (pos_sums[i] - neg_sums[i])]
                             for i, k in enumerate(keys)},
-              "resultsExhausted": True}
+              "resultsExhausted": _exhausted(searcher, lo)}
     return _respond(request, searcher, answer, t0,
                     [f"anomaly field={field!r} bits={bits} "
                      f"[{lo},{hi})/{n} × {len(keys)} keys"])
