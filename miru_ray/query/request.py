@@ -865,12 +865,17 @@ def execute_request(target, request: dict) -> dict:
     partitions before solving).
 
     The wrapped query dispatches on shape, mirroring the reference's
-    per-plugin endpoints: ``scoreSets`` + ``aggregateCountAroundField``
-    is a TrendingQuery, a bare ``aggregateCountAroundField`` is a
-    DistinctCountQuery, a ``constraints`` map is an
-    AggregateCountsQuery, a bare ``scoreSets`` list is an
-    AnalyticsQuery, anything else is a FullTextQuery (which requires
-    ``query.query``)."""
+    per-plugin endpoints (which disambiguate by URL — the shapes are
+    distinct except metrics/anomaly, split on the expansion knobs):
+    ``catwalkDefinition`` → Strut; ``definition`` + ``modelQuery`` →
+    Catwalk; ``stumptownFilters`` → Stumptown; ``powerBitsFieldName`` →
+    Anomaly when ``expansionField``/``expansionValues`` present else
+    Metrics; ``aggregateFieldName1`` → Reco; ``gatherUniquesForField``
+    → Uniques; ``gatherDistinctsForField`` → Distincts; ``scoreSets``
+    + ``aggregateCountAroundField`` → Trending; bare
+    ``aggregateCountAroundField`` → DistinctCount; a ``constraints``
+    map → AggregateCounts; bare ``scoreSets`` → Analytics; anything
+    else is a FullTextQuery (which requires ``query.query``)."""
     t0 = time.perf_counter()
     searcher = _resolve_searcher(target, request)
     q = request.get("query") or {}

@@ -166,8 +166,15 @@ def _bit_terms(searcher, field: str) -> list[int]:
     bits = []
     for key in found:
         v = key.split(":", 1)[1]
-        if v not in ("+", "-"):
+        if v in ("+", "-"):
+            continue
+        try:
             bits.append(int(v))
+        except ValueError:
+            raise ValueError(
+                f"field {field!r} is not a power-bits field (found term "
+                f"{v!r}; expected bit indexes and +/- sign terms — was "
+                "the index built with power_bits_fields?)") from None
     return sorted(bits)
 
 

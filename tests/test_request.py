@@ -1278,3 +1278,52 @@ def test_strutcat_rejects(reco_searcher, xs_table):
     with pytest.raises(ValueError, match="unreadStreamId"):
         execute_request(reco_searcher, _strut_req(
             lo, hi, chi, 5, unreadStreamId="u1"))
+
+
+def test_anomaly_fuzz_windows(bits_searcher):
+    """Randomized windows/segment-counts/filters vs an exact recompute:
+    merged[j] = sat(Σ pos magnitudes) − sat(Σ neg magnitudes) per
+    segment over the 8-doc bits fixture (sign flip for Long.MIN_VALUE,
+    Long.MAX saturation per sign partition)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    i64 = np.iinfo(np.int64)
+    secs = [0, 1, 2, 3, 8, 9, 10, 11]
+    vals = [5, -3, 0, 7, i64.min, 2 ** 62, 2 ** 62, 2 ** 62]
+    roles = ["user", "assistant"] * 4
+
+    @settings(max_examples=20, deadline=None)
+    @given(lo_s=st.integers(0, 11), width_s=st.integers(1, 13),
+           n=st.integers(1, 9),
+           fset=st.sampled_from([("user",), ("assistant",),
+                                 ("user", "assistant")]))
+    def check(lo_s, width_s, n, fset):
+        lo, hi = lo_s * 1_000_000, (lo_s + width_s) * 1_000_000
+        resp = execute_request(bits_searcher, {
+            "name": "f", "tenantId": "demo",
+            "query": {"timeRange": {"smallestTimestamp": lo,
+                                    "largestTimestamp": hi},
+                      "divideTimeRangeIntoNSegments": n,
+                      "powerBitsFieldName": "bits",
+                      "filters": {"f": {
+                          "operation": "and",
+                          "fieldFilters": [{"fieldName": "role",
+                                            "values": list(fset)}]}},
+                      "expansionField": "role",
+                      "expansionValues": []}})
+        got = resp["answer"]["waveforms"]["f"]
+        pos = [0] * n
+        neg = [0] * n
+        for s, v, r in zip(secs, vals, roles):
+            ts = s * 1_000_000
+            if r not in fset or not (lo <= ts <= hi) or ts >= hi:
+                continue
+            seg = (ts - lo) * n // (hi - lo)
+            mag = i64.max if v == i64.min else abs(v)
+            (neg if v < 0 else pos)[seg] += mag
+        want = [min(p, int(i64.max)) - min(q, int(i64.max))
+                for p, q in zip(pos, neg)]
+        assert got == want, (lo, hi, n, fset)
+
+    check()
