@@ -79,8 +79,11 @@ def index_dir_for(sf_dir: str, cfg: IndexConfig = FLAGSHIP_CFG) -> str:
     return idir
 
 
-def searcher_for(sf_dir: str, num_readers: int = 2) -> Searcher:
-    idir = index_dir_for(sf_dir)
+def searcher_for(sf_dir: str, num_readers: int = 2,
+                 cfg: IndexConfig = FLAGSHIP_CFG) -> Searcher:
+    """Cached Searcher over the (sf_dir, cfg) index — ONE cache-lookup /
+    rebuild-on-dead-readers definition for every config variant."""
+    idir = index_dir_for(sf_dir, cfg)
     key = (idir, num_readers)
     s = _SEARCHERS.get(key)
     if s is None or not s.readers:
@@ -914,15 +917,7 @@ METRICS_CFG = IndexConfig(docs_per_partition=100_000, num_shards=1,
 
 def _cfg_searcher(sf_dir: str, cfg: IndexConfig,
                   num_readers: int = 2) -> Searcher:
-    """Cached Searcher over the (sf_dir, cfg) index — the non-default-
-    config variant of :func:`searcher_for`."""
-    idir = index_dir_for(sf_dir, cfg)
-    key = (idir, num_readers)
-    s = _SEARCHERS.get(key)
-    if s is None or not s.readers:
-        s = Searcher(idir, num_readers=num_readers)
-        _SEARCHERS[key] = s
-    return s
+    return searcher_for(sf_dir, num_readers, cfg)
 
 
 _STUMP_N = 12
@@ -1305,12 +1300,7 @@ def q_phrase_bigram_count(sf_dir: str,
     gather anywhere (the positions-free scale path).  Must equal
     ``fulltext_phrase_count``'s answer and the same SQL oracle."""
     from ..query.parser import parse_query
-    idir = index_dir_for(sf_dir, BIGRAM_CFG)
-    key = (idir, 2)
-    s = _SEARCHERS.get(key)
-    if s is None or not s.readers:
-        s = Searcher(idir, num_readers=2)
-        _SEARCHERS[key] = s
+    s = _cfg_searcher(sf_dir, BIGRAM_CFG)
     ast = parse_query(f'"{phrase}"')
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
 
@@ -1331,12 +1321,7 @@ def q_phrase_positional_count(sf_dir: str,
     (beyond what bigrams can certify).  Same SQL oracle family as
     ``fulltext_phrase_count``."""
     from ..query.parser import parse_query
-    idir = index_dir_for(sf_dir, POSITIONAL_CFG)
-    key = (idir, 2)
-    s = _SEARCHERS.get(key)
-    if s is None or not s.readers:
-        s = Searcher(idir, num_readers=2)
-        _SEARCHERS[key] = s
+    s = _cfg_searcher(sf_dir, POSITIONAL_CFG)
     ast = parse_query(f'"{phrase}"')
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
 
@@ -1349,12 +1334,7 @@ def q_phrase_slop_count(sf_dir: str, a: str = "stream", b: str = "hash",
     runs, no stored-text gather (``LuceneBackedQueryParser`` sloppy
     phrases, reordering not licensed)."""
     from ..query.parser import parse_query
-    idir = index_dir_for(sf_dir, POSITIONAL_CFG)
-    key = (idir, 2)
-    s = _SEARCHERS.get(key)
-    if s is None or not s.readers:
-        s = Searcher(idir, num_readers=2)
-        _SEARCHERS[key] = s
+    s = _cfg_searcher(sf_dir, POSITIONAL_CFG)
     ast = parse_query(f'"{a} {b}"~{slop}')
     return pa.table({"n_matched": pa.array([s.count(ast)], pa.int64())})
 

@@ -1029,13 +1029,17 @@ class PartitionReader:
         return out
 
     def term_match_stats(self, ast: Node, term_keys: list[str],
-                         expansions: dict) -> dict[str, tuple[int, int]]:
-        """:meth:`term_match_counts` + the latest matching-doc timestamp:
-        ``key → (count, max_ts_us)`` — the strut candidate gather needs
-        both (``HotOrNot.timestamp``/``count``,
-        ``Strut.java:180-182``).  ``max_ts`` is -1 for keys with no
+                         expansions: dict
+                         ) -> dict[str, tuple[int, int, int]]:
+        """:meth:`term_match_counts` + the latest matching doc:
+        ``key → (count, max_ts_us, doc_at_max)`` — the strut candidate
+        gather needs the first two (``HotOrNot.timestamp``/``count``,
+        ``Strut.java:180-182``) and ``gatherTermsForFields`` the third
+        (the newest doc's id, ties broken by larger doc id like the TIME
+        strategy), all from ONE fan-out.  ``(-1, -1)`` for keys with no
         match."""
-        out: dict[str, tuple[int, int]] = {k: (0, -1) for k in term_keys}
+        out: dict[str, tuple[int, int, int]] = {k: (0, -1, -1)
+                                                for k in term_keys}
         for pid in self.parts:
             if not self._may_match(ast, pid):
                 continue
@@ -1054,9 +1058,14 @@ class PartitionReader:
                 n = int(hit.sum())
                 if not n:
                     continue
-                c0, t0 = out[k]
-                out[k] = (c0 + n,
-                          max(t0, int(ts[p[0][hit] - base].max())))
+                c0, t0, d0 = out[k]
+                docs = p[0][hit]
+                tvals = ts[docs - base]
+                mx = int(tvals.max())
+                dx = int(docs[tvals == mx].max())
+                if (mx, dx) > (t0, d0):
+                    t0, d0 = mx, dx
+                out[k] = (c0 + n, t0, d0)
         return out
 
     def term_pair_rows(self, ast: Node, row_keys: list[str],
@@ -1703,6 +1712,13 @@ class Searcher:
         if hi <= lo:  # the score set requires an explicit, non-empty range
             raise ValueError("waveform needs lo < hi (an explicit time "
                              "range; ScoreSet rejects ALL_TIME)")
+        if (int(hi) - int(lo)) > (2 ** 63 - 1) // n:
+            # the reader's segment math is (ts - lo) * n // width in
+            # int64; a client window wide enough to overflow it must
+            # fail loudly, not wrap into negative bincount indexes
+            raise ValueError(f"time range width {int(hi) - int(lo)} µs × "
+                             f"{n} segments overflows the segment "
+                             "arithmetic; narrow the window or lower n")
         asts = [self._to_ast(q) for q in queries]
         expansions: dict = {}
         for ast in asts:  # per-key fan-outs dedupe via _expansion_cache
@@ -1803,6 +1819,9 @@ class Searcher:
         atomic_write_json(tpath, doc_list)
         counts = self._fanout("load_tombstones", doc_list,
                               all_replicas=True)
+        # bump the mutation epoch so derived-model caches keyed on it
+        # (e.g. the strut model memo) stop serving pre-removal counts
+        self.mutation_epoch = getattr(self, "mutation_epoch", 0) + 1
         return sum(counts)
 
     def _to_ast(self, query) -> Node:

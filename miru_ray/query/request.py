@@ -265,6 +265,25 @@ def _reject_unread_knobs(q: dict) -> None:
                 "not an index-side bitmap")
 
 
+def authz_clause(request: dict) -> Authz | None:
+    """The request's authzExpression as an AST clause (ONE definition —
+    the answerers must all honor the same custom-field default)."""
+    az = request.get("authzExpression")
+    if az and az.get("values"):
+        return Authz(tuple(str(v) for v in az["values"]),
+                     field=az.get("field", "acl"))
+    return None
+
+
+def exhausted_before(searcher, lo: int) -> bool:
+    """``resultsExhausted = smallestTimestamp > timeIndex.largest`` (the
+    per-question check every reference plugin repeats, e.g.
+    ``MetricsQuestion.java:77``): the window starts past everything
+    indexed."""
+    zones = searcher._zone_maps()
+    return bool(zones) and int(lo) > max(z[1] for z in zones.values())
+
+
 def _gate_ast(request: dict, q: dict, cfg,
               time_range: dict | None,
               extra_filter: dict | None = None) -> Node:
@@ -285,10 +304,9 @@ def _gate_ast(request: dict, q: dict, cfg,
     if time_range:
         clauses.append(TimeRange(int(time_range["smallestTimestamp"]),
                                  int(time_range["largestTimestamp"])))
-    az = request.get("authzExpression")
-    if az and az.get("values"):
-        clauses.append(Authz(tuple(str(v) for v in az["values"]),
-                             field=az.get("field", "acl")))
+    az = authz_clause(request)
+    if az is not None:
+        clauses.append(az)
     if not clauses:
         raise ValueError(
             "stream answerers need an effective streamFilter / "

@@ -65,11 +65,12 @@ Semantics implemented exactly (and where not, why):
 
 from __future__ import annotations
 
+import json
 import time
 
 import numpy as np
 
-from .filter import And, Authz, Node, Or, Term, TimeRange
+from .filter import And, Node, Or, Term, TimeRange
 
 _STRATEGIES = ("UNIT_WEIGHTED", "REGRESSION_WEIGHTED", "MAX")
 
@@ -96,14 +97,14 @@ def _scale(term_scores: np.ndarray, scalars: np.ndarray,
 
 
 def _ok_clauses(request: dict, tr: dict | None, cfg) -> list[Node]:
+    from .request import authz_clause
     clauses: list[Node] = []
     if tr:
         clauses.append(TimeRange(int(tr["smallestTimestamp"]),
                                  int(tr["largestTimestamp"])))
-    az = request.get("authzExpression")
-    if az and az.get("values"):
-        clauses.append(Authz(tuple(str(v) for v in az["values"]),
-                             field=az.get("field", "acl")))
+    az = authz_clause(request)
+    if az is not None:
+        clauses.append(az)
     return clauses
 
 
@@ -205,7 +206,8 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
 
 def execute_catwalk(searcher, request: dict, t0: float) -> dict:
     """CatwalkQuery → CatwalkAnswer."""
-    from .request import _reject_unread_knobs, _respond
+    from .request import (_reject_unread_knobs, _respond,
+                          exhausted_before)
     q = request.get("query") or {}
     _reject_unread_knobs(q)
     defn = q["definition"]
@@ -232,8 +234,8 @@ def execute_catwalk(searcher, request: dict, t0: float) -> dict:
         "totalCount": int(searcher.manifest["n_docs"]),
         "timeRange": {"smallestTimestamp": int(lo),
                       "largestTimestamp": int(hi)},
-        "resultsExhausted": bool(zones) and
-            int(tr.get("smallestTimestamp", 0)) > hi,
+        "resultsExhausted": exhausted_before(
+            searcher, int(tr.get("smallestTimestamp", 0))),
         "resultsClosed": False,
         "destroyed": False,
     }
@@ -285,13 +287,21 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
         cache = searcher._strut_models = {}
     models = []
     for ms in scalars_q:
-        import json as _json
+        # key includes the caller's authz scope (a model built under one
+        # ACL gate must never answer a differently-scoped caller) and
+        # the searcher's mutation epoch (remove_docs invalidates —
+        # StrutModelCache also rebuilds on index change)
         key = (str(defn.get("catwalkId")),
-               _json.dumps(ms.get("catwalkModelQuery"), sort_keys=True),
-               _json.dumps({k: defn.get(k) for k in
-                            ("gatherField", "features")}, sort_keys=True,
-                           default=str))
+               json.dumps(ms.get("catwalkModelQuery"), sort_keys=True),
+               json.dumps({k: defn.get(k) for k in
+                           ("gatherField", "features")}, sort_keys=True,
+                          default=str),
+               json.dumps(request.get("authzExpression"), sort_keys=True),
+               getattr(searcher, "mutation_epoch", 0))
         if key not in cache:
+            epoch = key[-1]
+            for k in [k for k in cache if k[-1] != epoch]:
+                del cache[k]  # purge pre-mutation models
             cache[key] = _build_model(searcher, request, defn,
                                       ms.get("catwalkModelQuery") or {})
         feats, model, _sets, _mc = cache[key]
@@ -309,14 +319,16 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
             raise ValueError("numeratorScalars must be the same length "
                              "as catwalkModelQuery.modelFilters")
 
-    # candidates: gatherField terms active under constraint ∧ timeRange
+    # candidates: gatherField terms active under constraint ∧ timeRange;
+    # stats = (count, max_ts, doc_at_max) per key from ONE fan-out
     gather_keys = _expand_field_keys(searcher, gather)
-    stats: dict[str, tuple[int, int]] = {k: (0, -1) for k in gather_keys}
+    stats: dict[str, tuple[int, int, int]] = {k: (0, -1, -1)
+                                              for k in gather_keys}
     for part in searcher._fanout("term_match_stats", gate, gather_keys,
                                  {}):
-        for k, (c, t) in part.items():
-            c0, t0_ = stats[k]
-            stats[k] = (c0 + c, max(t0_, t))
+        for k, (c, t, d) in part.items():
+            c0, t0_, d0 = stats[k]
+            stats[k] = (c0 + c, *max((t0_, d0), (t, d)))
     cands = [k for k in gather_keys if stats[k][0] > 0]
     # candidate → observed values per feature field, under the gate
     observed: dict[str, dict[str, set]] = {f[1]: {} for f in feats}
@@ -384,28 +396,29 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
                "features": extra["features"]}
         results.append(row)
     if gtf and results:
-        # latest matching doc per candidate → gather its field values
-        # (ts order, NOT doc-id order: ids group by conversation here,
-        # so the max id is not the newest doc)
-        by_ts: dict[int, str] = {}
-        for row in results:
-            newest = searcher.topk_time(
-                _and([Term(gather, row["value"]), gate]), 1)
-            if newest.num_rows:
-                by_ts[int(newest["doc_id"][0].as_py())] = row["value"]
-        if by_ts:
-            gat = searcher.gather(sorted(by_ts), columns=gtf)
+        # latest matching doc per candidate (by ts, NOT doc id — ids
+        # group by conversation here) → gather its field values.  The
+        # stats fan-out already carries each candidate's newest doc id,
+        # so this is ONE bounded docstore gather, zero extra fan-outs.
+        by_doc: dict[int, str] = {
+            int(stats[f"{gather}:{row['value']}"][2]): row["value"]
+            for row in results
+            if stats[f"{gather}:{row['value']}"][2] >= 0}
+        if by_doc:
+            gat = searcher.gather(sorted(by_doc), columns=gtf)
             cols = {f: gat[f].to_pylist() for f in gtf}
             ids_col = gat["doc_id"].to_pylist()
-            val_rows = {by_ts[int(d)]: i for i, d in enumerate(ids_col)}
+            val_rows = {by_doc[int(d)]: i for i, d in enumerate(ids_col)}
             for row in results:
                 i = val_rows.get(row["value"])
                 if i is not None:
                     row["gatherLatestValues"] = {
                         f: [cols[f][i]] for f in gtf}
+    from .request import exhausted_before
     answer = {"results": results,
               "modelTotalPartitionCount": len(searcher._zone_maps()),
-              "resultsExhausted": True}
+              "resultsExhausted": exhausted_before(
+                  searcher, int(tr["smallestTimestamp"]))}
     return _respond(request, searcher, answer, t0,
                     [f"strut {len(cands)} candidates × "
                      f"{len(feats)} features × {len(models)} models"])

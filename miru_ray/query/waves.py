@@ -68,29 +68,21 @@ from __future__ import annotations
 
 import numpy as np
 
-from .filter import And, Authz, Node, Term, TimeRange
+from .filter import And, Node, Term
 
 
 def _gate(request: dict, q: dict, cfg, lo: int, hi: int,
           extra: dict | None = None) -> Node:
-    """constraintsFilter ∧ [extra filter] ∧ timeRange ∧ authz.  The
-    time range alone is always effective, so (unlike the stream
-    answerers) an absent constraints filter is legal —
+    """constraintsFilter ∧ [extra filter] ∧ timeRange ∧ authz — the
+    stream answerers' gate builder with the window always effective, so
+    (unlike those answerers) an absent constraints filter is legal:
     ``MiruFilter.NO_FILTER`` short-circuits in the reference
     (``MetricsQuestion.java:98-100``)."""
-    from .request import filter_to_ast
-    clauses: list[Node] = []
-    for f in (q.get("constraintsFilter"), extra):
-        if f:
-            node = filter_to_ast(f, tuple(cfg.text_fields))
-            if node is not None:
-                clauses.append(node)
-    clauses.append(TimeRange(int(lo), int(hi)))
-    az = request.get("authzExpression")
-    if az and az.get("values"):
-        clauses.append(Authz(tuple(str(v) for v in az["values"]),
-                             field=az.get("field", "acl")))
-    return clauses[0] if len(clauses) == 1 else And(tuple(clauses))
+    from .request import _gate_ast
+    return _gate_ast(request,
+                     {"constraintsFilter": q.get("constraintsFilter")},
+                     cfg, {"smallestTimestamp": lo, "largestTimestamp": hi},
+                     extra_filter=extra)
 
 
 def _window(q: dict) -> tuple[int, int, int]:
@@ -112,11 +104,8 @@ def _filters_map(q: dict, key: str) -> dict:
 
 
 def _exhausted(searcher, lo: int) -> bool:
-    """``resultsExhausted = smallestTimestamp > timeIndex.largest``
-    (``MetricsQuestion.java:77``, same in the stumptown/anomaly
-    questions): the window starts past everything indexed."""
-    zones = searcher._zone_maps()
-    return bool(zones) and lo > max(z[1] for z in zones.values())
+    from .request import exhausted_before
+    return exhausted_before(searcher, lo)
 
 
 def execute_stumptown(searcher, request: dict, t0: float) -> dict:
@@ -156,6 +145,15 @@ def _bit_terms(searcher, field: str) -> list[int]:
     (≤64 terms; the reference probes all 64 unconditionally,
     ``MetricsQuestion.java:147-155`` — enumerating the dictionary skips
     the provably-empty planes)."""
+    declared = [f for f, _src in
+                getattr(searcher.cfg, "power_bits_fields", ())]
+    if field not in declared:
+        # the index config is authoritative — a keyword field whose
+        # values happen to be small integers must not be summed as bit
+        # planes (and an index with no power_bits_fields has none)
+        raise ValueError(
+            f"field {field!r} is not a power-bits field of this index "
+            f"(declared power_bits_fields: {declared or 'none'})")
     found: set[str] = set()
     for res in searcher._fanout("expand_prefix", f"{field}:", 70):
         found.update(res)
@@ -279,9 +277,14 @@ def execute_anomaly(searcher, request: dict, t0: float) -> dict:
         raise ValueError("anomaly requires powerBitsFieldName")
     filters = _filters_map(q, "filters")
     exp_field = str(q.get("expansionField") or "")
+    exp_values = [str(e) for e in (q.get("expansionValues") or ()) if e]
+    if exp_values and not exp_field:
+        # checked BEFORE the prefix scan: a bare '*' with no field would
+        # otherwise scan an empty prefix, find nothing, and silently
+        # degrade to bare-filter waveforms
+        raise ValueError("expansionValues requires expansionField")
     expansions: list[str] = []
-    for e in (q.get("expansionValues") or ()):
-        e = str(e)
+    for e in exp_values:
         if e.endswith("*"):
             found: set[str] = set()
             for res in searcher._fanout(
@@ -291,12 +294,10 @@ def execute_anomaly(searcher, request: dict, t0: float) -> dict:
                 raise ValueError(f"expansion {e!r} exceeds 1000 terms; "
                                  "narrow the prefix")
             expansions.extend(sorted(k.split(":", 1)[1] for k in found))
-        elif e:
+        else:
             expansions.append(e)
     keys: list[str] = []
     asts: list[Node] = []
-    if expansions and not exp_field:
-        raise ValueError("expansionValues requires expansionField")
     for name in filters:
         base = _gate(request, q, searcher.cfg, lo, hi, filters[name])
         if expansions:

@@ -1327,3 +1327,50 @@ def test_anomaly_fuzz_windows(bits_searcher):
         assert got == want, (lo, hi, n, fset)
 
     check()
+
+
+def test_strut_cache_scoped_by_authz_and_mutation(reco_searcher, xs_table):
+    """Review fixes: the strut model memo is keyed by the caller's
+    authzExpression (no cross-ACL reuse) and invalidated by
+    remove_docs via the searcher's mutation epoch."""
+    ts = xs_table["ts"].cast("int64").to_pandas()
+    lo, hi = int(ts.min()), int(ts.quantile(0.5))
+    chi = int(ts.quantile(0.25))
+    reco_searcher._strut_models = {}
+    execute_request(reco_searcher, _strut_req(lo, hi, chi, 3))
+    req2 = _strut_req(lo, hi, chi, 3)
+    req2["authzExpression"] = {"values": ["grp1"], "field": "tool"}
+    execute_request(reco_searcher, req2)
+    assert len(reco_searcher._strut_models) == 2  # distinct ACL scopes
+    # a mutation bumps the epoch; the next strut call rebuilds and
+    # purges the pre-mutation entries
+    epoch0 = getattr(reco_searcher, "mutation_epoch", 0)
+    reco_searcher.remove_docs([])  # no-op removal still bumps the epoch
+    assert reco_searcher.mutation_epoch == epoch0 + 1
+    execute_request(reco_searcher, _strut_req(lo, hi, chi, 3))
+    assert len(reco_searcher._strut_models) == 1
+    assert all(k[-1] == epoch0 + 1 for k in reco_searcher._strut_models)
+
+
+def test_anomaly_star_without_field_rejects(bits_searcher):
+    """A bare '*' with no expansionField must raise, not silently scan
+    an empty prefix and fall back to bare-filter waveforms."""
+    with pytest.raises(ValueError, match="expansionField"):
+        execute_request(bits_searcher, {
+            "name": "a", "tenantId": "demo",
+            "query": {"timeRange": {"smallestTimestamp": 0,
+                                    "largestTimestamp": 10_000_000},
+                      "divideTimeRangeIntoNSegments": 2,
+                      "powerBitsFieldName": "bits",
+                      "filters": {"f": {
+                          "operation": "and",
+                          "fieldFilters": [{"fieldName": "role",
+                                            "values": ["user"]}]}},
+                      "expansionValues": ["*"]}})
+
+
+def test_waveform_width_overflow_rejects(xs_searcher):
+    """A window wide enough that (ts-lo)*n overflows int64 fails loudly
+    instead of wrapping into negative bincount segments."""
+    with pytest.raises(ValueError, match="overflows"):
+        xs_searcher.waveforms(["alpha"], 0, 2 ** 62, 100_000)
