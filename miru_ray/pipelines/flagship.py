@@ -784,6 +784,61 @@ ORDER BY value
 """.strip()
 
 
+def q_request_catwalk_combo(sf_dir: str) -> pa.Table:
+    """CatwalkQuery with a TWO-FIELD combo feature (tool × role): the
+    per-doc value cross-product counted as pairwise postings
+    intersections (``PartitionReader.term_pair_counts`` — the
+    reference's ``activityIndex.getAll`` combo walk,
+    ``CatwalkQuestion.java:193-215``, without a docstore pass)."""
+    from ..fixtures import _TS_BASE_US
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    req = {"name": "catwalk", "tenantId": "flagship",
+           "query": {"definition": _catwalk_defn(
+                         [{"name": "combo",
+                           "featureFields": ["tool", "role"],
+                           "featureScalar": 1.0}]),
+                     "modelQuery": _catwalk_model_query(lo, hi)}}
+    rows = execute_request(s, req)["answer"]["results"][0]
+    return pa.table({
+        "tool": pa.array([r["termIds"][0] for r in rows], pa.string()),
+        "role": pa.array([r["termIds"][1] for r in rows], pa.string()),
+        "num_user": pa.array([r["numerators"][0] for r in rows],
+                             pa.int64()),
+        "num_assistant": pa.array([r["numerators"][1] for r in rows],
+                                  pa.int64()),
+        "denominator": pa.array([r["denominator"] for r in rows],
+                                pa.int64())})
+
+
+def request_catwalk_combo_sql() -> str:
+    from ..fixtures import _TS_BASE_US
+    lo = _TS_BASE_US
+    hi = lo + _ANALYTICS_HOURS * 3_600 * 1_000_000
+    return f"""
+{SQL_PROLOGUE},
+{_catwalk_sql_fragments(lo, hi)},
+den_c AS (SELECT tool, role, count(*) AS d FROM docs
+          WHERE tool <> '' GROUP BY 1, 2),
+nu_c AS (SELECT tool, role, count(*) AS n FROM win
+         WHERE tool <> ''
+           AND conv_id IN (SELECT conv_id FROM top_u) GROUP BY 1, 2),
+na_c AS (SELECT tool, role, count(*) AS n FROM win
+         WHERE tool <> ''
+           AND conv_id IN (SELECT conv_id FROM top_a) GROUP BY 1, 2)
+SELECT d.tool, d.role,
+       coalesce(nu.n, 0)::BIGINT AS num_user,
+       coalesce(na.n, 0)::BIGINT AS num_assistant,
+       d.d::BIGINT AS denominator
+FROM den_c d
+LEFT JOIN nu_c nu ON nu.tool = d.tool AND nu.role = d.role
+LEFT JOIN na_c na ON na.tool = d.tool AND na.role = d.role
+ORDER BY 1, 2
+""".strip()
+
+
 _STRUT_K = 10
 
 

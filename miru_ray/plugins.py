@@ -55,6 +55,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "request_uniques_count",
     "request_distincts_values",
     "request_catwalk_model",
+    "request_catwalk_combo",
     "request_strut_topn",
     "request_stumptown_topn",
     "request_metrics_avg",
@@ -197,6 +198,8 @@ def _load_builtin_ops() -> None:
         F.request_catwalk_sql(), ("request",))
     reg("request_strut_topn", F.q_request_strut,
         F.request_strut_sql(), ("request",))
+    reg("request_catwalk_combo", F.q_request_catwalk_combo,
+        F.request_catwalk_combo_sql(), ("request",))
     reg("request_stumptown_topn", F.q_request_stumptown,
         F.request_stumptown_sql(), ("request",))
     reg("request_metrics_avg", F.q_request_metrics,

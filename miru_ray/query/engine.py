@@ -1107,6 +1107,43 @@ class PartitionReader:
                         out[r].add(c)
         return out
 
+    def term_pair_counts(self, ast: Node, row_keys: list[str],
+                         col_keys: list[str],
+                         expansions: dict) -> np.ndarray:
+        """``(len(row_keys), len(col_keys))`` int64 matrix of alive doc
+        counts ``|postings[row] ∧ postings[col] ∧ ast|`` — the
+        combo-feature counter: a multi-field CatwalkFeature's value is
+        the cross product of its fields' per-doc values
+        (``CatwalkQuestion.java:193-215`` walks each doc's combos via
+        the activity index); with single-valued fields every doc carries
+        exactly one combo, so combo counts are pairwise postings
+        intersections — no docstore walk."""
+        out = np.zeros((len(row_keys), len(col_keys)), np.int64)
+        for pid in self.parts:
+            if not self._may_match(ast, pid):
+                continue
+            base = self.parts[pid]["base"]
+            count = self.parts[pid]["count"]
+            amask = self._alive_mask(pid, self._eval(ast, pid, {},
+                                                     expansions))
+            if not amask.any():
+                continue
+            cache: dict = {}
+            col_p = [self._postings(pid, c, cache) for c in col_keys]
+            for i, r in enumerate(row_keys):
+                p = self._postings(pid, r, cache)
+                if p is None:
+                    continue
+                rmask = np.zeros(count, bool)
+                rmask[p[0] - base] = True
+                rmask &= amask
+                if not rmask.any():
+                    continue
+                for j, pc_ in enumerate(col_p):
+                    if pc_ is not None:
+                        out[i, j] += int(rmask[pc_[0] - base].sum())
+        return out
+
     def zone_maps(self) -> dict[int, tuple[int, int]]:
         """Per-partition (min_ts, max_ts) — the driver's newest-first visit
         order and early-exit bound come from these."""

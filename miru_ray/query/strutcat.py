@@ -43,11 +43,17 @@ Semantics implemented exactly (and where not, why):
   masked here (tombstoned docs should not count; the reference's
   removal mask reaches its numerators but not this AND — a bug we do
   not reproduce).
-- Single-field features only: a multi-field feature enumerates the
-  VALUE CROSS-PRODUCT per doc, which requires a docstore combo walk
-  (the reference's activityIndex.getAll) — rejected loudly in v1; the
-  events-table catwalk pipeline (``pipelines/catwalk.py``) covers
-  composite features at scale.
+- One- and two-field features: a multi-field feature's value is the
+  per-doc VALUE CROSS-PRODUCT (the reference walks it via
+  ``activityIndex.getAll``, ``CatwalkQuestion.java:193-215``).  With
+  single-valued fields every doc carries exactly one combo, so 2-field
+  model counts are pairwise postings intersections
+  (``PartitionReader.term_pair_counts`` — no docstore walk), and
+  strut's per-candidate observed combos come from ONE docstore gather
+  bounded by the constraint window (the AggregateCounts pattern).
+  ≥3-field combos are rejected loudly; the events-table catwalk
+  pipeline (``pipelines/catwalk.py``) covers arbitrary composites at
+  scale.
 - Strut scoring (``Strut.java:354-407`` float math in float64):
   ``s_i(v) = clamp(numerator_i[v] / denominator[v], ≤1, NaN→0)``;
   per-feature score = max over the candidate's observed values of
@@ -114,9 +120,15 @@ def _and(clauses: list[Node]) -> Node | None:
     return clauses[0] if len(clauses) == 1 else And(tuple(clauses))
 
 
-def _feature_fields(defn: dict,
-                    cfg) -> list[tuple[str, str, float, Node | None]]:
-    """Validated features as (name, field, scalar, filter_ast)."""
+def _feature_fields(defn: dict, cfg) -> list[
+        tuple[str, tuple[str, ...], float, Node | None]]:
+    """Validated features as (name, fields tuple, scalar, filter_ast).
+    One- and two-field features are supported: a 2-field combo's value
+    space is the cross product of the fields' per-doc values, countable
+    as pairwise postings intersections (``PartitionReader.
+    term_pair_counts``); ≥3 fields would need a 3-way bitmap walk —
+    rejected loudly (the events catwalk pipeline covers arbitrary
+    composites at scale)."""
     from .request import filter_to_ast
     feats = defn.get("features")
     if not isinstance(feats, (list, tuple)) or not feats:
@@ -125,13 +137,15 @@ def _feature_fields(defn: dict,
     out = []
     for f in feats:
         fields = f.get("featureFields") or []
-        if len(fields) != 1:
+        if not 1 <= len(fields) <= 2:
             raise ValueError(
-                "multi-field features need a docstore combo walk — "
-                "single-field features only here; composite features "
-                "run in the events catwalk pipeline (pipelines/catwalk)")
+                "features need 1 or 2 featureFields here (≥3-field "
+                "combos need an N-way docstore walk; arbitrary "
+                "composites run in the events catwalk pipeline, "
+                "pipelines/catwalk)")
         ff = f.get("featureFilter")
-        out.append((str(f.get("name") or fields[0]), str(fields[0]),
+        out.append((str(f.get("name") or "+".join(fields)),
+                    tuple(str(x) for x in fields),
                     float(f.get("featureScalar", 1.0)),
                     filter_to_ast(ff, tuple(cfg.text_fields))
                     if ff else None))
@@ -139,10 +153,10 @@ def _feature_fields(defn: dict,
 
 
 def _build_model(searcher, request: dict, defn: dict, mq: dict):
-    """The Catwalk model: per feature, per value — numerators[] +
+    """The Catwalk model: per feature, per value tuple — numerators[] +
     denominator (``Catwalk.java:88-215``).  Returns (features,
-    model: {field → {value → (nums tuple, den)}}, numerator_sets,
-    modelCounts)."""
+    model: one ``{value_tuple → (nums tuple, den)}`` dict per feature,
+    numerator_sets, modelCounts)."""
     from .request import _expand_field_keys, filter_to_ast
     gather = str(defn["gatherField"])
     feats = _feature_fields(defn, searcher.cfg)
@@ -159,14 +173,22 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
     base = _ok_clauses(request, mq.get("timeRange"), searcher.cfg)
     gather_keys = _expand_field_keys(searcher, gather)
 
+    _ALIVE = TimeRange(-(2 ** 62), 2 ** 62)  # alive-only gate
+
     def _counts(ast: Node | None, keys: list[str]) -> dict[str, int]:
-        if ast is None:
-            # alive-only gate: an always-true TimeRange
-            ast = TimeRange(-(2 ** 62), 2 ** 62)
+        ast = _ALIVE if ast is None else ast
         tot = {k: 0 for k in keys}
         for part in searcher._fanout("term_match_counts", ast, keys, {}):
             for k, c in part.items():
                 tot[k] += c
+        return tot
+
+    def _pair_counts(ast: Node | None, k1: list[str],
+                     k2: list[str]) -> np.ndarray:
+        ast = _ALIVE if ast is None else ast
+        tot = np.zeros((len(k1), len(k2)), np.int64)
+        for part in searcher._fanout("term_pair_counts", ast, k1, k2, {}):
+            tot += part
         return tot
 
     numerator_sets: list[list[str]] = []
@@ -178,29 +200,55 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
         ranked = sorted(((c, k) for k, c in counts.items() if c > 0),
                         key=lambda t: (-t[0], t[1]))[:top_n]
         numerator_sets.append([k for _c, k in ranked])
-    model: dict[str, dict[str, tuple[tuple, int]]] = {}
+
+    def _set_gate(set_i: list[str]) -> Node:
+        return _and(base + [Or(tuple(Term(gather, k.split(":", 1)[1])
+                                     for k in set_i))])
+
+    # model: one dict per feature, keyed by the feature's VALUE TUPLE
+    # (1-tuple for single-field features, 2-tuple for combos —
+    # FeatureScore.termIds carries one termId per featureField)
+    model: list[dict[tuple, tuple[tuple, int]]] = []
     model_counts: list[int] = []
-    for _name, field, _scalar, fmask in feats:
-        vkeys = _expand_field_keys(searcher, field)
-        # denominator: corpus-wide value counts (∧ featureFilter, alive)
-        dens = _counts(fmask, vkeys)
-        nums: list[dict[str, int]] = []
+    for _name, fields, _scalar, fmask in feats:
         walked = 0
-        for si, set_i in enumerate(numerator_sets):
-            if not set_i:
-                nums.append({k: 0 for k in vkeys})
-                continue
-            or_g = Or(tuple(Term(gather, k.split(":", 1)[1])
-                            for k in set_i))
-            gate = _and(base + [or_g])
-            counts = _counts(gate, vkeys)
-            nums.append(counts)
-            walked += sum(counts.values())
+        if len(fields) == 1:
+            vkeys = _expand_field_keys(searcher, fields[0])
+            # denominator: corpus-wide value counts (∧ featureFilter)
+            dens = _counts(fmask, vkeys)
+            nums: list[dict[str, int]] = []
+            for set_i in numerator_sets:
+                if not set_i:
+                    nums.append({k: 0 for k in vkeys})
+                    continue
+                counts = _counts(_set_gate(set_i), vkeys)
+                nums.append(counts)
+                walked += sum(counts.values())
+            model.append({
+                (k.split(":", 1)[1],):
+                    (tuple(nums[i][k] for i in range(nc)), dens[k])
+                for k in vkeys})
+        else:  # 2-field combo: pairwise postings intersections
+            k1 = _expand_field_keys(searcher, fields[0])
+            k2 = _expand_field_keys(searcher, fields[1])
+            dens = _pair_counts(fmask, k1, k2)
+            nmats = []
+            for set_i in numerator_sets:
+                if not set_i:
+                    nmats.append(np.zeros_like(dens))
+                    continue
+                m = _pair_counts(_set_gate(set_i), k1, k2)
+                nmats.append(m)
+                walked += int(m.sum())
+            entry: dict[tuple, tuple[tuple, int]] = {}
+            live = dens > 0
+            for m in nmats:
+                live |= m > 0
+            for i, j in zip(*np.nonzero(live)):  # sparse: observed combos
+                entry[(k1[i].split(":", 1)[1], k2[j].split(":", 1)[1])] = \
+                    (tuple(int(m[i, j]) for m in nmats), int(dens[i, j]))
+            model.append(entry)
         model_counts.append(walked)
-        model[field] = {
-            k.split(":", 1)[1]: (tuple(nums[i][k] for i in range(nc)),
-                                 dens[k])
-            for k in vkeys}
     return feats, model, numerator_sets, model_counts
 
 
@@ -215,13 +263,13 @@ def execute_catwalk(searcher, request: dict, t0: float) -> dict:
     feats, model, numerator_sets, model_counts = \
         _build_model(searcher, request, defn, mq)
     results = []
-    for _name, field, _scalar, _fmask in feats:
+    for fi, (_name, _fields, _scalar, _fmask) in enumerate(feats):
         rows = []
-        for v in sorted(model[field]):
-            nums, den = model[field][v]
+        for vt in sorted(model[fi]):
+            nums, den = model[fi][vt]
             if not den and not any(nums):
                 continue  # value never observed under the masks
-            rows.append({"termIds": [v], "numerators": list(nums),
+            rows.append({"termIds": list(vt), "numerators": list(nums),
                          "denominator": int(den), "numPartitions": 1})
         results.append(rows)
     zones = searcher._zone_maps()
@@ -312,8 +360,8 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
                               (q.get("numeratorScalars") or ())],
                              np.float64)
     for _f, model, _s in models:
-        any_field = feats[0][1]
-        sample = next(iter(model[any_field].values()), ((), 0))
+        sample = next((v for entry in model for v in entry.values()),
+                      ((), 0))
         if len(sample[0]) != nc:
             # StrutQuery.java:46-47 checkArgument
             raise ValueError("numeratorScalars must be the same length "
@@ -330,16 +378,42 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
             c0, t0_, d0 = stats[k]
             stats[k] = (c0 + c, *max((t0_, d0), (t, d)))
     cands = [k for k in gather_keys if stats[k][0] > 0]
-    # candidate → observed values per feature field, under the gate
-    observed: dict[str, dict[str, set]] = {f[1]: {} for f in feats}
-    for _name, field, _scalar, _fmask in feats:
-        vkeys = _expand_field_keys(searcher, field)
+    # candidate → observed value TUPLES per feature, under the gate.
+    # Single-field features read postings intersections; 2-field combos
+    # share ONE docstore gather bounded by the gate's candidate docs
+    # (the AggregateCounts answerer's pattern — the reference walks the
+    # same filtered bitmap against its activity index)
+    observed: list[dict[str, set]] = []
+    combo_fields = sorted({f for _n, fields, _s, _m in feats
+                           if len(fields) == 2 for f in fields})
+    combo_df = None
+    if combo_fields:
+        import pandas as pd
+        ids = searcher.match_docs(gate)
+        gcols = [gather] + combo_fields
+        gat = searcher.gather(ids, columns=gcols) if len(ids) else None
+        combo_df = gat.to_pandas() if gat is not None else \
+            pd.DataFrame(columns=gcols)
+    for _name, fields, _scalar, _fmask in feats:
         rows: dict[str, set] = {k: set() for k in cands}
-        for part in searcher._fanout("term_pair_rows", gate, cands,
-                                     vkeys, {}):
-            for k, vs in part.items():
-                rows[k] |= vs
-        observed[field] = rows
+        if len(fields) == 1:
+            vkeys = _expand_field_keys(searcher, fields[0])
+            for part in searcher._fanout("term_pair_rows", gate, cands,
+                                         vkeys, {}):
+                for k, vs in part.items():
+                    rows[k] |= {(v.split(":", 1)[1],) for v in vs}
+        else:
+            f1, f2 = fields
+            sub = combo_df[[gather, f1, f2]]
+            # term-composer visibility: empty/null values are never
+            # indexed, so they form no combo
+            for col in (f1, f2):
+                sub = sub[sub[col].notna() & (sub[col] != "")]
+            for conv, g in sub.groupby(gather):
+                key = f"{gather}:{conv}"
+                if key in rows:
+                    rows[key] |= set(zip(g[f1], g[f2]))
+        observed.append(rows)
 
     include_features = bool(q.get("includeFeatures"))
     scored: list[tuple[float, str, dict]] = []
@@ -353,12 +427,11 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
         hotness: list[list[dict]] = [[] for _ in feats]
         for feats_m, model, model_scalar in models:
             feat_scores = np.zeros((nc, len(feats_m)), np.float64)
-            for fi, (_name, field, fscalar, _fm) in enumerate(feats_m):
+            for fi, (_name, _fields, fscalar, _fm) in enumerate(feats_m):
                 if fscalar <= 0:
                     continue  # score() keeps current when scalar <= 0
-                for vkey in observed[field].get(k, ()):
-                    v = vkey.split(":", 1)[1]
-                    nums, den = model[field].get(v, ((0,) * nc, 0))
+                for vt in observed[fi].get(k, ()):
+                    nums, den = model[fi].get(vt, ((0,) * nc, 0))
                     s = np.asarray(nums, np.float64)
                     s = np.minimum(np.divide(
                         s, den, out=np.zeros_like(s),
@@ -369,7 +442,7 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
                         np.maximum(feat_scores[:, fi], upd), upd)
                     if include_features and s.any():
                         hotness[fi].append(
-                            {"values": [v],
+                            {"values": list(vt),
                              "scaledScore": _scale(s, num_scalars,
                                                    n_strategy),
                              "scores": [float(x) for x in s]})

@@ -1260,13 +1260,14 @@ def test_strutcat_rejects(reco_searcher, xs_table):
             "query": {"definition": _cw_defn(
                           [{"name": "t", "featureFields": ["tool"]}], 5),
                       "modelQuery": _cw_model_q(lo, hi, 0)}})
-    # multi-field features need the docstore combo walk — rejected
-    with pytest.raises(ValueError, match="multi-field"):
+    # ≥3-field combos need an N-way docstore walk — rejected
+    with pytest.raises(ValueError, match="1 or 2 featureFields"):
         execute_request(reco_searcher, {
             "name": "cw", "tenantId": "demo",
             "query": {"definition": _cw_defn(
                           [{"name": "x",
-                            "featureFields": ["tool", "role"]}], 5),
+                            "featureFields": ["tool", "role",
+                                              "conv_id"]}], 5),
                       "modelQuery": _cw_model_q(lo, hi, 5)}})
     # strut: unknown strategy / scalar-length mismatch / unread knob
     with pytest.raises(ValueError, match="Strategy not supported"):
@@ -1374,3 +1375,91 @@ def test_waveform_width_overflow_rejects(xs_searcher):
     instead of wrapping into negative bincount segments."""
     with pytest.raises(ValueError, match="overflows"):
         xs_searcher.waveforms(["alpha"], 0, 2 ** 62, 100_000)
+
+
+def _brute_catwalk_combo(df, lo, hi, top_n, f1, f2):
+    """2-field combo model recompute: value = (v1, v2) per doc (empty
+    values never indexed → no combo); numerators = window doc counts of
+    numerator-set members per combo; denominator = corpus-wide combo
+    counts."""
+    ts = df["ts"].astype("int64")
+    win = df[(ts >= lo) & (ts <= hi)]
+    sets = []
+    for r in ("user", "assistant"):
+        cnt = win[win["role"] == r].groupby("conv_id").size()
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        sets.append({c for c, _n in ranked[:top_n]})
+    vis = df[(df[f1] != "") & (df[f2] != "")]
+    den = vis.groupby([f1, f2]).size()
+    out = {}
+    for vt in den.index:
+        nums = []
+        for s in sets:
+            m = win[(win[f1] == vt[0]) & (win[f2] == vt[1])
+                    & win["conv_id"].isin(s)]
+            nums.append(len(m))
+        out[tuple(vt)] = (nums, int(den[vt]))
+    return out
+
+
+def test_catwalk_combo_feature_parity(reco_searcher, xs_table):
+    """2-field combo features: model counts are pairwise postings
+    intersections — parity vs a pandas recompute, termIds carries one
+    value per featureField."""
+    df = xs_table.to_pandas().reset_index(drop=True)
+    ts = df["ts"].astype("int64")
+    lo, hi = int(ts.min()), int(ts.quantile(0.5))
+    resp = execute_request(reco_searcher, {
+        "name": "cw", "tenantId": "demo",
+        "query": {"definition": _cw_defn(
+                      [{"name": "combo",
+                        "featureFields": ["tool", "role"]}], 5),
+                  "modelQuery": _cw_model_q(lo, hi, 5)}})
+    rows = resp["answer"]["results"][0]
+    want = _brute_catwalk_combo(df, lo, hi, 5, "tool", "role")
+    got = {tuple(r["termIds"]): (r["numerators"], r["denominator"])
+           for r in rows}
+    assert all(len(k) == 2 for k in got)
+    for vt, (nums, den) in want.items():
+        if den or any(nums):
+            assert got[vt] == (nums, den), vt
+
+
+def test_strut_combo_feature_scoring(reco_searcher, xs_table):
+    """Strut over a combo feature: observed combos come from the
+    gate-bounded docstore gather; scores recompute from the brute
+    combo model."""
+    import numpy as np
+    df = xs_table.to_pandas().reset_index(drop=True)
+    ts = df["ts"].astype("int64")
+    lo, hi = int(ts.min()), int(ts.quantile(0.5))
+    chi = int(ts.quantile(0.25))
+    req = _strut_req(lo, hi, chi, 6)
+    req["query"]["catwalkDefinition"] = _cw_defn(
+        [{"name": "combo", "featureFields": ["tool", "role"],
+          "featureScalar": 1.0}], 5)
+    reco_searcher._strut_models = {}
+    got = execute_request(reco_searcher, req)["answer"]["results"]
+
+    model = _brute_catwalk_combo(df, lo, hi, 5, "tool", "role")
+    cand_win = df[(ts >= lo) & (ts <= chi)]
+    rows = []
+    for conv, sub in cand_win.groupby("conv_id"):
+        vis = sub[(sub["tool"] != "")]
+        feat = np.zeros(2)
+        for vt in set(zip(vis["tool"], vis["role"])):
+            nums, den = model.get(vt, ([0, 0], 0))
+            if den > 0:
+                s = np.minimum(np.array(nums, float) / den, 1.0)
+                upd = s * 1.0
+                feat = np.maximum(feat, upd)
+        # UNIT_WEIGHTED over ONE feature: sum positives / 1
+        term = np.where(feat > 0, feat, 0.0)
+        scaled = term * np.array([0.5, 0.4])
+        pos = scaled[scaled > 0]
+        score = float(pos.sum()) if len(pos) else 0.0
+        rows.append((score, conv))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    want = rows[:6]
+    assert [(r["value"], round(r["score"], 9)) for r in got] == \
+        [(v, round(s, 9)) for s, v in want]
