@@ -74,3 +74,15 @@ def test_example_document_executes(examples_searcher, path):
     assert key in answer
     if non_empty:
         assert answer[key], f"{key} empty for {path}"
+
+
+def test_example_file_via_cli(examples_searcher, capsys):
+    """The cookbook documents run through the `request` CLI --file path
+    unchanged."""
+    from miru_ray.__main__ import main
+    path = [p for p in EXAMPLES if p.endswith("fulltext.json")][0]
+    idx = examples_searcher.index_dir
+    assert main(["request", "--index", idx, "--file", path,
+                 "--num-readers", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["answer"]["results"]
