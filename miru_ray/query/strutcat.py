@@ -231,6 +231,15 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
         else:  # 2-field combo: pairwise postings intersections
             k1 = _expand_field_keys(searcher, fields[0])
             k2 = _expand_field_keys(searcher, fields[1])
+            if len(k1) * len(k2) > 1_000_000:
+                # each reader materializes a |f1|×|f2| int64 partial;
+                # past ~8 MB/reader the combo belongs in the events
+                # catwalk pipeline (distributed groupby), not a fan-out
+                raise ValueError(
+                    f"combo feature {fields} spans "
+                    f"{len(k1)}×{len(k2)} values; cross-products past "
+                    "1e6 run in the events catwalk pipeline "
+                    "(pipelines/catwalk)")
             dens = _pair_counts(fmask, k1, k2)
             nmats = []
             for set_i in numerator_sets:
