@@ -188,6 +188,28 @@ def _check_contiguous(conv, cnt, max_turn, min_turn=None,
             "conversation")
 
 
+def _merge_conv_partials(tables: list) -> tuple:
+    """Driver-side merge of per-file conv-count partials: groupby-sum the
+    moments, sort by conv_id, run the contiguity check, and return
+    (conv, cnt, max_turn) sorted — the ONE definition shared by the cold
+    build's driver branch and the append path (the moment-check argument
+    list must never diverge between them)."""
+    merged = pa.concat_tables(tables)
+    g = merged.group_by("conv_id").aggregate(
+        [("cnt", "sum"), ("max_turn", "max"), ("min_turn", "min"),
+         ("sum_turn", "sum"), ("sumsq_turn", "sum")])
+    conv = np.asarray(g["conv_id"].to_pandas(), dtype=object)
+    cnt = g["cnt_sum"].to_numpy().astype(np.int64)
+    max_turn = g["max_turn_max"].to_numpy().astype(np.int64)
+    order = np.argsort(conv, kind="stable")
+    conv, cnt, max_turn = conv[order], cnt[order], max_turn[order]
+    _check_contiguous(conv, cnt, max_turn,
+                      g["min_turn_min"].to_numpy().astype(np.int64)[order],
+                      g["sum_turn_sum"].to_numpy().astype(np.int64)[order],
+                      g["sumsq_turn_sum"].to_numpy().astype(np.int64)[order])
+    return conv, cnt, max_turn
+
+
 def build_conv_offsets(files: list[str], offsets_path: str,
                        driver_rows: int | None = None) -> dict:
     """Compute (conv_id → doc_id offset) with prefix sums; write parquet.
@@ -210,20 +232,7 @@ def build_conv_offsets(files: list[str], offsets_path: str,
     refs = [_conv_counts_for_file.remote(p) for p in files]
     n_partial = sum(ray.get([_num_rows.remote(r) for r in refs]))
     if n_partial <= driver_rows:
-        merged = pa.concat_tables(ray.get(refs))
-        g = merged.group_by("conv_id").aggregate(
-            [("cnt", "sum"), ("max_turn", "max"), ("min_turn", "min"),
-             ("sum_turn", "sum"), ("sumsq_turn", "sum")])
-        conv = np.asarray(g["conv_id"].to_pandas(), dtype=object)
-        cnt = g["cnt_sum"].to_numpy().astype(np.int64)
-        max_turn = g["max_turn_max"].to_numpy().astype(np.int64)
-        order = np.argsort(conv, kind="stable")
-        conv, cnt, max_turn = conv[order], cnt[order], max_turn[order]
-        _check_contiguous(conv, cnt, max_turn,
-                          g["min_turn_min"].to_numpy().astype(np.int64)[order],
-                          g["sum_turn_sum"].to_numpy().astype(np.int64)[order],
-                          g["sumsq_turn_sum"].to_numpy()
-                          .astype(np.int64)[order])
+        conv, cnt, _max_turn = _merge_conv_partials(ray.get(refs))
         off = np.zeros(len(cnt), np.int64)
         np.cumsum(cnt[:-1], out=off[1:])
         offsets = pa.table({"conv_id": pa.array(conv, pa.string()),
@@ -984,19 +993,7 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
 
     # [1] offsets for the new conversations (appended AFTER the old ids)
     partials = ray.get([_conv_counts_for_file.remote(p) for p in new_files])
-    merged = pa.concat_tables(partials)
-    g = merged.group_by("conv_id").aggregate(
-        [("cnt", "sum"), ("max_turn", "max"), ("min_turn", "min"),
-         ("sum_turn", "sum"), ("sumsq_turn", "sum")])
-    conv = np.asarray(g["conv_id"].to_pandas(), dtype=object)
-    cnt = g["cnt_sum"].to_numpy().astype(np.int64)
-    max_turn = g["max_turn_max"].to_numpy().astype(np.int64)
-    order = np.argsort(conv, kind="stable")
-    conv, cnt, max_turn = conv[order], cnt[order], max_turn[order]
-    _check_contiguous(conv, cnt, max_turn,
-                      g["min_turn_min"].to_numpy().astype(np.int64)[order],
-                      g["sum_turn_sum"].to_numpy().astype(np.int64)[order],
-                      g["sumsq_turn_sum"].to_numpy().astype(np.int64)[order])
+    conv, cnt, _max_turn = _merge_conv_partials(partials)
     def _merge_offsets_streamed(path: str, nconv: np.ndarray,
                                 noff: np.ndarray, ncnt: np.ndarray) -> None:
         """Streamed sorted-merge of the offsets file with the new block:

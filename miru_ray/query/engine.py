@@ -48,7 +48,8 @@ from .filter import (And, Authz, Boost, Filter, Fuzzy, MinShould, Node, Not,
                      TimeRange, Wildcard, and_terms, collect_boosts,
                      collect_expansion_boosts, collect_fuzzies,
                      collect_prefixes, collect_ranges, collect_regexps,
-                     collect_scoring_terms, collect_wildcards)
+                     collect_scoring_expansions, collect_scoring_terms,
+                     collect_wildcards)
 from .parser import parse_query
 
 
@@ -234,11 +235,11 @@ class PartitionReader:
         self._debug_delay_s = float(seconds)
 
     def topk_time_packed(self, shared: tuple, pids: list[int]):
-        """``topk_time`` with the wave-invariant args (ast, k, expansions)
-        shipped once as an ObjectRef; only the per-reader pid list is
-        serialized per call."""
-        ast, k, expansions = shared
-        return self.topk_time(ast, k, expansions, pids)
+        """``topk_time`` with the wave-invariant args (ast, k, expansions,
+        after) shipped once as an ObjectRef; only the per-reader pid list
+        is serialized per call."""
+        ast, k, expansions, after = shared
+        return self.topk_time(ast, k, expansions, pids, after)
 
     def _may_match(self, node: Node, pid: int) -> bool:
         """Conservative partition pruning: False only if NO doc in the
@@ -492,8 +493,10 @@ class PartitionReader:
                 if fld:
                     lo, hi = seg.prefix_range(fld + ":")
                     cands = np.asarray(seg.terms[lo:hi], object)
-                    vals = np.array([t[len(fld) + 1:] for t in cands],
-                                    dtype=object)
+                    vals = np.asarray(pc.utf8_slice_codeunits(
+                        pa.array(cands, pa.string()),
+                        start=len(fld) + 1).to_pandas(), dtype=object) \
+                        if len(cands) else cands
                 else:
                     cands = np.asarray(seg.terms, object)
                     # text tokens never contain ':'; keyword/numeric
@@ -526,6 +529,18 @@ class PartitionReader:
         seg, row = resolved if resolved is not None \
             else self._lookup(pid, term)
         val = None if row is None else seg.postings(row)
+        if val is not None and len(val[0]):
+            # clip to the COMMITTED partition extent: an in-flight (or
+            # crashed) append atomically replaces the boundary
+            # partition's segment files before the manifest commit, so
+            # a reader on the old manifest can decode doc ids past its
+            # base+count — the same guard __init__ applies to the
+            # ts/doclen loads.  Docs are sorted, phantoms are a suffix;
+            # positions decode stays consistent (prefix of the stream).
+            limit = self.parts[pid]["base"] + self.parts[pid]["count"]
+            if int(val[0][-1]) >= limit:
+                n = int(np.searchsorted(val[0], limit))
+                val = (val[0][:n], val[1][:n]) if n else None
         cache[key] = val
         if len(self._post_cache) >= self._post_cache_cap:
             self._post_cache.clear()  # simple epoch eviction
@@ -611,16 +626,17 @@ class PartitionReader:
             if p is not None:
                 mask[p[0] - base] = True
             return mask
-        if isinstance(node, Prefix):
+        if isinstance(node, (Prefix, Fuzzy, Wildcard, Regexp,
+                             NumericRange)):
+            # OR of the expanded postings.  The expansions dict is keyed
+            # (key, max_expansion) — two nodes sharing a pattern but
+            # differing caps must not read each other's lists (for
+            # NumericRange the range itself is the key; a gate, never
+            # scored)
+            key = (node.term_key_prefix() if isinstance(node, Prefix)
+                   else node.expansion_key())
             mask = np.zeros(count, bool)
-            for t in expansions.get(node.term_key_prefix(), []):
-                p = self._postings(pid, t, cache)
-                if p is not None:
-                    mask[p[0] - base] = True
-            return mask
-        if isinstance(node, (Fuzzy, Wildcard, Regexp)):
-            mask = np.zeros(count, bool)
-            for t in expansions.get(node.expansion_key(), []):
+            for t in expansions.get((key, node.max_expansion), []):
                 p = self._postings(pid, t, cache)
                 if p is not None:
                     mask[p[0] - base] = True
@@ -629,14 +645,6 @@ class PartitionReader:
             # Boost affects scoring, not matching; Filter gates without
             # scoring — both evaluate exactly as their child
             return self._eval(node.child, pid, cache, expansions)
-        if isinstance(node, NumericRange):
-            # OR of the expanded term-range postings — a gate, never scored
-            mask = np.zeros(count, bool)
-            for t in expansions.get(node.expansion_key(), []):
-                p = self._postings(pid, t, cache)
-                if p is not None:
-                    mask[p[0] - base] = True
-            return mask
         if isinstance(node, TimeRange):
             ts = self.ts[pid]
             return (ts >= node.t0_us) & (ts <= node.t1_us)
@@ -1151,10 +1159,14 @@ class PartitionReader:
 
     def topk_time(self, ast: Node, k: int,
                   expansions: dict | None = None,
-                  pids: list[int] | None = None) -> dict:
+                  pids: list[int] | None = None,
+                  after: tuple | None = None) -> dict:
         """TIME strategy: newest-first matches (ts desc, doc_id desc).
         ``pids`` limits evaluation to a subset of this reader's partitions
-        (the driver's newest-first wave)."""
+        (the driver's newest-first wave).  ``after=(ts_us, doc_id)``:
+        pagination cursor — only matches strictly below that rank
+        position qualify (applied BEFORE the local top-k, or a page-2
+        request would see only page-1 rows re-selected)."""
         expansions = expansions or {}
         all_docs, all_ts = [], []
         visit = self.parts if pids is None else \
@@ -1168,6 +1180,12 @@ class PartitionReader:
             if not len(sel):
                 continue
             ts = self.ts[pid][sel]
+            if after is not None:
+                a_ts, a_doc = int(after[0]), int(after[1])
+                keep = (ts < a_ts) | ((ts == a_ts) & (sel + base < a_doc))
+                sel, ts = sel[keep], ts[keep]
+                if not len(sel):
+                    continue
             if len(sel) > k:
                 order = np.lexsort((sel, ts))[::-1][:k]
                 sel, ts = sel[order], ts[order]
@@ -1449,7 +1467,7 @@ class Searcher:
                 for res in self._fanout("expand_prefix", key, p.max_expansion):
                     found.update(res)
                 self._expansion_cache[ck] = sorted(found)[:p.max_expansion]
-            expansions[key] = self._expansion_cache[ck]
+            expansions[ck] = self._expansion_cache[ck]
         for fz in collect_fuzzies(ast):
             key = fz.expansion_key()
             ck = (key, fz.max_expansion)
@@ -1459,7 +1477,7 @@ class Searcher:
                                         fz.max_edits, fz.max_expansion):
                     found.update(res)
                 self._expansion_cache[ck] = sorted(found)[:fz.max_expansion]
-            expansions[key] = self._expansion_cache[ck]
+            expansions[ck] = self._expansion_cache[ck]
         # wildcard/regexp share one loop shape: field + pattern ship as
         # SEPARATE fan-out args (an expansion key is an opaque cache
         # handle, never re-parsed — patterns may contain ':')
@@ -1475,12 +1493,12 @@ class Searcher:
                         found.update(res)
                     self._expansion_cache[ck] = \
                         sorted(found)[:nd.max_expansion]
-                expansions[key] = self._expansion_cache[ck]
-        range_keys: set[str] = set()
+                expansions[ck] = self._expansion_cache[ck]
+        range_keys: set[tuple] = set()
         for r in collect_ranges(ast):
             key = r.expansion_key()
-            range_keys.add(key)
             ck = (key, r.max_expansion)
+            range_keys.add(ck)
             if ck not in self._expansion_cache:
                 lo_key, hi_key = r.range_keys()
                 found = set()
@@ -1496,15 +1514,25 @@ class Searcher:
                         f"raise NumericRange.max_expansion or narrow the "
                         f"range")
                 self._expansion_cache[ck] = sorted(found)
-            expansions[key] = self._expansion_cache[ck]
+            expansions[ck] = self._expansion_cache[ck]
         term_counts = collect_scoring_terms(ast)
-        # expanded prefix terms join the scoring set with multiplicity 1;
-        # numeric-range expansions are gates and never score (filter.py)
+        # expanded terms join the scoring set ONLY for expansion nodes in
+        # scoring position (± polarity like collect_scoring_terms):
+        # Filter-gated expansions evaluate but never score, and numeric
+        # ranges are always gates (filter.py)
+        scoring_pol: dict[str, int] = {}
+        for nd, pol in collect_scoring_expansions(ast):
+            ek = ((nd.term_key_prefix() if isinstance(nd, Prefix)
+                   else nd.expansion_key()), nd.max_expansion)
+            scoring_pol[ek] = scoring_pol.get(ek, 0) + pol
         for key, terms in expansions.items():
             if key in range_keys:
                 continue
+            pol = scoring_pol.get(key, 0)
+            if pol == 0:
+                continue  # gate-only (or fully-negated) expansion
             for t in terms:
-                term_counts[t] = term_counts.get(t, 0) + 1
+                term_counts[t] = term_counts.get(t, 0) + pol
         if not need_stats:
             return expansions, term_counts, {}
         # c > 0: purely-negated terms (count −1) never score, so their
@@ -1545,7 +1573,11 @@ class Searcher:
         ``FullTextReport.java:10-24``)."""
         ast = self._to_ast(query)
         if strategy == "time":
-            return self.topk_time(ast, k)
+            # TIME continuation: after = (ts_us, doc_id) — topk returns
+            # ts-as-score for this strategy, so the caller's cursor is
+            # already in that shape
+            t_after = (int(after[0]), int(after[1])) if after else None
+            return self.topk_time(ast, k, after=t_after)
         expansions, term_counts, stats = self._prepare(ast)
         boosts = self._boosts_for(ast, expansions)
         parts = self._fanout("search", ast, k, strategy, term_counts, stats,
@@ -1621,8 +1653,28 @@ class Searcher:
                    strategy: str = "bm25") -> pa.Table:
         """Iterate pagination to exhaustion: page i+1 resumes strictly below
         page i's lowest (score, doc_id).  Raw (unrounded) scores thread the
-        continuation so page boundaries are exact."""
+        continuation so page boundaries are exact.  ``strategy="time"``
+        pages through :meth:`topk_time` with a (ts, doc_id) cursor and
+        returns (doc_id, ts) like that method."""
         ast = self._to_ast(query)
+        if strategy == "time":
+            pages_t = []
+            t_after = None
+            for _ in range(max_pages):
+                page = self.topk_time(ast, page_size, after=t_after)
+                if not page.num_rows:
+                    break
+                pages_t.append(page)
+                if page.num_rows < page_size:
+                    break
+                t_after = (
+                    int(page["ts"].cast(pa.int64()).to_pylist()[-1]),
+                    int(page["doc_id"].to_pylist()[-1]))
+            if not pages_t:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us"))})
+            return pa.concat_tables(pages_t)
         expansions, term_counts, stats = self._prepare(ast)
         boosts = self._boosts_for(ast, expansions)
         pages = []
@@ -1658,7 +1710,8 @@ class Searcher:
             self._zone_cache = zm
         return self._zone_cache
 
-    def topk_time(self, query, k: int = 10) -> pa.Table:
+    def topk_time(self, query, k: int = 10,
+                  after: tuple | None = None) -> pa.Table:
         """TIME strategy with newest-first early termination: partitions
         are visited in descending max-ts order, one reader-wide wave at a
         time, and the walk STOPS once k results are in hand whose k-th ts
@@ -1667,14 +1720,20 @@ class Searcher:
         the answer is satisfied: ``FullTextAnswerEvaluator.java:19-40``,
         loop ``MiruService.askAndMerge:147-179``).  Ties on the bound
         continue — doc_id tie-break could still be won by an older
-        partition."""
+        partition.
+
+        ``after=(ts_us, doc_id)``: pagination cursor — only matches
+        strictly below that rank position qualify.  The early-exit bound
+        stays valid (the k-th KEPT ts beating an unvisited zone's max ts
+        still beats every qualifying doc there)."""
         ast = self._to_ast(query)
         expansions, _tc, _st = self._prepare(ast, need_stats=False)
         zm = self._zone_maps()
         order = sorted(zm, key=lambda p: zm[p][1], reverse=True)
         pid_reader = self._pid_to_reader()
         n_wave = max(1, len(self.readers))
-        shared = ray.put((ast, k, expansions)) if self.use_actors else None
+        shared = ray.put((ast, k, expansions, after)) \
+            if self.use_actors else None
         docs = np.empty(0, np.int64)
         ts = np.empty(0, np.int64)
         evaluated = 0
@@ -1694,7 +1753,7 @@ class Searcher:
                     .topk_time_packed.remote(shared, by_reader[i]))
             else:
                 parts = [self.readers[i].topk_time(ast, k, expansions,
-                                                   by_reader[i])
+                                                   by_reader[i], after)
                          for i in ridx]
             docs = np.concatenate([docs] + [p["doc_ids"] for p in parts])
             ts = np.concatenate([ts] + [p["ts"] for p in parts])

@@ -312,6 +312,33 @@ def collect_regexps(node: Node) -> "list[Regexp]":
     return _walk_collect(node, [], Regexp)
 
 
+def collect_scoring_expansions(node: Node,
+                               out: list | None = None,
+                               polarity: int = 1) -> list:
+    """(expansion node, ± polarity) for every Prefix/Fuzzy/Wildcard/
+    Regexp in SCORING position — the expansion analogue of
+    :func:`collect_scoring_terms`: Filter subtrees are NOT descended
+    (their terms gate, they never score) and Not negatives flip
+    polarity, so a purely-negated or gate-only expansion contributes
+    nothing to scoring.  The plain ``collect_*`` walkers above DO
+    descend Filter — evaluation still needs those expansion lists."""
+    if out is None:
+        out = []
+    if isinstance(node, (Prefix, Fuzzy, Wildcard, Regexp)):
+        out.append((node, polarity))
+    elif isinstance(node, Boost):
+        collect_scoring_expansions(node.child, out, polarity)
+    elif isinstance(node, (And, Or, MinShould)):
+        for c in node.children:
+            collect_scoring_expansions(c, out, polarity)
+    elif isinstance(node, Not):
+        collect_scoring_expansions(node.positive, out, polarity)
+        for c in node.negatives:
+            collect_scoring_expansions(c, out, -polarity)
+    # Filter: stop — gate-only
+    return out
+
+
 def collect_boosts(node: Node, out: dict[str, float] | None = None,
                    mult: float = 1.0) -> dict[str, float]:
     """term_key → boost multiplier for every scoring term UNDER a Boost:
@@ -346,18 +373,18 @@ def collect_expansion_boosts(node: Node,
                              out: dict[str, float] | None = None,
                              mult: float = 1.0) -> dict[str, float]:
     """expansion key → multiplier for boosted Fuzzy/Prefix nodes, keyed
-    exactly like the engine's expansions dict (``Fuzzy.expansion_key`` /
-    ``Prefix.term_key_prefix``) so the Searcher can spread the boost
-    over the expanded terms after expansion."""
+    exactly like the engine's expansions dict — ``(expansion_key /
+    term_key_prefix, max_expansion)`` composites — so the Searcher can
+    spread the boost over the expanded terms after expansion."""
     if out is None:
         out = {}
     if isinstance(node, Boost):
         collect_expansion_boosts(node.child, out, mult * node.boost)
     elif mult != 1.0 and isinstance(node, (Fuzzy, Wildcard, Regexp)):
-        k = node.expansion_key()
+        k = (node.expansion_key(), node.max_expansion)
         out[k] = out.get(k, 1.0) * mult
     elif mult != 1.0 and isinstance(node, Prefix):
-        k = node.term_key_prefix()
+        k = (node.term_key_prefix(), node.max_expansion)
         out[k] = out.get(k, 1.0) * mult
     elif isinstance(node, (And, Or, MinShould)):
         for c in node.children:
