@@ -44,7 +44,7 @@ _TOKEN_SPLIT = re.compile(
 _RANGE = re.compile(r'^(-?\d+)\s+TO\s+(-?\d+)$', re.IGNORECASE)
 _BARE_BOOST = re.compile(r'^\^(\d+(?:\.\d+)?)$')
 _BOOST = re.compile(r'^(.*\S)\^(\d+(?:\.\d+)?)$')
-_FUZZY = re.compile(r'^(.*\S)~([12])?$')
+_FUZZY = re.compile(r'^(.*\S)~(\d+)?$')
 _SLOP = re.compile(r'^(.*")~(\d+)$')   # sloppy phrase '"a b"~N'
 
 
@@ -91,12 +91,13 @@ def parse_query(q: str, default_field: str = "text",
                                      float(_BARE_BOOST.match(nxt).group(1)))
             elif _BARE_BOOST.match(t):
                 continue  # stray '^N' with no preceding group: drop it
-            elif t.upper() == "OR":
+            elif t == "OR":  # Lucene operators are CASE-SENSITIVE —
+                #                 lowercase 'or' is a search term
                 pending_or = True
                 continue
-            elif t.upper() == "AND":
+            elif t == "AND":
                 continue
-            elif t.upper() == "NOT":
+            elif t == "NOT":
                 negate_next = True
                 continue
             elif t.startswith("-") and len(t) > 1:
@@ -137,7 +138,17 @@ def parse_query(q: str, default_field: str = "text",
             return Not(pos_node, tuple(negatives))
         return pos_node
 
-    node = parse_group()
+    parts: list[Node] = []
+    while True:
+        node = parse_group()
+        if not (isinstance(node, And) and not node.children):
+            parts.append(node)
+        if pos < len(tokens):  # unmatched top-level ')': skip it and
+            pos += 1          # resume — dropping the REST of the query
+            continue          # would silently widen the match set
+        break
+    node = (And(()) if not parts
+            else parts[0] if len(parts) == 1 else And(tuple(parts)))
     if isinstance(node, And) and not node.children:
         # every clause dissolved (empty query / all-stopword phrase):
         # match nothing, like Lucene — never the implicit match-all And(())
@@ -170,13 +181,20 @@ def _atom(tok: str, default_field: str,
         if m and not tok.startswith("[") and "]" not in tok:
             body = m.group(1)
             edits = int(m.group(2)) if m.group(2) else 2  # Lucene default
+            if edits > 2:
+                # Lucene: "maximum supported edit distance is 2" — a
+                # silent fall-through would turn '3' into a search term
+                raise ValueError(
+                    f"fuzzy edit distance {edits} not supported (max 2): "
+                    f"{tok!r}")
             field = default_field
             if ":" in body:
                 field, body = body.split(":", 1)
             toks = py_tokenize(body) if field == default_field else [body]
             if not toks:
                 return None
-            node: Node = Fuzzy(field, toks[-1], max_edits=edits)
+            node: Node = (Term(field, toks[-1]) if edits == 0  # '~0' exact
+                          else Fuzzy(field, toks[-1], max_edits=edits))
             if len(toks) > 1:  # 'foo-bar~': foo required, last token fuzzy
                 node = And(tuple(Term(field, t) for t in toks[:-1])
                            + (node,))
@@ -195,6 +213,10 @@ def _atom_base(tok: str, default_field: str,
         if rest.startswith('"') and rest.endswith('"') and len(rest) >= 2:
             field, tok = maybe_field, rest  # field-qualified phrase
     if tok.startswith('"') and tok.endswith('"'):
+        # quoting means ANALYZED match on any field ('title:"foo bar"' →
+        # Phrase verified against the stored column) — verbatim keyword
+        # equality is the UNQUOTED form ('status:Open'); mixing the two
+        # would need per-field analyzer knowledge the parser doesn't have
         terms = py_tokenize(tok[1:-1], stopwords)
         if not terms:
             return None

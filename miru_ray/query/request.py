@@ -70,8 +70,8 @@ from typing import Any
 import pyarrow as pa
 
 from ..tokenize import EN_STOPWORDS
-from .filter import (And, Authz, Boost, Filter, MinShould, Node, Not, Or,
-                     Term, TimeRange)
+from .filter import (And, Authz, Boost, Filter, Fuzzy, MinShould, Node,
+                     Not, Or, Prefix, Regexp, Term, TimeRange, Wildcard)
 from .parser import parse_query
 
 #: the reference's "currently supported" filter operations
@@ -94,6 +94,10 @@ def _value_str(v: Any) -> str:
     if isinstance(v, bool):
         raise ValueError(f"boolean is not a term value: {v!r}")
     if isinstance(v, (int, float)):
+        if isinstance(v, float) and not v.is_integer():
+            # truncating 2.7 to the term '2' would silently match the
+            # wrong postings — terms are strings; send one
+            raise ValueError(f"non-integral numeric filter value: {v!r}")
         v = str(int(v))
     if not isinstance(v, str):
         raise ValueError(f"unsupported field-filter value: {v!r}")
@@ -145,9 +149,12 @@ def filter_to_ast(f: dict, text_fields: tuple = ("text",)) -> Node | None:
 
 def _recap(node: Node, cap: int) -> Node:
     """Apply the request's ``maxWildcardExpansion`` to every expanding
-    node (Prefix/Wildcard/Regexp/Fuzzy all carry ``max_expansion`` — the
-    reference threads the same knob into its Lucene query parser)."""
-    if hasattr(node, "max_expansion"):
+    node (Prefix/Wildcard/Regexp/Fuzzy — the reference threads the same
+    knob into its Lucene query parser).  NumericRange also carries a
+    ``max_expansion``, but that one is a loud-failure correctness bound
+    (a truncated range silently DROPS matching docs) — the wildcard
+    budget must not lower it."""
+    if isinstance(node, (Prefix, Wildcard, Regexp, Fuzzy)):
         node = dataclasses.replace(node, max_expansion=cap)
     if isinstance(node, (And, Or)):
         return type(node)(tuple(_recap(c, cap) for c in node.children))
@@ -195,10 +202,9 @@ def request_to_ast(request: dict, cfg) -> tuple[Node, int, str]:
     if tr:
         clauses.append(TimeRange(int(tr["smallestTimestamp"]),
                                  int(tr["largestTimestamp"])))
-    az = request.get("authzExpression")
-    if az and az.get("values"):
-        clauses.append(Authz(tuple(str(v) for v in az["values"]),
-                             field=az.get("field", "acl")))
+    az = authz_clause(request)
+    if az is not None:
+        clauses.append(az)
     ast = clauses[0] if len(clauses) == 1 else And(tuple(clauses))
     k_raw = q.get("desiredNumberOfResults")
     k = 10 if k_raw is None else int(k_raw)
@@ -423,7 +429,14 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
                 pdf = pdf.sort_values(["_ts", "doc_id"], kind="stable")
                 grp = pdf.groupby(field, sort=True)
                 counts = grp.size()
-                last, first = grp.last(), grp.first()
+                # whole ROWS, not GroupBy.last()/first() — those skip
+                # nulls PER COLUMN, so a null gather field on the truly
+                # newest doc would silently report an older doc's value
+                # against the newest timestamp
+                last = pdf.drop_duplicates(field, keep="last") \
+                          .set_index(field).sort_index()
+                first = pdf.drop_duplicates(field, keep="first") \
+                           .set_index(field).sort_index()
                 page = pd.DataFrame({
                     "n": counts, "latest": last["_ts"],
                     "oldest": first["_ts"]}).sort_values(
@@ -796,10 +809,9 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
             ok_clauses.append(node)
     ok_clauses.append(TimeRange(int(tr["smallestTimestamp"]),
                                 int(tr["largestTimestamp"])))
-    az = request.get("authzExpression")
-    if az and az.get("values"):
-        ok_clauses.append(Authz(tuple(str(v) for v in az["values"]),
-                                field=az.get("field", "acl")))
+    az = authz_clause(request)
+    if az is not None:
+        ok_clauses.append(az)
     ok_ast = ok_clauses[0] if len(ok_clauses) == 1 \
         else And(tuple(ok_clauses))
     myok_ast = And((my_ast, ok_ast))
@@ -812,14 +824,13 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
                 tot[k] += c
         return tot
 
-    zones = searcher._zone_maps()
-    exhausted = bool(zones) and \
-        int(tr["smallestTimestamp"]) > max(z[1] for z in zones.values())
+    n_zones = len(searcher._zone_maps())
+    exhausted = exhausted_before(searcher, int(tr["smallestTimestamp"]))
 
     def _answer(rows: list[tuple[str, float]]) -> dict:
         results = [{"distinctValue": v, "rank": float(r)}
                    for v, r in rows]
-        answer = {"results": results, "partitionsVisited": len(zones),
+        answer = {"results": results, "partitionsVisited": n_zones,
                   "resultsExhausted": exhausted}
         return _respond(request, searcher, answer, t0, log)
 

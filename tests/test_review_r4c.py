@@ -116,3 +116,105 @@ def test_time_strategy_pagination(xs_searcher):
     page2 = xs_searcher.topk("alpha merge", 10, "time",
                              after=(ts_us[9], docs[9]))
     assert page2["doc_id"].to_pylist() == docs[10:20]
+
+
+def test_parser_review_fixes(xs_searcher):
+    """Round-4c parser findings: stray ')' must not truncate the rest of
+    the query; lowercase or/and/not are TERMS (Lucene operators are
+    case-sensitive); fuzzy ~0 is exact and >2 rejects."""
+    import pytest
+
+    from miru_ray.query.filter import And, Fuzzy
+    from miru_ray.query.parser import parse_query
+    # truncation: 'foo) bar' must still require bar
+    assert parse_query("foo) bar") == And((Term("text", "foo"),
+                                           Term("text", "bar")))
+    assert xs_searcher.count("alpha) merge") == \
+        xs_searcher.count("alpha merge")
+    # case-sensitive operators
+    assert parse_query("rock or roll") == And((Term("text", "rock"),
+                                               Term("text", "or"),
+                                               Term("text", "roll")))
+    # fuzzy edit distances
+    assert parse_query("term~0") == Term("text", "term")
+    assert parse_query("term~1") == Fuzzy("text", "term", max_edits=1)
+    with pytest.raises(ValueError, match="edit distance"):
+        parse_query("term~3")
+
+
+def test_request_review_fixes(xs_searcher):
+    """maxWildcardExpansion must not lower NumericRange's loud-failure
+    bound; fractional numeric filter values reject instead of silently
+    truncating to the wrong term."""
+    import pytest
+
+    from miru_ray.query.filter import NumericRange
+    from miru_ray.query.request import (_value_str, execute_request,
+                                        request_to_ast)
+    req = {"name": "t", "tenantId": "demo",
+           "query": {"query": "turn:[0 TO 99999] alpha",
+                     "defaultField": "text",
+                     "maxWildcardExpansion": 7,
+                     "desiredNumberOfResults": 5}}
+    ast, _k, _s = request_to_ast(req, IndexConfig())
+    ranges = [n for n in ast.children if isinstance(n, NumericRange)]
+    assert ranges and ranges[0].max_expansion == 100_000  # untouched
+    with pytest.raises(ValueError, match="non-integral"):
+        _value_str(2.7)
+    assert _value_str(2.0) == "2" and _value_str(3) == "3"
+    with pytest.raises(ValueError, match="non-integral"):
+        execute_request(xs_searcher, {
+            "name": "t", "tenantId": "demo",
+            "query": {"streamFilter": {
+                          "operation": "and",
+                          "fieldFilters": [{"fieldName": "turn_idx",
+                                            "values": [2.7]}]},
+                      "aggregateCountAroundField": "tool",
+                      "desiredNumberOfDistincts": 5}})
+
+
+def test_aggregate_counts_gather_takes_whole_rows(ray_session, tmp_path):
+    """gatherLatestValues must come from the truly newest ROW — a null
+    gather column on that row must surface as None, not an older row's
+    value (GroupBy.last() skips nulls per column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miru_ray.index.build import build_index
+    from miru_ray.query.engine import Searcher
+    from miru_ray.query.request import execute_request
+    t = pa.table({
+        "conv_id": pa.array(["c0"] * 4),
+        "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+        "role": pa.array(["user", "assistant"] * 2),
+        "text": pa.array(["alpha one", "alpha two",
+                          "alpha three", "alpha four"]),
+        "tool": pa.array(["grep", "sed", "awk", None]),  # newest: null
+        "ts": pa.array([i * 1_000_000 for i in range(4)],
+                       pa.timestamp("us")),
+    })
+    src = tmp_path / "src"
+    os.makedirs(src)
+    pq.write_table(t, str(src / "t.parquet"))
+    d = str(tmp_path / "idx")
+    build_index([str(src / "t.parquet")], d,
+                IndexConfig(docs_per_partition=8, num_shards=1,
+                            keyword_fields=("role", "conv_id")))
+    s = Searcher(d, num_readers=1)
+    try:
+        resp = execute_request(s, {
+            "name": "t", "tenantId": "demo",
+            "query": {"streamFilter": {
+                          "operation": "and",
+                          "fieldFilters": [{"fieldName": "text",
+                                            "values": ["alpha"]}]},
+                      "constraints": {"c": {
+                          "aggregateCountAroundField": "conv_id",
+                          "desiredNumberOfDistincts": 5,
+                          "gatherTermsForFields": ["tool"]}}}})
+        [row] = resp["answer"]["constraints"]["c"]["results"]
+        assert row["latestTimestamp"] == 3_000_000
+        assert row["gatherLatestValues"]["tool"] is None  # NOT 'awk'
+        assert row["gatherOldestValues"]["tool"] == "grep"
+    finally:
+        s.close()
