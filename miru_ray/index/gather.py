@@ -34,7 +34,8 @@ import ray
 
 from ..config import IndexConfig
 from ..util import atomic_write_json, read_json, term_shard
-from .segments import (encode_segment_table, segment_rel_path,
+from .segments import (empty_pos_column, encode_segment_table,
+                       segment_rel_path,
                        segment_to_rows, write_segment)
 
 
@@ -55,6 +56,8 @@ def gather_terms(index_dir: str,
     manifest = read_json(manifest_path)
     cfg = IndexConfig.from_dict(manifest["config"])
     nsh = cfg.num_shards
+    positional = bool(getattr(cfg, "positional_fields", ()))
+    _empty_pos = empty_pos_column  # captured for the remote closure
     state = manifest.get("gather", {}).get(name, {"done_pids": []})
     done = set(state["done_pids"])
     cols = ["doc_id"] + list(columns or cfg.text_fields)
@@ -91,9 +94,9 @@ def gather_terms(index_dir: str,
             if not all(":" in s for s in terms):
                 raise ValueError(
                     f"gather {name!r}: terms must be namespaced field:value")
-        shard_of = term_shard(
-            np.asarray(new["term"].to_pandas(), dtype=object), nsh) \
-            if new.num_rows else np.empty(0, np.int64)
+            shard_of = term_shard(terms, nsh)
+        else:
+            shard_of = np.empty(0, np.int64)
         out = []
         for shard in range(nsh):
             add = new.filter(pa.array(shard_of == shard)) if new.num_rows \
@@ -104,6 +107,14 @@ def gather_terms(index_dir: str,
                 #           its manifest entry) are already correct; a
                 #           decode/re-encode/rewrite would be pure waste
             rows = add.select(["term", "doc_id", "tf"])
+            if positional:
+                # a positional index's segments carry a pos column — pad
+                # empty runs (gathered keyword terms have no positions)
+                # so the concat aligns AND a delta-only cell still writes
+                # pos_bytes (a mixed-schema dir would fail compaction);
+                # same treatment as upgrade.py's merge_cell
+                rows = rows.append_column("pos",
+                                          _empty_pos(rows.num_rows))
             if os.path.exists(path):
                 rows = pa.concat_tables([segment_to_rows(path), rows])
             seg = encode_segment_table(rows)

@@ -300,6 +300,15 @@ def segment_rows_table(t: pa.Table) -> pa.Table:
                 else np.empty(0, np.int64))
         off = np.zeros(len(plen) + 1, np.int64)
         np.cumsum(plen, out=off[1:])
+        if len(off) and int(off[-1]) >= 2 ** 31:
+            # ListArray offsets are int32 — a silent astype wrap would
+            # re-encode GARBAGE position runs into the compacted index.
+            # Decode batches are 2048 term-dict rows; hitting this means
+            # pathological position volume per batch — fail loudly.
+            raise ValueError(
+                f"decode batch carries {int(off[-1])} positions — "
+                "exceeds int32 list offsets; lower the decode batch "
+                "size (compact._make_decode_fn)")
         cols["pos"] = pa.ListArray.from_arrays(
             pa.array(off.astype(np.int32)),
             pa.array((np.concatenate(pos_out) if pos_out

@@ -57,8 +57,9 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     Durable progress: ``sync_progress.json`` in the destination records
     (relpath → sha256) of every completed copy; a re-run copies only
     missing or changed files (the cursor semantics).  The manifest is
-    written last as the atomic commit — a reader that arrives AFTER a sync
-    completes always sees a consistent index.
+    written after every content copy (the atomic commit) and stale files
+    are swept only AFTER it — at no point does a committed manifest
+    reference a deleted file.
 
     Consistency window: re-syncing onto a replica that is concurrently
     SERVING queries can expose mixed-version segment files until the
@@ -69,6 +70,14 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     """
     if not os.path.exists(os.path.join(src_dir, "manifest.json")):
         raise FileNotFoundError(f"no manifest in {src_dir}")
+    src_abs = os.path.realpath(src_dir)
+    dst_abs = os.path.realpath(dst_dir)
+    if dst_abs == src_abs or dst_abs.startswith(src_abs + os.sep):
+        # a destination inside the source would be walked as source
+        # content on the NEXT sync, snowballing the tree (same guard as
+        # compact_index's destination check)
+        raise ValueError(f"sync destination {dst_dir!r} must not alias "
+                         f"or nest inside the source {src_dir!r}")
     os.makedirs(dst_dir, exist_ok=True)
     ppath = os.path.join(dst_dir, PROGRESS)
     progress: dict[str, str] = (read_json(ppath)
@@ -96,10 +105,16 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
         progress[rel] = want
         atomic_write_json(ppath, progress)  # durable per-file cursor
         copied += 1
-    # drop destination files that no longer exist at the source (e.g. a
-    # superseded segment) BEFORE committing the manifest
+    # commit the manifest FIRST, then drop destination files that no
+    # longer exist at the source (superseded segments): the new manifest
+    # doesn't reference them, so a crash (or a concurrent reader) between
+    # the two steps never sees a committed manifest pointing at deleted
+    # files — stale leftovers are merely re-swept on the next sync
+    shutil.copyfile(os.path.join(src_dir, "manifest.json"),
+                    os.path.join(dst_dir, "manifest.json.sync_tmp"))
+    os.replace(os.path.join(dst_dir, "manifest.json.sync_tmp"),
+               os.path.join(dst_dir, "manifest.json"))
     removed = 0
-    src_set = set(progress)
     for rel in list(progress):
         if not os.path.exists(os.path.join(src_dir, rel)):
             p = os.path.join(dst_dir, rel)
@@ -109,11 +124,6 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
             removed += 1
     if removed:
         atomic_write_json(ppath, progress)
-    shutil.copyfile(os.path.join(src_dir, "manifest.json"),
-                    os.path.join(dst_dir, "manifest.json.sync_tmp"))
-    os.replace(os.path.join(dst_dir, "manifest.json.sync_tmp"),
-               os.path.join(dst_dir, "manifest.json"))
-    _ = src_set
     return {"copied": copied, "skipped": skipped, "removed": removed,
             "n_files": len(progress)}
 

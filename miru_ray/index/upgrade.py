@@ -85,6 +85,19 @@ def check_additive(old: IndexConfig, new: IndexConfig) -> dict:
     if missing_pb:
         problems.append(f"power_bits_fields removed: {missing_pb}")
     added["power_bits_fields"] = tuple(p for p in n_pb if p not in o_pb)
+    # generic guard: any OTHER content-config difference (ts_field,
+    # id_fields, a future content knob) is NOT additive — diffing
+    # content_dict() instead of a hand-kept whitelist means a new config
+    # field can't silently slip through as "exec-knob-only"
+    checked = {"text_fields", "phrase_bigram_fields", "positional_fields",
+               "docs_per_partition", "num_shards", "remove_stopwords",
+               "keyword_fields", "list_keyword_fields", "numeric_fields",
+               "power_bits_fields"}
+    oc, nc2 = old.content_dict(), new.content_dict()
+    for key in sorted(set(oc) | set(nc2)):
+        if key not in checked and oc.get(key) != nc2.get(key):
+            problems.append(f"{key} differs (content field — a change "
+                            "requires a rebuild)")
     if problems:
         raise ValueError("config change is not additive: "
                          + "; ".join(problems))

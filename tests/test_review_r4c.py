@@ -218,3 +218,96 @@ def test_aggregate_counts_gather_takes_whole_rows(ray_session, tmp_path):
         assert row["gatherOldestValues"]["tool"] == "grep"
     finally:
         s.close()
+
+
+def test_gather_terms_on_positional_index(ray_session, tmp_path):
+    """Post-commit enrichment of a POSITIONAL index: gathered keyword
+    terms pad empty position runs so segment schemas stay uniform
+    (previously ArrowInvalid on merge / a mixed-schema dir on
+    delta-only cells) — and phrases still answer afterwards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miru_ray.index.build import build_index
+    from miru_ray.index.gather import gather_terms
+    from miru_ray.query.engine import Searcher
+    from miru_ray.query.parser import parse_query
+    t = pa.table({
+        "conv_id": pa.array(["c0"] * 6),
+        "turn_idx": pa.array(list(range(6)), pa.int32()),
+        "role": pa.array(["user", "assistant"] * 3),
+        "text": pa.array([f"alpha beta turn {i}" for i in range(6)]),
+        "ts": pa.array([i * 1_000_000 for i in range(6)],
+                       pa.timestamp("us")),
+    })
+    src = tmp_path / "src"
+    os.makedirs(src)
+    pq.write_table(t, str(src / "t.parquet"))
+    d = str(tmp_path / "idx")
+    build_index([str(src / "t.parquet")], d,
+                IndexConfig(docs_per_partition=8, num_shards=1,
+                            keyword_fields=(),
+                            positional_fields=("text",)))
+
+    def gatherer(docs: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": pa.array([f"parity:{'even' if i % 2 == 0 else 'odd'}"
+                              for i in docs["doc_id"].to_pylist()]),
+            "doc_id": docs["doc_id"],
+            "tf": pa.array([1] * docs.num_rows, pa.int64())})
+
+    gather_terms(d, gatherer, "parity", columns=[])
+    s = Searcher(d, num_readers=1)
+    try:
+        assert s.count(Term("parity", "even")) == 3
+        # positions survive the merge: phrases still answer from index
+        assert s.count(parse_query('"alpha beta"')) == 6
+    finally:
+        s.close()
+
+
+def test_sync_rejects_nested_destination(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from miru_ray.index.build import build_index
+    from miru_ray.index.sync import sync_index
+    t = pa.table({
+        "conv_id": pa.array(["c0"] * 2),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": pa.array(["user", "assistant"]),
+        "tool": pa.array(["", "grep"]),
+        "text": pa.array(["alpha", "beta"]),
+        "ts": pa.array([0, 1_000_000], pa.timestamp("us")),
+    })
+    src = tmp_path / "src"
+    os.makedirs(src)
+    pq.write_table(t, str(src / "t.parquet"))
+    d = str(tmp_path / "idx")
+    build_index([str(src / "t.parquet")], d,
+                IndexConfig(docs_per_partition=8, num_shards=1))
+    with pytest.raises(ValueError, match="nest"):
+        sync_index(d, os.path.join(d, "replica"))
+    with pytest.raises(ValueError, match="alias"):
+        sync_index(d, d)
+
+
+def test_check_additive_generic_content_guard():
+    """ts_field / id_fields (and any future content knob) cannot slip
+    through as an exec-knob-only upgrade."""
+    import pytest
+
+    from miru_ray.index.upgrade import check_additive
+    base = IndexConfig(docs_per_partition=8, num_shards=1)
+    with pytest.raises(ValueError, match="id_fields differs"):
+        check_additive(base, IndexConfig(
+            docs_per_partition=8, num_shards=1,
+            id_fields=("session_id", "turn_idx")))
+    with pytest.raises(ValueError, match="ts_field differs"):
+        check_additive(base, IndexConfig(
+            docs_per_partition=8, num_shards=1, ts_field="created_at"))
+    # exec knobs stay upgradable (content_dict excludes them)
+    assert check_additive(base, IndexConfig(
+        docs_per_partition=8, num_shards=1,
+        io_compression="snappy"))["power_bits_fields"] == ()
