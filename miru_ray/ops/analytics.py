@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..util import read_parquet_clean
+from ..util import read_parquet_clean, sorted_lookup
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 US_PER_HOUR = 3_600_000_000
@@ -93,7 +93,8 @@ def aggregate_counts(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("event_type").aggregate(
-            [("ts", "count"), ("ts", "min"), ("ts", "max")])
+            [("ts", "count", pc.CountOptions(mode="all")),  # count(*)
+             ("ts", "min"), ("ts", "max")])
         return g.rename_columns(["event_type", "cnt", "min_ts", "max_ts"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -102,11 +103,21 @@ def aggregate_counts(sf_dir: str) -> pa.Table:
         Min("min_ts", alias_name="oldest_ts"),
         Max("max_ts", alias_name="newest_ts")).to_pandas()
     out = out.sort_values("event_type").reset_index(drop=True)
+
+    def _ts(series) -> pa.Array:
+        # a type whose ts values are ALL NULL has a NULL min/max (SQL),
+        # not an int-cast crash
+        v = series.to_numpy(dtype="float64", na_value=np.nan)
+        mask = np.isnan(v)
+        return pa.array(np.where(mask, 0, v).astype(np.int64),
+                        mask=mask if mask.any() else None) \
+                 .cast(pa.timestamp("us"))
+
     return pa.table({
         "event_type": pa.array(out["event_type"]),
         "n_events": pa.array(out["n_events"].astype(np.int64)),
-        "oldest_ts": pa.array(out["oldest_ts"].astype(np.int64)).cast(pa.timestamp("us")),
-        "newest_ts": pa.array(out["newest_ts"].astype(np.int64)).cast(pa.timestamp("us")),
+        "oldest_ts": _ts(out["oldest_ts"]),
+        "newest_ts": _ts(out["newest_ts"]),
     })
 
 
@@ -117,7 +128,8 @@ def waveform(sf_dir: str, dt_us: int = US_PER_HOUR) -> pa.Table:
                         batch_format="pyarrow", batch_size=65536)
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type", "bucket"]).aggregate([("bucket", "count")])
+        g = t.group_by(["event_type", "bucket"]).aggregate(
+            [("bucket", "count", pc.CountOptions(mode="all"))])  # count(*)
         return g.rename_columns(["event_type", "bucket", "cnt"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -140,6 +152,8 @@ def rolling_counts(sf_dir: str, dt_us: int = US_PER_HOUR,
     buckets contribute zero by construction (value-range window, matching
     SQL RANGE framing).  All exact ints."""
     wf = waveform(sf_dir, dt_us).to_pandas()
+    # NULL-ts events (null bucket) have no place on the time axis
+    wf = wf[wf["bucket"].notna()]
     types, buckets, rolls = [], [], []
     for et, g in wf.groupby("event_type", sort=True):
         b = g["bucket"].to_numpy().astype(np.int64)   # sorted by waveform
@@ -246,8 +260,14 @@ def anomaly(sf_dir: str, dt_us: int = US_PER_HOUR,
         t = _bucket_batch(t, dt_us)
         v6 = pc.cast(pc.round(pc.multiply(t["value"], 1e6)), pa.int64())
         g = pa.table({"bucket": t["bucket"], "v6": v6}).group_by(
-            "bucket").aggregate([("v6", "sum"), ("v6", "count")])
-        return g.rename_columns(["bucket", "v6", "n"])
+            "bucket").aggregate(
+                [("v6", "sum"), ("v6", "count",
+                                 pc.CountOptions(mode="all"))])  # count(*)
+        # an all-NULL-value partial sums to NULL — a zero contribution
+        # to the bucket's deviation, never an int-cast crash
+        return pa.table({"bucket": g["bucket"],
+                         "v6": pc.fill_null(g["v6_sum"], 0),
+                         "n": g["v6_count"]})
 
     per_bucket = (ds.map_batches(prep, batch_format="pyarrow",
                                  batch_size=65536)
@@ -255,6 +275,10 @@ def anomaly(sf_dir: str, dt_us: int = US_PER_HOUR,
                       Sum("v6", alias_name="sv6"),
                       Sum("n", alias_name="n_events"))
                   .to_pandas())  # bounded: one row per time bucket
+    # NULL-ts events have no place on the time axis — the ranked/windowed
+    # views skip the null-bucket group (SQL window functions likewise
+    # never assign it a window)
+    per_bucket = per_bucket[per_bucket["bucket"].notna()]
     nb = len(per_bucket)
     if not nb:
         return pa.table({"bucket": pa.array([], pa.int64()),
@@ -262,8 +286,11 @@ def anomaly(sf_dir: str, dt_us: int = US_PER_HOUR,
                          "sum_value": pa.array([], pa.float64()),
                          "deviation": pa.array([], pa.float64())})
     sv6 = per_bucket["sv6"].to_numpy().astype(np.int64)
-    total = int(sv6.sum())
-    score = np.abs(nb * sv6 - total)  # exact-integer |sum - mean| ordering
+    total = int(sv6.astype(object).sum())  # exact (no int64 wrap)
+    # exact-integer |sum - mean| ordering in PYTHON ints — nb·sv6 can
+    # exceed int64 at scale and a silent wrap would reorder the top-k
+    # (same guard as window_join's pair products)
+    score = np.abs(nb * sv6.astype(object) - total)
     per_bucket["score"] = score
     out = per_bucket.sort_values(["score", "bucket"],
                                  ascending=[False, True]).head(k)
@@ -281,6 +308,8 @@ def trending(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3) -> pa.Table:
     distributed; the per-type slope over ≤#buckets points is driver-side
     (tiny), like the reference's answer-merge scoring."""
     wf = waveform(sf_dir, dt_us).to_pandas()
+    # NULL-ts events (null bucket) have no place on the time axis
+    wf = wf[wf["bucket"].notna()]
     rows = []
     for et, g in wf.groupby("event_type"):
         x = g["bucket"].to_numpy(dtype=np.float64)
@@ -390,6 +419,7 @@ def unread_counts(sf_dir: str) -> pa.Table:
                          batch_size=65536)
           .groupby("user_id").aggregate(Max("w", alias_name="w"))
           .to_pandas())  # one row per clicking user — the broadcast side
+    wm = _pdf_cols(wm, ["user_id", "w"])  # no clicks at all → empty frame
     wk = wm["user_id"].to_numpy().astype(np.int64)
     order = np.argsort(wk)
     wm_ref = ray.put((wk[order], wm["w"].to_numpy().astype(np.int64)[order]))
@@ -399,11 +429,8 @@ def unread_counts(sf_dir: str) -> pa.Table:
         uid = t["user_id"].to_numpy().astype(np.int64)
         ts = pc.cast(t["ts"], pa.int64()).to_numpy()
         w = np.full(len(uid), np.int64(-2**62))  # no watermark → all unread
-        if len(keys):
-            pos = np.searchsorted(keys, uid)
-            safe = np.minimum(pos, len(keys) - 1)
-            has_wm = (pos < len(keys)) & (keys[safe] == uid)
-            w[has_wm] = ws[safe[has_wm]]
+        has_wm, safe = sorted_lookup(keys, uid)
+        w[has_wm] = ws[safe[has_wm]]
         unread = (ts > w).astype(np.int64)
         g = pa.table({"user_id": pa.array(uid), "u": pa.array(unread)}) \
             .group_by("user_id").aggregate([("u", "sum")])
@@ -453,6 +480,7 @@ def unread_backfill(sf_dir: str) -> pa.Table:
              .groupby(["user_id", "kind"]).aggregate(Max("ts",
                                                          alias_name="ts"))
              .to_pandas())  # ≤ 2 rows per marking user — the broadcast side
+    marks = _pdf_cols(marks, ["user_id", "kind", "ts"])  # no markers at all
     piv = marks.pivot_table(index="user_id", columns="kind", values="ts",
                             aggfunc="max")
     last_read = piv["click"] if "click" in piv else pd.Series(dtype=float)
@@ -472,11 +500,8 @@ def unread_backfill(sf_dir: str) -> pa.Table:
         uid = sub["user_id"].to_numpy().astype(np.int64)
         ts = pc.cast(sub["ts"], pa.int64()).to_numpy()
         w = np.full(len(uid), np.int64(-2**62))  # no watermark → unread
-        if len(keys):
-            pos = np.searchsorted(keys, uid)
-            safe = np.minimum(pos, max(len(keys) - 1, 0))
-            hit = (pos < len(keys)) & (keys[safe] == uid)
-            w[hit] = ws[safe[hit]]
+        hit, safe = sorted_lookup(keys, uid)
+        w[hit] = ws[safe[hit]]
         unread = (ts > w).astype(np.int64)
         g = pa.table({"user_id": pa.array(uid), "u": pa.array(unread)}) \
             .group_by("user_id").aggregate([("u", "sum")])
@@ -579,8 +604,14 @@ def sessions(sf_dir: str, gap_us: int = SESSION_GAP_US,
                     ["b_first_uid", "b_first_ts", "b_last_uid",
                      "b_last_ts"])
     # retract the start over-counted at each batch seam that continues a
-    # session: O(n_batches) rows, trivially driver-side
-    bnd = bnd.sort_values(["b_first_uid", "b_first_ts"]).reset_index(drop=True)
+    # session: O(n_batches) rows, trivially driver-side.  Batch order is
+    # reconstructed from the boundary keys; the LAST keys break first-key
+    # ties (two batches can share a first (uid, ts) when duplicate rows
+    # straddle a boundary — a batch wholly inside the duplicate run sorts
+    # before the one extending past it, restoring stream order)
+    bnd = bnd.sort_values(["b_first_uid", "b_first_ts",
+                           "b_last_uid", "b_last_ts"]) \
+             .reset_index(drop=True)
     corrections: dict[int, int] = {}
     for i in range(1, len(bnd)):
         prev_u = int(bnd["b_last_uid"][i - 1])
@@ -615,7 +646,11 @@ def _q_bin_idx(v: np.ndarray, lo: float, width: float) -> np.ndarray:
 
 
 def _q_member_mask(v: np.ndarray, chain) -> np.ndarray:
-    mask = np.ones(len(v), bool)
+    # NULL values never join a bin: NaN would floor-cast to INT64_MIN
+    # and clip into bin 0 (ranked SMALLEST) where the SQL oracle's
+    # ORDER BY places NULLs LAST — the rank-vs-valid-count check in the
+    # callers handles the null tail
+    mask = ~np.isnan(v)
     for lo, width, b in chain:
         mask &= _q_bin_idx(v, lo, width) == b
     return mask
@@ -686,10 +721,13 @@ def value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS) -> pa.Table:
     ds = _events(sf_dir, ["value"]).materialize()
 
     def minmax(b: pa.Table) -> pa.Table:
-        v = b["value"].to_numpy()
-        return pa.table({"n": pa.array([len(v)], pa.int64()),
-                         "lo": pa.array([float(v.min()) if len(v) else np.inf]),
-                         "hi": pa.array([float(v.max()) if len(v) else -np.inf])})
+        v = b["value"].to_numpy(zero_copy_only=False)
+        ok = v[~np.isnan(v)]
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),  # count(*) — rank basis
+            "nv": pa.array([len(ok)], pa.int64()),
+            "lo": pa.array([float(ok.min()) if len(ok) else np.inf]),
+            "hi": pa.array([float(ok.max()) if len(ok) else -np.inf])})
 
     mm = ds.map_batches(minmax, batch_format="pyarrow",
                         batch_size=65536).to_pandas()
@@ -698,10 +736,13 @@ def value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS) -> pa.Table:
         return pa.table({"q_pct": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
                          "value": pa.array([], pa.float64())})
-
+    n_valid = int(mm["nv"].sum())
     lo0, hi0 = float(mm["lo"].min()), float(mm["hi"].max())
     ks = [(p, (n * p + 99) // 100) for p in pcts]
-    out = [(p, k, _kth_smallest(ds, n, lo0, hi0, k)) for p, k in ks]
+    # ranks past the non-null prefix land in the oracle's NULLS-LAST
+    # tail — the quantile IS null
+    out = [(p, k, _kth_smallest(ds, n, lo0, hi0, k) if k <= n_valid
+            else None) for p, k in ks]
     return pa.table({"q_pct": pa.array([o[0] for o in out], pa.int64()),
                      "rank": pa.array([o[1] for o in out], pa.int64()),
                      "value": pa.array([o[2] for o in out], pa.float64())})
@@ -726,20 +767,27 @@ def group_value_quantiles(sf_dir: str,
 
     def mm_partial(b: pa.Table) -> pa.Table:
         g = b.group_by("event_type").aggregate(
-            [("value", "min"), ("value", "max"), ("value", "count")])
+            [("value", "min"), ("value", "max"),
+             # count(*) via the never-null KEY column — two counts of
+             # 'value' would both surface as 'value_count' (name-based
+             # selection per the ADVICE column-order trap)
+             ("event_type", "count", pc.CountOptions(mode="all")),
+             ("value", "count")])  # non-null — the NULLS-LAST boundary
         return pa.table({"event_type": g["event_type"],
                          "lo": g["value_min"], "hi": g["value_max"],
-                         "n": pc.cast(g["value_count"], pa.int64())})
+                         "n": pc.cast(g["event_type_count"], pa.int64()),
+                         "nv": pc.cast(g["value_count"], pa.int64())})
 
     mm = (ds.map_batches(mm_partial, batch_format="pyarrow",
                          batch_size=65536).to_pandas()
           .groupby("event_type", as_index=False)
-          .agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+          .agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"),
+               nv=("nv", "sum"))
           .sort_values("event_type").reset_index(drop=True))
 
     rows = []
     for _, r in mm.iterrows():
-        et, n = str(r["event_type"]), int(r["n"])
+        et, n, nv = str(r["event_type"]), int(r["n"]), int(r["nv"])
         view = ds.map_batches(
             lambda t, _et=et: t.filter(pc.equal(t["event_type"], _et))
                                .select(["value"]),
@@ -748,7 +796,8 @@ def group_value_quantiles(sf_dir: str,
             k = (n * p + 99) // 100
             rows.append((et, p, k,
                          _kth_smallest(view, n, float(r["lo"]),
-                                       float(r["hi"]), k)))
+                                       float(r["hi"]), k)
+                         if k <= nv else None))
     return pa.table({
         "event_type": pa.array([x[0] for x in rows], pa.string()),
         "q_pct": pa.array([x[1] for x in rows], pa.int64()),
@@ -785,6 +834,8 @@ def trending_peaks(sf_dir: str, dt_us: int = US_PER_HOUR, k: int = 3,
     ``TrendingQuestion.java:138-199`` + ``PeakDet``); ties by type name.
     delta = delta_frac × waveform mean, per type."""
     wf = waveform(sf_dir, dt_us).to_pandas()
+    # NULL-ts events (null bucket) have no place on the time axis
+    wf = wf[wf["bucket"].notna()]
     rows = []
     for et, g in wf.groupby("event_type"):
         g = g.sort_values("bucket")
@@ -958,9 +1009,11 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                                          .astype(np.int64))}))
         return pa.concat_tables(parts)
 
-    ans = (agg.map_batches(resolve, batch_format="pyarrow",
-                           batch_size=_batch_size).to_pandas()
-           .sort_values("event_id").reset_index(drop=True))
+    ans = _pdf_cols(
+        agg.map_batches(resolve, batch_format="pyarrow",
+                        batch_size=_batch_size).to_pandas(),
+        ["event_id", "user_id", "ts", "rts", "reid"]) \
+        .sort_values("event_id").reset_index(drop=True)
     if detail:
         return pa.table({
             "event_id": pa.array(ans["event_id"].to_numpy().astype(np.int64)),
@@ -1024,8 +1077,7 @@ def retention_cohorts(sf_dir: str,
         if not len(uk):
             return empty
         day = pc.cast(t["ts"], pa.int64()).to_numpy() // US_PER_DAY
-        pos = np.minimum(np.searchsorted(uk, uid), len(uk) - 1)
-        hit = uk[pos] == uid
+        hit, pos = sorted_lookup(uk, uid)
         off = np.where(hit, day - ud0[pos], -1)
         keep = hit & (off >= 0) & (off <= max_offset)
         out = pa.table({

@@ -135,8 +135,14 @@ def _colliding_rows(bands: "ray.data.Dataset", key_col: str,
         cdf = counts.map_batches(
             lambda t: t.filter(pc.greater(t["c"], 1)),
             batch_format="pyarrow", batch_size=65536).to_pandas()
-        keys = cdf[key_col].to_numpy()[cdf["c"].to_numpy() <= cap]
-        n_skipped = int((cdf["c"].to_numpy() > cap).sum())
+        if cdf.empty:  # zero COLLIDING buckets: the all-empty filtered
+            #            stream loses its column names (same guard as
+            #            the driver-merge branch above)
+            keys = np.array([], np.int64)
+            n_skipped = 0
+        else:
+            keys = cdf[key_col].to_numpy()[cdf["c"].to_numpy() <= cap]
+            n_skipped = int((cdf["c"].to_numpy() > cap).sum())
     if n_skipped:  # no silent caps: dropped coverage must be visible
         import logging
         logging.getLogger(__name__).warning(
