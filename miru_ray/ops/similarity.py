@@ -47,6 +47,16 @@ def _matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, M.astype(np.float64)
 
 
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    """Row-normalize with a zero-norm guard: an all-zero embedding (a
+    failed/padding embed) keeps a ZERO row — cosine 0 against everything
+    — instead of a NaN row that argpartition would rank as the LARGEST
+    similarity and crowd real neighbors out of the top-k (cluster.py's
+    dedup_group applies the same guard)."""
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(norms == 0, 1.0, norms)
+
+
 def _query_matrix(sf_dir: str, vec_ids) -> tuple[np.ndarray, np.ndarray]:
     """Unit-normalized matrix for a FIXED id set (cid ascending) — a
     filtered dataset read (row-group pruning + exact filter), never a
@@ -62,7 +72,7 @@ def _query_matrix(sf_dir: str, vec_ids) -> tuple[np.ndarray, np.ndarray]:
     ids, M = _matrix(t)
     order = np.argsort(ids)
     Q = M[order]
-    return ids[order], Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    return ids[order], _unit_rows(Q)
 
 
 _BRUTE_CACHE: dict = {}
@@ -91,7 +101,7 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 10,
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids, M = _matrix(b)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = _unit_rows(M)
             sims = self.Qn @ Mn.T              # (nq, batch)
             qs, vs, cs = [], [], []
             for qi, qid in enumerate(self.q_ids):
@@ -99,7 +109,11 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 10,
                 mask = ids != qid              # exclude self-match
                 cand_ids, cand_s = ids[mask], s[mask]
                 if len(cand_ids) > k:
-                    cut = np.argpartition(cand_s, len(cand_s) - k)[-k:]
+                    # lexsort carries the final (cos DESC, vec_id ASC)
+                    # tie-break into the prune — argpartition on cos
+                    # alone could drop the contract-required candidate
+                    # at a tied k-boundary
+                    cut = np.lexsort((cand_ids, -cand_s))[:k]
                     cand_ids, cand_s = cand_ids[cut], cand_s[cut]
                 qs.append(np.full(len(cand_ids), qid, np.int64))
                 vs.append(cand_ids)
@@ -189,7 +203,7 @@ def build_ann_index(sf_dir: str) -> str:
     def code_batch(b: pa.Table) -> pa.Table:
         P = broadcast_get(P_ref)  # once per worker, not per batch
         ids, M = _matrix(b)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _unit_rows(M)
         codes = _codes(Mn, P)  # (n, tables)
         n = len(ids)
         tables = np.tile(np.arange(_N_TABLES, dtype=np.int64), n)
@@ -291,7 +305,7 @@ class _PartitionProbe:
         keys = uniq_t[codes]
         b = b.drop_columns(["path"])
         ids, M = _matrix(b)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _unit_rows(M)
         qs, vs, cs = [], [], []
         for qi, qid in enumerate(self.q_ids):
             ring = self.rings[qi]
@@ -423,7 +437,7 @@ def build_ivf_index(sf_dir: str) -> str:
     def assign(b: pa.Table) -> pa.Table:
         cids, Cn = ray.get(C_ref)
         ids, M = _matrix(b)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _unit_rows(M)
         return pa.table({"cell": pa.array(cids[_ivf_cells(Mn, Cn)]),
                          "vec_id": b["vec_id"],
                          "embedding": b["embedding"]})

@@ -186,6 +186,12 @@ def top_quality_per_lang(sf_dir: str, k: int = TOPQ_K) -> pa.Table:
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow",
                            batch_size=8192).to_pandas()
+    if parts.empty:  # all-empty partials lose their column names
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "rnk": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "score_e6": pa.array([], pa.int64())})
     parts = parts.sort_values(["lang", "score_e6", "doc_id"],
                               ascending=[True, False, True])
     top = parts.groupby("lang", sort=False).head(k).reset_index(drop=True)
@@ -237,10 +243,13 @@ def rarity_topk(sf_dir: str, k: int = RARITY_TOPK) -> pa.Table:
         return pa.table({"term": g["term"],
                          "cf": pc.cast(g["count_all"], pa.int64())})
 
-    cfp = (ds.map_batches(cf_partial, batch_format="pyarrow",
-                          batch_size=8192)
-           .to_pandas()  # vocabulary-bounded partials
-           .groupby("term", as_index=False)["cf"].sum())
+    cfp = ds.map_batches(cf_partial, batch_format="pyarrow",
+                         batch_size=8192).to_pandas()
+    if cfp.empty:  # token-free corpus: typed empty, not a KeyError
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "rarity_score": pa.array([], pa.int64())})
+    cfp = cfp.groupby("term", as_index=False)["cf"].sum()
     vocab = np.asarray(cfp["term"].to_numpy(), dtype=object)
     order = np.argsort(vocab)
     cf_ref = ray.put((vocab[order],
@@ -267,16 +276,28 @@ def rarity_topk(sf_dir: str, k: int = RARITY_TOPK) -> pa.Table:
                           for sc, nn in zip(sum_cf[keep], n[keep])],
                          dtype=object)
         ids_k, n_k = ids[keep], n[keep]
-        loc = np.lexsort((ids_k, score.astype(np.float64)))[:k]
+        # EXACT local top-k: sorting the python-int scores through
+        # float64 would tie distinct scores past 2^53 and keep the
+        # wrong doc — sort the (score, doc_id) pairs in python
+        loc = sorted(range(len(ids_k)),
+                     key=lambda i: (score[i], int(ids_k[i])))[:k]
+        svals = [int(score[i]) for i in loc]
+        if svals and svals[-1] >= 2 ** 63:
+            raise ValueError(
+                "rarity_score exceeds int64 — corpus mean-cf×1e6 is "
+                "past 2^63; rescale the score (divide the 1e6 factor)")
         return pa.table({
-            "doc_id": pa.array(ids_k[loc]),
-            "n_tokens": pa.array(n_k[loc]),
-            "rarity_score": pa.array([int(x) for x in score[loc]],
-                                     pa.int64())})
+            "doc_id": pa.array([int(ids_k[i]) for i in loc], pa.int64()),
+            "n_tokens": pa.array([int(n_k[i]) for i in loc], pa.int64()),
+            "rarity_score": pa.array(svals, pa.int64())})
 
     parts = (ds.map_batches(score_partial, batch_format="pyarrow",
                             batch_size=8192)
              .to_pandas())  # ≤ k rows per batch
+    if parts.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "rarity_score": pa.array([], pa.int64())})
     parts = parts.sort_values(["rarity_score", "doc_id"]).head(k)
     parts = parts.reset_index(drop=True)
     for c in parts.columns:
@@ -600,9 +621,7 @@ def decontaminate(sf_dir: str) -> pa.Table:
                              "n_overlap": pa.array([], pa.int64())})
         rows = shingle_rows(sub)  # per-doc DISTINCT shingles
         h = md5_64_bulk(np.asarray(rows["shingle"].to_pandas(), dtype=object))
-        pos = np.searchsorted(bench, h)
-        hit = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)]
-                                    == h)
+        hit, _pos = sorted_lookup(bench, h)
         d = rows["doc_id"].to_numpy()[hit]
         ids, cnt = np.unique(d, return_counts=True)
         return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
@@ -897,7 +916,8 @@ wins AS (
          CASE WHEN len(h) = 0 THEN []::UBIGINT[]
               WHEN len(h) <= {_FP_WINDOW} THEN [list_aggregate(h, 'min')]
               ELSE list_transform(generate_series(1, len(h)-{_FP_WINDOW - 1}),
-                     i -> least(h[i], h[i+1], h[i+2], h[i+3]))
+                     i -> least({", ".join(f"h[i+{j}]" if j else "h[i]"
+                                           for j in range(_FP_WINDOW))}))
          END AS w
   FROM hs),
 fp AS (

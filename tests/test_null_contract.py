@@ -108,3 +108,47 @@ def test_quantiles_nulls_last(null_sf):
             assert g == row["value"]
     # sanity: at least one rank lands in the NULLS-LAST tail
     assert exp["value"].isna().any()
+
+
+def test_ann_zero_vector_never_nan(ray_session, tmp_path):
+    """A zero embedding (failed/padding embed) must score cosine 0 —
+    a NaN row would be ranked LARGEST by the batch prune and crowd real
+    neighbors out of the top-k."""
+    from miru_ray.ops import similarity as S
+    rng = np.random.default_rng(3)
+    n, dim = 40, 8
+    M = rng.normal(size=(n, dim)).astype(np.float32)
+    M[7] = 0.0  # the zero vector
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = S.ann_bruteforce_topk(str(tmp_path), k=5,
+                                vec_ids=(0, 7)).to_pandas()
+    # the zero vector is never anyone's neighbor (cos 0 < real sims —
+    # a NaN row would have crowded out a legitimate result)...
+    assert 7 not in set(out[out["query_id"] == 0]["vec_id"])
+    # ...and as a query every candidate ties at cos 0, so the lexsort
+    # prune's (cos DESC, vec_id ASC) tie-break picks the LOWEST ids —
+    # deterministic, batch-order-free
+    q7 = out[out["query_id"] == 7].sort_values("rank")
+    assert q7["vec_id"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_rarity_topk_empty_corpus(ray_session, tmp_path):
+    """A corpus with no [a-z0-9] tokens returns the typed empty table,
+    not a KeyError off a column-less frame."""
+    from miru_ray.ops import textstats as T
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["∆∆∆ ⌘⌘", "——…"], pa.string()),
+        "source": pa.array(["a", "b"], pa.string()),
+        "lang": pa.array(["zh", "zh"], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = T.rarity_topk(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "n_tokens", "rarity_score"]
+    top = T.top_quality_per_lang(str(tmp_path))
+    assert top.num_rows == 0
