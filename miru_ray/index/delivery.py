@@ -67,7 +67,10 @@ def deliver_new(index_dir: str, sink) -> dict:
         lo = max(int(p["base"]), cur)
         hi = min(int(p["base"]) + int(p["count"]), n_docs)
         if lo < hi:
-            sink.deliver(int(p["pid"]), lo, hi)
+            try:
+                sink.deliver(int(p["pid"]), lo, hi, doc_space=str(space))
+            except TypeError:  # legacy 3-arg sink: no space namespacing
+                sink.deliver(int(p["pid"]), lo, hi)
             ranges += 1
     os.makedirs(os.path.dirname(cpath), exist_ok=True)
     atomic_write_json(cpath, {"delivered_docs": n_docs, "doc_space": space})
@@ -77,31 +80,54 @@ def deliver_new(index_dir: str, sink) -> dict:
 class ParquetDeliverySink:
     """Durable default sink: one Parquet log of delivered ranges.
 
-    Idempotent on re-delivery — ranges are keyed by (pid, lo, hi) and
-    duplicates overwrite the same file, so at-least-once upstream yields
-    exactly-once on disk (the consumer-side dedupe the reference asks of
-    its endpoints)."""
+    Idempotent on re-delivery — ranges are keyed by (doc_space, pid, lo,
+    hi) and duplicates overwrite the same file, so at-least-once upstream
+    yields exactly-once on disk (the consumer-side dedupe the reference
+    asks of its endpoints).  The DOC SPACE is part of the key: a
+    config-change rebuild reuses doc ids with new meanings, so ranges
+    from different spaces must never be conflated — :meth:`delivered`
+    returns only the NEWEST space's rows by default (old-space ranges
+    describe ids that no longer exist)."""
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
 
-    def deliver(self, pid: int, lo: int, hi: int) -> None:
-        t = pa.table({"pid": pa.array([pid], pa.int64()),
+    def deliver(self, pid: int, lo: int, hi: int,
+                doc_space: str = "") -> None:
+        import hashlib
+        tag = hashlib.md5(doc_space.encode()).hexdigest()[:10]
+        t = pa.table({"doc_space": pa.array([doc_space], pa.string()),
+                      "pid": pa.array([pid], pa.int64()),
                       "doc_lo": pa.array([lo], pa.int64()),
                       "doc_hi": pa.array([hi], pa.int64())})
-        path = os.path.join(self.out_dir,
-                            f"range-{pid:06d}-{lo:012d}-{hi:012d}.parquet")
+        path = os.path.join(
+            self.out_dir,
+            f"range-{tag}-{pid:06d}-{lo:012d}-{hi:012d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
+        # remember the newest space (file mtime order is not durable)
+        atomic_write_json(os.path.join(self.out_dir, "_space.json"),
+                          {"doc_space": doc_space})
 
-    def delivered(self) -> pa.Table:
+    def delivered(self, doc_space: str | None = None) -> pa.Table:
+        """Ranges of ONE doc space: the newest delivered (default) or an
+        explicit ``doc_space``.  Pass ``doc_space=""`` for legacy rows
+        written by a 3-arg deliver call."""
+        empty = pa.table({"doc_space": pa.array([], pa.string()),
+                          "pid": pa.array([], pa.int64()),
+                          "doc_lo": pa.array([], pa.int64()),
+                          "doc_hi": pa.array([], pa.int64())})
         files = sorted(os.path.join(self.out_dir, f)
                        for f in os.listdir(self.out_dir)
                        if f.endswith(".parquet"))
         if not files:
-            return pa.table({"pid": pa.array([], pa.int64()),
-                             "doc_lo": pa.array([], pa.int64()),
-                             "doc_hi": pa.array([], pa.int64())})
-        return pa.concat_tables(pq.read_table(f) for f in files)
+            return empty
+        t = pa.concat_tables(pq.read_table(f) for f in files)
+        if doc_space is None:
+            spath = os.path.join(self.out_dir, "_space.json")
+            doc_space = (read_json(spath)["doc_space"]
+                         if os.path.exists(spath) else "")
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["doc_space"], doc_space))

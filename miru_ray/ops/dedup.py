@@ -44,8 +44,8 @@ from ray.data.aggregate import Min, Sum
 
 from ..tokenize import explode_tokens, py_tokenize
 from ..util import (broadcast_get, input_fingerprint, md5_64,
-                    md5_64_bulk, read_parquet_clean, rowgroup_block_plan,
-                    sorted_lookup)
+                    md5_64_bulk, md5_128, read_parquet_clean,
+                    rowgroup_block_plan, sorted_lookup)
 
 # ------------------------------ helpers ------------------------------------
 
@@ -214,13 +214,17 @@ def _exact_survivor_ds(sf_dir: str) -> "ray.data.Dataset":
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def add_hash(b: pa.Table) -> pa.Table:
-        h = md5_64(b["text"].to_pandas())
-        return pa.table({"h": pa.array(h.view(np.int64)),
+        lo, hi = md5_128(b["text"].to_pandas())
+        return pa.table({"h": pa.array(lo.view(np.int64)),
+                         "h2": pa.array(hi.view(np.int64)),
                          "doc_id": b["doc_id"]})
 
     from ray.data.aggregate import Min
+    # the FULL 128-bit pair is the group key: 64 bits expect birthday
+    # collisions at 10^11 docs, silently merging distinct texts
     return (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
-            .groupby("h").aggregate(Min("doc_id", alias_name="doc_id")))
+            .groupby(["h", "h2"])
+            .aggregate(Min("doc_id", alias_name="doc_id")))
 
 
 def exact_dedup(sf_dir: str, out_path: str | None = None):
@@ -519,21 +523,23 @@ def incremental_dedup_counts(sf_dir: str) -> pa.Table:
     _SENTINEL = np.int64(1) << np.int64(62)
 
     def partial(b: pa.Table) -> pa.Table:
-        h = md5_64(b["text"].to_pandas()).view(np.int64)
+        lo, hi = md5_128(b["text"].to_pandas())
         did = b["doc_id"].to_numpy().astype(np.int64)
         is_delta = did >= n
         t = pa.table({
-            "h": pa.array(h),
+            "h": pa.array(lo.view(np.int64)),
+            "h2": pa.array(hi.view(np.int64)),
             "c_min": pa.array(np.where(is_delta, _SENTINEL, did)),
             "nd": pa.array(is_delta.astype(np.int64))})
-        g = t.group_by("h").aggregate([("c_min", "min"), ("nd", "sum")])
-        return pa.table({"h": g["h"], "c_min": g["c_min_min"],
-                         "nd": g["nd_sum"]})
+        g = t.group_by(["h", "h2"]).aggregate([("c_min", "min"),
+                                               ("nd", "sum")])
+        return pa.table({"h": g["h"], "h2": g["h2"],
+                         "c_min": g["c_min_min"], "nd": g["nd_sum"]})
 
     grouped = (_documents(sf_dir, ["doc_id", "text"])
                .map_batches(partial, batch_format="pyarrow",
                             batch_size=8192)
-               .groupby("h").aggregate(
+               .groupby(["h", "h2"]).aggregate(
                    Min("c_min", alias_name="c_min"),
                    Sum("nd", alias_name="nd")))
 

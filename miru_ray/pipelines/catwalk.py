@@ -94,6 +94,11 @@ def _feature_batch(t: pa.Table, t0_us: int | None = None,
     if w is not None:
         t = t.filter(w)
     t = t.filter(pc.not_equal(t["event_type"], "purchase"))
+    # a NULL ts has no hour-of-day feature (and would render EVERY hour
+    # in its batch as float strings); the SQL side filters identically —
+    # also keeps the store's windowed merges (whose masks drop null ts)
+    # equal to a full rebuild
+    t = t.filter(pc.is_valid(t["ts"]))
     ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
     hour = (ts // US_PER_HOUR) % 24
     et = np.asarray(t["event_type"].to_pandas(), dtype=object)
@@ -239,6 +244,29 @@ def _events_max_ts(sf_dir: str) -> int:
     return int(pa.scalar(hi).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
 
 
+def _append_pairs_atomic(ds: "ray.data.Dataset", dest: str,
+                         tag: str) -> None:
+    """Append a pair-partial delta to the durable store without ever
+    exposing a torn file: the Dataset writes into a tmp dir, completed
+    files then move in with atomic renames under deterministic
+    ``{tag}-`` names.  A crash mid-write leaves only the tmp dir (swept
+    on retry); a crash mid-move leaves some files in place — the retry
+    overwrites the same names, and pair consumers are duplicate-tolerant
+    by contract."""
+    import shutil
+    tmp = dest.rstrip("/") + f".tmp-{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    os.makedirs(dest, exist_ok=True)
+    moved = 0
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            os.replace(os.path.join(tmp, f),
+                       os.path.join(dest, f"{tag}-{moved:05d}.parquet"))
+            moved += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def model_store_init(sf_dir: str, store_dir: str,
                      upto_us: int | None = None) -> dict:
     """Create a durable model store from events with ts ≤ ``upto_us``
@@ -249,13 +277,15 @@ def model_store_init(sf_dir: str, store_dir: str,
     if upto_us is None:
         upto_us = _events_max_ts(sf_dir)
     os.makedirs(store_dir, exist_ok=True)
-    _pair_partials(sf_dir, None, upto_us).write_parquet(
-        os.path.join(store_dir, "pairs"))
+    _append_pairs_atomic(_pair_partials(sf_dir, None, upto_us),
+                         os.path.join(store_dir, "pairs"), "init")
     lab = _labeled_users(sf_dir, None, upto_us)
     import pyarrow.parquet as pq
     os.makedirs(os.path.join(store_dir, "labeled"), exist_ok=True)
+    lpath = os.path.join(store_dir, "labeled", "part-init.parquet")
     pq.write_table(pa.table({"user_id": pa.array(lab, pa.int64())}),
-                   os.path.join(store_dir, "labeled", "part-init.parquet"))
+                   lpath + ".tmp")
+    os.replace(lpath + ".tmp", lpath)  # never a torn labeled part
     meta = {"watermark_us": int(upto_us), "merges": 0}
     atomic_write_json(_store_meta_path(store_dir), meta)
     return meta
@@ -274,15 +304,17 @@ def model_store_merge(sf_dir: str, store_dir: str,
         upto_us = _events_max_ts(sf_dir)
     if upto_us <= t0:  # nothing new past the watermark — a true no-op
         return meta
-    _pair_partials(sf_dir, t0, upto_us).write_parquet(
-        os.path.join(store_dir, "pairs"))
+    _append_pairs_atomic(_pair_partials(sf_dir, t0, upto_us),
+                         os.path.join(store_dir, "pairs"),
+                         f"m{meta['merges']:04d}")
     lab = _labeled_users(sf_dir, t0, upto_us)
     if len(lab):
         import pyarrow.parquet as pq
-        pq.write_table(
-            pa.table({"user_id": pa.array(lab, pa.int64())}),
-            os.path.join(store_dir, "labeled",
-                         f"part-m{meta['merges']:04d}.parquet"))
+        lpath = os.path.join(store_dir, "labeled",
+                             f"part-m{meta['merges']:04d}.parquet")
+        pq.write_table(pa.table({"user_id": pa.array(lab, pa.int64())}),
+                       lpath + ".tmp")
+        os.replace(lpath + ".tmp", lpath)
     meta = {"watermark_us": int(upto_us), "merges": meta["merges"] + 1}
     atomic_write_json(_store_meta_path(store_dir), meta)
     return meta
@@ -327,7 +359,7 @@ f AS (
   SELECT DISTINCT user_id,
          event_type || '@' ||
          CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS feature
-  FROM events WHERE event_type <> 'purchase'),
+  FROM events WHERE event_type <> 'purchase' AND ts IS NOT NULL),
 lab AS (SELECT DISTINCT user_id FROM events
        WHERE event_type = 'purchase' AND value > 150),
 model AS (

@@ -57,20 +57,20 @@ def _row_features(text: "pa.Array | pa.ChunkedArray"
     """The ONE definition of the row-local curation features — (content
     hash, n_tokens, n_stop) per doc — shared by every curation variant so
     the dedup/quality semantics can never fork."""
-    h = md5_64(np.asarray(text.to_pandas(), dtype=object)).view(np.int64)
+    lo, hi = md5_128(np.asarray(text.to_pandas(), dtype=object))
     terms, rows, dl = explode_tokens(text)
     is_stop = pc.is_in(terms, value_set=_STOP_ARR).to_numpy(
         zero_copy_only=False)
     n_stop = np.zeros(len(text), np.int64)
     np.add.at(n_stop, rows, is_stop.astype(np.int64))
-    return h, dl.astype(np.int64), n_stop
+    return lo.view(np.int64), hi.view(np.int64), dl.astype(np.int64), n_stop
 
 
 def _doc_stats_batch(b: pa.Table) -> pa.Table:
     """Row-local features: content hash + token/stopword counts.  These are
     the ONLY columns that cross the shuffle — text never does."""
-    h, n_tokens, n_stop = _row_features(b["text"])
-    return pa.table({"h": pa.array(h),
+    h, h2, n_tokens, n_stop = _row_features(b["text"])
+    return pa.table({"h": pa.array(h), "h2": pa.array(h2),
                      "doc_id": b["doc_id"],
                      "n_tokens": pa.array(n_tokens),
                      "n_stop": pa.array(n_stop)})
@@ -82,7 +82,10 @@ def _grouped_survivors(sf_dir: str) -> "ray.data.Dataset":
     stats, so Min is just "pick the group's value")."""
     stats = _documents(sf_dir, ["doc_id", "text"]).map_batches(
         _doc_stats_batch, batch_format="pyarrow", batch_size=8192)
-    return stats.groupby("h").aggregate(
+    # the FULL 128-bit content hash is the dedup key (64 bits expect
+    # birthday collisions at 10^11 docs — two distinct texts silently
+    # merged); text itself still never crosses the shuffle
+    return stats.groupby(["h", "h2"]).aggregate(
         Min("doc_id", alias_name="doc_id"),
         Count(alias_name="group_n"),
         Min("n_tokens", alias_name="n_tokens"),
@@ -98,7 +101,10 @@ def curation_summary(sf_dir: str, out_path: str | None = None):
     doc-id range, so a re-executed Ray task (failure retry / lineage
     recompute) OVERWRITES its own output instead of appending a duplicate.
     ``out_path`` must not already exist (export semantics: one directory
-    per run)."""
+    per run) and — because the part files are written from INSIDE
+    distributed map_batches — must live on storage every worker node can
+    reach (shared FS / fsspec object store); a node-local path on a
+    multi-node cluster would silently scatter the parts."""
     if out_path is not None:
         if os.path.exists(out_path):
             raise FileExistsError(f"curation out_path exists: {out_path}")
@@ -365,7 +371,8 @@ def pretrain_corpus_counts(sf_dir: str,
              else np.unique(bh["g"].to_numpy().astype(np.uint64)))
     bench_ref = ray.put(bench)
 
-    _FEAT = pa.schema([("h", pa.int64()), ("key", pa.string()),
+    _FEAT = pa.schema([("h", pa.int64()), ("h2", pa.int64()),
+                       ("key", pa.string()),
                        ("n_tokens", pa.int64()), ("n_stop", pa.int64()),
                        ("contam", pa.int64()), ("pred_lang", pa.string())])
 
@@ -381,7 +388,7 @@ def pretrain_corpus_counts(sf_dir: str,
         ids = b["doc_id"].to_numpy().astype(np.int64)
         if len(ids) and ids.min() < 0:  # zero-pad ordering needs ids >= 0
             raise ValueError("pretrain_corpus_counts: negative doc_id")
-        h, n_tokens, n_stop = _row_features(b["text"])
+        h, h2, n_tokens, n_stop = _row_features(b["text"])
         pred = predict_lang(b["text"])
         # contamination: >= 50% of the doc's distinct shingles are in the
         # benchmark set (2*hits >= n_sh, integers — exact on both engines)
@@ -404,7 +411,8 @@ def pretrain_corpus_counts(sf_dir: str,
         # 19 digits covers all of int64, so lexicographic min == numeric min
         key = np.array([f"{i:019d}|{s}" for i, s in zip(ids, src)],
                        dtype=object)
-        return pa.table({"h": pa.array(h), "key": pa.array(key, pa.string()),
+        return pa.table({"h": pa.array(h), "h2": pa.array(h2),
+                         "key": pa.array(key, pa.string()),
                          "n_tokens": pa.array(n_tokens),
                          "n_stop": pa.array(n_stop),
                          "contam": pa.array(contam),
@@ -415,7 +423,7 @@ def pretrain_corpus_counts(sf_dir: str,
     # group-constant (identical text), so Min just reads the value
     surv = (docs.map_batches(feat_batch, batch_format="pyarrow",
                              batch_size=8192)
-            .groupby("h")
+            .groupby(["h", "h2"])  # full 128-bit dedup key
             .aggregate(Min("key", alias_name="key"),
                        Min("n_tokens", alias_name="n_tokens"),
                        Min("n_stop", alias_name="n_stop"),

@@ -59,7 +59,7 @@ def pricing_summary(sf_dir: str) -> pa.Table:
                        "disc_e4": disc_e4})
         g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty", "sum"), ("cents", "sum"), ("disc_e4", "sum"),
-             ("d100", "sum"), ("qty", "count")])
+             ("d100", "sum"), ("qty", "count", pc.CountOptions(mode="all"))])
         # name-based selection: pyarrow's key-vs-aggregate column ORDER has
         # changed across versions, so positional renames are a trap
         return pa.table({"l_returnflag": g["l_returnflag"],
@@ -108,8 +108,15 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     n_names = np.asarray(nation["n_name"].to_pandas(), dtype=object)
     n_order = np.argsort(n_keys)  # align names with the sorted key array —
     #                               parquet row order is NOT guaranteed
-    n_of_cust = n_names[n_order][np.searchsorted(
-        n_keys[n_order], cust["c_nationkey"].to_numpy())]
+    from ..util import sorted_lookup
+    hit, pos = sorted_lookup(n_keys[n_order],
+                             cust["c_nationkey"].to_numpy())
+    if not hit.all():
+        # an unguarded searchsorted would IndexError past the max key
+        # and silently misattribute in-range misses — a broken nation
+        # FK is corrupt input, fail loudly
+        raise ValueError("customer.c_nationkey not found in nation")
+    n_of_cust = n_names[n_order][pos]
     ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
     order = np.argsort(ckeys)
     # nation strings dictionary-encoded: broadcast carries an int8 code per
@@ -120,6 +127,10 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
 
     class JoinNation:
         def __init__(self):
+            # the closure-captured ObjectRef is DRIVER-owned: it lives
+            # exactly as long as the query, so an actor restart can
+            # always re-fetch it (Ray's constructor-args-in-object-store
+            # warning covers refs that can outlive their owner)
             self.ckeys, self.codes, self.names = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
@@ -286,12 +297,10 @@ def bigjoin_top_customers(sf_dir: str, k: int = 10,
 
 
 def _isin_sorted(values: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
-    """Vectorized membership against a broadcast SORTED key array."""
-    if not len(sorted_keys):
-        return np.zeros(len(values), bool)
-    pos = np.searchsorted(sorted_keys, values)
-    return (pos < len(sorted_keys)) & (
-        sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] == values)
+    """Vectorized membership against a broadcast SORTED key array
+    (thin view over util.sorted_lookup — the ONE probe definition)."""
+    from ..util import sorted_lookup
+    return sorted_lookup(sorted_keys, values)[0]
 
 
 def _semi_join_keys(ds: "ray.data.Dataset", col: str, keys_ref,

@@ -70,6 +70,35 @@ def md5_64(strings) -> np.ndarray:
              for s in arr), dtype=np.uint64, count=len(arr))
 
 
+def md5_128(strings) -> tuple[np.ndarray, np.ndarray]:
+    """(lower, upper) uint64 halves of md5 per string — the EXACT-dedup
+    group key.  A single 64-bit hash expects hundreds of birthday
+    collisions at 10^11 docs (n²/2^65), each silently merging two
+    distinct texts; the 128-bit pair pushes that to n²/2^129.  Both
+    halves are DuckDB-reproducible (``md5_number_lower/upper``)."""
+    arr = np.asarray(strings, dtype=object)
+    try:
+        import pyarrow as pa
+        _md5_in = pa.table({"s": pa.array(arr, type=pa.string())})
+        out = _MD5_CON.get().execute(
+            "SELECT md5_number_lower(s) AS lo, md5_number_upper(s) AS hi "
+            "FROM _md5_in").fetch_arrow_table()
+        if out["lo"].null_count:
+            raise ValueError("md5_128: null string in input")
+        return (out["lo"].combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.uint64),
+                out["hi"].combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.uint64))
+    except ImportError:  # pragma: no cover - duckdb is baked in
+        lo = np.fromiter(
+            (int.from_bytes(hashlib.md5(x.encode()).digest()[8:], "little")
+             for x in arr), dtype=np.uint64, count=len(arr))
+        hi = np.fromiter(
+            (int.from_bytes(hashlib.md5(x.encode()).digest()[:8], "little")
+             for x in arr), dtype=np.uint64, count=len(arr))
+        return lo, hi
+
+
 def md5_64_bulk(strings: np.ndarray) -> np.ndarray:
     """md5_64 with each DISTINCT string hashed once (token/shingle streams
     repeat heavily — factorize first, then one digest per unique)."""

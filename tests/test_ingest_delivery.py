@@ -139,6 +139,16 @@ def test_delivery_full_then_append_then_noop(xs_table, tmp_path):
     m3 = build_index([a_path, b_path], idx, cfg2, overwrite=True)
     r3 = deliver_new(idx, sink)
     assert r3["delivered"] == m3["n_docs"]
+    # the sink keys ranges by DOC SPACE: delivered() returns only the
+    # new space's ranges — the old space's partition layout (500-doc
+    # partitions vs 1000 before) must not bleed through as phantom or
+    # double-counted id ranges
+    fresh = sink.delivered().to_pandas().sort_values("doc_lo")
+    assert int(fresh["doc_hi"].max()) == m3["n_docs"]
+    assert len(set(fresh["doc_space"])) == 1
+    spans = list(zip(fresh["doc_lo"], fresh["doc_hi"]))
+    assert spans == sorted(spans)
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))  # disjoint
 
 
 def test_delivery_at_least_once_and_rebuild_reset(xs_index, tmp_path):
