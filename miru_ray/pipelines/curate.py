@@ -34,7 +34,7 @@ from ray.data.aggregate import Count, Min, Sum
 
 from ..ops.dedup import _documents, label_roots
 from ..tokenize import EN_STOPWORDS, explode_tokens
-from ..util import md5_64
+from ..util import md5_64, md5_128
 
 MIN_TOKENS = 40
 MAX_TOKENS = 5000
