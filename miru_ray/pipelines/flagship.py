@@ -537,11 +537,12 @@ _RECO_REMOVE_PREFIX = "tool_2"
 def q_request_reco(sf_dir: str) -> pa.Table:
     """RecoQuery through the JSON request surface
     (``RecoQuery.java:12-41`` → ``RecoAnswer``): for conversation
-    ``conv-000007``, the tools it has NOT used in the fixture's first
-    10 minutes, scored by how much the conversations that share its
-    tools used them — the full 3-hop collaborative filter
-    (``CollaborativeFiltering.java:56-240``) with a
-    removeDistinctsQuery excluding the ``tool_1`` prefix."""
+    ``_RECO_CONV``, the tools it has NOT used in the fixture's first
+    ``_RECO_WINDOW_S`` seconds, scored by how much the conversations
+    that share its tools used them — the full 3-hop collaborative
+    filter (``CollaborativeFiltering.java:56-240``) with a
+    removeDistinctsQuery excluding the ``_RECO_REMOVE_PREFIX``
+    prefix."""
     from ..fixtures import _TS_BASE_US
     from ..query.request import execute_request
     s = searcher_for(sf_dir)

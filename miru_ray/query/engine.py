@@ -43,7 +43,8 @@ from ..index.build import doclen_rel_path
 from ..index.segments import (SegmentReader, bloom_may_contain,
                               read_segment_bloom)
 from . import scorer as S
-from .filter import (And, Authz, Boost, Filter, Fuzzy, MinShould, Node, Not,
+from .filter import (And, Authz, Boost, Filter, Fuzzy, MatchNone, MinShould,
+                     Node, Not,
                      NumericRange, Or, Phrase, Prefix, Regexp, Term,
                      TimeRange, Wildcard, and_terms, collect_boosts,
                      collect_expansion_boosts, collect_fuzzies,
@@ -259,6 +260,8 @@ class PartitionReader:
             return self._may_match(node.positive, pid)
         if isinstance(node, (Boost, Filter)):
             return self._may_match(node.child, pid)
+        if isinstance(node, MatchNone):
+            return False
         return True
 
     def load_tombstones(self, doc_ids: list[int]) -> int:
@@ -805,6 +808,8 @@ class PartitionReader:
             for c in node.negatives:
                 mask &= ~self._eval(c, pid, cache, expansions)
             return mask
+        if isinstance(node, MatchNone):
+            return np.zeros(count, bool)
         raise TypeError(f"unknown node {node!r}")
 
     def search(self, ast: Node, k: int, strategy: str,
@@ -1464,8 +1469,20 @@ class Searcher:
             ck = (key, p.max_expansion)
             if ck not in self._expansion_cache:
                 found: set[str] = set()
-                for res in self._fanout("expand_prefix", key, p.max_expansion):
+                # empty-prefix = EXISTS query (field:*): truncation would
+                # silently DROP matching docs, contradicting the query's
+                # completeness semantics — overflow is a loud failure,
+                # exactly like NumericRange's cap below
+                exists = p.prefix == ""
+                ask = p.max_expansion + 1 if exists else p.max_expansion
+                for res in self._fanout("expand_prefix", key, ask):
                     found.update(res)
+                if exists and len(found) > p.max_expansion:
+                    raise ValueError(
+                        f"exists query {p.field}:* expands past "
+                        f"max_expansion={p.max_expansion} distinct terms; "
+                        f"raise Prefix.max_expansion (truncating an exists "
+                        f"query would silently drop matching docs)")
                 self._expansion_cache[ck] = sorted(found)[:p.max_expansion]
             expansions[ck] = self._expansion_cache[ck]
         for fz in collect_fuzzies(ast):

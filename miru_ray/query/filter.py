@@ -239,6 +239,15 @@ class Not(Node):
     negatives: tuple = field(default_factory=tuple)
 
 
+@dataclass(frozen=True)
+class MatchNone(Node):
+    """Matches no documents.  Produced when a pButNotQ's positive (first)
+    operand dissolves to NO_FILTER: the reference's ``filterInOut`` keeps
+    the empty first bitmap and ``andNotTx`` of an empty bitmap is empty
+    (``MiruAggregateUtil.filter``), so the whole filter must match
+    nothing — never promote a negative child into positive position."""
+
+
 def and_terms(terms: list[str], fld: str = "text") -> Node:
     return And(tuple(Term(fld, t) for t in terms))
 

@@ -64,14 +64,16 @@ request payloads port over unchanged.  Documented deviations:
 from __future__ import annotations
 
 import dataclasses
+import datetime
 import time
 from typing import Any
 
+import pandas as pd
 import pyarrow as pa
 
 from ..tokenize import EN_STOPWORDS
-from .filter import (And, Authz, Boost, Filter, Fuzzy, MinShould, Node,
-                     Not, Or, Prefix, Regexp, Term, TimeRange, Wildcard)
+from .filter import (And, Authz, Boost, Filter, Fuzzy, MatchNone, MinShould,
+                     Node, Not, Or, Prefix, Regexp, Term, TimeRange, Wildcard)
 from .parser import parse_query
 
 #: the reference's "currently supported" filter operations
@@ -122,7 +124,11 @@ def filter_to_ast(f: dict, text_fields: tuple = ("text",)) -> Node | None:
         raise ValueError(
             f"unsupported filter operation {op!r} (supported: "
             f"{', '.join(_SUPPORTED_OPS)} — MiruFilterOperation.java:12-22)")
-    children: list[Node] = []
+    # Positional children: a dissolved (NO_FILTER) child stays as None so
+    # pButNotQ can tell whether its FIRST (positive) operand survived —
+    # promoting a negative child into positive position would return
+    # exactly the docs the filter should exclude.
+    children: list[Node | None] = []
     for ff in f.get("fieldFilters") or []:
         fld = ff["fieldName"]
         vals = [_value_str(v) for v in (ff.get("values") or [])]
@@ -130,21 +136,25 @@ def filter_to_ast(f: dict, text_fields: tuple = ("text",)) -> Node | None:
             vals = [v.lower() for v in vals]
         terms: list[Node] = [Term(fld, v) for v in vals]
         if not terms:
+            children.append(None)
             continue
         children.append(terms[0] if len(terms) == 1 else Or(tuple(terms)))
     for sub in f.get("subFilters") or []:
-        node = filter_to_ast(sub, text_fields)
-        if node is not None:
-            children.append(node)
-    if not children:
+        children.append(filter_to_ast(sub, text_fields))
+    alive = [c for c in children if c is not None]
+    if op == "pButNotQ" and children and children[0] is None and alive:
+        # Reference parity: filterInOut keeps the empty first bitmap and
+        # andNotTx of an empty bitmap is empty (MiruAggregateUtil.filter).
+        return MatchNone()
+    if not alive:
         return None
-    if len(children) == 1:
-        return children[0]
+    if len(alive) == 1:
+        return alive[0]
     if op == "and":
-        return And(tuple(children))
+        return And(tuple(alive))
     if op == "or":
-        return Or(tuple(children))
-    return Not(children[0], tuple(children[1:]))
+        return Or(tuple(alive))
+    return Not(children[0], tuple(c for c in children[1:] if c is not None))
 
 
 def _recap(node: Node, cap: int) -> Node:
@@ -322,10 +332,22 @@ def _gate_ast(request: dict, q: dict, cfg,
 
 
 def _py_scalar(v):
-    """numpy scalar → plain Python (JSON-serializable); passthrough
-    otherwise."""
+    """numpy/pandas scalar → plain Python (JSON-serializable).
+
+    Timestamps become epoch **µs** ints (the index's ts unit) — a raw
+    ``pd.Timestamp`` would break ``json.dumps`` in the CLI path; NaT/NaN
+    become None."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, pd.Timestamp):
+        return int(v.value // 1000)
     item = getattr(v, "item", None)
-    return item() if callable(item) else v
+    v = item() if callable(item) else v
+    if isinstance(v, datetime.datetime):
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, float) and v != v:  # NaN
+        return None
+    return v
 
 
 def _index_visible(values: list) -> list[str]:
@@ -387,7 +409,6 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
     ``collectTimeRange`` (single-pass collection; a separate count
     window is a documented deviation), and unread knobs are rejected
     (see :func:`_reject_unread_knobs`)."""
-    import pandas as pd
     q = request.get("query") or {}
     _reject_unread_knobs(q)
     constraints = q.get("constraints")
@@ -433,10 +454,13 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
                 # nulls PER COLUMN, so a null gather field on the truly
                 # newest doc would silently report an older doc's value
                 # against the newest timestamp
+                # drop=False keeps the group column addressable so a
+                # gatherTermsForFields that includes the around-field
+                # itself still resolves via .at[v, field]
                 last = pdf.drop_duplicates(field, keep="last") \
-                          .set_index(field).sort_index()
+                          .set_index(field, drop=False).sort_index()
                 first = pdf.drop_duplicates(field, keep="first") \
-                           .set_index(field).sort_index()
+                           .set_index(field, drop=False).sort_index()
                 page = pd.DataFrame({
                     "n": counts, "latest": last["_ts"],
                     "oldest": first["_ts"]}).sort_values(
