@@ -1,8 +1,11 @@
 """Benchmark driver: index-build throughput + query latency + oracle queries.
 
-Prints ONE JSON line:
+Prints the full result as one JSON line:
   {"metric": "...", "value": <headline seconds>, "unit": "sec",
    "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N, ...}
+then a COMPACT summary (same headline fields, slowest queries only) as
+the FINAL line, sized to fit the graft driver's 2000-char stdout tail
+so BENCH_r{N}.json's ``parsed`` field is never null.
 
 Headline = end-to-end inverted-index build (read → tokenize → doc ids →
 postings shuffle → segment encode → manifest) over the deterministic
@@ -161,10 +164,32 @@ def run_scaling() -> dict:
     }
 
 
+def _emit(out: dict) -> None:
+    """Full result on one line, then a COMPACT summary as the FINAL line.
+
+    The graft driver keeps only the last ~2000 chars of stdout and
+    json-parses the final line; the full per-query map (117 queries)
+    overflows that window, which left BENCH_r{3,4}.json with
+    ``parsed: null``.  The compact line carries every headline field
+    plus the slowest queries, and always fits."""
+    print(json.dumps(out))
+    q = out.get("queries") or {}
+    timed = {k: v for k, v in q.items() if isinstance(v, (int, float))}
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["queries"] = dict(
+        sorted(timed.items(), key=lambda kv: -kv[1])[:8])
+    compact["queries_n"] = len(q)
+    compact["queries_failed"] = sorted(
+        k for k, v in timed.items() if v < 0)
+    compact["queries_total_sec"] = round(
+        sum(v for v in timed.values() if v >= 0), 3)
+    print(json.dumps(compact))
+
+
 if __name__ == "__main__":
     if os.environ.get("MIRU_SKIP_SF_QUERIES"):
         SF_DIR = "/nonexistent"
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        _emit(run_scaling())
     else:
-        print(json.dumps(run_bench()))
+        _emit(run_bench())

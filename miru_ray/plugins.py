@@ -46,48 +46,48 @@ _BUILTIN_LOADED = False
 # row — plus this round's new ops — get witnessed first; everything else
 # keeps its relative order and rotates through the remaining slots.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # round-4 additions (never witnessed by definition)
-    "request_distinct_count",
-    "request_aggregate_counts",
-    "request_analytics_waveform",
-    "request_trending_topn",
-    "request_reco_tools",
-    "request_uniques_count",
-    "request_distincts_values",
-    "request_catwalk_model",
-    "request_catwalk_combo",
-    "request_strut_topn",
-    "request_stumptown_topn",
-    "request_metrics_avg",
-    "request_anomaly_sum",
-    "fulltext_request_topk",
-    "metrics_bitslice_sum",
-    "stumptown_appender_counts",
-    "fulltext_wildcard_count",
-    "fulltext_regexp_count",
-    "fulltext_min_should_count",
-    "fulltext_exists_count",
+    # 1) the round-4 breakage (VERDICT r4 ask #1): the md5_128 import slip
+    #    FAILED these in CORRECTNESS_r04 — they must be re-witnessed green
     "pretrain_corpus_counts",
-    "fulltext_fuzzy_count",
-    "fulltext_boosted_topk",
-    "tenant_route_counts",
-    "events_unread_backfill",
-    "embed_semdedup_counts",
-    "fulltext_phrase_bigram_count",
-    "fulltext_phrase_positional_count",
-    "fulltext_phrase_slop_count",
-    "embed_cluster_sample",
-    "text_rarity_topk",
-    # never driver-witnessed as of r03 (judge's list, VERDICT.md)
-    "graph_pagerank_top", "graph_components_top",
-    "mix_sample_counts", "mix_token_budget", "mix_pack_sequences",
-    "mix_split_counts",
-    "ann_ivf_topk", "embed_kmeans_assign",
-    "rel_bigjoin_top_customers",
-    "text_bpe_merges", "text_pii_scan", "text_repetition_stats",
-    "text_decontaminate", "text_top_quality_per_lang",
-    "curation_neardup_summary", "catwalk_model_incremental",
-    "embedding_neardup_lsh_recall",
+    "curation_neardup_summary",
+    "curation_summary",
+    # 2) round-5 additions (never driver-witnessed by definition) —
+    #    KEEP NEW OPS HERE as they are registered
+    "request_aggregate_counts_unread",
+    "fulltext_composite_facet",
+    "request_composite_filter",
+    "events_upsert_latest",
+    # 3) stalest witnesses first (VERDICT r4 ask #4): last green in r01/r02
+    #    on code that has changed since
+    "events_uniques_hll",                       # r01
+    "dedup_simhash_pairs", "embedding_neardup_pairs",       # ↓ r02
+    "ann_bruteforce_topk", "ann_lsh_recall",
+    "text_token_count_by_source", "text_bpe_token_estimate",
+    "text_quality_by_lang", "text_langid", "text_fingerprints",
+    "rel_pricing_summary", "rel_revenue_by_nation",
+    "rel_collaborative_filtering",
+    "media_decode_dims", "media_frame_sample_counts",
+    "media_pipeline_features",
+    "catwalk_model", "strut_topk_users",
+    # 4) r03 witnesses, oldest first — fills the remaining gate slots
+    "fulltext_bm25_wand", "fulltext_reftfidf_and", "fulltext_time_top10",
+    "fulltext_and_count", "fulltext_or_not_docs", "fulltext_prefix_count",
+    "fulltext_numeric_range_count", "fulltext_numeric_range_topk",
+    "siphon_route_counts", "keyword_and_term_count",
+    "fulltext_phrase_count", "fulltext_facet_role", "fulltext_suggest",
+    "fulltext_more_like_this", "fulltext_spell_correct",
+    "fulltext_authz_count", "fulltext_authz_topk", "term_stats_top20",
+    "terms_latest_top20", "fulltext_paired_latest", "collection_stats",
+    "doc_lengths", "fulltext_highlight", "events_distincts",
+    "events_uniques", "events_aggregate_counts", "events_waveform",
+    "events_metrics", "events_anomaly", "events_trending",
+    "events_trending_peaks", "events_stumptown", "events_inbox_lookup",
+    "events_unread_counts", "events_sessions", "events_rolling_counts",
+    "events_value_quantiles", "events_group_quantiles",
+    "events_asof_purchase_click", "events_window_join", "events_funnel",
+    "events_retention", "dedup_exact_docs", "dedup_exact_count",
+    "dedup_incremental_counts", "dedup_ngram_jaccard_pairs",
+    "dedup_substring_spans", "dedup_minhash_clusters",
 )
 
 
