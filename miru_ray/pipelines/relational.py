@@ -317,9 +317,78 @@ def _semi_join_keys(ds: "ray.data.Dataset", col: str, keys_ref,
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
 
+#: size gate for hop 2's (orderkey, partkey)→custkey resolution: below
+#: this many bytes of lineitem+orders parquet the touched-pair merge runs
+#: on the driver (milliseconds at test scale); above it the weights come
+#: from :func:`_cf_weights_shuffle` — a distributed distinct-pair
+#: aggregate where only the top-``max_contributors`` (weight, custkey)
+#: rows ever reach the driver.  Same broadcast-bound→shuffle handoff as
+#: ``graph._edge_partials`` / ``bigjoin_top_customers``.
+_CF_SHUFFLE_BYTES = 256 << 20
+
+
+def _cf_weights_shuffle(sf_dir: str, mine_ref, custkey: int,
+                        max_contributors: int) -> pd.Series:
+    """Hop-2 contributor weights, fully distributed: lineitems touching
+    my parts → hash-shuffle join with orders on orderkey → per-batch
+    distinct (custkey, partkey) partials → ONE groupby(custkey) counting
+    distinct shared parts → distributed sort + limit.  The driver sees
+    exactly ``max_contributors`` (custkey, weight) rows — never the
+    touched-pair set (O(orders) when one of my parts is a corpus-wide
+    best-seller, the reference's MinMaxPriorityQueue case,
+    ``CollaborativeFiltering.java:59-233``)."""
+    from ..util import broadcast_get
+    nparts = _shuffle_partitions(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(sf_dir, "orders.parquet"))
+    _LI = pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64())])
+    _O = pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())])
+
+    def touch_distinct(t: pa.Table) -> pa.Table:
+        mine = broadcast_get(mine_ref)
+        hit = _isin_sorted(t["l_partkey"].to_numpy(), mine)
+        sub = t.filter(pa.array(hit)) \
+            .select(["l_orderkey", "l_partkey"]).cast(_LI)
+        return sub.group_by(["l_orderkey", "l_partkey"]).aggregate([]) \
+            .rename_columns(["l_orderkey", "l_partkey"])
+
+    li_d = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(touch_distinct, batch_format="pyarrow",
+                     batch_size=65536)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: t.cast(_O), batch_format="pyarrow",
+                     batch_size=65536)
+    joined = li_d.join(orders, join_type="inner", num_partitions=nparts,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def to_cp(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_custkey"], custkey))
+        out = pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                        "l_partkey": pc.cast(t["l_partkey"], pa.int64())})
+        return out.group_by(["o_custkey", "l_partkey"]).aggregate([]) \
+            .rename_columns(["o_custkey", "l_partkey"])
+
+    pairs = joined.map_batches(to_cp, batch_format="pyarrow",
+                               batch_size=65536)
+
+    def wcount(g: pd.DataFrame) -> pd.DataFrame:
+        # partials may repeat a pair across batches — nunique dedups
+        return pd.DataFrame({
+            "o_custkey": [int(g["o_custkey"].iloc[0])],
+            "w": [int(g["l_partkey"].nunique())]})
+
+    wds = pairs.groupby("o_custkey").map_groups(wcount,
+                                                batch_format="pandas")
+    top = (wds.sort(["w", "o_custkey"], descending=[True, False])
+           .limit(max_contributors).to_pandas())
+    return top.set_index("o_custkey")["w"].astype(np.int64)
+
+
 def collaborative_filtering(sf_dir: str, custkey: int = 1,
                             k: int = 10,
-                            max_contributors: int = 10_000) -> pa.Table:
+                            max_contributors: int = 10_000,
+                            shuffle_threshold_bytes: int = _CF_SHUFFLE_BYTES
+                            ) -> pa.Table:
     """3-hop reco: parts my customer ordered → other customers who ordered
     those parts (contribution weight = #shared DISTINCT parts) → their
     OTHER parts scored by Σ contributor weight; minus parts I already
@@ -339,9 +408,12 @@ def collaborative_filtering(sf_dir: str, custkey: int = 1,
     reference's termCount-capped term sets — never a full-table dict.  The
     heavy passes are pruned-column lineitem scans with per-batch distinct
     partials; the driver merges only those neighborhood-bounded partials
-    (the reference's driver-side answer-merge shape).  At extreme skew any
-    one np.unique merge swaps for a distributed groupby without changing
-    the pipeline.
+    (the reference's driver-side answer-merge shape).  Hop 2 — the one
+    merge NOT bounded by my own neighborhood (the touched-pair set is
+    O(orders) when a part of mine is a corpus-wide best-seller) — is
+    size-gated: past ``shuffle_threshold_bytes`` of input it runs as the
+    distributed aggregate in :func:`_cf_weights_shuffle` and the driver
+    only ever receives the capped contributor rows.
     """
     def li():
         return _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -363,27 +435,37 @@ def collaborative_filtering(sf_dir: str, custkey: int = 1,
     mine_ref = ray.put(mine)
 
     # hop 2: lineitems touching my parts → distinct (orderkey, partkey)
-    # partials (bounded by my parts' popularity — the reference bounds this
-    # hop with its top-contributor heap); orders of those lineitems give
-    # (orderkey → custkey); weights = distinct shared parts per customer
-    touch = (_semi_join_keys(li(), "l_partkey", mine_ref,
-                             ["l_orderkey", "l_partkey"])
-             .to_pandas().drop_duplicates())
-    touch_orders = np.unique(touch["l_orderkey"].to_numpy()).astype(np.int64)
-    o2c = _semi_join_keys(orders, "o_orderkey", ray.put(touch_orders),
-                          ["o_orderkey", "o_custkey"]).to_pandas()
-    shared = (touch.merge(o2c, left_on="l_orderkey", right_on="o_orderkey")
-              [["o_custkey", "l_partkey"]].drop_duplicates())
-    shared = shared[shared["o_custkey"] != custkey]
-    weight = shared.groupby("o_custkey").size()
-
-    # contributor cap (the reference's MinMaxPriorityQueue bound): keep the
-    # top-``max_contributors`` by (weight desc, custkey asc) before hop 3
-    if len(weight) > max_contributors:
-        weight = (weight.reset_index(name="w")
-                  .sort_values(["w", "o_custkey"], ascending=[False, True])
-                  .head(max_contributors)
-                  .set_index("o_custkey")["w"])
+    # → (custkey, partkey) → weight = distinct shared parts per customer,
+    # capped to the top-``max_contributors`` by (weight desc, custkey asc)
+    # — the reference's MinMaxPriorityQueue bound.  Size-gated: big inputs
+    # go through the distributed aggregate (the driver sees only the
+    # capped contributor rows), small ones keep the driver merge.
+    input_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("lineitem", "orders")
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")))
+    if input_bytes > shuffle_threshold_bytes:
+        weight = _cf_weights_shuffle(sf_dir, mine_ref, custkey,
+                                     max_contributors)
+    else:
+        touch = (_semi_join_keys(li(), "l_partkey", mine_ref,
+                                 ["l_orderkey", "l_partkey"])
+                 .to_pandas().drop_duplicates())
+        touch_orders = np.unique(
+            touch["l_orderkey"].to_numpy()).astype(np.int64)
+        o2c = _semi_join_keys(orders, "o_orderkey", ray.put(touch_orders),
+                              ["o_orderkey", "o_custkey"]).to_pandas()
+        shared = (touch.merge(o2c, left_on="l_orderkey",
+                              right_on="o_orderkey")
+                  [["o_custkey", "l_partkey"]].drop_duplicates())
+        shared = shared[shared["o_custkey"] != custkey]
+        weight = shared.groupby("o_custkey").size()
+        if len(weight) > max_contributors:
+            weight = (weight.reset_index(name="w")
+                      .sort_values(["w", "o_custkey"],
+                                   ascending=[False, True])
+                      .head(max_contributors)
+                      .set_index("o_custkey")["w"])
 
     # hop 3: contributors' orders → their OTHER parts (distinct), scored
     # by Σ contributor weight
