@@ -60,6 +60,19 @@ class IndexConfig:
     # field regardless of value cardinality.  The column is DERIVED at
     # index time; it need not exist in the input parquet.
     power_bits_fields: tuple[tuple[str, str], ...] = ()
+    # composite fields: (name, (part_column, ...)) pairs.  The named field
+    # is DERIVED at index time by composing the part columns' values into
+    # ONE multi-part term (reference: MiruSchema.CompositeFieldDefinition;
+    # MiruTermComposer.compose:35-63 length-prefixes all but the last
+    # part).  Here parts join on a reserved separator (composer.PART_SEP,
+    # 0x1f — below every printable char, so the term dict groups by
+    # leading parts exactly like the reference's length-prefixed
+    # encoding); part values containing the separator are rejected at
+    # build/compose time.  A doc is indexed iff EVERY part is non-null and
+    # non-empty.  Queries may supply a PREFIX of the parts (MiruValue
+    # {"parts": [...]}) — evaluated as a complete-or-fail term-range scan
+    # (prefixLowerInclusive/prefixUpperExclusive:176-240).
+    composite_fields: tuple[tuple[str, tuple[str, ...]], ...] = ()
     # int64 columns indexed as `field:<lex>` terms where <lex> is the
     # order-preserving fixed-width encoding (miru_ray.lexnum) — numeric
     # range queries become contiguous term-dict range scans (reference:
@@ -126,6 +139,8 @@ class IndexConfig:
                   "positional_fields"):
             d[k] = list(d[k])
         d["power_bits_fields"] = [list(p) for p in d["power_bits_fields"]]
+        d["composite_fields"] = [[n, list(p)]
+                                 for n, p in d["composite_fields"]]
         return d
 
     @classmethod
@@ -142,4 +157,7 @@ class IndexConfig:
             d[k] = tuple(d[k])
         d["power_bits_fields"] = tuple(tuple(p)
                                        for p in d["power_bits_fields"])
+        d.setdefault("composite_fields", ())
+        d["composite_fields"] = tuple((n, tuple(p))
+                                      for n, p in d["composite_fields"])
         return cls(**d)

@@ -68,6 +68,7 @@ from ray.data.aggregate import Sum as RSum
 
 from ..config import IndexConfig
 from ..lexnum import lex_encode_array
+from ..query.composer import compose_arrays as _compose_arrays
 from ..tokenize import EN_STOPWORDS, explode_tokens
 from ..util import (atomic_write_json, broadcast_get, input_fingerprint,
                     list_parquet_files, read_json, read_parquet_clean,
@@ -412,6 +413,7 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
     list_kw_fields = cfg.list_keyword_fields
     num_fields = cfg.numeric_fields
     pb_fields = tuple(getattr(cfg, "power_bits_fields", ()))
+    comp_fields = tuple(getattr(cfg, "composite_fields", ()))
     bg_fields = frozenset(getattr(cfg, "phrase_bigram_fields", ()))
     pos_fields = tuple(getattr(cfg, "positional_fields", ()))
     if pos_fields and (len(pos_fields) != 1 or pos_fields != text_fields):
@@ -503,6 +505,29 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
                 continue
             v = np.asarray(vals.to_pandas(), dtype=object)[keep]
             kterm = np.array([f + ":"], dtype=object) + v
+            parts.append(pa.table({
+                "term": pa.array(kterm, type=pa.string()),
+                "doc_id": pa.array(doc_id[keep]),
+                "tf": pa.array(np.ones(int(keep.sum()), np.int64))}))
+        for name, srcs in comp_fields:
+            # composite field: ONE `name:<p1><SEP><p2>...` term per doc
+            # where EVERY part is non-null/non-empty (the reference
+            # composes the activity's supplied parts,
+            # MiruTermComposer.compose:35-63; separator deviation
+            # documented in query/composer.py)
+            keep = np.ones(len(batch), bool)
+            cols = []
+            for s in srcs:
+                sv = pc.cast(batch[s], pa.string())
+                m = pc.fill_null(
+                    pc.and_(pc.is_valid(sv), pc.not_equal(sv, "")),
+                    False).to_numpy(zero_copy_only=False).astype(bool)
+                keep &= m
+                cols.append(np.asarray(sv.to_pandas(), dtype=object))
+            if not keep.any():
+                continue
+            composed = _compose_arrays([c[keep] for c in cols])
+            kterm = np.array([name + ":"], dtype=object) + composed
             parts.append(pa.table({
                 "term": pa.array(kterm, type=pa.string()),
                 "doc_id": pa.array(doc_id[keep]),

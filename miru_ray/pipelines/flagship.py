@@ -35,7 +35,11 @@ _TENANT_REGISTRIES: dict = {}
 FLAGSHIP_CFG = IndexConfig(docs_per_partition=2000, num_shards=2,
                            keyword_fields=("role", "tool", "conv_id"),
                            list_keyword_fields=("acl",),
-                           numeric_fields=("turn_idx",))
+                           numeric_fields=("turn_idx",),
+                           # composite (role, tool) — the multi-part term
+                           # surface (MiruTermComposer.java:35-63)
+                           composite_fields=(("role_tool",
+                                              ("role", "tool")),))
 
 
 def transcripts_from_documents(sf_dir: str) -> "ray.data.Dataset":
@@ -1502,6 +1506,154 @@ def q_facet_counts(sf_dir: str, field: str = "role",
             counts.append(n)
     return pa.table({"value": pa.array(vals, pa.string()),
                      "n_docs": pa.array(counts, pa.int64())})
+
+
+def q_composite_facet(sf_dir: str, term: str = "spark") -> pa.Table:
+    """Facet counts over the COMPOSITE (role, tool) field: among docs
+    whose text contains ``term``, the doc count per composed
+    ``role_tool`` value, decomposed back into its parts
+    (``MiruTermComposer.compose/decompose:35-110``) — postings algebra
+    only, the composite term space enumerated exactly like a keyword
+    facet."""
+    from ..query.composer import decompose_value
+    from ..query.filter import And, Term
+    s = searcher_for(sf_dir)
+    cap = 1000
+    keys: set = set()
+    for res in s._fanout("expand_prefix", "role_tool:", cap + 1):
+        keys.update(res)
+    if len(keys) > cap:
+        raise ValueError(f"composite facet exceeds {cap} distinct values")
+    roles, tools, counts = [], [], []
+    for key in sorted(keys):
+        v = key.split(":", 1)[1]
+        n = s.count(And((Term("role_tool", v), Term("text", term))))
+        if n:
+            p_role, p_tool = decompose_value(v)
+            roles.append(p_role)
+            tools.append(p_tool)
+            counts.append(n)
+    return pa.table({"role": pa.array(roles, pa.string()),
+                     "tool": pa.array(tools, pa.string()),
+                     "n_docs": pa.array(counts, pa.int64())})
+
+
+def composite_facet_sql(term: str = "spark") -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT d.role AS role, d.tool AS tool,
+       count(DISTINCT d.doc_id)::BIGINT AS n_docs
+FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+WHERE d.role IS NOT NULL AND d.role <> ''
+  AND d.tool IS NOT NULL AND d.tool <> ''
+GROUP BY d.role, d.tool ORDER BY role, tool
+""".strip()
+
+
+def q_request_aggregate_counts_unread(sf_dir: str,
+                                      term: str = "spark") -> pa.Table:
+    """AggregateCounts with UNREAD DECORATION through the JSON request
+    surface (``AggregateCounts.java:189-207,322-330``): per conv_id of
+    docs whose text contains ``term`` — count, latest/oldest ts, and
+    anyUnread / latestUnread / oldestUnread against a doc-level unread
+    set (odd doc ids — deterministic, SQL-expressible, and makes the
+    three flags genuinely independent)."""
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    n = int(s.manifest["n_docs"])
+    s.set_stream_unread("unread-demo", np.arange(1, n, 2, dtype=np.int64))
+    req = {"name": "aggregateCounts", "tenantId": "flagship",
+           "query": {"streamId": "unread-demo",
+                     "includeUnreadState": True,
+                     "streamFilter": {
+                         "operation": "or",
+                         "fieldFilters": [{"fieldName": "text",
+                                           "values": [term]}]},
+                     "constraints": {"inbox": {
+                         "aggregateCountAroundField": "conv_id",
+                         "desiredNumberOfDistincts": 10 ** 6}}}}
+    res = execute_request(s, req)["answer"]["constraints"]["inbox"][
+        "results"]
+    return pa.table({
+        "conv_id": pa.array([r["distinctValue"] for r in res],
+                            pa.string()),
+        "n_docs": pa.array([r["count"] for r in res], pa.int64()),
+        "latest_ts": pa.array([r["latestTimestamp"] for r in res],
+                              pa.int64()),
+        "oldest_ts": pa.array([r["oldestTimestamp"] for r in res],
+                              pa.int64()),
+        "any_unread": pa.array([int(r["anyUnread"]) for r in res],
+                               pa.int64()),
+        "latest_unread": pa.array([int(r["latestUnread"]) for r in res],
+                                  pa.int64()),
+        "oldest_unread": pa.array([int(r["oldestUnread"]) for r in res],
+                                  pa.int64()),
+    })
+
+
+def request_aggregate_counts_unread_sql(term: str = "spark") -> str:
+    return f"""
+{SQL_PROLOGUE},
+hits AS (
+  SELECT d.conv_id, epoch_us(d.ts) AS ts_us, d.doc_id,
+         (d.doc_id % 2 = 1) AS unread
+  FROM docs d JOIN tf t ON t.doc_id = d.doc_id AND t.term = '{term}'
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts_us DESC, doc_id DESC) AS rn_new,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts_us ASC, doc_id ASC) AS rn_old
+  FROM hits
+)
+SELECT conv_id,
+       count(*)::BIGINT AS n_docs,
+       max(ts_us)::BIGINT AS latest_ts,
+       min(ts_us)::BIGINT AS oldest_ts,
+       max(CASE WHEN unread THEN 1 ELSE 0 END)::BIGINT AS any_unread,
+       max(CASE WHEN unread AND rn_new = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS latest_unread,
+       max(CASE WHEN unread AND rn_old = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS oldest_unread
+FROM ranked GROUP BY conv_id
+ORDER BY latest_ts DESC, conv_id ASC
+""".strip()
+
+
+def q_request_composite_filter(sf_dir: str) -> pa.Table:
+    """Composite multi-part ``MiruValue`` through the JSON request
+    surface: distinct ``conv_id`` values among docs matching the
+    composite field with a PARTS-PREFIX value ``{"parts": ["user"]}``
+    (every user turn that carries a tool) OR an exact two-part value
+    ``{"parts": ["assistant", "tool_01"]}`` — the multi-part DTO form
+    every reference request carries (``MiruValue.java``,
+    ``MiruTermComposer.compose:35-63``)."""
+    from ..query.request import execute_request
+    s = searcher_for(sf_dir)
+    req = {"name": "distincts", "tenantId": "flagship",
+           "query": {"timeRange": {"smallestTimestamp": 0,
+                                   "largestTimestamp": 2 ** 62},
+                     "gatherDistinctsForField": "conv_id",
+                     "constraintsFilter": {
+                         "operation": "or",
+                         "fieldFilters": [
+                             {"fieldName": "role_tool",
+                              "values": [{"parts": ["user"]},
+                                         {"parts": ["assistant",
+                                                    "tool_01"]}]}]}}}
+    vals = execute_request(s, req)["answer"]["results"]
+    return pa.table({"conv_id": pa.array(vals, pa.string())})
+
+
+def request_composite_filter_sql() -> str:
+    return f"""
+{SQL_PROLOGUE}
+SELECT DISTINCT conv_id FROM docs
+WHERE (role = 'user' AND tool IS NOT NULL AND tool <> '')
+   OR (role = 'assistant' AND tool = 'tool_01')
+ORDER BY conv_id
+""".strip()
 
 
 def facet_sql(field: str = "role", term: str = "spark") -> str:

@@ -194,6 +194,13 @@ def _load_builtin_ops() -> None:
         F.request_uniques_sql(), ("request",))
     reg("request_distincts_values", F.q_request_distincts,
         F.request_distincts_sql(), ("request",))
+    reg("request_aggregate_counts_unread",
+        F.q_request_aggregate_counts_unread,
+        F.request_aggregate_counts_unread_sql(), ("request", "unread"))
+    reg("fulltext_composite_facet", F.q_composite_facet,
+        F.composite_facet_sql(), ("fulltext", "composite"))
+    reg("request_composite_filter", F.q_request_composite_filter,
+        F.request_composite_filter_sql(), ("request", "composite"))
     reg("request_catwalk_model", F.q_request_catwalk,
         F.request_catwalk_sql(), ("request",))
     reg("request_strut_topn", F.q_request_strut,

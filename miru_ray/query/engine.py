@@ -43,6 +43,7 @@ from ..index.build import doclen_rel_path
 from ..index.segments import (SegmentReader, bloom_may_contain,
                               read_segment_bloom)
 from . import scorer as S
+from .composer import PART_SEP
 from .filter import (And, Authz, Boost, Filter, Fuzzy, MatchNone, MinShould,
                      Node, Not,
                      NumericRange, Or, Phrase, Prefix, Regexp, Term,
@@ -1250,6 +1251,9 @@ class Searcher:
         # MiruPluginCacheProvider, plays the same role)
         self._stats_cache: dict[str, tuple[int, int]] = {}
         self._expansion_cache: dict[tuple[str, int], list[str]] = {}
+        #: per-stream unread state (MiruUnreadTrackingIndex analogue) —
+        #: see mark_read/mark_unread/set_stream_unread below
+        self._stream_unread: dict[str, dict] = {}
         self._assignment = assignment
         self._num_cpus = num_cpus
         self._preload = preload_segments
@@ -1469,20 +1473,26 @@ class Searcher:
             ck = (key, p.max_expansion)
             if ck not in self._expansion_cache:
                 found: set[str] = set()
-                # empty-prefix = EXISTS query (field:*): truncation would
-                # silently DROP matching docs, contradicting the query's
-                # completeness semantics — overflow is a loud failure,
-                # exactly like NumericRange's cap below
-                exists = p.prefix == ""
+                # empty-prefix = EXISTS query (field:*), and a prefix
+                # ending at a composite part boundary = parts-prefix scan
+                # (MiruTermComposer.prefixLowerInclusive:176-206): both
+                # are complete-or-fail — truncation would silently DROP
+                # matching docs, contradicting the query's completeness
+                # semantics — so overflow is a loud failure, exactly
+                # like NumericRange's cap below
+                exists = p.prefix == "" or p.prefix.endswith(PART_SEP)
                 ask = p.max_expansion + 1 if exists else p.max_expansion
                 for res in self._fanout("expand_prefix", key, ask):
                     found.update(res)
                 if exists and len(found) > p.max_expansion:
+                    kind = ("exists query" if p.prefix == ""
+                            else "composite parts-prefix query")
                     raise ValueError(
-                        f"exists query {p.field}:* expands past "
+                        f"{kind} on {p.field}:{p.prefix!r} expands past "
                         f"max_expansion={p.max_expansion} distinct terms; "
-                        f"raise Prefix.max_expansion (truncating an exists "
-                        f"query would silently drop matching docs)")
+                        f"raise Prefix.max_expansion (truncating a "
+                        f"complete-scan query would silently drop "
+                        f"matching docs)")
                 self._expansion_cache[ck] = sorted(found)[:p.max_expansion]
             expansions[ck] = self._expansion_cache[ck]
         for fz in collect_fuzzies(ast):
@@ -1900,6 +1910,62 @@ class Searcher:
         expansions, _tc, _st = self._prepare(ast, need_stats=False)
         parts = self._fanout("match", ast, expansions, True)
         return np.sort(np.concatenate([p["doc_ids"] for p in parts]))
+
+    # ---------------- per-stream unread tracking ----------------
+    # The reference keeps a per-(tenant, streamId) unread bitmap
+    # (MiruUnreadTrackingIndex) populated by the JIT backfillerizer's
+    # READ/UNREAD marker state machine
+    # (MiruJustInTimeBackfillerizer.java:40-346).  Here the markers
+    # reduce to an effective ts watermark — the SAME reduction the
+    # events pipeline proves in ops/analytics.unread_backfill: a doc is
+    # unread iff ts > (last_read if last_read > last_unread else −∞) —
+    # or, for doc-level receipts, an explicit sorted doc-id set
+    # (bounded by the stream's inbox size; watermark mode is the scale
+    # path).  In-memory per Searcher: durable unread is the WAL /
+    # delivery side's job (index/delivery.py), not the query planner's.
+
+    def mark_read(self, stream_id: str, up_to_ts_us: int) -> None:
+        """READ marker: clears every doc with ts <= up_to_ts_us."""
+        st = self._stream_unread.setdefault(
+            str(stream_id), {"last_read": None, "last_unread": None})
+        st.pop("ids", None)
+        st["last_read"] = max(st["last_read"] or -(2 ** 62),
+                              int(up_to_ts_us))
+
+    def mark_unread(self, stream_id: str, up_to_ts_us: int) -> None:
+        """UNREAD marker: re-marks every doc with ts <= up_to_ts_us
+        (ties vs a READ at the same ts: UNREAD wins — re-marking is the
+        destructive direction, same rule as unread_backfill)."""
+        st = self._stream_unread.setdefault(
+            str(stream_id), {"last_read": None, "last_unread": None})
+        st.pop("ids", None)
+        st["last_unread"] = max(st["last_unread"] or -(2 ** 62),
+                                int(up_to_ts_us))
+
+    def set_stream_unread(self, stream_id: str, doc_ids) -> None:
+        """Doc-level unread receipts: the stream's unread set IS this
+        doc-id list (replaces any marker state)."""
+        self._stream_unread[str(stream_id)] = {
+            "ids": np.sort(np.asarray(doc_ids, np.int64))}
+
+    def stream_unread_flags(self, stream_id: str, doc_ids: np.ndarray,
+                            ts_us: np.ndarray) -> np.ndarray:
+        """Per-doc unread flags for a stream.  An UNKNOWN stream is all
+        unread (the reference backfills a missing unread bitmap from the
+        full stream — nothing read yet)."""
+        st = self._stream_unread.get(str(stream_id))
+        if st is None:
+            return np.ones(len(doc_ids), bool)
+        if "ids" in st:
+            from ..util import sorted_lookup
+            hit, _ = sorted_lookup(st["ids"],
+                                   np.asarray(doc_ids, np.int64))
+            return hit
+        lr = st.get("last_read")
+        lu = st.get("last_unread")
+        wm = lr if (lr is not None and (lu is None or lr > lu)) \
+            else -(2 ** 62)
+        return np.asarray(ts_us, np.int64) > np.int64(wm)
 
     def gather(self, doc_ids, columns=("conv_id", "turn_idx", "text")) -> pa.Table:
         dpp = self.cfg.docs_per_partition

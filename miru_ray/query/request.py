@@ -45,9 +45,13 @@ request payloads port over unchanged.  Documented deviations:
 
 - ``timeRange`` values are epoch MICROSECONDS (the repo's native ts
   encoding), not the reference's snowflake orderIds.
-- ``MiruValue`` is single-part here (composite multi-part field values
-  need composite field definitions the transcript schema doesn't have);
-  plain JSON strings are accepted wherever a MiruValue object would be.
+- ``MiruValue`` is multi-part on COMPOSITE fields
+  (``IndexConfig.composite_fields``; composition semantics in
+  ``query/composer.py`` after ``MiruTermComposer.java:35-63``): full
+  parts match exactly, a strict prefix of the parts is a
+  complete-or-fail part-boundary range scan.  On non-composite fields
+  a multi-part value raises; plain JSON strings are accepted wherever
+  a MiruValue object would be.
 - ``strategy`` accepts the reference enum (``TIME``, ``TF_IDF`` — the
   rank-identical ref-tfidf scorer) plus ``BM25`` as an extension.
 - filter operations supported: ``and``, ``or``, ``pButNotQ`` — exactly
@@ -55,10 +59,12 @@ request payloads port over unchanged.  Documented deviations:
   (``MiruFilterOperation.java:12-22``); the rest raise.
 - ``authzExpression`` may carry an optional ``field`` key naming the
   index's ACL list-keyword column (default ``acl``).
-- stream answerers: ``streamId`` is accepted and ignored, the unread
-  knobs (``unreadOnly``, ``suppressUnreadFilter``,
-  ``includeUnreadState``) are REJECTED — read/unread state lives in the
-  events pipeline here (``events_unread_backfill``) — and
+- stream answerers: AggregateCounts supports the unread knobs
+  (``unreadOnly``, ``includeUnreadState``, ``suppressUnreadFilter``)
+  against per-stream unread state registered on the Searcher
+  (``mark_read``/``mark_unread``/``set_stream_unread`` — the
+  MiruUnreadTrackingIndex analogue; ``AggregateCounts.java:189-207``);
+  the other stream answerers still reject them, and
   ``countTimeRange`` must equal ``collectTimeRange``.
 """
 from __future__ import annotations
@@ -68,6 +74,7 @@ import datetime
 import time
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -83,15 +90,17 @@ _SUPPORTED_OPS = ("and", "or", "pButNotQ")
 
 def _value_str(v: Any) -> str:
     """Coerce a JSON field-filter value — a plain string/number or a
-    single-part ``MiruValue{parts: [..]}`` object — to the term string."""
+    single-part ``MiruValue{parts: [..]}`` object — to the term string.
+    (Multi-part values are only meaningful on composite fields; those
+    route through :func:`_value_parts` instead.)"""
     if isinstance(v, dict):
         parts = v.get("parts")
         if not isinstance(parts, (list, tuple)) or not parts:
             raise ValueError(f"MiruValue without parts: {v!r}")
         if len(parts) != 1:
             raise ValueError(
-                "composite multi-part MiruValues are not supported "
-                f"(transcript fields are single-valued): {v!r}")
+                "composite multi-part MiruValues need a composite field "
+                f"(IndexConfig.composite_fields): {v!r}")
         v = parts[0]
     if isinstance(v, bool):
         raise ValueError(f"boolean is not a term value: {v!r}")
@@ -106,7 +115,28 @@ def _value_str(v: Any) -> str:
     return v
 
 
-def filter_to_ast(f: dict, text_fields: tuple = ("text",)) -> Node | None:
+def _value_parts(v) -> list[str]:
+    """A JSON field-filter value for a COMPOSITE field → its part list:
+    a ``MiruValue{parts: [...]}`` keeps its parts, a plain scalar is one
+    part (``MiruValue.java`` — every request DTO value is multi-part in
+    the reference)."""
+    if isinstance(v, dict):
+        raw = v.get("parts")
+        if not isinstance(raw, (list, tuple)) or not raw:
+            raise ValueError(f"MiruValue without parts: {v!r}")
+        return [_value_str(p) for p in raw]
+    return [_value_str(v)]
+
+
+def composite_parts_of(cfg) -> dict[str, int]:
+    """Composite field name → its part count, from an IndexConfig."""
+    return {name: len(srcs)
+            for name, srcs in getattr(cfg, "composite_fields", ()) or ()}
+
+
+def filter_to_ast(f: dict, text_fields: tuple = ("text",),
+                  composite_parts: dict[str, int] | None = None
+                  ) -> Node | None:
     """``MiruFilter{operation, fieldFilters, subFilters}`` → filter AST.
 
     Semantics follow the reference's filter evaluation
@@ -131,16 +161,34 @@ def filter_to_ast(f: dict, text_fields: tuple = ("text",)) -> Node | None:
     children: list[Node | None] = []
     for ff in f.get("fieldFilters") or []:
         fld = ff["fieldName"]
-        vals = [_value_str(v) for v in (ff.get("values") or [])]
-        if fld in text_fields:
-            vals = [v.lower() for v in vals]
-        terms: list[Node] = [Term(fld, v) for v in vals]
+        nparts = (composite_parts or {}).get(fld)
+        terms: list[Node] = []
+        if nparts:
+            # composite field: full parts = one exact term; a strict
+            # prefix of the parts = a complete-or-fail part-boundary
+            # range scan (MiruTermComposer.prefixLowerInclusive:176-206)
+            from .composer import compose_part_prefix, compose_parts
+            for v in (ff.get("values") or []):
+                parts = _value_parts(v)
+                if len(parts) > nparts:
+                    raise ValueError(
+                        f"composite field {fld!r} has {nparts} parts; "
+                        f"got {len(parts)}: {v!r}")
+                if len(parts) == nparts:
+                    terms.append(Term(fld, compose_parts(parts)))
+                else:
+                    terms.append(Prefix(fld, compose_part_prefix(parts)))
+        else:
+            vals = [_value_str(v) for v in (ff.get("values") or [])]
+            if fld in text_fields:
+                vals = [v.lower() for v in vals]
+            terms = [Term(fld, v) for v in vals]
         if not terms:
             children.append(None)
             continue
         children.append(terms[0] if len(terms) == 1 else Or(tuple(terms)))
     for sub in f.get("subFilters") or []:
-        children.append(filter_to_ast(sub, text_fields))
+        children.append(filter_to_ast(sub, text_fields, composite_parts))
     alive = [c for c in children if c is not None]
     if op == "pButNotQ" and children and children[0] is None and alive:
         # Reference parity: filterInOut keeps the empty first bitmap and
@@ -203,7 +251,7 @@ def request_to_ast(request: dict, cfg) -> tuple[Node, int, str]:
     clauses: list[Node] = [ast]
     cf = q.get("constraintsFilter")
     if cf:
-        node = filter_to_ast(cf, tuple(cfg.text_fields))
+        node = filter_to_ast(cf, tuple(cfg.text_fields), composite_parts_of(cfg))
         if node is not None:
             # constraintsFilter gates without ranking (the reference ANDs
             # the filter bitmap; only the parsed query's terms score)
@@ -268,11 +316,12 @@ def _respond(request: dict, searcher, answer: dict, t0: float,
 
 
 def _reject_unread_knobs(q: dict) -> None:
-    """Read/unread state in this repo lives in the events pipeline
-    (``events_unread_backfill``), not inside the index — the reference
-    threads per-stream unread bitmaps through these answerers
-    (``DistinctCountQuery.java:22,31``; ``AggregateCountsQuery.java:
-    33-35``), which we reject loudly rather than silently mis-answer."""
+    """The answerers that do NOT implement unread decoration reject the
+    knobs loudly rather than silently mis-answer (the reference threads
+    per-stream unread bitmaps through DistinctCount too,
+    ``DistinctCountQuery.java:22,31``).  AggregateCounts — the one the
+    inbox workflow needs — handles them (``AggregateCounts.java:
+    189-207``); see :func:`_execute_aggregate_counts`."""
     for knob in ("unreadOnly", "suppressUnreadFilter", "includeUnreadState"):
         if q.get(knob):
             raise ValueError(
@@ -314,7 +363,7 @@ def _gate_ast(request: dict, q: dict, cfg,
     for f in (q.get("streamFilter"), q.get("constraintsFilter"),
               extra_filter):
         if f:
-            node = filter_to_ast(f, tuple(cfg.text_fields))
+            node = filter_to_ast(f, tuple(cfg.text_fields), composite_parts_of(cfg))
             if node is not None:
                 clauses.append(node)
     if time_range:
@@ -407,10 +456,35 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
     reference's answerer walks the same filtered bitmap newest-first
     reading the same columns.  ``countTimeRange`` must equal
     ``collectTimeRange`` (single-pass collection; a separate count
-    window is a documented deviation), and unread knobs are rejected
-    (see :func:`_reject_unread_knobs`)."""
+    window is a documented deviation).
+
+    Unread decoration (``AggregateCounts.java:189-207,322-330``): with
+    a ``streamId``, ``includeUnreadState`` adds per-row ``anyUnread`` /
+    ``latestUnread`` / ``oldestUnread`` against the stream's unread
+    state (``Searcher.mark_read``/``mark_unread``/``set_stream_unread``
+    — the MiruUnreadTrackingIndex analogue), ``unreadOnly`` restricts
+    the whole aggregate to unread docs
+    (``AggregateCountsCustomQuestion.java:100-126`` ANDs the unread
+    bitmap into the answer), and ``suppressUnreadFilter`` marks docs
+    matching it as read for this request (the backfill suppression,
+    ``MiruJustInTimeBackfillerizer`` filter arg)."""
     q = request.get("query") or {}
-    _reject_unread_knobs(q)
+    stream_id = q.get("streamId")
+    include_unread = bool(q.get("includeUnreadState"))
+    unread_only = bool(q.get("unreadOnly"))
+    if (include_unread or unread_only) and not stream_id:
+        raise ValueError("includeUnreadState/unreadOnly need a streamId "
+                         "(the reference requires a non-NULL MiruStreamId"
+                         " — AggregateCounts.java:170)")
+    suppress_ids = None
+    if stream_id and (include_unread or unread_only):
+        sup = q.get("suppressUnreadFilter")
+        if sup:
+            sup_ast = filter_to_ast(sup, tuple(searcher.cfg.text_fields),
+                                    composite_parts_of(searcher.cfg))
+            if sup_ast is not None:
+                suppress_ids = np.asarray(searcher.match_docs(sup_ast),
+                                          np.int64)
     constraints = q.get("constraints")
     if not isinstance(constraints, dict) or not constraints:
         raise ValueError("aggregateCounts requires a non-empty "
@@ -445,6 +519,21 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
             # µs via Arrow, not datetime64.astype (whose unit is a
             # pandas-version coin flip)
             pdf["_ts"] = gat["ts"].cast(pa.int64()).to_numpy()
+            if stream_id and (include_unread or unread_only):
+                flags = searcher.stream_unread_flags(
+                    stream_id, pdf["doc_id"].to_numpy(np.int64),
+                    pdf["_ts"].to_numpy())
+                if suppress_ids is not None and len(suppress_ids):
+                    from ..util import sorted_lookup
+                    hit, _ = sorted_lookup(
+                        suppress_ids, pdf["doc_id"].to_numpy(np.int64))
+                    flags = flags & ~hit
+                pdf["_unread"] = flags
+                if unread_only:
+                    # AggregateCountsCustomQuestion.java:112-126 — the
+                    # unread bitmap is ANDed into answer AND counter, so
+                    # counts reflect unread docs only
+                    pdf = pdf[pdf["_unread"]]
             pdf = pdf[~pdf[field].isin(["", None]) & pdf[field].notna()]
             if len(pdf):
                 pdf = pdf.sort_values(["_ts", "doc_id"], kind="stable")
@@ -468,10 +557,11 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
                         # paging is deterministic
                         ["latest", field], ascending=[False, True],
                         kind="stable")
+                anyu = grp["_unread"].any() if include_unread else None
                 total = len(page)
                 window = page.iloc[start:start + desired]
                 for v, row in window.iterrows():
-                    results.append({
+                    r = {
                         "distinctValue": str(v),
                         "count": int(row["n"]),
                         "latestTimestamp": int(row["latest"]),
@@ -480,7 +570,15 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
                             f: _py_scalar(last.at[v, f]) for f in gfields},
                         "gatherOldestValues": {
                             f: _py_scalar(first.at[v, f]) for f in gfields},
-                    })
+                    }
+                    if include_unread:
+                        # AggregateCounts.java:322-330: flags against
+                        # unreadAnswer = unread ∩ answer; latest/oldest
+                        # are this value's newest/oldest doc in answer
+                        r["anyUnread"] = bool(anyu[v])
+                        r["latestUnread"] = bool(last.at[v, "_unread"])
+                        r["oldestUnread"] = bool(first.at[v, "_unread"])
+                    results.append(r)
         answer_constraints[cname] = {
             "results": results,
             "aggregateTerms": [r["distinctValue"] for r in results],
@@ -820,7 +918,7 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
     if desired < 1:  # RecoQuery.java:39
         raise ValueError("Number of distincts must be at least 1")
     cf = q.get("constraintsFilter")
-    my_ast = filter_to_ast(cf, tuple(searcher.cfg.text_fields)) \
+    my_ast = filter_to_ast(cf, tuple(searcher.cfg.text_fields), composite_parts_of(searcher.cfg)) \
         if cf else None
     if my_ast is None:  # RecoQuery.java:35 checkNotNull
         raise ValueError("reco requires an effective constraintsFilter "
@@ -828,7 +926,7 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
     ok_clauses: list[Node] = []
     sf = q.get("scorableFilter")
     if sf:
-        node = filter_to_ast(sf, tuple(searcher.cfg.text_fields))
+        node = filter_to_ast(sf, tuple(searcher.cfg.text_fields), composite_parts_of(searcher.cfg))
         if node is not None:
             ok_clauses.append(node)
     ok_clauses.append(TimeRange(int(tr["smallestTimestamp"]),

@@ -129,7 +129,7 @@ def _feature_fields(defn: dict, cfg) -> list[
     term_pair_counts``); ≥3 fields would need a 3-way bitmap walk —
     rejected loudly (the events catwalk pipeline covers arbitrary
     composites at scale)."""
-    from .request import filter_to_ast
+    from .request import composite_parts_of, filter_to_ast
     feats = defn.get("features")
     if not isinstance(feats, (list, tuple)) or not feats:
         raise ValueError("catwalkDefinition requires a non-empty "
@@ -147,7 +147,7 @@ def _feature_fields(defn: dict, cfg) -> list[
         out.append((str(f.get("name") or "+".join(fields)),
                     tuple(str(x) for x in fields),
                     float(f.get("featureScalar", 1.0)),
-                    filter_to_ast(ff, tuple(cfg.text_fields))
+                    filter_to_ast(ff, tuple(cfg.text_fields), composite_parts_of(cfg))
                     if ff else None))
     return out
 
@@ -157,7 +157,8 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
     denominator (``Catwalk.java:88-215``).  Returns (features,
     model: one ``{value_tuple → (nums tuple, den)}`` dict per feature,
     numerator_sets, modelCounts)."""
-    from .request import _expand_field_keys, filter_to_ast
+    from .request import (_expand_field_keys, composite_parts_of,
+                          filter_to_ast)
     gather = str(defn["gatherField"])
     feats = _feature_fields(defn, searcher.cfg)
     filters = mq.get("modelFilters")
@@ -193,7 +194,7 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
 
     numerator_sets: list[list[str]] = []
     for mf in filters:
-        fl = filter_to_ast(mf, tuple(searcher.cfg.text_fields)) \
+        fl = filter_to_ast(mf, tuple(searcher.cfg.text_fields), composite_parts_of(searcher.cfg)) \
             if mf else None
         gate = _and(base + ([fl] if fl is not None else []))
         counts = _counts(gate, gather_keys)
@@ -305,7 +306,7 @@ def execute_catwalk(searcher, request: dict, t0: float) -> dict:
 def execute_strut(searcher, request: dict, t0: float) -> dict:
     """StrutQuery → StrutAnswer."""
     from .request import (_expand_field_keys, _reject_unread_knobs,
-                          _respond, filter_to_ast)
+                          _respond, composite_parts_of, filter_to_ast)
     q = request.get("query") or {}
     _reject_unread_knobs(q)
     for knob in ("unreadStreamId", "suppressUnreadFilter"):
@@ -331,7 +332,7 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
     if not tr:  # StrutQuery.java:42 checkNotNull
         raise ValueError("strut requires an explicit timeRange")
     cf = q.get("constraintFilter")
-    c_ast = filter_to_ast(cf, tuple(searcher.cfg.text_fields)) \
+    c_ast = filter_to_ast(cf, tuple(searcher.cfg.text_fields), composite_parts_of(searcher.cfg)) \
         if cf else None
     if c_ast is None:  # StrutQuery.java:43
         raise ValueError("strut requires an effective constraintFilter")
