@@ -68,6 +68,15 @@ def main(argv=None) -> int:
     r.add_argument("--index", required=True)
     r.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
 
+    rp = sub.add_parser(
+        "repair", help="versioned upsert: re-index existing turns in "
+                       "place when a higher version arrives (the "
+                       "reference's REPAIR delivery type)")
+    rp.add_argument("--index", required=True)
+    rp.add_argument("--input", required=True,
+                    help="parquet file/dir of repair rows: conv_id, "
+                         "turn_idx, int64 version + every doc field")
+
     st = sub.add_parser("stats", help="print the index's lineage + "
                         "per-partition/per-stage metrics from the manifest")
     st.add_argument("--index", required=True)
@@ -266,6 +275,12 @@ def _run(args) -> int:
         n = s.remove_docs([int(x) for x in args.doc_ids.split(",")])
         print(json.dumps({"tombstoned": n}))
         s.close()
+        return 0
+
+    if args.cmd == "repair":
+        from .index.repair import repair_index
+        m = repair_index(args.index, args.input)
+        print(json.dumps(m["stages"]["repair"]))
         return 0
 
     if args.cmd == "stats":

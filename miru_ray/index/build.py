@@ -636,6 +636,19 @@ def make_postings_fn(cfg: IndexConfig, offsets_ref=None):
     return to_postings
 
 
+def postings_columns(cfg: IndexConfig) -> list[str]:
+    """Docstore columns the postings pass reads — the ONE definition
+    (full build, append rebuild, repair rebuild).  Includes composite
+    source columns: a composite field over a column that is not itself
+    indexed must still reach ``make_postings_fn``."""
+    return list(dict.fromkeys(
+        ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
+        + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)
+        + [src for _f, src in getattr(cfg, "power_bits_fields", ())]
+        + [src for _n, parts in getattr(cfg, "composite_fields", ())
+           for src in parts]))
+
+
 def doclen_rel_path(pid: int, shard: int) -> str:
     return f"doclen/p{pid:05d}_s{shard:03d}.parquet"
 
@@ -693,10 +706,7 @@ def make_segment_writer(index_dir: str, nsh: int):
 
 def build_segments(docstore_dir: str, index_dir: str, cfg: IndexConfig,
                    tag: dict | None = None) -> list[dict]:
-    cols = list(dict.fromkeys(
-        ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
-        + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)
-        + [src for _f, src in getattr(cfg, "power_bits_fields", ())]))
+    cols = postings_columns(cfg)
     docs = read_parquet_clean(docstore_dir, columns=cols,
                               file_extensions=["parquet"])
     postings = docs.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
@@ -1143,10 +1153,7 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     first_pid = old_n // dpp
     last_pid = (n_docs - 1) // dpp
     postings_fn = make_postings_fn(cfg)
-    cols = list(dict.fromkeys(
-        ["doc_id"] + list(cfg.text_fields) + list(cfg.keyword_fields)
-        + list(cfg.list_keyword_fields) + list(cfg.numeric_fields)
-        + [src for _f, src in getattr(cfg, "power_bits_fields", ())]))
+    cols = postings_columns(cfg)
 
     @ray.remote(num_cpus=1)
     def rebuild_partition(pid: int) -> list[dict]:

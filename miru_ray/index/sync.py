@@ -21,6 +21,8 @@ import hashlib
 import os
 import shutil
 
+import pyarrow as pa
+
 from ..util import atomic_write_json, read_json
 
 PROGRESS = "sync_progress.json"
@@ -140,3 +142,162 @@ def verify_sync(dst_dir: str) -> dict:
            or _sha256(os.path.join(dst_dir, rel)) != want]
     return {"n_files": len(progress), "bad": sorted(bad),
             "ok": not bad}
+
+
+# ---------------------------------------------------------------------------
+# tenant-level sync protocol: sender / receiver pair (two-cluster sync)
+# ---------------------------------------------------------------------------
+
+class SyncReceiver:
+    """Destination-cluster ingress — the ``MiruSyncReceiver`` analogue
+    (``miru-sync-deployable/.../MiruSyncReceiver.java:57-78``: received
+    activity batches land in the destination's OWN WAL and writer
+    cursors advance; the destination indexes from that WAL).
+
+    Here the WAL is a per-tenant directory of numbered parquet shards
+    (append-only, one shard per received batch) plus a durable
+    ``sync_state.json`` cursor recording every persisted batch label and
+    its row count.  ``write_activity`` is IDEMPOTENT per label: a
+    re-delivered batch (sender retry after a crash) is acknowledged
+    without rewriting — at-least-once delivery + idempotent persistence
+    = exactly-once effect.  ``commit`` indexes the accumulated WAL via
+    the incremental build (first commit = full build, later commits
+    append only the new shards) and registers the tenant in the
+    destination :class:`~miru_ray.index.tenants.TenantRegistry`.
+    """
+
+    def __init__(self, root: str):
+        from .tenants import TenantRegistry
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.registry = TenantRegistry(os.path.join(root, "registry"))
+
+    # -------- durable per-tenant cursor --------
+
+    def _tdir(self, tenant: str) -> str:
+        return os.path.join(self.root, "tenants", tenant)
+
+    def _state_path(self, tenant: str) -> str:
+        return os.path.join(self._tdir(tenant), "sync_state.json")
+
+    def progress(self, tenant: str) -> dict:
+        """The sender's resume point: persisted batch labels + the row
+        high-watermark (docs ship in doc-id order exactly once, so
+        Σ persisted rows IS the next doc id to ship — the per-(tenant,
+        partition) cursor of ``MiruSyncSender.java:255-280``)."""
+        p = self._state_path(tenant)
+        if not os.path.exists(p):
+            return {"batches": {}, "rows_persisted": 0, "commits": 0}
+        return read_json(p)
+
+    def write_activity(self, tenant: str, label: str, table) -> bool:
+        """Persist one batch under ``label``.  Returns False when the
+        label was already persisted (idempotent retry)."""
+        import pyarrow.parquet as pq
+        state = self.progress(tenant)
+        if label in state["batches"]:
+            return False
+        wal = os.path.join(self._tdir(tenant), "wal")
+        os.makedirs(wal, exist_ok=True)
+        path = os.path.join(wal, f"batch-{label}.parquet")
+        pq.write_table(table, path + ".sync_tmp")
+        os.replace(path + ".sync_tmp", path)
+        state["batches"][label] = table.num_rows
+        state["rows_persisted"] = int(sum(state["batches"].values()))
+        atomic_write_json(self._state_path(tenant), state)
+        return True
+
+    def commit(self, tenant: str, cfg) -> dict:
+        """Index everything received so far and (re)register the tenant.
+        Incremental: the build's sip path appends only WAL shards that
+        were not part of the previous commit."""
+        from .build import build_index
+        wal = os.path.join(self._tdir(tenant), "wal")
+        files = sorted(os.path.join(wal, f) for f in os.listdir(wal)
+                       if f.endswith(".parquet"))
+        idir = os.path.join(self._tdir(tenant), "index")
+        manifest = build_index(files, idir, cfg)
+        if (tenant not in self.registry.tenants()
+                or self.registry.index_dir(tenant) != os.path.abspath(idir)):
+            self.registry.register(tenant, idir, cfg)
+        state = self.progress(tenant)
+        state["commits"] = int(state.get("commits", 0)) + 1
+        state["committed_docs"] = int(manifest["n_docs"])
+        atomic_write_json(self._state_path(tenant), state)
+        return manifest
+
+
+class SyncSender:
+    """Source-cluster egress — the ``MiruSyncSender`` analogue: durable
+    per-(tenant, partition) progress, ``initial`` (bootstrap the whole
+    history) and ``forward`` (tail only new docs) modes
+    (``MiruSyncSender.java:74`` ring, progress scan :226-241, cursors
+    :255-280, forward/initial ProgressType :67-69).
+
+    The source docstore is the WAL being tailed (it is this engine's
+    source of truth).  Batches are cut DETERMINISTICALLY — per source
+    partition, aligned to ``batch_rows`` boundaries from the receiver's
+    row high-watermark — so a crashed sender re-cuts byte-identical
+    batches on restart and the receiver's label dedupe turns the retry
+    into a no-op.  Nothing O(corpus) is held anywhere: one partition's
+    rows in memory at a time, shipped in bounded batches.
+
+    Known gap (documented): REPAIRs applied at the source after a doc
+    has shipped are not re-shipped (the reference replays REPAIR-type
+    WAL entries); re-point forward syncs re-ship only doc_id >=
+    watermark.  A repaired tenant re-converges by resetting the
+    receiver's tenant dir (fresh initial sync).
+    """
+
+    def __init__(self, src_registry, receiver: SyncReceiver,
+                 batch_rows: int = 100_000):
+        self.registry = src_registry
+        self.receiver = receiver
+        self.batch_rows = int(batch_rows)
+
+    def sync_tenant(self, tenant: str, commit: bool = True,
+                    _crash_after_batches: int | None = None) -> dict:
+        import numpy as np
+        import pyarrow.parquet as pq
+        idir = self.registry.index_dir(tenant)
+        manifest = read_json(os.path.join(idir, "manifest.json"))
+        state = self.receiver.progress(tenant)
+        watermark = int(state.get("rows_persisted", 0))
+        mode = "initial" if watermark == 0 else "forward"
+        n_docs = int(manifest["n_docs"])
+        sent = skipped = rows = 0
+        for part in manifest["partitions"]:
+            pid, base, count = part["pid"], part["base"], part["count"]
+            if base + count <= watermark:
+                continue  # fully shipped (the per-partition cursor)
+            t = pq.ParquetDataset(os.path.join(
+                idir, "docstore", f"partition={pid}")).read()
+            ids = t["doc_id"].to_numpy().astype(np.int64)
+            t = t.take(pa.array(np.argsort(ids, kind="stable")))
+            start = max(base, watermark)
+            while start < base + count:
+                stop = min(start + self.batch_rows, base + count)
+                batch = t.slice(start - base, stop - start)
+                batch = batch.drop_columns(
+                    [c for c in ("doc_id",) if c in batch.schema.names])
+                label = f"{pid:05d}-{start:012d}"
+                if self.receiver.write_activity(tenant, label, batch):
+                    sent += 1
+                    rows += stop - start
+                else:
+                    skipped += 1
+                start = stop
+                if (_crash_after_batches is not None
+                        and sent >= _crash_after_batches):
+                    raise RuntimeError("simulated sender crash mid-sync")
+        out = {"tenant": tenant, "mode": mode, "batches_sent": sent,
+               "batches_skipped": skipped, "rows": rows,
+               "watermark": watermark, "n_docs": n_docs}
+        if commit:
+            m = self.receiver.commit(tenant, self.registry.config(tenant))
+            out["committed_docs"] = int(m["n_docs"])
+        return out
+
+    def sync_all(self, commit: bool = True) -> list[dict]:
+        return [self.sync_tenant(t, commit=commit)
+                for t in self.registry.tenants()]

@@ -56,7 +56,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "request_aggregate_counts_unread",
     "fulltext_composite_facet",
     "request_composite_filter",
-    "events_upsert_latest",
+    "repair_upsert_counts",
     # 3) stalest witnesses first (VERDICT r4 ask #4): last green in r01/r02
     #    on code that has changed since
     "events_uniques_hll",                       # r01
@@ -201,6 +201,8 @@ def _load_builtin_ops() -> None:
         F.composite_facet_sql(), ("fulltext", "composite"))
     reg("request_composite_filter", F.q_request_composite_filter,
         F.request_composite_filter_sql(), ("request", "composite"))
+    reg("repair_upsert_counts", F.q_repair_upsert_counts,
+        F.repair_upsert_counts_sql(), ("index", "repair"))
     reg("request_catwalk_model", F.q_request_catwalk,
         F.request_catwalk_sql(), ("request",))
     reg("request_strut_topn", F.q_request_strut,

@@ -151,6 +151,13 @@ class PartitionReader:
     def __init__(self, index_dir: str, pids: list[int],
                  preload_segments: bool = False):
         self.index_dir = index_dir
+        if os.path.exists(os.path.join(index_dir, "pending_repair.json")):
+            # a mid-repair docstore can hold duplicated partition rows;
+            # refuse to serve rather than double-count (replay first:
+            # miru_ray.index.repair.recover_pending_repair)
+            raise RuntimeError(
+                f"index {index_dir} has an interrupted REPAIR pending; "
+                "run recover_pending_repair() before opening readers")
         manifest = read_json(os.path.join(index_dir, "manifest.json"))
         self.cfg = IndexConfig.from_dict(manifest["config"])
         self.n_docs = manifest["n_docs"]
@@ -174,46 +181,90 @@ class PartitionReader:
             self.load_tombstones(read_json(tpath))
         self.doclen: dict[int, np.ndarray] = {}
         self.ts: dict[int, np.ndarray] = {}
+        self._dl_norm: dict[int, np.ndarray] = {}
+        self._ts_range: dict[int, tuple] = {}
         for pid in pids:
-            base, count = parts[pid]["base"], parts[pid]["count"]
-            t = self._docstore(pid).to_table(columns=["doc_id", "ts"])
-            tsa = np.zeros(count, np.int64)
-            idx = t["doc_id"].to_numpy() - base
-            # bound by the MANIFEST's partition extent: an in-flight (or
-            # crashed) append may have published newer docstore rows into
-            # the boundary partition before its manifest commit — the
-            # committed index must keep answering from its own doc range
-            ok = (idx >= 0) & (idx < count)
-            tsa[idx[ok]] = t["ts"].cast(pa.int64()).to_numpy()[ok]
-            self.ts[pid] = tsa
-            # doc lengths: sum of the per-(pid, shard) doclen sidecars the
-            # encode stage emitted (docs with zero text tokens stay 0)
-            dl = np.zeros(count, np.int64)
-            for shard in range(self.cfg.num_shards):
-                p = os.path.join(index_dir, doclen_rel_path(pid, shard))
-                if os.path.exists(p):
-                    import pyarrow.parquet as pq
-                    part = pq.read_table(p)
-                    didx = part["doc_id"].to_numpy() - base
-                    dok = (didx >= 0) & (didx < count)
-                    dl[didx[dok]] += part["dl"].to_numpy()[dok]
-            self.doclen[pid] = dl
-        # query-independent BM25 doc-length factor, one array per
-        # partition (saves three elementwise ops per posting per query;
-        # bit-identical to computing it inline — see bm25_tf_weight_pre).
-        self._dl_norm = {
-            pid: 1.0 - self.cfg.b + self.cfg.b * dl.astype(np.float64)
-            / self.avgdl
-            for pid, dl in self.doclen.items()}
-        # zone maps: per-partition ts min/max for time-range pruning
-        # (reference: time index + partition pruning, MiruTimeIndex /
-        # SURVEY.md §2.3 time-range mask mapping)
-        self._ts_range = {pid: (int(t.min()), int(t.max()))
-                          for pid, t in self.ts.items() if len(t)}
+            self._load_partition(pid)
+        self._preload = preload_segments
         if preload_segments:  # warm term dictionaries at init (actor-pool
             for pid in pids:  # rule: do one-time work once, not per query)
                 for shard in range(self.cfg.num_shards):
                     self._segment(pid, shard)
+
+    def _load_partition(self, pid: int) -> None:
+        """(Re)load one partition's docstore-derived arrays: ts, doc
+        lengths, BM25 length norm, ts zone map."""
+        base, count = self.parts[pid]["base"], self.parts[pid]["count"]
+        t = self._docstore(pid).to_table(columns=["doc_id", "ts"])
+        tsa = np.zeros(count, np.int64)
+        idx = t["doc_id"].to_numpy() - base
+        # bound by the MANIFEST's partition extent: an in-flight (or
+        # crashed) append may have published newer docstore rows into
+        # the boundary partition before its manifest commit — the
+        # committed index must keep answering from its own doc range
+        ok = (idx >= 0) & (idx < count)
+        tsa[idx[ok]] = t["ts"].cast(pa.int64()).to_numpy()[ok]
+        self.ts[pid] = tsa
+        # doc lengths: sum of the per-(pid, shard) doclen sidecars the
+        # encode stage emitted (docs with zero text tokens stay 0)
+        dl = np.zeros(count, np.int64)
+        for shard in range(self.cfg.num_shards):
+            p = os.path.join(self.index_dir, doclen_rel_path(pid, shard))
+            if os.path.exists(p):
+                import pyarrow.parquet as pq
+                part = pq.read_table(p)
+                didx = part["doc_id"].to_numpy() - base
+                dok = (didx >= 0) & (didx < count)
+                dl[didx[dok]] += part["dl"].to_numpy()[dok]
+        self.doclen[pid] = dl
+        # query-independent BM25 doc-length factor (saves three
+        # elementwise ops per posting per query; bit-identical to
+        # computing it inline — see bm25_tf_weight_pre)
+        self._dl_norm[pid] = (1.0 - self.cfg.b
+                              + self.cfg.b * dl.astype(np.float64)
+                              / self.avgdl)
+        # zone maps: per-partition ts min/max for time-range pruning
+        # (reference: time index + partition pruning, MiruTimeIndex /
+        # SURVEY.md §2.3 time-range mask mapping)
+        if len(tsa):
+            self._ts_range[pid] = (int(tsa.min()), int(tsa.max()))
+
+    def reload_partitions(self, pids: list[int] | None = None) -> int:
+        """Refresh manifest-derived state after an in-place index
+        mutation (REPAIR): drop the touched partitions' segment / bloom
+        / postings caches, reload their docstore arrays, re-derive the
+        global BM25 norms (avgdl may have shifted), and re-read the
+        removal set (a repair UNHIDES its docs, MiruIndexer.java:105).
+        The live-reader analogue of the reference re-opening a repaired
+        partition's LAB handles."""
+        manifest = read_json(os.path.join(self.index_dir, "manifest.json"))
+        self.n_docs = manifest["n_docs"]
+        self.avgdl = manifest["avgdl"] if manifest["avgdl"] > 0 else 1.0
+        parts = {p["pid"]: p for p in manifest["partitions"]}
+        touched = [p for p in (pids if pids is not None
+                               else list(self.parts)) if p in self.parts]
+        for pid in touched:
+            self.parts[pid] = parts[pid]
+            for shard in range(self.cfg.num_shards):
+                self._seg_cache.pop((pid, shard), None)
+                self._bloom_cache.pop((pid, shard), None)
+            for k in [k for k in self._post_cache if k[0] == pid]:
+                del self._post_cache[k]
+            self._load_partition(pid)
+        # avgdl is global: every partition's norm shifts, not just the
+        # touched ones
+        self._dl_norm = {
+            pid: 1.0 - self.cfg.b + self.cfg.b * dl.astype(np.float64)
+            / self.avgdl
+            for pid, dl in self.doclen.items()}
+        tpath = os.path.join(self.index_dir, "tombstones.json")
+        self.load_tombstones(read_json(tpath)
+                             if os.path.exists(tpath) else [])
+        if getattr(self, "_preload", False):
+            for pid in touched:
+                for shard in range(self.cfg.num_shards):
+                    self._segment(pid, shard)
+        return len(touched)
 
     def call_packed(self, method: str, packed: tuple):
         """Dispatch trampoline for the packed fan-out: the driver
@@ -2001,6 +2052,23 @@ class Searcher:
         # bump the mutation epoch so derived-model caches keyed on it
         # (e.g. the strut model memo) stop serving pre-removal counts
         self.mutation_epoch = getattr(self, "mutation_epoch", 0) + 1
+        return sum(counts)
+
+    def refresh_partitions(self, pids: list[int] | None = None) -> int:
+        """Push an in-place index mutation (REPAIR / upsert,
+        ``miru_ray.index.repair``) to every live reader replica: reload
+        the manifest, drop the driver-side stats/expansion caches (df/cf
+        changed), bump the mutation epoch, and fan the partition reload
+        out to ALL replica pools (racing would leave losers stale —
+        same rule as tombstone loads).  Returns the total partitions
+        reloaded across readers."""
+        self.manifest = read_json(
+            os.path.join(self.index_dir, "manifest.json"))
+        self._stats_cache.clear()
+        self._expansion_cache.clear()
+        self.mutation_epoch = getattr(self, "mutation_epoch", 0) + 1
+        counts = self._fanout("reload_partitions", pids,
+                              all_replicas=True)
         return sum(counts)
 
     def _to_ast(self, query) -> Node:
