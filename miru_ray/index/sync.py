@@ -220,6 +220,9 @@ class SyncReceiver:
         if (tenant not in self.registry.tenants()
                 or self.registry.index_dir(tenant) != os.path.abspath(idir)):
             self.registry.register(tenant, idir, cfg)
+        else:
+            # same directory, new content: cached searchers are stale
+            self.registry.evict(tenant)
         state = self.progress(tenant)
         state["commits"] = int(state.get("commits", 0)) + 1
         state["committed_docs"] = int(manifest["n_docs"])

@@ -159,6 +159,14 @@ class TenantRegistry:
             self._opened_dirs[key] = cur_dir
         return s
 
+    def evict(self, tenant: str) -> None:
+        """Close any cached Searcher for ``tenant`` — required after an
+        IN-PLACE content change to its index directory (append / repair
+        commit), which the opened-dir check cannot detect."""
+        for key in [k for k in self._searchers if k[0] == str(tenant)]:
+            self._searchers.pop(key).close()
+            self._opened_dirs.pop(key, None)
+
     def count_all(self, query) -> dict[str, int]:
         """Fan a count query to EVERY tenant (each against its own
         index); returns tenant → count, sorted by tenant id."""
