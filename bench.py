@@ -179,8 +179,13 @@ def _emit(out: dict) -> None:
     compact["queries"] = dict(
         sorted(timed.items(), key=lambda kv: -kv[1])[:8])
     compact["queries_n"] = len(q)
-    compact["queries_failed"] = sorted(
-        k for k, v in timed.items() if v < 0)
+    # bound the failure list too: a mass regression (all ~117 queries
+    # at the -1.0 sentinel) must not overflow the driver's 2000-char
+    # stdout tail and recreate parsed:null in exactly the run where
+    # the summary matters most
+    failed = sorted(k for k, v in timed.items() if v < 0)
+    compact["queries_failed_n"] = len(failed)
+    compact["queries_failed"] = failed[:8]
     compact["queries_total_sec"] = round(
         sum(v for v in timed.values() if v >= 0), 3)
     print(json.dumps(compact))

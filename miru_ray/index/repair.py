@@ -103,6 +103,28 @@ def _resolve_doc_ids(index_dir: str, conv: np.ndarray,
     return out
 
 
+def _read_partition_versioned(pdir: str) -> pa.Table:
+    """Read one docstore partition dir preserving the ``version`` column
+    across mixed-schema fragments.  ``ParquetDataset.read()`` takes its
+    schema from the FIRST fragment, so once an append adds version-less
+    files to a previously repaired partition (``append-*`` sorts before
+    ``repair-*``), the repaired versions would be silently DROPPED and a
+    stale re-delivery would pass the version gate — the exact DECLINE
+    semantics (MiruIndexer.java:143) this module enforces.  Reading
+    per-file and filling missing versions with 0 keeps the gate exact."""
+    files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                   if f.endswith(".parquet"))
+    parts = [pq.read_table(f) for f in files]
+    if any("version" in t.schema.names for t in parts):
+        parts = [t if "version" in t.schema.names
+                 else t.append_column(
+                     "version", pa.array(np.zeros(t.num_rows, np.int64)))
+                 for t in parts]
+        cols = parts[0].schema.names
+        parts = [t.select(cols) for t in parts]
+    return pa.concat_tables(parts, promote_options="default")
+
+
 @ray.remote(num_cpus=1)
 def _consolidate_partition(docstore_dir: str, staging: str, pid: int,
                            rep_ref) -> dict:
@@ -111,7 +133,7 @@ def _consolidate_partition(docstore_dir: str, staging: str, pid: int,
     counts and the applied doc ids (bounded by the repair batch)."""
     rep: pa.Table = rep_ref  # Ray resolves the ObjectRef argument
     pdir = os.path.join(docstore_dir, f"partition={pid}")
-    old = pq.ParquetDataset(pdir).read()
+    old = _read_partition_versioned(pdir)
     stored_ver = (old["version"].to_numpy(zero_copy_only=False)
                   .astype(np.int64)
                   if "version" in old.schema.names

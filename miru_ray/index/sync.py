@@ -263,6 +263,16 @@ class SyncSender:
         import numpy as np
         import pyarrow.parquet as pq
         idir = self.registry.index_dir(tenant)
+        if os.path.exists(os.path.join(idir, "pending_repair.json")):
+            # same rule as PartitionReader.__init__: a mid-repair
+            # docstore can hold every touched doc twice, and the
+            # receiver's label dedupe would make shipped corruption
+            # PERMANENT (those labels are never re-accepted) — refuse
+            # and let the caller replay recover_pending_repair() first
+            raise RuntimeError(
+                f"source index for tenant {tenant!r} has an interrupted "
+                "REPAIR pending; run recover_pending_repair() before "
+                "syncing")
         manifest = read_json(os.path.join(idir, "manifest.json"))
         state = self.receiver.progress(tenant)
         watermark = int(state.get("rows_persisted", 0))

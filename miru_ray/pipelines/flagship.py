@@ -1481,31 +1481,17 @@ def q_facet_counts(sf_dir: str, field: str = "role",
     contains ``term``, the doc count per ``field`` keyword value —
     answered ENTIRELY from postings algebra (field-value postings ∧ term
     postings ∧ alive mask) with no docstore gather.  Values enumerate via
-    the same capped prefix expansion wildcards use; per-value counts are
-    one fan-out each (facet cardinality is small by construction — it is
-    a UI facet)."""
-    from ..query.filter import And, Term
+    the same capped prefix expansion wildcards use (cap overflow is a
+    LOUD failure); all per-value counts ride ONE batched fan-out
+    (:meth:`Searcher.facet_counts` → ``term_match_counts``), not one
+    cluster round-trip per value."""
+    from ..query.filter import Term
     s = searcher_for(sf_dir)
-    cap = 1000
-    keys: set = set()
-    # cap+1 sentinel: a facet over a field with more values than the cap
-    # must FAIL, not silently drop a lexicographic tail (same rule as
-    # the numeric-range expansion's overflow check)
-    for res in s._fanout("expand_prefix", f"{field}:", cap + 1):
-        keys.update(res)
-    if len(keys) > cap:
-        raise ValueError(f"facet field {field!r} exceeds {cap} distinct "
-                         "values; facet on an enum-cardinality field or "
-                         "raise the cap")
-    vals, counts = [], []
-    for key in sorted(keys):
-        v = key.split(":", 1)[1]
-        n = s.count(And((Term(field, v), Term("text", term))))
-        if n:
-            vals.append(v)
-            counts.append(n)
+    facet = s.facet_counts(field, Term("text", term))
+    vals = [v for v in sorted(facet) if facet[v]]
     return pa.table({"value": pa.array(vals, pa.string()),
-                     "n_docs": pa.array(counts, pa.int64())})
+                     "n_docs": pa.array([facet[v] for v in vals],
+                                        pa.int64())})
 
 
 def q_composite_facet(sf_dir: str, term: str = "spark") -> pa.Table:
@@ -1513,26 +1499,19 @@ def q_composite_facet(sf_dir: str, term: str = "spark") -> pa.Table:
     whose text contains ``term``, the doc count per composed
     ``role_tool`` value, decomposed back into its parts
     (``MiruTermComposer.compose/decompose:35-110``) — postings algebra
-    only, the composite term space enumerated exactly like a keyword
-    facet."""
+    only, the composite term space enumerated and counted through the
+    same batched facet primitive as a keyword facet."""
     from ..query.composer import decompose_value
-    from ..query.filter import And, Term
+    from ..query.filter import Term
     s = searcher_for(sf_dir)
-    cap = 1000
-    keys: set = set()
-    for res in s._fanout("expand_prefix", "role_tool:", cap + 1):
-        keys.update(res)
-    if len(keys) > cap:
-        raise ValueError(f"composite facet exceeds {cap} distinct values")
+    facet = s.facet_counts("role_tool", Term("text", term))
     roles, tools, counts = [], [], []
-    for key in sorted(keys):
-        v = key.split(":", 1)[1]
-        n = s.count(And((Term("role_tool", v), Term("text", term))))
-        if n:
+    for v in sorted(facet):
+        if facet[v]:
             p_role, p_tool = decompose_value(v)
             roles.append(p_role)
             tools.append(p_tool)
-            counts.append(n)
+            counts.append(facet[v])
     return pa.table({"role": pa.array(roles, pa.string()),
                      "tool": pa.array(tools, pa.string()),
                      "n_docs": pa.array(counts, pa.int64())})

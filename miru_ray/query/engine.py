@@ -1858,6 +1858,33 @@ class Searcher:
         expansions, _tc, _st = self._prepare(ast, need_stats=False)
         return sum(p["count"] for p in self._fanout("match", ast, expansions))
 
+    def facet_counts(self, field: str, gate, *, prefix: str = "",
+                     cap: int = 1000) -> dict[str, int]:
+        """Facet primitive: distinct ``field`` values (term-dictionary
+        enumeration, optionally under a value ``prefix``) + per-value
+        matching-doc counts under ``gate``, in ONE batched fan-out per
+        filter batch (:meth:`PartitionReader.term_match_counts`) instead
+        of one cluster round-trip per value.  Enumeration past ``cap``
+        is a LOUD failure — a silently dropped lexicographic tail would
+        misreport the facet (same rule as NumericRange's bound)."""
+        keys: set[str] = set()
+        for res in self._fanout("expand_prefix", f"{field}:{prefix}",
+                                cap + 1):
+            keys.update(res)
+        if len(keys) > cap:
+            raise ValueError(
+                f"facet over {field!r} exceeds {cap} distinct values; "
+                "facet on an enum-cardinality field or raise the cap")
+        ast = self._to_ast(gate)
+        expansions, _tc, _st = self._prepare(ast, need_stats=False)
+        ordered = sorted(keys)
+        out: dict[str, int] = {k.split(":", 1)[1]: 0 for k in ordered}
+        for part in self._fanout("term_match_counts", ast, ordered,
+                                 expansions):
+            for k, c in part.items():
+                out[k.split(":", 1)[1]] += int(c)
+        return out
+
     def waveform(self, query, lo: int, hi: int, n: int) -> np.ndarray:
         """Time-bucket histogram of matching docs: ``[lo, hi)`` µs split
         into ``n`` equal segments, summed across readers — the
@@ -1975,11 +2002,20 @@ class Searcher:
     # path).  In-memory per Searcher: durable unread is the WAL /
     # delivery side's job (index/delivery.py), not the query planner's.
 
-    def mark_read(self, stream_id: str, up_to_ts_us: int) -> None:
-        """READ marker: clears every doc with ts <= up_to_ts_us."""
+    def _stream_markers(self, stream_id: str) -> dict:
+        """The stream's marker-state dict, replacing any doc-level
+        receipt set (a marker supersedes ``set_stream_unread`` state —
+        and vice versa — so the two modes never mix)."""
         st = self._stream_unread.setdefault(
             str(stream_id), {"last_read": None, "last_unread": None})
-        st.pop("ids", None)
+        if "ids" in st:  # receipts -> watermark transition
+            st.clear()
+            st.update({"last_read": None, "last_unread": None})
+        return st
+
+    def mark_read(self, stream_id: str, up_to_ts_us: int) -> None:
+        """READ marker: clears every doc with ts <= up_to_ts_us."""
+        st = self._stream_markers(stream_id)
         st["last_read"] = max(st["last_read"] or -(2 ** 62),
                               int(up_to_ts_us))
 
@@ -1987,9 +2023,7 @@ class Searcher:
         """UNREAD marker: re-marks every doc with ts <= up_to_ts_us
         (ties vs a READ at the same ts: UNREAD wins — re-marking is the
         destructive direction, same rule as unread_backfill)."""
-        st = self._stream_unread.setdefault(
-            str(stream_id), {"last_read": None, "last_unread": None})
-        st.pop("ids", None)
+        st = self._stream_markers(stream_id)
         st["last_unread"] = max(st["last_unread"] or -(2 ** 62),
                                 int(up_to_ts_us))
 

@@ -190,9 +190,12 @@ def filter_to_ast(f: dict, text_fields: tuple = ("text",),
     for sub in f.get("subFilters") or []:
         children.append(filter_to_ast(sub, text_fields, composite_parts))
     alive = [c for c in children if c is not None]
-    if op == "pButNotQ" and children and children[0] is None and alive:
+    if op == "pButNotQ" and children and children[0] is None:
         # Reference parity: filterInOut keeps the empty first bitmap and
         # andNotTx of an empty bitmap is empty (MiruAggregateUtil.filter).
+        # This holds even when every NEGATIVE child also dissolved —
+        # falling through to the generic not-alive -> None (no filter,
+        # match-ALL) path would flip match-none into match-everything.
         return MatchNone()
     if not alive:
         return None
@@ -476,6 +479,15 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
         raise ValueError("includeUnreadState/unreadOnly need a streamId "
                          "(the reference requires a non-NULL MiruStreamId"
                          " — AggregateCounts.java:170)")
+    if q.get("suppressUnreadFilter") and not (include_unread
+                                              or unread_only):
+        # reject rather than silently drop the knob (the suppression
+        # only participates in unread decoration; every other answerer
+        # rejects unread knobs it cannot honor — keep the surface
+        # uniform)
+        raise ValueError("suppressUnreadFilter requires "
+                         "includeUnreadState or unreadOnly (it only "
+                         "affects unread decoration)")
     suppress_ids = None
     if stream_id and (include_unread or unread_only):
         sup = q.get("suppressUnreadFilter")

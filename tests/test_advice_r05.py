@@ -48,10 +48,15 @@ def test_pbutnotq_dissolved_negative_dropped():
                                    (Term("tool", "grep"),))
 
 
-def test_pbutnotq_all_dissolved_is_no_filter():
+def test_pbutnotq_all_dissolved_is_match_none():
+    # the empty FIRST bitmap decides alone: andNot(empty, anything) is
+    # empty whether or not the negatives also dissolved — falling back
+    # to "no filter" (match-ALL) would flip the result to its opposite
     f = {"operation": "pButNotQ",
          "subFilters": [{"operation": "or"}, {"operation": "or"}]}
-    assert filter_to_ast(f) is None
+    assert filter_to_ast(f) == MatchNone()
+    f = {"operation": "pButNotQ", "subFilters": [{"operation": "or"}]}
+    assert filter_to_ast(f) == MatchNone()
 
 
 def test_match_none_evaluates_empty(xs_searcher):

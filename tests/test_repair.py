@@ -246,3 +246,51 @@ def test_live_refresh_sees_repair(xs_index, tmp_path):
         assert hits_before is not None
     finally:
         s.close()
+
+
+def test_repair_version_gate_survives_later_append(xs_table, tmp_path):
+    """Mixed-schema partitions must keep the version gate exact:
+    ``ParquetDataset.read()`` takes its schema from the FIRST fragment,
+    and an append writes version-less ``append-*`` files (which sort
+    before ``repair-*``) into the boundary partition — naive dataset
+    reads would silently DROP the repaired versions and let a stale
+    re-delivery pass the ``new > stored`` gate (MiruIndexer.java:143)."""
+    cfg = IndexConfig(docs_per_partition=1000, num_shards=2)
+    df = xs_table.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                          kind="mergesort")
+    convs = sorted(df["conv_id"].unique())
+    first = set(convs[: len(convs) // 2])
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(df[df["conv_id"].isin(first)],
+                                        preserve_index=False), a_path)
+    pq.write_table(pa.Table.from_pandas(df[~df["conv_id"].isin(first)],
+                                        preserve_index=False), b_path)
+    idx = str(tmp_path / "idx")
+    m0 = build_index([a_path], idx, cfg)
+    # repair a doc in the BOUNDARY partition (the one the append will
+    # also write into), at version 5
+    doc = int(m0["n_docs"]) - 1
+    m1 = repair_index(idx, _repair_rows(idx, [doc], f"{MARK} vfive", 5))
+    assert m1["stages"]["repair"]["applied"] == 1
+    # incremental append lands version-less append-* files there
+    build_index([a_path, b_path], idx, cfg)
+    pdir = os.path.join(idx, "docstore",
+                        f"partition={doc // cfg.docs_per_partition}")
+    names = sorted(os.listdir(pdir))
+    assert any(n.startswith("append-") for n in names)
+    assert any(n.startswith("repair-") for n in names)
+    assert names[0].startswith("append-")  # the schema-eating order
+    # stale re-delivery (version 1 <= stored 5) must still be DECLINED
+    m2 = repair_index(idx, _repair_rows(idx, [doc], f"{MARK} vone", 1))
+    assert m2["stages"]["repair"]["applied"] == 0
+    assert m2["stages"]["repair"]["skipped"] == 1
+    # and a genuinely higher version still applies
+    m3 = repair_index(idx, _repair_rows(idx, [doc], f"{MARK} vsix", 6))
+    assert m3["stages"]["repair"]["applied"] == 1
+    s = Searcher(idx, num_readers=1)
+    try:
+        assert s.count("vone") == 0
+        assert s.count("vsix") == 1 and s.count("vfive") == 0
+    finally:
+        s.close()
