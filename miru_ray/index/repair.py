@@ -259,11 +259,17 @@ def _finish_repair(index_dir: str, pending: dict) -> dict:
     for gname, gstate in out.get("gather", {}).items():
         gstate["done_pids"] = [p for p in gstate.get("done_pids", [])
                                if p not in touched]
-    # replay after a commit-crash must not double-record the repair
+    # replay after a commit-crash must not double-record the repair.
+    # applied_doc_ids rides into the manifest (bounded by the repair
+    # batch, never the corpus) so a sync sender can REPLAY repairs to a
+    # receiver whose copy of these docs already shipped
+    # (MiruSyncSender replays REPAIR-type WAL entries)
     if not any(r.get("tag") == tag for r in out.get("repairs", [])):
         out.setdefault("repairs", []).append(
             {"tag": tag, "applied": int(pending["applied"]),
-             "skipped": int(pending["skipped"]), "partitions": len(pids)})
+             "skipped": int(pending["skipped"]), "partitions": len(pids),
+             "applied_doc_ids": [int(d) for d
+                                 in pending["applied_doc_ids"]]})
     out.setdefault("stages", {})["repair"] = {
         "seconds": round(time.perf_counter() - t0, 3),
         "applied": int(pending["applied"]),

@@ -207,23 +207,66 @@ class SyncReceiver:
         atomic_write_json(self._state_path(tenant), state)
         return True
 
+    def write_repair(self, tenant: str, label: str, table) -> bool:
+        """Persist one replayed REPAIR batch (the sender's re-delivery
+        of docs repaired at the source AFTER they shipped — the
+        REPAIR-type WAL entry of the reference's sync protocol).
+        Labeled and idempotent exactly like ``write_activity``; the
+        batch is APPLIED to the destination index at the next
+        ``commit`` (in label order = source repair order)."""
+        import pyarrow.parquet as pq
+        state = self.progress(tenant)
+        staged = state.setdefault("repair_batches", {})
+        if label in staged:
+            return False
+        wal = os.path.join(self._tdir(tenant), "wal_repairs")
+        os.makedirs(wal, exist_ok=True)
+        path = os.path.join(wal, f"batch-{label}.parquet")
+        pq.write_table(table, path + ".sync_tmp")
+        os.replace(path + ".sync_tmp", path)
+        staged[label] = table.num_rows
+        atomic_write_json(self._state_path(tenant), state)
+        return True
+
     def commit(self, tenant: str, cfg) -> dict:
         """Index everything received so far and (re)register the tenant.
         Incremental: the build's sip path appends only WAL shards that
-        were not part of the previous commit."""
+        were not part of the previous commit.  Staged REPAIR batches are
+        then applied to the built index in label (= source) order; the
+        version gate makes a repair whose content already shipped inside
+        a doc batch a clean DECLINE, so replay is idempotent."""
+        import pyarrow.parquet as pq
+
         from .build import build_index
+        from .repair import repair_index
         wal = os.path.join(self._tdir(tenant), "wal")
         files = sorted(os.path.join(wal, f) for f in os.listdir(wal)
                        if f.endswith(".parquet"))
         idir = os.path.join(self._tdir(tenant), "index")
         manifest = build_index(files, idir, cfg)
+        state = self.progress(tenant)
+        applied = state.setdefault("repairs_applied", [])
+        pending = [lb for lb in sorted(state.get("repair_batches", {}))
+                   if lb not in applied]
+        rwal = os.path.join(self._tdir(tenant), "wal_repairs")
+        for label in pending:
+            t = pq.read_table(os.path.join(rwal,
+                                           f"batch-{label}.parquet"))
+            try:
+                manifest = repair_index(idir, t)
+            except ValueError:
+                # the repair references convs not yet shipped (a sender
+                # crash mid-sync left the doc WAL short) — keep it
+                # staged and retry at the next commit; later labels
+                # must wait too (repairs apply in source order)
+                break
+            applied.append(label)
         if (tenant not in self.registry.tenants()
                 or self.registry.index_dir(tenant) != os.path.abspath(idir)):
             self.registry.register(tenant, idir, cfg)
         else:
             # same directory, new content: cached searchers are stale
             self.registry.evict(tenant)
-        state = self.progress(tenant)
         state["commits"] = int(state.get("commits", 0)) + 1
         state["committed_docs"] = int(manifest["n_docs"])
         atomic_write_json(self._state_path(tenant), state)
@@ -245,11 +288,16 @@ class SyncSender:
     into a no-op.  Nothing O(corpus) is held anywhere: one partition's
     rows in memory at a time, shipped in bounded batches.
 
-    Known gap (documented): REPAIRs applied at the source after a doc
-    has shipped are not re-shipped (the reference replays REPAIR-type
-    WAL entries); re-point forward syncs re-ship only doc_id >=
-    watermark.  A repaired tenant re-converges by resetting the
-    receiver's tenant dir (fresh initial sync).
+    REPAIR replay: docs repaired at the source AFTER they shipped are
+    re-delivered as labeled REPAIR batches (the reference replays
+    REPAIR-type WAL entries) — each manifest ``repairs`` entry carries
+    its applied doc ids, the sender gathers those docs' CURRENT rows
+    (latest version — replaying an old repair with newer content is
+    harmless, the version gate keeps the newest) and the receiver
+    applies them through its own ``repair_index`` at commit.  Manifest
+    repair entries from before applied_doc_ids was recorded cannot be
+    replayed; those raise, and the tenant re-converges via a fresh
+    initial sync.
     """
 
     def __init__(self, src_registry, receiver: SyncReceiver,
@@ -283,8 +331,13 @@ class SyncSender:
             pid, base, count = part["pid"], part["base"], part["count"]
             if base + count <= watermark:
                 continue  # fully shipped (the per-partition cursor)
-            t = pq.ParquetDataset(os.path.join(
-                idir, "docstore", f"partition={pid}")).read()
+            # per-file read with version normalization: a partition
+            # mixing version-less append files with versioned repair
+            # files must not ship with the version column silently
+            # dropped (ParquetDataset takes the FIRST fragment's schema)
+            from .repair import _read_partition_versioned
+            t = _read_partition_versioned(os.path.join(
+                idir, "docstore", f"partition={pid}"))
             ids = t["doc_id"].to_numpy().astype(np.int64)
             t = t.take(pa.array(np.argsort(ids, kind="stable")))
             start = max(base, watermark)
@@ -303,13 +356,61 @@ class SyncSender:
                 if (_crash_after_batches is not None
                         and sent >= _crash_after_batches):
                     raise RuntimeError("simulated sender crash mid-sync")
+        rep_sent, rep_skipped = self._ship_repairs(tenant, idir, manifest)
         out = {"tenant": tenant, "mode": mode, "batches_sent": sent,
                "batches_skipped": skipped, "rows": rows,
-               "watermark": watermark, "n_docs": n_docs}
+               "watermark": watermark, "n_docs": n_docs,
+               "repairs_sent": rep_sent, "repairs_skipped": rep_skipped}
         if commit:
             m = self.receiver.commit(tenant, self.registry.config(tenant))
             out["committed_docs"] = int(m["n_docs"])
         return out
+
+    def _ship_repairs(self, tenant: str, idir: str,
+                      manifest: dict) -> tuple[int, int]:
+        """Replay the source's committed REPAIRs to the receiver (the
+        REPAIR-type WAL entries of the reference protocol).  One labeled
+        batch per manifest ``repairs`` entry, in source order — the
+        label embeds the entry index so receiver-side application sorts
+        back into that order.  Rows are the repaired docs' CURRENT
+        docstore content: a superseded repair ships newer content under
+        an older label, which the receiver's version gate resolves to
+        the same end state as the source."""
+        import numpy as np
+        reps = manifest.get("repairs", [])
+        if not reps:
+            return 0, 0
+        from .repair import _read_partition_versioned
+        from ..config import IndexConfig
+        state = self.receiver.progress(tenant)
+        staged = set(state.get("repair_batches", {}))
+        dpp = IndexConfig.from_dict(manifest["config"]).docs_per_partition
+        sent = skipped = 0
+        for i, rep in enumerate(reps):
+            label = f"{i:06d}-{rep['tag']}"
+            if label in staged:
+                skipped += 1
+                continue
+            if "applied_doc_ids" not in rep:
+                raise RuntimeError(
+                    f"source repair {rep['tag']} predates applied_doc_ids "
+                    "recording and cannot be replayed; reset the "
+                    "receiver's tenant dir for a fresh initial sync")
+            ids = np.asarray(sorted(rep["applied_doc_ids"]), np.int64)
+            parts = []
+            for pid in np.unique(ids // dpp):
+                t = _read_partition_versioned(os.path.join(
+                    idir, "docstore", f"partition={int(pid)}"))
+                mask = np.isin(t["doc_id"].to_numpy().astype(np.int64),
+                               ids)
+                parts.append(t.filter(pa.array(mask)))
+            batch = pa.concat_tables(parts)
+            batch = batch.sort_by("doc_id").drop_columns(["doc_id"])
+            if self.receiver.write_repair(tenant, label, batch):
+                sent += 1
+            else:
+                skipped += 1
+        return sent, skipped
 
     def sync_all(self, commit: bool = True) -> list[dict]:
         return [self.sync_tenant(t, commit=commit)

@@ -132,3 +132,81 @@ def test_forward_sync_after_source_append(two_clusters):
     # third sync: nothing new
     out = sender.sync_tenant("acme")
     assert out["batches_sent"] == 0 and out["rows"] == 0
+
+
+def _repair_rows_for(idir, doc_ids, text, version):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    t = pads.dataset(os.path.join(idir, "docstore"),
+                     format="parquet").to_table()
+    rows = t.filter(pc.is_in(t["doc_id"],
+                             value_set=pa.array(doc_ids, pa.int64())))
+    rows = rows.sort_by("doc_id")
+    rows = rows.drop_columns([c for c in ("doc_id", "version")
+                              if c in rows.schema.names])
+    ti = rows.schema.get_field_index("text")
+    rows = rows.set_column(ti, "text",
+                           pa.array([text] * rows.num_rows, pa.string()))
+    return rows.append_column(
+        "version", pa.array([version] * rows.num_rows, pa.int64()))
+
+
+def test_repair_replay_after_docs_shipped(two_clusters):
+    """Docs repaired at the source AFTER they shipped re-deliver as
+    REPAIR batches (the reference replays REPAIR-type WAL entries) and
+    both registries converge — the gap the r4 sender documented."""
+    from miru_ray.index.repair import repair_index
+    src_reg, recv, idir, _head, _tail, _tmp = two_clusters
+    sender = SyncSender(src_reg, recv, batch_rows=300)
+    sender.sync_tenant("acme")
+    # repair two shipped docs at the source
+    repair_index(idir, _repair_rows_for(idir, [3, 700],
+                                        "zzreplaymark quartz", 2))
+    src_reg.refresh()
+    out = sender.sync_tenant("acme")
+    assert out["repairs_sent"] == 1 and out["rows"] == 0
+    terms = ["zzreplaymark", "alpha", "merge"]
+    assert _counts(recv.registry, "acme", terms) == \
+        _counts(src_reg, "acme", terms)
+    assert _counts(recv.registry, "acme", ["zzreplaymark"]) \
+        == {"zzreplaymark": 2}
+    # replay is idempotent: nothing re-ships, nothing re-applies
+    out = sender.sync_tenant("acme")
+    assert out["repairs_sent"] == 0 and out["repairs_skipped"] == 1
+    st = recv.progress("acme")
+    assert len(st["repairs_applied"]) == 1
+
+
+def test_repair_before_initial_sync_converges(two_clusters):
+    """A repair committed BEFORE any sync: the doc batches already carry
+    the repaired content (and versions), so the replayed REPAIR batch
+    must be a clean DECLINE — same end state, no double-apply."""
+    from miru_ray.index.repair import repair_index
+    src_reg, recv, idir, head, _tail, _tmp = two_clusters
+    repair_index(idir, _repair_rows_for(idir, [5], "zzpremark onyx", 3))
+    src_reg.refresh()
+    sender = SyncSender(src_reg, recv, batch_rows=300)
+    out = sender.sync_tenant("acme")
+    assert out["mode"] == "initial" and out["repairs_sent"] == 1
+    assert out["committed_docs"] == head.num_rows
+    terms = ["zzpremark", "alpha"]
+    assert _counts(recv.registry, "acme", terms) == \
+        _counts(src_reg, "acme", terms)
+
+
+def test_two_repairs_replay_in_order(two_clusters):
+    """Two source repairs of the SAME doc replay under distinct labels;
+    the receiver ends at the newest version exactly like the source."""
+    from miru_ray.index.repair import repair_index
+    src_reg, recv, idir, _head, _tail, _tmp = two_clusters
+    sender = SyncSender(src_reg, recv, batch_rows=300)
+    sender.sync_tenant("acme")
+    repair_index(idir, _repair_rows_for(idir, [9], "zzfirstfix", 2))
+    repair_index(idir, _repair_rows_for(idir, [9], "zzsecondfix", 4))
+    src_reg.refresh()
+    out = sender.sync_tenant("acme")
+    assert out["repairs_sent"] == 2
+    terms = ["zzfirstfix", "zzsecondfix"]
+    assert _counts(recv.registry, "acme", terms) == \
+        _counts(src_reg, "acme", terms) == \
+        {"zzfirstfix": 0, "zzsecondfix": 1}
