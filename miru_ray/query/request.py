@@ -115,6 +115,16 @@ def _value_str(v: Any) -> str:
     return v
 
 
+def _req_key(d, key: str, ctx: str):
+    """Required-document-key accessor.  A missing key in a MiruRequest
+    document is a CALLER error and must surface as a messaged
+    ValueError — the request surface's one rejection class — never as a
+    KeyError/TypeError leaking the answerer's implementation."""
+    if not isinstance(d, dict) or key not in d:
+        raise ValueError(f"{ctx} requires {key!r}")
+    return d[key]
+
+
 def _value_parts(v) -> list[str]:
     """A JSON field-filter value for a COMPOSITE field → its part list:
     a ``MiruValue{parts: [...]}`` keeps its parts, a plain scalar is one
@@ -160,7 +170,7 @@ def filter_to_ast(f: dict, text_fields: tuple = ("text",),
     # exactly the docs the filter should exclude.
     children: list[Node | None] = []
     for ff in f.get("fieldFilters") or []:
-        fld = ff["fieldName"]
+        fld = _req_key(ff, "fieldName", "fieldFilter")
         nparts = (composite_parts or {}).get(fld)
         terms: list[Node] = []
         if nparts:
@@ -261,8 +271,9 @@ def request_to_ast(request: dict, cfg) -> tuple[Node, int, str]:
             clauses.append(Filter(node))
     tr = q.get("timeRange")
     if tr:
-        clauses.append(TimeRange(int(tr["smallestTimestamp"]),
-                                 int(tr["largestTimestamp"])))
+        clauses.append(TimeRange(
+            int(_req_key(tr, "smallestTimestamp", "timeRange")),
+            int(_req_key(tr, "largestTimestamp", "timeRange"))))
     az = authz_clause(request)
     if az is not None:
         clauses.append(az)
@@ -370,8 +381,9 @@ def _gate_ast(request: dict, q: dict, cfg,
             if node is not None:
                 clauses.append(node)
     if time_range:
-        clauses.append(TimeRange(int(time_range["smallestTimestamp"]),
-                                 int(time_range["largestTimestamp"])))
+        clauses.append(TimeRange(
+            int(_req_key(time_range, "smallestTimestamp", "timeRange")),
+            int(_req_key(time_range, "largestTimestamp", "timeRange"))))
     az = authz_clause(request)
     if az is not None:
         clauses.append(az)
@@ -423,7 +435,8 @@ def _execute_distinct_count(searcher, request: dict, t0: float) -> dict:
     operator, postings-only)."""
     q = request.get("query") or {}
     _reject_unread_knobs(q)
-    field = str(q["aggregateCountAroundField"])
+    field = str(_req_key(q, "aggregateCountAroundField",
+                         "distinctCount"))
     desired = int(q.get("desiredNumberOfDistincts") or 0)
     if desired < 1:  # DistinctCountQuery.java:39-40 checkArgument
         raise ValueError("desiredNumberOfDistincts must be at least 1")
@@ -511,7 +524,8 @@ def _execute_aggregate_counts(searcher, request: dict, t0: float) -> dict:
     exhausted = True
     log: list[str] = []
     for cname, c in constraints.items():
-        field = str(c["aggregateCountAroundField"])
+        field = str(_req_key(c, "aggregateCountAroundField",
+                             "aggregateCounts constraint"))
         start = int(c.get("startFromDistinctN") or 0)
         if start < 0:  # AggregateCountsQueryConstraint.java:29
             raise ValueError("startFromDistinctN must be at least 0")
@@ -632,12 +646,12 @@ def _execute_analytics(searcher, request: dict, t0: float) -> dict:
     waveforms: dict[str, list[dict]] = {}
     log: list[str] = []
     for ss in score_sets:
-        key = str(ss["key"])
+        key = str(_req_key(ss, "key", "scoreSet"))
         tr = ss.get("timeRange")
         if not tr:  # AnalyticsQueryScoreSet.java:25 rejects ALL_TIME
             raise ValueError("score set requires an explicit timeRange")
-        lo = int(tr["smallestTimestamp"])
-        hi = int(tr["largestTimestamp"])
+        lo = int(_req_key(tr, "smallestTimestamp", "scoreSet timeRange"))
+        hi = int(_req_key(tr, "largestTimestamp", "scoreSet timeRange"))
         n = int(ss.get("divideTimeRangeIntoNSegments") or 0)
         names = list(afilters)
         asts = [_gate_ast(request,
@@ -671,7 +685,8 @@ def _gather_distinct_terms(searcher, dq: dict) -> set[str]:
     ``timeRange`` requirement is the reference's (constructor
     Preconditions); it gates the filtered path and is recorded-but-inert
     on the dictionary path (a term dict has no time axis)."""
-    field = str(dq["gatherDistinctsForField"])
+    field = str(_req_key(dq, "gatherDistinctsForField",
+                         "distinctsQuery"))
     if not dq.get("timeRange"):  # DistinctsQuery.java:32 rejects ALL_TIME
         raise ValueError("distinctQueries entries require an explicit "
                          "timeRange")
@@ -769,7 +784,7 @@ def _execute_trending(searcher, request: dict, t0: float) -> dict:
     consumed: set[str] = set()
     log: list[str] = []
     for ss in score_sets:
-        key = str(ss["key"])
+        key = str(_req_key(ss, "key", "scoreSet"))
         strategies = [str(s) for s in (ss.get("strategies") or ())]
         if not strategies:  # TrendingQueryScoreSet.java:31
             raise ValueError("Must specify at least one strategy")
@@ -779,8 +794,8 @@ def _execute_trending(searcher, request: dict, t0: float) -> dict:
         tr = ss.get("timeRange")
         if not tr:  # TrendingQueryScoreSet.java:34 rejects ALL_TIME
             raise ValueError("score set requires an explicit timeRange")
-        lo = int(tr["smallestTimestamp"])
-        hi = int(tr["largestTimestamp"])
+        lo = int(_req_key(tr, "smallestTimestamp", "scoreSet timeRange"))
+        hi = int(_req_key(tr, "largestTimestamp", "scoreSet timeRange"))
         n = int(ss.get("divideTimeRangeIntoNSegments") or 0)
         desired = int(ss.get("desiredNumberOfDistincts") or 0)
         if desired < 1:  # TrendingQueryScoreSet.java:39
@@ -923,9 +938,9 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
     tr = q.get("timeRange")
     if not tr:  # RecoQuery.java:32 rejects ALL_TIME
         raise ValueError("reco requires an explicit timeRange")
-    f1 = str(q["aggregateFieldName1"])
-    f2 = str(q["aggregateFieldName2"])
-    f3 = str(q["aggregateFieldName3"])
+    f1 = str(_req_key(q, "aggregateFieldName1", "reco"))
+    f2 = str(_req_key(q, "aggregateFieldName2", "reco"))
+    f3 = str(_req_key(q, "aggregateFieldName3", "reco"))
     desired = int(q.get("desiredNumberOfDistincts") or 0)
     if desired < 1:  # RecoQuery.java:39
         raise ValueError("Number of distincts must be at least 1")
@@ -941,8 +956,9 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
         node = filter_to_ast(sf, tuple(searcher.cfg.text_fields), composite_parts_of(searcher.cfg))
         if node is not None:
             ok_clauses.append(node)
-    ok_clauses.append(TimeRange(int(tr["smallestTimestamp"]),
-                                int(tr["largestTimestamp"])))
+    ok_clauses.append(TimeRange(
+        int(_req_key(tr, "smallestTimestamp", "reco timeRange")),
+        int(_req_key(tr, "largestTimestamp", "reco timeRange"))))
     az = authz_clause(request)
     if az is not None:
         ok_clauses.append(az)
@@ -959,7 +975,8 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
         return tot
 
     n_zones = len(searcher._zone_maps())
-    exhausted = exhausted_before(searcher, int(tr["smallestTimestamp"]))
+    exhausted = exhausted_before(
+        searcher, int(_req_key(tr, "smallestTimestamp", "reco timeRange")))
 
     def _answer(rows: list[tuple[str, float]]) -> dict:
         results = [{"distinctValue": v, "rank": float(r)}

@@ -77,6 +77,9 @@ import time
 import numpy as np
 
 from .filter import And, Node, Or, Term, TimeRange
+# request.py only imports THIS module inside functions, so the
+# module-level import is cycle-free
+from .request import _req_key
 
 _STRATEGIES = ("UNIT_WEIGHTED", "REGRESSION_WEIGHTED", "MAX")
 
@@ -106,8 +109,9 @@ def _ok_clauses(request: dict, tr: dict | None, cfg) -> list[Node]:
     from .request import authz_clause
     clauses: list[Node] = []
     if tr:
-        clauses.append(TimeRange(int(tr["smallestTimestamp"]),
-                                 int(tr["largestTimestamp"])))
+        clauses.append(TimeRange(
+            int(_req_key(tr, "smallestTimestamp", "timeRange")),
+            int(_req_key(tr, "largestTimestamp", "timeRange"))))
     az = authz_clause(request)
     if az is not None:
         clauses.append(az)
@@ -159,7 +163,7 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
     numerator_sets, modelCounts)."""
     from .request import (_expand_field_keys, composite_parts_of,
                           filter_to_ast)
-    gather = str(defn["gatherField"])
+    gather = str(_req_key(defn, "gatherField", "catwalk definition"))
     feats = _feature_fields(defn, searcher.cfg)
     filters = mq.get("modelFilters")
     if not isinstance(filters, (list, tuple)) or not filters:
@@ -268,7 +272,7 @@ def execute_catwalk(searcher, request: dict, t0: float) -> dict:
                           exhausted_before)
     q = request.get("query") or {}
     _reject_unread_knobs(q)
-    defn = q["definition"]
+    defn = _req_key(q, "definition", "catwalk")
     mq = q.get("modelQuery") or {}
     feats, model, numerator_sets, model_counts = \
         _build_model(searcher, request, defn, mq)
@@ -314,8 +318,8 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
             raise ValueError(f"{knob} is unsupported: read/unread state "
                              "lives in the events pipeline "
                              "(events_unread_backfill)")
-    defn = q["catwalkDefinition"]
-    gather = str(defn["gatherField"])
+    defn = _req_key(q, "catwalkDefinition", "strut")
+    gather = str(_req_key(defn, "gatherField", "strut catwalkDefinition"))
     scalars_q = q.get("modelScalars")
     if not isinstance(scalars_q, (list, tuple)) or not scalars_q:
         raise ValueError("modelScalars must be non-empty")
@@ -501,7 +505,8 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
     answer = {"results": results,
               "modelTotalPartitionCount": len(searcher._zone_maps()),
               "resultsExhausted": exhausted_before(
-                  searcher, int(tr["smallestTimestamp"]))}
+                  searcher,
+                  int(_req_key(tr, "smallestTimestamp", "strut timeRange")))}
     return _respond(request, searcher, answer, t0,
                     [f"strut {len(cands)} candidates × "
                      f"{len(feats)} features × {len(models)} models"])

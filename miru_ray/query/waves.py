@@ -69,6 +69,7 @@ from __future__ import annotations
 import numpy as np
 
 from .filter import And, Node, Term
+from .request import _req_key  # cycle-free: request imports waves lazily
 
 
 def _gate(request: dict, q: dict, cfg, lo: int, hi: int,
@@ -92,7 +93,8 @@ def _window(q: dict) -> tuple[int, int, int]:
     n = int(q.get("divideTimeRangeIntoNSegments") or 0)
     if n < 1:
         raise ValueError("Segments must be at least 1")
-    return int(tr["smallestTimestamp"]), int(tr["largestTimestamp"]), n
+    return (int(_req_key(tr, "smallestTimestamp", "timeRange")),
+            int(_req_key(tr, "largestTimestamp", "timeRange")), n)
 
 
 def _filters_map(q: dict, key: str) -> dict:
