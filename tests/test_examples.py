@@ -34,6 +34,8 @@ _PROBES = {
     "stumptown": ("waveforms", True),
     "metrics": ("waveforms", True),
     "anomaly": ("waveforms", True),
+    "composite_filter": ("results", True),
+    "aggregate_counts_unread": ("constraints", True),
 }
 
 
@@ -47,6 +49,7 @@ def examples_searcher(ray_session, xs_path, tmp_path_factory):
     build_index(xs_path, d, IndexConfig(
         docs_per_partition=2000, num_shards=1,
         keyword_fields=("role", "tool", "conv_id"),
+        composite_fields=(("role_tool", ("role", "tool")),),
         power_bits_fields=(("bits", "turn_idx"),)))
     s = Searcher(d, num_readers=2)
     yield s
