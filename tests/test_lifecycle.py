@@ -112,4 +112,52 @@ def test_full_operational_lifecycle(ray_session, tmp_path):
     assert [r["docId"] for r in resp["answer"]["results"]] == \
         direct["doc_id"].to_pylist()
     assert resp["answer"]["results"]
+
+    # [8] versioned REPAIR of an existing turn, live readers refreshed
+    from miru_ray.index.repair import repair_index
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    docstore = pads.dataset(os.path.join(rdir, "docstore"),
+                            format="parquet").to_table()
+    row = docstore.filter(pc.equal(docstore["doc_id"],
+                                   docstore["doc_id"][0]))
+    row = row.drop_columns(
+        [c for c in ("doc_id", "version") if c in row.schema.names])
+    ti = row.schema.get_field_index("text")
+    row = row.set_column(ti, "text",
+                         pa.array(["zzlifecyclemark gamma"], pa.string()))
+    row = row.append_column("version", pa.array([2], pa.int64()))
+    repair_index(rdir, row)
+    assert sr.refresh_partitions() >= 1
+    assert sr.count("zzlifecyclemark") == 1
+    assert sr.count("alpha") == n_all - 4  # the repaired doc lost 'alpha'
     sr.close()
+
+    # [9] tenant-level sync: the repaired replica bootstraps a second
+    # cluster through the sender/receiver protocol (repair entry rides)
+    from miru_ray.index.sync import SyncReceiver, SyncSender
+    from miru_ray.index.tenants import TenantRegistry
+    reg = TenantRegistry(str(tmp_path / "reg"))
+    reg.register("life", rdir, IndexConfig.from_dict(cm["config"]))
+    recv = SyncReceiver(str(tmp_path / "dst"))
+    sender = SyncSender(reg, recv, batch_rows=20)
+    out = sender.sync_tenant("life")
+    assert out["mode"] == "initial"
+    s2 = recv.registry.searcher("life", num_readers=1)
+    assert s2.count("zzlifecyclemark") == 1
+    assert s2.count("beta") == 27
+
+    # [10] a post-sync REPAIR at the source replays forward and the
+    # two clusters converge
+    row2 = row.set_column(row.schema.get_field_index("text"), "text",
+                          pa.array(["zzlifecyclemark delta"], pa.string()))
+    row2 = row2.set_column(row2.schema.get_field_index("version"),
+                           "version", pa.array([3], pa.int64()))
+    repair_index(rdir, row2)
+    reg.refresh()
+    out = sender.sync_tenant("life")
+    assert out["repairs_sent"] >= 1 and out["rows"] == 0
+    s3 = recv.registry.searcher("life", num_readers=1)
+    assert s3.count("delta") == 1 and s3.count("gamma") == 0
+    reg.close()
+    recv.registry.close()
