@@ -62,15 +62,27 @@ def deliver_new(index_dir: str, sink) -> dict:
         # else: rebuilt index — old doc-id space is gone, start over
     if cur >= n_docs:
         return {"delivered": 0, "ranges": 0}
+    # probe the sink's signature ONCE — a try/except TypeError around
+    # the call would also swallow TypeErrors raised INSIDE a modern
+    # sink's deliver body and silently re-deliver under the legacy
+    # empty namespace
+    import inspect
+    try:
+        params = inspect.signature(sink.deliver).parameters
+        legacy = ("doc_space" not in params
+                  and not any(p.kind is inspect.Parameter.VAR_KEYWORD
+                              for p in params.values()))
+    except (TypeError, ValueError):  # builtins/C callables: assume modern
+        legacy = False
     ranges = 0
     for p in manifest["partitions"]:
         lo = max(int(p["base"]), cur)
         hi = min(int(p["base"]) + int(p["count"]), n_docs)
         if lo < hi:
-            try:
-                sink.deliver(int(p["pid"]), lo, hi, doc_space=str(space))
-            except TypeError:  # legacy 3-arg sink: no space namespacing
+            if legacy:  # 3-arg sink: no space namespacing
                 sink.deliver(int(p["pid"]), lo, hi)
+            else:
+                sink.deliver(int(p["pid"]), lo, hi, doc_space=str(space))
             ranges += 1
     os.makedirs(os.path.dirname(cpath), exist_ok=True)
     atomic_write_json(cpath, {"delivered_docs": n_docs, "doc_space": space})
@@ -80,14 +92,19 @@ def deliver_new(index_dir: str, sink) -> dict:
 class ParquetDeliverySink:
     """Durable default sink: one Parquet log of delivered ranges.
 
-    Idempotent on re-delivery — ranges are keyed by (doc_space, pid, lo,
-    hi) and duplicates overwrite the same file, so at-least-once upstream
-    yields exactly-once on disk (the consumer-side dedupe the reference
-    asks of its endpoints).  The DOC SPACE is part of the key: a
-    config-change rebuild reuses doc ids with new meanings, so ranges
-    from different spaces must never be conflated — :meth:`delivered`
-    returns only the NEWEST space's rows by default (old-space ranges
-    describe ids that no longer exist)."""
+    Idempotent on re-delivery — ranges are keyed by (doc_space, pid,
+    lo): a duplicate REPLACES the same file, and so does the widened
+    re-delivery after a crash-before-cursor followed by an append (the
+    cursor did not advance, so the wider range re-starts at the SAME lo
+    and supersedes the stale narrower file — keying on hi too would
+    leave both [lo, 25) and [lo, 40) on disk and double-count
+    [lo, 25)).  At-least-once upstream thus yields exactly-once on disk
+    (the consumer-side dedupe the reference asks of its endpoints).
+    The DOC SPACE is part of the key: a config-change rebuild reuses
+    doc ids with new meanings, so ranges from different spaces must
+    never be conflated — :meth:`delivered` returns only the NEWEST
+    space's rows by default (old-space ranges describe ids that no
+    longer exist)."""
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -103,8 +120,8 @@ class ParquetDeliverySink:
                       "doc_hi": pa.array([hi], pa.int64())})
         path = os.path.join(
             self.out_dir,
-            f"range-{tag}-{pid:06d}-{lo:012d}-{hi:012d}.parquet")
-        tmp = path + ".tmp"
+            f"range-{tag}-{pid:06d}-{lo:012d}.parquet")
+        tmp = f"{path}.{os.getpid()}.tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
         # remember the newest space (file mtime order is not durable)

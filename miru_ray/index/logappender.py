@@ -58,7 +58,13 @@ class LogAppender:
         self._cols: dict[str, list] = {f.name: [] for f in SCHEMA}
         self._n_buffered = 0
         self._pending: list[pa.Table] = []
-        self._next_shard = 0
+        # resume numbering past any existing shards: a restarted
+        # (crashed) producer must EXTEND the WAL, not clobber
+        # shard-000000 onward
+        existing = [int(f[len("shard-"):-len(".parquet")])
+                    for f in os.listdir(out_dir)
+                    if f.startswith("shard-") and f.endswith(".parquet")]
+        self._next_shard = max(existing) + 1 if existing else 0
         self.dropped_records = 0
         self.appended_records = 0
         self._closed = False
@@ -131,15 +137,30 @@ class LogAppender:
             self.flush()
 
     def flush(self) -> None:
-        """Drain every pending batch to numbered shards (atomic each)."""
+        """Drain every pending batch to numbered shards (atomic each).
+        The tmp name is pid-suffixed so a concurrent or crashed producer
+        sharing the dir never publishes a torn shard, and an IO failure
+        is the LOSSY-CLIENT path — the batch is counted into
+        ``dropped_records`` and the app keeps running (the reference
+        client logs-and-drops; it never raises into the producer)."""
         self.paused = False
         while self._pending:
-            t = self._pending.pop(0)
+            t = self._pending[0]
             path = os.path.join(self.out_dir,
                                 f"shard-{self._next_shard:06d}.parquet")
-            tmp = path + ".tmp"
-            pq.write_table(t, tmp)
-            os.replace(tmp, path)
+            tmp = f"{path}.{os.getpid()}.tmp"
+            try:
+                pq.write_table(t, tmp)
+                os.replace(tmp, path)
+            except (OSError, pa.ArrowException):
+                self.dropped_records += t.num_rows
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                self._pending.pop(0)
+                continue  # number unused — keep shard numbering DENSE
+            self._pending.pop(0)
             self._next_shard += 1
 
     def close(self) -> dict:

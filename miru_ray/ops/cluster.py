@@ -124,6 +124,9 @@ def _learn_centroids(ds: "ray.data.Dataset", k: int,
 
     sp = ds.map_batches(seed_partial, batch_format="pyarrow",
                         batch_size=65536).take_all()
+    if not sp:  # empty embeddings table: no clusters, like the SQL
+        return (np.array([], np.int64),  # oracles' empty inner joins
+                np.zeros((0, 1), np.int64))
     seed_ids = np.array([r["vec_id"] for r in sp], np.int64)
     seed_xq = np.array([np.asarray(r["xq"]) for r in sp], np.int64)
     order = np.argsort(seed_ids)[:k]
@@ -157,7 +160,13 @@ def _learn_centroids(ds: "ray.data.Dataset", k: int,
             acc[i] += np.asarray(r["s"], np.int64)
             cnt[i] += int(r["cnt"])
         live = cnt > 0
-        cids, C = cids[live], (acc[live] * _KM_SCALE) // cnt[live, None]
+        # centroid update in PYTHON ints: Σxq for a 10^11-member cluster
+        # is ~1.6e15, and ×4096 passes 2^63 — an int64 multiply would
+        # wrap SILENTLY and diverge from the HUGEINT-exact SQL oracle.
+        # k×dim elements only, so the object-dtype pass is trivial.
+        exact = (acc[live].astype(object) * _KM_SCALE
+                 ) // cnt[live, None].astype(object)
+        cids, C = cids[live], exact.astype(np.int64)
     return cids, C
 
 

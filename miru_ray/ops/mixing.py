@@ -291,8 +291,10 @@ def _block_pack_rows(path: str, row_groups: list[int], start_tok: int,
         "n_seqs": pa.array(np.where(pos, last - first + 1, 0))})
     if out_path is not None:
         os.makedirs(out_path, exist_ok=True)
-        pq.write_table(out, os.path.join(
-            out_path, f"pack-{block_idx:06d}.parquet"))
+        final = os.path.join(out_path, f"pack-{block_idx:06d}.parquet")
+        tmp = f"{final}.{os.getpid()}.tmp"  # retry/preemption: no torn part
+        pq.write_table(out, tmp)
+        os.replace(tmp, final)
         return out.schema.empty_table()
     return out
 

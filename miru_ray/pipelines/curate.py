@@ -34,7 +34,7 @@ from ray.data.aggregate import Count, Min, Sum
 
 from ..ops.dedup import _documents, label_roots
 from ..tokenize import EN_STOPWORDS, explode_tokens
-from ..util import md5_64, md5_128
+from ..util import broadcast_get, md5_64, md5_128, sorted_lookup
 
 MIN_TOKENS = 40
 MAX_TOKENS = 5000
@@ -53,10 +53,12 @@ def _quality_mask(nt: np.ndarray, ns: np.ndarray) -> np.ndarray:
 
 
 def _row_features(text: "pa.Array | pa.ChunkedArray"
-                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """The ONE definition of the row-local curation features — (content
-    hash, n_tokens, n_stop) per doc — shared by every curation variant so
-    the dedup/quality semantics can never fork."""
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                             np.ndarray]:
+    """The ONE definition of the row-local curation features —
+    (hash_lo, hash_hi, n_tokens, n_stop) per doc, the 128-bit content
+    hash riding as two int64 halves — shared by every curation variant
+    so the dedup/quality semantics can never fork."""
     lo, hi = md5_128(np.asarray(text.to_pandas(), dtype=object))
     terms, rows, dl = explode_tokens(text)
     is_stop = pc.is_in(terms, value_set=_STOP_ARR).to_numpy(
@@ -121,8 +123,13 @@ def curation_summary(sf_dir: str, out_path: str | None = None):
             kept = pa.table({"doc_id": pa.array(ids[quality]),
                              "n_tokens": pa.array(nt[quality])})
             name = f"part-{int(ids.min()):012d}-{int(ids.max()):012d}.parquet"
-            pq.write_table(kept, os.path.join(out_path, name),
-                           compression="zstd")
+            # tmp+rename so a preempted worker (or a lineage-recompute
+            # retry racing its zombie) never leaves a torn part under
+            # the deterministic final name — build.py:664 convention
+            final = os.path.join(out_path, name)
+            tmp = f"{final}.{os.getpid()}.tmp"
+            pq.write_table(kept, tmp, compression="zstd")
+            os.replace(tmp, final)
         return pa.table({
             "n_kept": pa.array([int(quality.sum())]),
             "tokens": pa.array([int(nt[quality].sum())]),
@@ -163,7 +170,7 @@ def curation_neardup_summary(sf_dir: str) -> pa.Table:
         gn = t["group_n"].to_numpy().astype(np.int64)
         nt = t["n_tokens"].to_numpy().astype(np.int64)
         ns = t["n_stop"].to_numpy().astype(np.int64)
-        k, v = ray.get(lab_ref)
+        k, v = broadcast_get(lab_ref)  # once per worker, not per batch
         is_root = label_roots(ids, k, v) == ids
         quality = _quality_mask(nt, ns)
         keep = is_root & quality
@@ -398,9 +405,7 @@ def pretrain_corpus_counts(sf_dir: str,
             sh = shingle_rows(b.select(["doc_id", "text"]))
             hh = md5_64_bulk(np.asarray(sh["shingle"].to_pandas(),
                                         dtype=object))
-            pos = np.searchsorted(bench, hh)
-            hit = (pos < len(bench)) & (
-                bench[np.minimum(pos, len(bench) - 1)] == hh)
+            hit, _ = sorted_lookup(bench, hh)
             order = np.argsort(ids)  # batch ids are unique, order-free
             row_of = order[np.searchsorted(ids[order],
                                            sh["doc_id"].to_numpy())]
@@ -460,8 +465,10 @@ def pretrain_corpus_counts(sf_dir: str,
                              "lang": kept["lang"],
                              "n_tokens": kept["n_tokens"]})
             name = f"part-{int(ik.min()):019d}-{int(ik.max()):019d}.parquet"
-            pq.write_table(part, os.path.join(out_path, name),
-                           compression="zstd")
+            final = os.path.join(out_path, name)
+            tmp = f"{final}.{os.getpid()}.tmp"  # never a torn part
+            pq.write_table(part, tmp, compression="zstd")
+            os.replace(tmp, final)
         g = kept.group_by(["source", "lang"]).aggregate(
             [("one", "sum"), ("n_tokens", "sum")])
         return pa.table({"source": g["source"], "lang": g["lang"],

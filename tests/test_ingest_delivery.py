@@ -1,6 +1,8 @@
 """Log appender WAL, realtime delivery, and the bit-sliced metric encode —
 the round-4 closers for SURVEY §2.1/§2.10's last out-of-scope rows."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -308,3 +310,118 @@ def test_bitslice_rejects_negative_values():
         "value": pa.array([-1.0])})
     with pytest.raises(ValueError, match="non-negative"):
         _bit_count_partial(t, dt_us=3_600_000_000)
+
+
+def test_appender_restart_extends_wal(tmp_path):
+    """A restarted (crashed) producer must EXTEND the WAL, not clobber
+    shard-000000 onward, and the final _SUCCESS covers BOTH runs'
+    shards densely."""
+    d = str(tmp_path / "wal")
+    ap = LogAppender(d, batch_size=16, max_pending=1 << 20)
+    ap.append_batch(_records(40))          # 2 full shards + 8 buffered
+    ap.close()                             # 3 shards durable
+    ap2 = LogAppender(d, batch_size=16, max_pending=1 << 20)
+    assert ap2._next_shard == 3            # resumed past run 1
+    ap2.append_batch(_records(20, start=40))
+    meta = ap2.close()
+    assert meta["n_shards"] == 5           # dense 0..4, both runs
+    got = read_appended(d).to_pandas().sort_values("ts_us")
+    assert list(got["ts_us"]) == list(range(60))  # nothing clobbered
+
+
+def test_appender_io_failure_is_lossy_not_fatal(tmp_path, monkeypatch):
+    """A write failure mid-flush is the lossy-client path: counted into
+    dropped_records, never raised into the producer, numbering dense."""
+    d = str(tmp_path / "wal")
+    ap = LogAppender(d, batch_size=8, max_pending=1 << 20)
+    ap.append_batch(_records(8))           # shard 0 flushes fine
+    calls = {"n": 0}
+    real = pq.write_table
+
+    def flaky(t, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("disk full")
+        return real(t, path, **kw)
+
+    import miru_ray.index.logappender as L
+    monkeypatch.setattr(L.pq, "write_table", flaky)
+    ap.append_batch(_records(8, start=8))   # this batch is LOST, no raise
+    ap.append_batch(_records(8, start=16))  # this one lands as shard 1
+    monkeypatch.setattr(L.pq, "write_table", real)
+    meta = ap.close()
+    assert meta["dropped_records"] == 8
+    assert meta["appended_records"] == 24
+    assert meta["n_shards"] == 2            # dense: no gap for the loss
+    got = read_appended(d).to_pandas()
+    assert len(got) == 16
+    assert set(got["ts_us"]) == set(range(8)) | set(range(16, 24))
+
+
+def test_delivery_crash_then_append_supersedes_stale_range(xs_table,
+                                                           tmp_path):
+    """Crash-before-cursor + append: the wider re-delivered range (same
+    lo) must REPLACE the stale narrower file, never coexist with it —
+    coexisting ranges would double-count the overlap."""
+    import pyarrow.parquet as _pq
+
+    from miru_ray.config import IndexConfig
+    from miru_ray.index.build import build_index
+    convs = sorted(set(xs_table["conv_id"].to_pylist()))
+    head = set(convs[: len(convs) // 2])
+    mask = pa.array([c in head for c in xs_table["conv_id"].to_pylist()])
+    a = str(tmp_path / "a.parquet")
+    _pq.write_table(xs_table.filter(mask), a)
+    b = str(tmp_path / "b.parquet")
+    _pq.write_table(xs_table.filter(pc.invert(mask)), b)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(docs_per_partition=100000, num_shards=1)
+    m1 = build_index([a], idx, cfg)  # ONE partition: one range
+    sink = ParquetDeliverySink(str(tmp_path / "sink"))
+    deliver_new(idx, sink)
+    # simulate crash BEFORE the cursor write: delete it
+    os.remove(os.path.join(idx, "delivery", "cursor.json"))
+    m2 = build_index([a, b], idx, cfg)  # append extends the partition
+    deliver_new(idx, sink)              # re-delivers [0, n2) — same lo
+    got = sink.delivered().to_pandas()
+    assert len(got) == 1                # stale [0, n1) file superseded
+    assert int(got["doc_hi"].iloc[0]) == m2["n_docs"]
+    total = int((got["doc_hi"] - got["doc_lo"]).sum())
+    assert total == m2["n_docs"]        # no double-counted overlap
+    assert m1["n_docs"] < m2["n_docs"]
+
+
+def test_delivery_modern_sink_internal_typeerror_propagates(xs_index,
+                                                            tmp_path):
+    """A TypeError raised INSIDE a 4-arg sink's deliver body must
+    propagate, not be swallowed by legacy-sink probing (which would
+    silently re-deliver through the 3-arg path)."""
+    calls = []
+
+    class BrokenModernSink:
+        def deliver(self, pid, lo, hi, doc_space=""):
+            calls.append((pid, lo, hi))
+            raise TypeError("bug inside the sink body")
+
+    import shutil
+    idx = str(tmp_path / "idx")
+    shutil.copytree(xs_index, idx)
+    shutil.rmtree(os.path.join(idx, "delivery"), ignore_errors=True)
+    with pytest.raises(TypeError, match="inside the sink"):
+        deliver_new(idx, BrokenModernSink())
+    assert len(calls) == 1  # called once — not retried via 3-arg
+
+
+def test_delivery_legacy_three_arg_sink_still_served(xs_index, tmp_path):
+    calls = []
+
+    class LegacySink:
+        def deliver(self, pid, lo, hi):
+            calls.append((pid, lo, hi))
+
+    import shutil
+    idx = str(tmp_path / "idx")
+    shutil.copytree(xs_index, idx)
+    shutil.rmtree(os.path.join(idx, "delivery"), ignore_errors=True)
+    out = deliver_new(idx, LegacySink())
+    assert out["ranges"] == len(calls) > 0
