@@ -681,6 +681,16 @@ def encode_cell_files(rows: pa.Table, index_dir: str, pid: int, shard: int,
         write_doclen_partial(dl, index_dir, pid, shard)
     if not (skip_if_exists and os.path.exists(seg_path)):
         write_segment(seg, seg_path)
+    return cell_stats(seg, pid, shard)
+
+
+def cell_stats(seg: pa.Table, pid: int, shard: int) -> dict:
+    """The ONE definition of a cell's manifest stats — n_terms,
+    n_postings (Σ df post-dedup), cf_text (Σ cf of TEXT terms, the
+    keyword `field:value` rows masked out).  Shared by every segment
+    writer (build, append rebuild, repair rebuild, additive upgrade) so
+    upgraded/repaired manifests can never silently diverge from a fresh
+    build's."""
     kw = pc.match_substring(seg["term"], ":")
     return {"pid": pid, "shard": shard, "n_terms": seg.num_rows,
             "n_postings": int(pc.sum(seg["df"]).as_py() or 0),

@@ -169,22 +169,33 @@ def run_siphon(index_dir: str, plugin: SiphonPlugin, out_root: str,
     import inspect
 
     import cloudpickle
+    import sys
     mod = inspect.getmodule(type(plugin))
-    registered = False
+    this_mod = sys.modules[__name__]
+    registered = []
     try:
         if mod is not None and mod.__name__ != "__main__":
             cloudpickle.register_pickle_by_value(mod)
-            registered = True
+            registered.append(mod)
         payload = cloudpickle.dumps(plugin)
+        # tenant_dirname must ALSO cross by value: a bare reference from
+        # the task body would pickle as "import miru_ray.index.siphon"
+        # on the worker (cloudpickle serializes module-level globals by
+        # reference), breaking the arbitrary-cwd contract above
+        if this_mod not in registered:
+            cloudpickle.register_pickle_by_value(this_mod)
+            registered.append(this_mod)
+        dirname_payload = cloudpickle.dumps(tenant_dirname)
     finally:
-        if registered:
-            cloudpickle.unregister_pickle_by_value(mod)
+        for m in registered:
+            cloudpickle.unregister_pickle_by_value(m)
     schema_payload = cloudpickle.dumps(out_schema)
 
     @ray.remote(num_cpus=1)
     def flush_partition(pid: int) -> tuple[int, int]:
         plug = cloudpickle.loads(payload)
         schema = cloudpickle.loads(schema_payload)
+        dirname = cloudpickle.loads(dirname_payload)
         t = pq.ParquetDataset(
             os.path.join(index_dir, "docstore", f"partition={pid}")
         ).read(columns=cols)
@@ -209,7 +220,7 @@ def run_siphon(index_dir: str, plugin: SiphonPlugin, out_root: str,
         written = set()
         for tenant in pc.unique(out["tenant"]).to_pylist():
             rows = out.filter(pc.equal(out["tenant"], tenant))
-            dname = tenant_dirname(tenant)
+            dname = dirname(tenant)
             tdir = os.path.join(out_root, dname)
             os.makedirs(tdir, exist_ok=True)
             # deterministic name: a re-executed flush overwrites, never

@@ -87,9 +87,7 @@ class TenantRegistry:
             atomic_write_json(self.path, self._catalog)
         # re-pointing a tenant (rebuild/upgrade) must not keep serving
         # from a Searcher opened on the OLD directory
-        for key in [k for k in self._searchers if k[0] == str(tenant)]:
-            self._searchers.pop(key).close()
-            self._opened_dirs.pop(key, None)
+        self.evict(tenant)
 
     def unregister(self, tenant: str, destroy: bool = False) -> None:
         """Remove a tenant from the catalog (closing its searchers);
@@ -115,9 +113,7 @@ class TenantRegistry:
                         f"by tenant(s) {shared}; not destroying")
             self._catalog.pop(t)
             atomic_write_json(self.path, self._catalog)
-            for key in [k for k in self._searchers if k[0] == t]:
-                self._searchers.pop(key).close()
-                self._opened_dirs.pop(key, None)
+            self.evict(t)
             if destroy:
                 import shutil
                 shutil.rmtree(entry["index_dir"], ignore_errors=True)

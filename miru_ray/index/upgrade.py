@@ -42,7 +42,7 @@ import ray
 from ..config import IndexConfig
 from ..util import atomic_write_json, read_json, read_parquet_clean
 from .build import (MANIFEST_VERSION, _build_tag, _spill_postings,
-                    doclen_rel_path, make_postings_fn,
+                    cell_stats, doclen_rel_path, make_postings_fn,
                     write_doclen_partial)
 from .segments import (empty_pos_column, encode_segment_table,
                        segment_rel_path, segment_to_rows, write_segment)
@@ -183,15 +183,14 @@ def upgrade_index(index_dir: str, new_cfg: IndexConfig) -> dict:
         # the dir is file-for-file identical to a fresh build; existing
         # sidecars are untouched (text rows unchanged)
         if not had_old:
-            # module-scope name captured by value (no runtime miru_ray
-            # import on workers whose sys.path lacks the repo)
+            # NOTE: the miru_ray helpers referenced here (write_segment,
+            # encode_segment_table, cell_stats, ...) are pickled BY
+            # REFERENCE — workers must be able to import miru_ray, the
+            # same requirement every map_batches stage in this package
+            # already has.  (Only the siphon plugin path ships foreign
+            # code by value.)
             write_doclen_partial(dl, index_dir, pid, shard)
-        import pyarrow.compute as pc
-        kw = pc.match_substring(seg["term"], ":")
-        return {"pid": pid, "shard": shard, "n_terms": seg.num_rows,
-                "n_postings": int(pc.sum(seg["df"]).as_py() or 0),
-                "cf_text": int(pc.sum(pc.if_else(kw, 0, seg["cf"]))
-                               .as_py() or 0)}
+        return cell_stats(seg, pid, shard)
 
     futs = []
     for d in sorted(os.listdir(spill_dir)):

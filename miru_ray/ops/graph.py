@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..util import read_parquet_clean, sorted_lookup
+from ..util import broadcast_get, read_parquet_clean, sorted_lookup
 
 _PR_SCALE = 10**12
 PR_ITERS = 2
@@ -83,7 +83,7 @@ def _edge_partials(sf_dir: str,
         ref = load_orders.remote(opath)
 
         def to_edges(t: pa.Table) -> pa.Table:
-            k, c = ray.get(ref)
+            k, c = broadcast_get(ref)  # once per worker
             lk = t["l_orderkey"].to_numpy().astype(np.int64)
             hit, pos = sorted_lookup(k, lk)
             out = pa.table({"c": pa.array(c[pos[hit]]),
@@ -162,8 +162,8 @@ def _pair_sums(edges: "ray.data.Dataset", cref, pref):
     contribution partials for BOTH sides (c←p and p←c)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        cu, cvals = ray.get(cref)
-        pu, pvals = ray.get(pref)
+        cu, cvals = broadcast_get(cref)  # per worker,
+        pu, pvals = broadcast_get(pref)  # not per 65k-row batch
         c = t["c"].to_numpy().astype(np.int64)
         p = t["p"].to_numpy().astype(np.int64)
         parts = []
@@ -341,8 +341,8 @@ def components_top(sf_dir: str, rounds: int = CC_ROUNDS,
             pref = ray.put((pu, lp))
 
             def min_partial(t: pa.Table) -> pa.Table:
-                ku, kl = ray.get(cref)
-                qu, ql = ray.get(pref)
+                ku, kl = broadcast_get(cref)
+                qu, ql = broadcast_get(pref)
                 c = t["c"].to_numpy().astype(np.int64)
                 p = t["p"].to_numpy().astype(np.int64)
                 outs = []

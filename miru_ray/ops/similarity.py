@@ -171,6 +171,44 @@ def _tcode(table: np.ndarray, code: np.ndarray) -> np.ndarray:
     return (table.astype(np.int64) << _N_PLANES) | code.astype(np.int64)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _cache_build_lock(d: str):
+    """Advisory cross-process lock for the shared index-cache dir
+    build protocol (marker-check → rmtree → write → marker-write): two
+    concurrent builders would otherwise interleave rmtree with each
+    other's writes and commit a torn/doubled layout under a valid
+    marker.  The lock file lives BESIDE the dir (the dir itself is
+    rmtree'd mid-protocol).  Same pattern as TenantRegistry._lock."""
+    import fcntl
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    fd = os.open(d + ".lock", os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _probe_dim(src: str) -> int:
+    """Embedding dimensionality from the first row — with a clear error
+    on an empty table (a bare StopIteration here is inscrutable)."""
+    import pyarrow.parquet as pq
+    try:
+        first = next(pq.ParquetFile(src).iter_batches(
+            batch_size=1, columns=["embedding"]))
+    except StopIteration:
+        raise ValueError(f"cannot build an ANN index over an empty "
+                         f"embeddings table: {src}") from None
+    emb = first["embedding"][0]
+    if not emb.is_valid:
+        raise ValueError(f"first embedding row is NULL: {src}")
+    return len(emb)
+
+
 def build_ann_index(sf_dir: str) -> str:
     """Bucket-partitioned LSH layout: each vector is written once per hash
     table under ``tcode = (table << bits) | code`` (Parquet
@@ -183,21 +221,31 @@ def build_ann_index(sf_dir: str) -> str:
     fp = input_fingerprint([src])[:16]
     d = os.path.join(ANN_CACHE_ROOT, f"ann_{fp}_v2")  # v2: bucket catalog
     marker = os.path.join(d, "_DONE.json")
-    if os.path.exists(marker):
+
+    def _fresh() -> bool:
+        if not os.path.exists(marker):
+            return False
         m = read_json(marker)
         # reuse ONLY a layout built with the current geometry — a stale
         # tables/planes layout would probe wrong rings with no error
-        if (m.get("fp") == fp and m.get("tables") == _N_TABLES
-                and m.get("planes") == _N_PLANES):
+        return (m.get("fp") == fp and m.get("tables") == _N_TABLES
+                and m.get("planes") == _N_PLANES)
+
+    if _fresh():
+        return d
+    with _cache_build_lock(d):
+        if _fresh():  # a concurrent builder finished while we waited
             return d
+        return _build_ann_index_locked(sf_dir, src, fp, d, marker)
+
+
+def _build_ann_index_locked(sf_dir: str, src: str, fp: str, d: str,
+                            marker: str) -> str:
     if os.path.exists(d):  # half-written index from a crashed build —
         import shutil      # appending a second copy would double buckets
         shutil.rmtree(d)
 
-    import pyarrow.parquet as pq
-    first = next(pq.ParquetFile(src).iter_batches(batch_size=1,
-                                                  columns=["embedding"]))
-    dim = len(first["embedding"][0])
+    dim = _probe_dim(src)
     P_ref = ray.put(_planes(dim))
 
     def code_batch(b: pa.Table) -> pa.Table:
@@ -423,10 +471,23 @@ def build_ivf_index(sf_dir: str) -> str:
     fp = input_fingerprint([src])[:16]
     d = os.path.join(ANN_CACHE_ROOT, f"ivf_{fp}_v1")
     marker = os.path.join(d, "_DONE.json")
-    if os.path.exists(marker):
+
+    def _fresh() -> bool:
+        if not os.path.exists(marker):
+            return False
         m = read_json(marker)
-        if m.get("fp") == fp and m.get("centroids") == _IVF_CENTROIDS:
+        return m.get("fp") == fp and m.get("centroids") == _IVF_CENTROIDS
+
+    if _fresh():
+        return d
+    with _cache_build_lock(d):
+        if _fresh():  # a concurrent builder finished while we waited
             return d
+        return _build_ivf_index_locked(sf_dir, fp, d, marker)
+
+
+def _build_ivf_index_locked(sf_dir: str, fp: str, d: str,
+                            marker: str) -> str:
     if os.path.exists(d):  # half-written index from a crashed build
         import shutil
         shutil.rmtree(d)
@@ -435,7 +496,7 @@ def build_ivf_index(sf_dir: str) -> str:
     C_ref = ray.put((cids, Cn))
 
     def assign(b: pa.Table) -> pa.Table:
-        cids, Cn = ray.get(C_ref)
+        cids, Cn = broadcast_get(C_ref)  # once per worker, not per batch
         ids, M = _matrix(b)
         Mn = _unit_rows(M)
         return pa.table({"cell": pa.array(cids[_ivf_cells(Mn, Cn)]),

@@ -83,7 +83,9 @@ def approx_unique(sf_dir: str, table: str = "events",
     parts = ds.map_batches(sketch, batch_format="pyarrow",
                            batch_size=65536).to_pandas()
     merged = np.zeros(M, np.uint8)
-    for blob in parts["regs"]:
+    # the all-empty-block stream loses column names ("regs" absent on an
+    # empty table) — zero registers estimate 0, matching the SQL oracle
+    for blob in (parts["regs"] if "regs" in parts.columns else ()):
         np.maximum(merged, np.frombuffer(blob, np.uint8), out=merged)
     return pa.table({"approx_unique": pa.array([int(round(hll_estimate(merged)))],
                                                pa.int64())})

@@ -117,11 +117,18 @@ _BROADCAST_CACHE: dict = {}
 
 
 def broadcast_get(ref):
-    """Fetch a ``ray.put`` broadcast object through the per-worker cache."""
+    """Fetch a ``ray.put`` broadcast object through the per-worker cache.
+
+    Bounded at a few entries with FIFO eviction: stages that read TWO
+    broadcasts per batch (e.g. pagerank's rank + label refs) must not
+    thrash a single-slot cache back into one ``ray.get`` per batch, and
+    iterative loops that mint a fresh ref per round must not grow the
+    cache unboundedly."""
     import ray
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE.clear()
+        while len(_BROADCAST_CACHE) >= 4:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
         _BROADCAST_CACHE[key] = ray.get(ref)
     return _BROADCAST_CACHE[key]
 
