@@ -15,6 +15,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -89,6 +90,177 @@ def approx_unique(sf_dir: str, table: str = "events",
         np.maximum(merged, np.frombuffer(blob, np.uint8), out=merged)
     return pa.table({"approx_unique": pa.array([int(round(hll_estimate(merged)))],
                                                pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters: exact hot terms without the full-term shuffle
+# ---------------------------------------------------------------------------
+
+MG_K = 8192          # summary capacity → undercount bound Δ ≤ N/(K+1)
+HH_DENOM = 2000      # heavy = terms with count·DENOM ≥ total tokens N
+
+# stage-1 metadata rows ride inside the (term, cnt) stream under reserved
+# keys that can never collide with a real token ([a-z0-9]+ only)
+_META_DELTA = "\x00delta"
+_META_NTOK = "\x00ntok"
+
+
+def _mg_fold(counts: dict[str, int], terms, cnts, k: int) -> int:
+    """Fold one (term, weight) batch into a running Misra–Gries summary,
+    pruning to ``k`` entries when it overflows ``2k`` (amortized).
+    Returns the total decrement Δ added by prunes in this fold.
+
+    Mergeable-summaries guarantee (Agarwal et al., PODS 2012 — public
+    algorithm): every prune that subtracts δ from all counters removes
+    ≥ (k+1)·δ total mass, so Σδ over ALL prunes anywhere ≤ N/(k+1), and
+    every term's estimate undercounts its true count by at most Σδ."""
+    delta = 0
+    for t, c in zip(terms, cnts):
+        counts[t] = counts.get(t, 0) + int(c)
+        if len(counts) > 2 * k:
+            vals = np.fromiter(counts.values(), np.int64)
+            d = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
+            counts_new = {t2: c2 - d for t2, c2 in counts.items() if c2 > d}
+            counts.clear()
+            counts.update(counts_new)
+            delta += d
+    return delta
+
+
+def heavy_hitters(sf_dir: str, *, denom: int = HH_DENOM,
+                  k: int = MG_K) -> pa.Table:
+    """EXACT heavy hitters — every term whose total occurrence count c
+    satisfies ``c·denom ≥ N`` (N = total tokens in ``documents.text``) —
+    WITHOUT a full-term ``groupby`` shuffle.
+
+    Two streaming passes (the reference's global-cardinality scans are
+    per-term lookups, ``LabFieldIndex.java:474-476``; this is the
+    corpus-wide hot-term analogue sized for 10^12 turns):
+
+    [1] candidates — ``map_batches`` folds each batch's exact term counts
+        into a capacity-``k`` Misra–Gries summary (vectorized
+        ``value_counts``; per-batch prune bound rides along as a reserved
+        metadata row), the driver folds the ≤ k+2-row partials into one
+        summary with running undercount bound Δ ≤ N/(k+1).  A term is a
+        candidate iff est ≥ threshold − Δ — guaranteed to include every
+        true heavy hitter.  Driver state is O(k), like the HLL merge; at
+        extreme block counts the same fold runs as a tree of
+        ``map_batches`` stages over the summary dataset.
+    [2] verify — the candidate list (≤ 2k terms) is broadcast once via
+        ``ray.put``; a second streaming pass counts ONLY candidate terms
+        per batch (``pc.is_in`` + ``value_counts``) and the driver sums
+        the ≤ |candidates|-row partials, then applies the EXACT integer
+        threshold ``c·denom ≥ N``.
+
+    The result is deterministic (exact counts, exact threshold) even
+    though the intermediate candidate set depends on block arrival order.
+    """
+    from ..tokenize import explode_tokens
+    from ..util import broadcast_get  # captured by VALUE into the stage-2
+    # closure — a relative import inside the worker-side body would need
+    # miru_ray importable on the worker, breaking the arbitrary-cwd driver
+    # contract (same dance as siphon.py's tenant_dirname)
+    if k + 1 < denom:
+        # the completeness guarantee needs Δ ≤ N/(k+1) < ceil(N/denom);
+        # a smaller k MIGHT still find everything, but "might" is not a
+        # contract (same refusal as the exists-query expansion cap)
+        raise ValueError(
+            f"Misra–Gries capacity k={k} is too small for denom={denom}: "
+            f"the undercount bound Δ ≤ N/(k+1) must stay below the "
+            f"threshold N/denom — need k + 1 ≥ denom")
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        terms, _rows, _dl = explode_tokens(b["text"])
+        n_tok = len(terms)
+        if n_tok == 0:
+            return pa.table({"term": pa.array([_META_NTOK]),
+                             "cnt": pa.array([0], pa.int64())})
+        vc = pc.value_counts(terms)
+        t = vc.field("values")
+        c = vc.field("counts").to_numpy().astype(np.int64)
+        delta = 0
+        if len(c) > k:
+            delta = int(np.partition(c, len(c) - k - 1)[len(c) - k - 1])
+            keep = c > delta
+            t, c = t.filter(pa.array(keep)), c[keep] - delta
+        return pa.table({
+            "term": pa.concat_arrays(
+                [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t,
+                 pa.array([_META_DELTA, _META_NTOK])]),
+            "cnt": pa.array(np.concatenate([c, [delta, n_tok]]), pa.int64()),
+        })
+
+    ds = read_parquet_clean(path, columns=["text"])
+    summary: dict[str, int] = {}
+    n_total = 0
+    big_delta = 0
+    for part in ds.map_batches(mg_partial, batch_format="pyarrow",
+                               batch_size=8192).iter_batches(
+                                   batch_format="pyarrow"):
+        terms = np.asarray(part["term"].to_pandas(), dtype=object)
+        cnts = part["cnt"].to_numpy().astype(np.int64)
+        meta = np.isin(terms, (_META_DELTA, _META_NTOK))
+        for t, c in zip(terms[meta], cnts[meta]):
+            if t == _META_DELTA:
+                big_delta += int(c)
+            else:
+                n_total += int(c)
+        big_delta += _mg_fold(summary, terms[~meta], cnts[~meta], k)
+
+    if n_total == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    threshold = -(-n_total // denom)  # smallest c with c·denom ≥ N
+    if big_delta >= threshold:
+        raise ValueError(
+            f"Misra–Gries undercount bound Δ={big_delta} reaches the "
+            f"threshold {threshold}: capacity k={k} is too small for "
+            f"denom={denom} (need k ≥ denom); raise k")
+    cand = sorted(t for t, c in summary.items()
+                  if c >= threshold - big_delta)
+    if not cand:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_ref = ray.put(pa.array(cand, pa.string()))
+
+    def count_candidates(b: pa.Table) -> pa.Table:
+        cand_arr = broadcast_get(cand_ref)
+        terms, _rows, _dl = explode_tokens(b["text"])
+        hit = terms.filter(pc.is_in(terms, value_set=cand_arr))
+        if len(hit) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = pc.value_counts(hit)
+        return pa.table({"term": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    exact: dict[str, int] = {}
+    for part in read_parquet_clean(path, columns=["text"]).map_batches(
+            count_candidates, batch_format="pyarrow",
+            batch_size=8192).iter_batches(batch_format="pyarrow"):
+        for t, c in zip(part["term"].to_pylist(),
+                        part["cnt"].to_numpy().astype(np.int64)):
+            exact[t] = exact.get(t, 0) + int(c)
+
+    rows = sorted(((t, c) for t, c in exact.items()
+                   if c * denom >= n_total), key=lambda r: (-r[1], r[0]))
+    return pa.table({"term": pa.array([t for t, _ in rows], pa.string()),
+                     "cnt": pa.array([c for _, c in rows], pa.int64())})
+
+
+def heavy_hitters_sql(denom: int = HH_DENOM) -> str:
+    """Exact SQL mirror: the two-pass engine result equals the plain
+    GROUP BY with the same integer threshold."""
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+tot AS (SELECT count(*) AS n FROM toks),
+hh AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+       GROUP BY term HAVING count(*) * {denom} >= (SELECT n FROM tot))
+SELECT term, cnt FROM hh ORDER BY cnt DESC, term ASC
+""".strip()
 
 
 def hll_oracle_sql(table: str, column: str) -> str:

@@ -57,6 +57,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "fulltext_composite_facet",
     "request_composite_filter",
     "repair_upsert_counts",
+    "terms_heavy_hitters",
     # 3) stalest witnesses first (VERDICT r4 ask #4): last green in r01/r02
     #    on code that has changed since
     "events_uniques_hll",                       # r01
@@ -448,3 +449,8 @@ SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
     reg("events_uniques_hll",
         lambda sf: approx_unique(sf, "events", "user_id"),
         hll_oracle_sql("events", "user_id"), ("sketches", "approx"))
+    # exact heavy hitters via a two-pass Misra–Gries candidate filter —
+    # no full-term shuffle, O(k) driver state, exact verified counts
+    from .ops.sketches import heavy_hitters, heavy_hitters_sql
+    reg("terms_heavy_hitters", heavy_hitters, heavy_hitters_sql(),
+        ("sketches", "text"))
