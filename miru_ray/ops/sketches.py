@@ -191,13 +191,36 @@ def heavy_hitters(sf_dir: str, *, denom: int = HH_DENOM,
             "cnt": pa.array(np.concatenate([c, [delta, n_tok]]), pa.int64()),
         })
 
+    def mg_combine(part: pa.Table) -> pa.Table:
+        """Intermediate tree level: fold a block of summary rows (many
+        per-batch partials bundled by Ray) into ONE summary + aggregated
+        metadata rows — same schema in and out, so the driver fold after
+        it is unchanged.  This bounds the driver's work by the number of
+        COMBINED blocks, not the number of input batches (the shape that
+        matters at 10^12 turns)."""
+        terms = np.asarray(part["term"].to_pandas(), dtype=object)
+        cnts = part["cnt"].to_numpy().astype(np.int64)
+        meta = np.isin(terms, (_META_DELTA, _META_NTOK))
+        d = int(cnts[meta][terms[meta] == _META_DELTA].sum())
+        n = int(cnts[meta][terms[meta] == _META_NTOK].sum())
+        folded: dict[str, int] = {}
+        d += _mg_fold(folded, terms[~meta], cnts[~meta], k)
+        items = sorted(folded.items())
+        return pa.table({
+            "term": pa.array([t for t, _ in items]
+                             + [_META_DELTA, _META_NTOK]),
+            "cnt": pa.array([c for _, c in items] + [d, n], pa.int64()),
+        })
+
     ds = read_parquet_clean(path, columns=["text"])
     summary: dict[str, int] = {}
     n_total = 0
     big_delta = 0
-    for part in ds.map_batches(mg_partial, batch_format="pyarrow",
-                               batch_size=8192).iter_batches(
-                                   batch_format="pyarrow"):
+    for part in (ds.map_batches(mg_partial, batch_format="pyarrow",
+                                batch_size=8192)
+                 .map_batches(mg_combine, batch_format="pyarrow",
+                              batch_size=16 * (k + 2))
+                 .iter_batches(batch_format="pyarrow")):
         terms = np.asarray(part["term"].to_pandas(), dtype=object)
         cnts = part["cnt"].to_numpy().astype(np.int64)
         meta = np.isin(terms, (_META_DELTA, _META_NTOK))
