@@ -863,12 +863,18 @@ def build_index(input_path: str | list[str], index_dir: str,
                 and m.get("version") == MANIFEST_VERSION
                 and set(old_files) <= set(files)
                 and all("cf_text" in s for s in m.get("segments", []))):
+            # guard ONLY the old-input fingerprint probe: a blanket
+            # except around append_index itself would silently degrade a
+            # failed APPEND into a full rebuild — an O(corpus) surprise
+            # that also mints a fresh doc_space, invalidating every
+            # delivery cursor and sync watermark downstream
             try:
-                if input_fingerprint(old_files) == m["fingerprint"]:
-                    new_files = sorted(set(files) - set(old_files))
-                    return append_index(index_dir, m, new_files, fp, cfg)
+                old_ok = input_fingerprint(old_files) == m["fingerprint"]
             except FileNotFoundError:
-                pass  # old inputs vanished → full rebuild below
+                old_ok = False  # old inputs vanished → full rebuild below
+            if old_ok:
+                new_files = sorted(set(files) - set(old_files))
+                return append_index(index_dir, m, new_files, fp, cfg)
 
     stages: dict[str, dict] = {}
     tag = _build_tag(fp, cfg)
@@ -1039,6 +1045,29 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     # [1] offsets for the new conversations (appended AFTER the old ids)
     partials = ray.get([_conv_counts_for_file.remote(p) for p in new_files])
     conv, cnt, _max_turn = _merge_conv_partials(partials)
+    if len(cnt) == 0 or int(cnt.sum()) == 0:
+        # empty delta (new files carry no rows): commit the new
+        # fingerprint/input list so the next call takes the up-to-date
+        # fast path, but touch NO doc data — the docstore write path
+        # assumes at least one row (zero blocks would never create the
+        # staging dir) and the doc_space must stay unchanged
+        out = dict(manifest)
+        out.update({"fingerprint": new_fp,
+                    "input_files": sorted(set(manifest["input_files"])
+                                          | set(new_files))})
+        out.setdefault("stages", {})["append"] = {
+            "seconds": round(time.perf_counter() - t_all, 3),
+            "new_docs": 0, "new_files": len(new_files)}
+        new_tag = _build_tag(new_fp, cfg)
+        atomic_write_json(offsets_path + ".meta.json",
+                          {"fingerprint": new_fp,
+                           "n_docs": manifest["n_docs"],
+                           "n_convs": manifest["n_convs"]})
+        atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"), new_tag)
+        atomic_write_json(os.path.join(index_dir, "segments",
+                                       "_META.json"), new_tag)
+        atomic_write_json(os.path.join(index_dir, "manifest.json"), out)
+        return out
     def _merge_offsets_streamed(path: str, nconv: np.ndarray,
                                 noff: np.ndarray, ncnt: np.ndarray) -> None:
         """Streamed sorted-merge of the offsets file with the new block:

@@ -124,6 +124,14 @@ class ParquetDeliverySink:
         tmp = f"{path}.{os.getpid()}.tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
+        # supersede any hi-suffixed files an OLDER writer left for this
+        # (space, pid, lo) key — they carry a different filename, so the
+        # os.replace above would otherwise leave both [lo, hi_old) and
+        # [lo, hi_new) on disk and delivered() would double-count the
+        # overlap
+        import glob
+        for stale in glob.glob(f"{path[:-len('.parquet')]}-*.parquet"):
+            os.remove(stale)
         # remember the newest space (file mtime order is not durable)
         atomic_write_json(os.path.join(self.out_dir, "_space.json"),
                           {"doc_space": doc_space})

@@ -29,7 +29,10 @@ itself is bounded by the TOUCHED partitions, never the corpus:
               into a staging file — the live index is untouched
 [3] commit    sidecar (``pending_repair.json``) marks the swap; per
               partition the consolidated file replaces ALL existing
-              docstore files; segments + doclen sidecars are rebuilt
+              docstore files via a directory-rename swap (open readers
+              see the old file set or the new one, never both — the
+              transient missing-dir instant is retried reader-side);
+              segments + doclen sidecars are rebuilt
               from the docstore (the WAL / source-of-truth pattern the
               append path uses, so any crash/retry rewrites identical
               bytes); repaired doc ids are removed from tombstones
@@ -223,12 +226,32 @@ def _finish_repair(index_dir: str, pending: dict) -> dict:
                 f"pending repair {tag} lost its staging file for partition "
                 f"{pid}; cannot replay — restore from a replica or rebuild")
         dst_dir = os.path.join(docstore_dir, f"partition={pid}")
-        final = os.path.join(dst_dir, f"repair-{tag}.parquet")
-        shutil.copyfile(staged, final + ".tmp")
-        os.replace(final + ".tmp", final)
-        for f in os.listdir(dst_dir):  # the consolidated file IS the
-            if f != os.path.basename(final):  # partition now
-                os.remove(os.path.join(dst_dir, f))
+        # the swap dirs live under STAGING (not inside docstore/):
+        # recursive docstore readers (doc_lengths, sync walks) must
+        # never see a crash's leftover swap dir as extra content
+        new_dir = os.path.join(staging, f"partition={pid}.new-{tag}")
+        old_dir = os.path.join(staging, f"partition={pid}.old-{tag}")
+        # DIRECTORY-rename swap: an already-open reader (the sidecar
+        # guard only blocks NEW PartitionReaders) lists the partition
+        # dir on every gather — publishing the consolidated file and
+        # THEN deleting the old files in place would let a concurrent
+        # gather read every touched doc twice.  With two renames the
+        # reader sees either the old file set or the new one, never
+        # both; the worst case is a transient missing-dir window that
+        # PartitionReader._docstore absorbs with a short retry.
+        # Replay-idempotent: every crash point below converges because
+        # the staged content is deterministic.
+        if os.path.exists(new_dir):
+            shutil.rmtree(new_dir)
+        os.makedirs(new_dir)
+        shutil.copyfile(staged,
+                        os.path.join(new_dir, f"repair-{tag}.parquet"))
+        if os.path.exists(dst_dir):
+            if os.path.exists(old_dir):  # crash after a completed swap
+                shutil.rmtree(old_dir)   # → dst_dir is already the new
+            os.rename(dst_dir, old_dir)  # content; re-swap is harmless
+        os.rename(new_dir, dst_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     futs = [_rebuild_partition.remote(docstore_dir, index_dir, pid,
                                       manifest["config"])

@@ -190,22 +190,57 @@ class SyncReceiver:
             return {"batches": {}, "rows_persisted": 0, "commits": 0}
         return read_json(p)
 
-    def write_activity(self, tenant: str, label: str, table) -> bool:
-        """Persist one batch under ``label``.  Returns False when the
-        label was already persisted (idempotent retry)."""
+    def bind_space(self, tenant: str, doc_space: str) -> None:
+        """Pin the source doc-id space this tenant's WAL belongs to.
+
+        Doc ids are only meaningful WITHIN one build's id space (a
+        rebuild mints a fresh ``manifest['doc_space']`` because it may
+        reuse ids with new meanings — ``build.py:981``); mixing batches
+        from two spaces in one WAL would build a silently-divergent
+        index.  First bind records the space; a later bind with a
+        DIFFERENT space refuses while any rows are persisted — the
+        operator must reset the tenant dir for a fresh initial sync."""
+        state = self.progress(tenant)
+        have = state.get("doc_space")
+        if have == doc_space:
+            return
+        if have is not None and int(state.get("rows_persisted", 0)) > 0:
+            raise RuntimeError(
+                f"tenant {tenant!r} WAL holds rows from doc space "
+                f"{have!r} but the source now serves {doc_space!r} (the "
+                "source index was rebuilt); forward sync would mix two "
+                "incompatible doc-id spaces — reset the receiver tenant "
+                "dir for a fresh initial sync")
+        os.makedirs(self._tdir(tenant), exist_ok=True)
+        state["doc_space"] = doc_space
+        atomic_write_json(self._state_path(tenant), state)
+
+    def _write_labeled(self, tenant: str, label: str, table,
+                       subdir: str, state_key: str) -> bool:
+        """The ONE labeled-batch persistence protocol (check label →
+        parquet via .sync_tmp → atomic replace → record in state):
+        shared by doc and REPAIR batches so the durability semantics
+        can never fork."""
         import pyarrow.parquet as pq
         state = self.progress(tenant)
-        if label in state["batches"]:
+        staged = state.setdefault(state_key, {})
+        if label in staged:
             return False
-        wal = os.path.join(self._tdir(tenant), "wal")
+        wal = os.path.join(self._tdir(tenant), subdir)
         os.makedirs(wal, exist_ok=True)
         path = os.path.join(wal, f"batch-{label}.parquet")
         pq.write_table(table, path + ".sync_tmp")
         os.replace(path + ".sync_tmp", path)
-        state["batches"][label] = table.num_rows
-        state["rows_persisted"] = int(sum(state["batches"].values()))
+        staged[label] = table.num_rows
+        if state_key == "batches":
+            state["rows_persisted"] = int(sum(staged.values()))
         atomic_write_json(self._state_path(tenant), state)
         return True
+
+    def write_activity(self, tenant: str, label: str, table) -> bool:
+        """Persist one batch under ``label``.  Returns False when the
+        label was already persisted (idempotent retry)."""
+        return self._write_labeled(tenant, label, table, "wal", "batches")
 
     def write_repair(self, tenant: str, label: str, table) -> bool:
         """Persist one replayed REPAIR batch (the sender's re-delivery
@@ -214,19 +249,8 @@ class SyncReceiver:
         Labeled and idempotent exactly like ``write_activity``; the
         batch is APPLIED to the destination index at the next
         ``commit`` (in label order = source repair order)."""
-        import pyarrow.parquet as pq
-        state = self.progress(tenant)
-        staged = state.setdefault("repair_batches", {})
-        if label in staged:
-            return False
-        wal = os.path.join(self._tdir(tenant), "wal_repairs")
-        os.makedirs(wal, exist_ok=True)
-        path = os.path.join(wal, f"batch-{label}.parquet")
-        pq.write_table(table, path + ".sync_tmp")
-        os.replace(path + ".sync_tmp", path)
-        staged[label] = table.num_rows
-        atomic_write_json(self._state_path(tenant), state)
-        return True
+        return self._write_labeled(tenant, label, table, "wal_repairs",
+                                   "repair_batches")
 
     def commit(self, tenant: str, cfg) -> dict:
         """Index everything received so far and (re)register the tenant.
@@ -254,12 +278,19 @@ class SyncReceiver:
                                            f"batch-{label}.parquet"))
             try:
                 manifest = repair_index(idir, t)
-            except ValueError:
-                # the repair references convs not yet shipped (a sender
-                # crash mid-sync left the doc WAL short) — keep it
-                # staged and retry at the next commit; later labels
-                # must wait too (repairs apply in source order)
-                break
+            except ValueError as e:
+                if ("unknown conversation" in str(e)
+                        or "indexed extent" in str(e)):
+                    # the repair references convs not yet shipped (a
+                    # sender crash mid-sync left the doc WAL short) —
+                    # keep it staged and retry at the next commit;
+                    # later labels must wait too (repairs apply in
+                    # source order)
+                    break
+                # any OTHER ValueError (corrupt docstore, malformed
+                # batch) will never heal by waiting: swallowing it
+                # would silently block repair replay forever
+                raise
             applied.append(label)
         if (tenant not in self.registry.tenants()
                 or self.registry.index_dir(tenant) != os.path.abspath(idir)):
@@ -322,6 +353,12 @@ class SyncSender:
                 "REPAIR pending; run recover_pending_repair() before "
                 "syncing")
         manifest = read_json(os.path.join(idir, "manifest.json"))
+        # pin the doc-id space FIRST: a rebuilt source mints a new
+        # doc_space and its ids are meaningless against this tenant's
+        # existing WAL — bind_space refuses the mix loudly instead of
+        # letting forward mode ship new-space rows after an old-space
+        # watermark (the same invariant delivery.py keys its cursor on)
+        self.receiver.bind_space(tenant, manifest.get("doc_space", ""))
         state = self.receiver.progress(tenant)
         watermark = int(state.get("rows_persisted", 0))
         mode = "initial" if watermark == 0 else "forward"
@@ -386,6 +423,10 @@ class SyncSender:
         staged = set(state.get("repair_batches", {}))
         dpp = IndexConfig.from_dict(manifest["config"]).docs_per_partition
         sent = skipped = 0
+        # many small repair entries often touch the same hot partition —
+        # cache the per-partition read across the entry loop (bounded
+        # FIFO: one sync never holds more than a few partitions)
+        part_cache: dict[int, pa.Table] = {}
         for i, rep in enumerate(reps):
             label = f"{i:06d}-{rep['tag']}"
             if label in staged:
@@ -399,8 +440,13 @@ class SyncSender:
             ids = np.asarray(sorted(rep["applied_doc_ids"]), np.int64)
             parts = []
             for pid in np.unique(ids // dpp):
-                t = _read_partition_versioned(os.path.join(
-                    idir, "docstore", f"partition={int(pid)}"))
+                pid = int(pid)
+                if pid not in part_cache:
+                    while len(part_cache) >= 4:
+                        part_cache.pop(next(iter(part_cache)))
+                    part_cache[pid] = _read_partition_versioned(
+                        os.path.join(idir, "docstore", f"partition={pid}"))
+                t = part_cache[pid]
                 mask = np.isin(t["doc_id"].to_numpy().astype(np.int64),
                                ids)
                 parts.append(t.filter(pa.array(mask)))

@@ -156,10 +156,13 @@ def heavy_hitters(sf_dir: str, *, denom: int = HH_DENOM,
     though the intermediate candidate set depends on block arrival order.
     """
     from ..tokenize import explode_tokens
-    from ..util import broadcast_get  # captured by VALUE into the stage-2
-    # closure — a relative import inside the worker-side body would need
-    # miru_ray importable on the worker, breaking the arbitrary-cwd driver
-    # contract (same dance as siphon.py's tenant_dirname)
+    from ..util import broadcast_get
+    # ^ imported at DRIVER time so the stage-2 closure captures the
+    # function object (shipped by value thanks to the package-level
+    # register_pickle_by_value in miru_ray/__init__.py); a relative
+    # import executed inside the worker-side body would instead need
+    # miru_ray importable on the worker, breaking the arbitrary-cwd
+    # driver contract (verified: it fails from a /tmp driver)
     if k + 1 < denom:
         # the completeness guarantee needs Δ ≤ N/(k+1) < ceil(N/denom);
         # a smaller k MIGHT still find everything, but "might" is not a

@@ -331,8 +331,17 @@ class PartitionReader:
         return n
 
     def _docstore(self, pid: int) -> pads.Dataset:
-        return pads.dataset(os.path.join(self.index_dir, "docstore",
-                                         f"partition={pid}"), format="parquet")
+        path = os.path.join(self.index_dir, "docstore", f"partition={pid}")
+        # a concurrent REPAIR swaps the partition via two dir renames
+        # (repair._finish_repair); the dir can be absent for a moment —
+        # retry briefly instead of failing the query
+        for attempt in range(5):
+            try:
+                return pads.dataset(path, format="parquet")
+            except FileNotFoundError:
+                if attempt == 4:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
 
     def _segment(self, pid: int, shard: int) -> SegmentReader | None:
         key = (pid, shard)

@@ -408,6 +408,12 @@ def _py_scalar(v):
     item = getattr(v, "item", None)
     v = item() if callable(item) else v
     if isinstance(v, datetime.datetime):
+        # naive datetimes are UTC here (the index's ts values are
+        # tz-less epoch µs) — .timestamp() alone would re-interpret
+        # them in the HOST's timezone, shifting the answer by the UTC
+        # offset relative to the pd.Timestamp branch above
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
         return int(v.timestamp() * 1_000_000)
     if isinstance(v, float) and v != v:  # NaN
         return None

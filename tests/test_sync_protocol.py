@@ -43,8 +43,12 @@ def _split_convs(table, n_head):
 def two_clusters(tmp_path):
     """Source registry with one tenant over the head split; the tail
     split is the later 'forward' delivery."""
+    # xs has 100 conversations — split 80/20 so the tail is a REAL
+    # forward delta (a 400-conv head made the tail empty, turning the
+    # forward-sync test vacuous and masking an append_index crash on
+    # empty deltas)
     t = generate_transcripts("xs")
-    head, tail = _split_convs(t, 400)
+    head, tail = _split_convs(t, 80)
     src_in = str(tmp_path / "src_head.parquet")
     pq.write_table(head, src_in)
     idir = str(tmp_path / "src_idx")
