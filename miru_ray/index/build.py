@@ -1045,29 +1045,14 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     # [1] offsets for the new conversations (appended AFTER the old ids)
     partials = ray.get([_conv_counts_for_file.remote(p) for p in new_files])
     conv, cnt, _max_turn = _merge_conv_partials(partials)
-    if len(cnt) == 0 or int(cnt.sum()) == 0:
-        # empty delta (new files carry no rows): commit the new
-        # fingerprint/input list so the next call takes the up-to-date
-        # fast path, but touch NO doc data — the docstore write path
-        # assumes at least one row (zero blocks would never create the
-        # staging dir) and the doc_space must stay unchanged
-        out = dict(manifest)
-        out.update({"fingerprint": new_fp,
-                    "input_files": sorted(set(manifest["input_files"])
-                                          | set(new_files))})
-        out.setdefault("stages", {})["append"] = {
-            "seconds": round(time.perf_counter() - t_all, 3),
-            "new_docs": 0, "new_files": len(new_files)}
-        new_tag = _build_tag(new_fp, cfg)
-        atomic_write_json(offsets_path + ".meta.json",
-                          {"fingerprint": new_fp,
-                           "n_docs": manifest["n_docs"],
-                           "n_convs": manifest["n_convs"]})
-        atomic_write_json(os.path.join(docstore_dir, "_SUCCESS"), new_tag)
-        atomic_write_json(os.path.join(index_dir, "segments",
-                                       "_META.json"), new_tag)
-        atomic_write_json(os.path.join(index_dir, "manifest.json"), out)
-        return out
+    # NOTE: an EMPTY delta (zero-row new files) flows through every
+    # stage below EXCEPT the docstore staging build/move — the offsets
+    # merge still drops crashed-append leftovers (offset >= old_n), the
+    # stale-tag purge still heals partition dirs, and the boundary
+    # partition still re-encodes deterministically.  An early return
+    # here would commit the new fingerprint while SKIPPING that healing,
+    # durably orphaning a crashed append's phantom docs behind the
+    # up-to-date fast path.
     def _merge_offsets_streamed(path: str, nconv: np.ndarray,
                                 noff: np.ndarray, ncnt: np.ndarray) -> None:
         """Streamed sorted-merge of the offsets file with the new block:
@@ -1152,13 +1137,15 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
     staging = os.path.join(index_dir, "docstore_append_staging")
     if os.path.exists(staging):
         shutil.rmtree(staging)
-    ds = _read_input(new_files)
-    # delta-bounded broadcast: the appended files contain ONLY new
-    # conversations (enforced above), so the assignment never needs the
-    # full offsets table — the O(total convs) ray.put the join gate
-    # exists to avoid
-    delta_ref = ray.put((conv, off))
-    build_docstore(ds, offsets_path, staging, cfg, offsets_ref=delta_ref)
+    if int(cnt.sum()):
+        ds = _read_input(new_files)
+        # delta-bounded broadcast: the appended files contain ONLY new
+        # conversations (enforced above), so the assignment never needs
+        # the full offsets table — the O(total convs) ray.put the join
+        # gate exists to avoid
+        delta_ref = ray.put((conv, off))
+        build_docstore(ds, offsets_path, staging, cfg,
+                       offsets_ref=delta_ref)
     for pdir in sorted(os.listdir(docstore_dir)):
         if not pdir.startswith("partition="):
             continue
@@ -1166,15 +1153,17 @@ def append_index(index_dir: str, manifest: dict, new_files: list[str],
         for stale in os.listdir(dst_dir):  # leftovers of crashed attempts
             if any(stale.startswith(t) for t in stale_tags):
                 os.remove(os.path.join(dst_dir, stale))
-    for pdir in sorted(os.listdir(staging)):
-        if not pdir.startswith("partition="):
-            continue
-        dst_dir = os.path.join(docstore_dir, pdir)
-        os.makedirs(dst_dir, exist_ok=True)
-        for k, f in enumerate(sorted(os.listdir(os.path.join(staging, pdir)))):
-            os.replace(os.path.join(staging, pdir, f),
-                       os.path.join(dst_dir, f"{tag}-{k:05d}.parquet"))
-    shutil.rmtree(staging)
+    if os.path.exists(staging):  # absent for an empty delta (no blocks)
+        for pdir in sorted(os.listdir(staging)):
+            if not pdir.startswith("partition="):
+                continue
+            dst_dir = os.path.join(docstore_dir, pdir)
+            os.makedirs(dst_dir, exist_ok=True)
+            for k, f in enumerate(sorted(os.listdir(
+                    os.path.join(staging, pdir)))):
+                os.replace(os.path.join(staging, pdir, f),
+                           os.path.join(dst_dir, f"{tag}-{k:05d}.parquet"))
+        shutil.rmtree(staging)
     if _crash_after_docstore:  # test hook: simulate a mid-append crash
         raise RuntimeError("simulated crash after append docstore")
 

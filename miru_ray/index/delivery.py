@@ -130,7 +130,8 @@ class ParquetDeliverySink:
         # [lo, hi_new) on disk and delivered() would double-count the
         # overlap
         import glob
-        for stale in glob.glob(f"{path[:-len('.parquet')]}-*.parquet"):
+        prefix = glob.escape(path[:-len(".parquet")])  # out_dir may hold
+        for stale in glob.glob(f"{prefix}-*.parquet"):  # glob metachars
             os.remove(stale)
         # remember the newest space (file mtime order is not durable)
         atomic_write_json(os.path.join(self.out_dir, "_space.json"),

@@ -74,6 +74,14 @@ REPAIR_SIDECAR = "pending_repair.json"
 STAGING_DIR = "docstore_repair_staging"
 
 
+class RepairAheadOfWAL(ValueError):
+    """The repair batch references turns the index has not (yet) seen —
+    unknown conversation or out-of-range turn.  For a sync RECEIVER this
+    is a WAIT condition (the doc WAL is short after a sender crash), not
+    a failure; everything else stays a plain ValueError so callers can
+    discriminate by type instead of message text."""
+
+
 def _resolve_doc_ids(index_dir: str, conv: np.ndarray,
                      turn: np.ndarray) -> np.ndarray:
     """conv-offset id reuse (the ``timeIdIndex.lookup`` analogue): stream
@@ -94,15 +102,15 @@ def _resolve_doc_ids(index_dir: str, conv: np.ndarray,
         bad = hit & ((st < 0) | (st >= on[pos]))
         if bad.any():
             i = int(np.argmax(bad))
-            raise ValueError(
+            raise RepairAheadOfWAL(
                 f"repair row ({sc[i]!r}, turn {int(st[i])}) is outside the "
                 "conversation's indexed extent — REPAIR re-indexes existing "
                 "turns only; use append for new ones")
         out[order[hit]] = oo[pos[hit]] + st[hit]
     if (out < 0).any():
         i = int(np.argmax(out < 0))
-        raise ValueError(f"repair row references unknown conversation "
-                         f"{conv[i]!r}")
+        raise RepairAheadOfWAL(f"repair row references unknown conversation "
+                               f"{conv[i]!r}")
     return out
 
 
@@ -238,7 +246,7 @@ def _finish_repair(index_dir: str, pending: dict) -> dict:
         # gather read every touched doc twice.  With two renames the
         # reader sees either the old file set or the new one, never
         # both; the worst case is a transient missing-dir window that
-        # PartitionReader._docstore absorbs with a short retry.
+        # PartitionReader._docstore_read absorbs with a short retry.
         # Replay-idempotent: every crash point below converges because
         # the staged content is deterministic.
         if os.path.exists(new_dir):

@@ -190,7 +190,8 @@ class SyncReceiver:
             return {"batches": {}, "rows_persisted": 0, "commits": 0}
         return read_json(p)
 
-    def bind_space(self, tenant: str, doc_space: str) -> None:
+    def bind_space(self, tenant: str, doc_space: str,
+                   force: bool = False) -> None:
         """Pin the source doc-id space this tenant's WAL belongs to.
 
         Doc ids are only meaningful WITHIN one build's id space (a
@@ -204,13 +205,30 @@ class SyncReceiver:
         have = state.get("doc_space")
         if have == doc_space:
             return
-        if have is not None and int(state.get("rows_persisted", 0)) > 0:
-            raise RuntimeError(
-                f"tenant {tenant!r} WAL holds rows from doc space "
-                f"{have!r} but the source now serves {doc_space!r} (the "
-                "source index was rebuilt); forward sync would mix two "
-                "incompatible doc-id spaces — reset the receiver tenant "
-                "dir for a fresh initial sync")
+        if int(state.get("rows_persisted", 0)) > 0:
+            if have is None and not force:
+                # pre-guard state: rows were persisted before doc_space
+                # recording existed, so whether they belong to the
+                # source's CURRENT space cannot be verified — refusing
+                # here is the same mixed-space protection; an operator
+                # certain the source was never rebuilt passes force=True
+                raise RuntimeError(
+                    f"tenant {tenant!r} WAL holds "
+                    f"{state['rows_persisted']} rows persisted before "
+                    "doc-space recording; cannot verify they belong to "
+                    f"the source's current space {doc_space!r} — reset "
+                    "the receiver tenant dir for a fresh initial sync, "
+                    "or bind_space(..., force=True) if the source was "
+                    "never rebuilt")
+            if have is not None:
+                # a KNOWN mismatch is never forceable — the rows
+                # verifiably belong to another space
+                raise RuntimeError(
+                    f"tenant {tenant!r} WAL holds rows from doc space "
+                    f"{have!r} but the source now serves {doc_space!r} "
+                    "(the source index was rebuilt); forward sync would "
+                    "mix two incompatible doc-id spaces — reset the "
+                    "receiver tenant dir for a fresh initial sync")
         os.makedirs(self._tdir(tenant), exist_ok=True)
         state["doc_space"] = doc_space
         atomic_write_json(self._state_path(tenant), state)
@@ -262,7 +280,7 @@ class SyncReceiver:
         import pyarrow.parquet as pq
 
         from .build import build_index
-        from .repair import repair_index
+        from .repair import RepairAheadOfWAL, repair_index
         wal = os.path.join(self._tdir(tenant), "wal")
         files = sorted(os.path.join(wal, f) for f in os.listdir(wal)
                        if f.endswith(".parquet"))
@@ -278,19 +296,15 @@ class SyncReceiver:
                                            f"batch-{label}.parquet"))
             try:
                 manifest = repair_index(idir, t)
-            except ValueError as e:
-                if ("unknown conversation" in str(e)
-                        or "indexed extent" in str(e)):
-                    # the repair references convs not yet shipped (a
-                    # sender crash mid-sync left the doc WAL short) —
-                    # keep it staged and retry at the next commit;
-                    # later labels must wait too (repairs apply in
-                    # source order)
-                    break
-                # any OTHER ValueError (corrupt docstore, malformed
-                # batch) will never heal by waiting: swallowing it
+            except RepairAheadOfWAL:
+                # the repair references convs not yet shipped (a sender
+                # crash mid-sync left the doc WAL short) — keep it
+                # staged and retry at the next commit; later labels
+                # must wait too (repairs apply in source order).  Any
+                # OTHER error (corrupt docstore, malformed batch) will
+                # never heal by waiting and propagates: swallowing it
                 # would silently block repair replay forever
-                raise
+                break
             applied.append(label)
         if (tenant not in self.registry.tenants()
                 or self.registry.index_dir(tenant) != os.path.abspath(idir)):

@@ -242,7 +242,7 @@ def heavy_hitters(sf_dir: str, *, denom: int = HH_DENOM,
         raise ValueError(
             f"Misra–Gries undercount bound Δ={big_delta} reaches the "
             f"threshold {threshold}: capacity k={k} is too small for "
-            f"denom={denom} (need k ≥ denom); raise k")
+            f"denom={denom} (need k + 1 ≥ denom); raise k")
     cand = sorted(t for t, c in summary.items()
                   if c >= threshold - big_delta)
     if not cand:

@@ -195,7 +195,7 @@ class PartitionReader:
         """(Re)load one partition's docstore-derived arrays: ts, doc
         lengths, BM25 length norm, ts zone map."""
         base, count = self.parts[pid]["base"], self.parts[pid]["count"]
-        t = self._docstore(pid).to_table(columns=["doc_id", "ts"])
+        t = self._docstore_read(pid, columns=["doc_id", "ts"])
         tsa = np.zeros(count, np.int64)
         idx = t["doc_id"].to_numpy() - base
         # bound by the MANIFEST's partition extent: an in-flight (or
@@ -330,14 +330,19 @@ class PartitionReader:
                             for p, v in tomb.items()}
         return n
 
-    def _docstore(self, pid: int) -> pads.Dataset:
+    def _docstore_read(self, pid: int, **to_table_kwargs) -> pa.Table:
+        """Read this partition's docstore rows (open + read as ONE
+        retried unit).  A concurrent REPAIR swaps the partition via two
+        dir renames (repair._finish_repair): the dir can be absent for
+        a moment, and file paths discovered by ``pads.dataset`` can
+        vanish before ``to_table`` — both surface as FileNotFoundError,
+        so the retry must cover the whole open+read, not just the
+        open."""
         path = os.path.join(self.index_dir, "docstore", f"partition={pid}")
-        # a concurrent REPAIR swaps the partition via two dir renames
-        # (repair._finish_repair); the dir can be absent for a moment —
-        # retry briefly instead of failing the query
         for attempt in range(5):
             try:
-                return pads.dataset(path, format="parquet")
+                return pads.dataset(path, format="parquet").to_table(
+                    **to_table_kwargs)
             except FileNotFoundError:
                 if attempt == 4:
                     raise
@@ -812,8 +817,8 @@ class PartitionReader:
                 if ok is not None and len(ok):
                     mask[np.unique(ok // M)] = True
                 return mask
-            t = self._docstore(pid).to_table(
-                columns=["doc_id", node.field],
+            t = self._docstore_read(
+                pid, columns=["doc_id", node.field],
                 filter=pads.field("doc_id").isin(cand.tolist()))
             # adjacency over the SAME token stream the index saw (stopwords
             # stripped when the index strips them — analyzer parity)
@@ -1273,9 +1278,9 @@ class PartitionReader:
             by_pid[int(d) // dpp].append(int(d))
         tables = []
         for pid, ids in by_pid.items():
-            dset = self._docstore(pid)
-            t = dset.to_table(columns=list(dict.fromkeys(["doc_id"] + columns)),
-                              filter=pads.field("doc_id").isin(ids))
+            t = self._docstore_read(
+                pid, columns=list(dict.fromkeys(["doc_id"] + columns)),
+                filter=pads.field("doc_id").isin(ids))
             tables.append(t)
         return pa.concat_tables(tables) if tables else pa.table({})
 

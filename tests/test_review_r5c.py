@@ -112,6 +112,58 @@ def test_append_empty_delta_is_noop(tmp_path):
     assert m3["doc_space"] == m1["doc_space"]
 
 
+def test_empty_append_after_crashed_append_heals_leftovers(tmp_path):
+    """An empty-delta append must flow through the same leftover healing
+    as a real one (review finding: an early-return committed the new
+    fingerprint while SKIPPING the crashed-append cleanup, durably
+    orphaning phantom docs behind the up-to-date fast path)."""
+    import numpy as np
+    import pyarrow.parquet as pqm
+
+    from miru_ray.index.build import append_index, input_fingerprint
+    from miru_ray.util import read_json
+    t = generate_transcripts("xs")
+    convs = sorted(set(t["conv_id"].to_pylist()))
+    head_set = set(convs[:80])
+    mask = pa.array([c in head_set for c in t["conv_id"].to_pylist()])
+    head, tail = t.filter(mask), t.filter(pa.compute.invert(mask))
+    a = str(tmp_path / "a.parquet")
+    pq.write_table(head, a)
+    idir = str(tmp_path / "idx")
+    m1 = build_index(a, idir, CFG)
+    # crash a REAL append after its docstore move
+    b_real = str(tmp_path / "b.parquet")
+    pq.write_table(tail, b_real)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_index(idir, m1, [b_real],
+                     input_fingerprint([a, b_real]), CFG,
+                     _crash_after_docstore=True)
+    assert os.path.exists(os.path.join(idir, "pending_append.json"))
+    # now an EMPTY append: must heal the crashed leftovers, not entomb
+    # them behind the committed fingerprint
+    b_empty = str(tmp_path / "b_empty.parquet")
+    pq.write_table(t.slice(0, 0), b_empty)
+    m2 = build_index([a, b_empty], idir, CFG)
+    assert m2["n_docs"] == m1["n_docs"]
+    assert m2["doc_space"] == m1["doc_space"]
+    assert not os.path.exists(os.path.join(idir, "pending_append.json"))
+    # offsets hold no phantom rows past the manifest's doc allocation
+    off = pqm.read_table(os.path.join(idir, "conv_offsets.parquet"))
+    assert int(off["offset"].to_numpy().max()) < m1["n_docs"]
+    # docstore holds exactly n_docs rows (crashed files purged)
+    import pyarrow.dataset as pads
+    ids = pads.dataset(os.path.join(idir, "docstore"),
+                       format="parquet").to_table(
+                           columns=["doc_id"])["doc_id"].to_numpy()
+    assert len(ids) == m1["n_docs"]
+    assert int(np.max(ids)) == m1["n_docs"] - 1
+    # and the REAL append still lands cleanly afterwards
+    m3 = build_index([a, b_empty, b_real], idir, CFG)
+    assert m3["n_docs"] == t.num_rows
+    assert m3["doc_space"] == m1["doc_space"]
+    assert m3["stages"]["append"]["new_docs"] == tail.num_rows
+
+
 def test_delivery_sink_sweeps_legacy_hi_suffixed_files(tmp_path):
     """deliver() keys files on (space, pid, lo); a legacy file from the
     old hi-suffixed naming for the same key must be superseded, not

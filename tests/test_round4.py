@@ -328,7 +328,7 @@ def test_phrase_bigram_postings(tmp_path):
 
     # 2-token phrase must not gather from the docstore on the bigram index
     r = PartitionReader(bg_dir, [0, 1])
-    r._docstore = lambda pid: (_ for _ in ()).throw(
+    r._docstore_read = lambda pid, **kw: (_ for _ in ()).throw(
         AssertionError("docstore touched for a 2-token bigram phrase"))
     got = r.search(Phrase("text", ("alpha", "beta")), 10, "bm25",
                    {"alpha": 1, "beta": 1}, {"alpha": (5, 8),
