@@ -100,6 +100,13 @@ def parse_query(q: str, default_field: str = "text",
             elif t == "NOT":
                 negate_next = True
                 continue
+            elif t == "-" and peek() == "(":
+                # '-(a b)': '(' can never join a word token, so the '-'
+                # arrives alone — without this branch it would dissolve
+                # in _atom and the group would attach as a POSITIVE
+                # clause, returning exactly the docs the user excluded
+                negate_next = True
+                continue
             elif t.startswith("-") and len(t) > 1:
                 negate_next = True
                 node = _atom(t[1:], default_field, stopwords)
@@ -195,9 +202,14 @@ def _atom(tok: str, default_field: str,
                 return None
             node: Node = (Term(field, toks[-1]) if edits == 0  # '~0' exact
                           else Fuzzy(field, toks[-1], max_edits=edits))
-            if len(toks) > 1:  # 'foo-bar~': foo required, last token fuzzy
-                node = And(tuple(Term(field, t) for t in toks[:-1])
-                           + (node,))
+            # 'foo-bar~': foo required, last token fuzzy.  The required
+            # LEADING terms get analyzer parity (stopwords dropped, not
+            # turned into no-postings Terms that match nothing); the
+            # fuzzy body itself is never dropped
+            lead = [t for t in toks[:-1]
+                    if not stopwords or t not in stopwords]
+            if lead:
+                node = And(tuple(Term(field, t) for t in lead) + (node,))
             return Boost(node, boost) if boost is not None else node
     inner = _atom_base(tok, default_field, stopwords)
     if inner is None or boost is None:
@@ -263,10 +275,14 @@ def _atom_base(tok: str, default_field: str,
             if not toks:
                 return None
             pre = Prefix(field, toks[-1])
-            if len(toks) > 1:  # 'foo-bar*': foo is a required term, the
-                #                LAST token is the prefix — never dropped
-                return And(tuple(Term(field, t) for t in toks[:-1])
-                           + (pre,))
+            # 'foo-bar*': foo is a required term, the LAST token is the
+            # prefix — never dropped.  Leading terms get analyzer parity
+            # (a stopword lead would otherwise become a Term with no
+            # postings and the AND would match nothing)
+            lead = [t for t in toks[:-1]
+                    if not stopwords or t not in stopwords]
+            if lead:
+                return And(tuple(Term(field, t) for t in lead) + (pre,))
             return pre
         # 'field:*' with an empty body = EXISTS query (Lucene field
         # wildcard): every doc holding any value for the keyword field —

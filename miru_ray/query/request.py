@@ -125,6 +125,35 @@ def _req_key(d, key: str, ctx: str):
     return d[key]
 
 
+def _values_list(ff: dict) -> list:
+    """A fieldFilter's ``values`` as a LIST — a bare JSON string would
+    otherwise iterate per CHARACTER, silently matching an Or of
+    single-letter terms instead of rejecting with a messaged error."""
+    vals = ff.get("values") or []
+    if isinstance(vals, (str, bytes)) or not isinstance(vals,
+                                                        (list, tuple)):
+        raise ValueError(
+            f"fieldFilter 'values' must be a list, got "
+            f"{type(vals).__name__}: {vals!r}")
+    return list(vals)
+
+
+def _prefix_str(p) -> str:
+    """One ``prefixes`` entry → its prefix string, with the same
+    messaged-rejection contract as field-filter values (a malformed
+    MiruValue must not leak KeyError/IndexError, and a multi-part value
+    must not silently truncate to its first part)."""
+    if isinstance(p, dict):
+        raw = p.get("parts")
+        if not isinstance(raw, (list, tuple)) or not raw:
+            raise ValueError(f"prefix MiruValue without parts: {p!r}")
+        if len(raw) != 1:
+            raise ValueError(
+                f"multi-part prefix values are not supported: {p!r}")
+        return _value_str(raw[0])
+    return _value_str(p)
+
+
 def _value_parts(v) -> list[str]:
     """A JSON field-filter value for a COMPOSITE field → its part list:
     a ``MiruValue{parts: [...]}`` keeps its parts, a plain scalar is one
@@ -178,7 +207,7 @@ def filter_to_ast(f: dict, text_fields: tuple = ("text",),
             # prefix of the parts = a complete-or-fail part-boundary
             # range scan (MiruTermComposer.prefixLowerInclusive:176-206)
             from .composer import compose_part_prefix, compose_parts
-            for v in (ff.get("values") or []):
+            for v in _values_list(ff):
                 parts = _value_parts(v)
                 if len(parts) > nparts:
                     raise ValueError(
@@ -189,7 +218,7 @@ def filter_to_ast(f: dict, text_fields: tuple = ("text",),
                 else:
                     terms.append(Prefix(fld, compose_part_prefix(parts)))
         else:
-            vals = [_value_str(v) for v in (ff.get("values") or [])]
+            vals = [_value_str(v) for v in _values_list(ff)]
             if fld in text_fields:
                 vals = [v.lower() for v in vals]
             terms = [Term(fld, v) for v in vals]
@@ -348,10 +377,24 @@ def authz_clause(request: dict) -> Authz | None:
     """The request's authzExpression as an AST clause (ONE definition —
     the answerers must all honor the same custom-field default)."""
     az = request.get("authzExpression")
-    if az and az.get("values"):
-        return Authz(tuple(str(v) for v in az["values"]),
-                     field=az.get("field", "acl"))
-    return None
+    if not az:
+        return None
+    if not isinstance(az, dict):
+        # a bare list/string would crash on .get (or iterate per char) —
+        # the request surface's one rejection class is a messaged error
+        raise ValueError(
+            f"authzExpression must be an object with 'values', got "
+            f"{type(az).__name__}: {az!r}")
+    vals = az.get("values")
+    if not vals:
+        return None
+    if isinstance(vals, (str, bytes)) or not isinstance(vals,
+                                                        (list, tuple)):
+        raise ValueError(
+            f"authzExpression 'values' must be a list, got "
+            f"{type(vals).__name__}: {vals!r}")
+    return Authz(tuple(str(v) for v in vals),
+                 field=az.get("field", "acl"))
 
 
 def exhausted_before(searcher, lo: int) -> bool:
@@ -696,8 +739,13 @@ def _gather_distinct_terms(searcher, dq: dict) -> set[str]:
     if not dq.get("timeRange"):  # DistinctsQuery.java:32 rejects ALL_TIME
         raise ValueError("distinctQueries entries require an explicit "
                          "timeRange")
-    prefixes = [p["parts"][0] if isinstance(p, dict) else str(p)
-                for p in (dq.get("prefixes") or [])]
+    raw_prefixes = dq.get("prefixes") or []
+    if isinstance(raw_prefixes, (str, bytes)) \
+            or not isinstance(raw_prefixes, (list, tuple)):
+        raise ValueError(
+            f"'prefixes' must be a list, got "
+            f"{type(raw_prefixes).__name__}: {raw_prefixes!r}")
+    prefixes = [_prefix_str(p) for p in raw_prefixes]
     cf = dq.get("constraintsFilter")
     if cf:
         ast = _gate_ast({}, {"constraintsFilter": cf}, searcher.cfg,
@@ -974,8 +1022,13 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
     log: list[str] = []
 
     def _merged_counts(ast, keys: list[str]) -> dict[str, int]:
+        # expansion nodes (composite parts-prefix values, wildcards)
+        # must be resolved BEFORE the fan-out — readers look expansions
+        # up by key and an empty dict silently evaluates the clause to
+        # match-nothing
+        exp, _tc, _st = searcher._prepare(ast, need_stats=False)
         tot: dict[str, int] = {k: 0 for k in keys}
-        for part in searcher._fanout("term_match_counts", ast, keys, {}):
+        for part in searcher._fanout("term_match_counts", ast, keys, exp):
             for k, c in part.items():
                 tot[k] += c
         return tot
@@ -1025,8 +1078,9 @@ def _execute_reco(searcher, request: dict, t0: float) -> dict:
     # hop 3: contributors' distinct parents <field3>, scored by count
     contrib_keys = [k for _c, k in ranked2]
     rows: dict[str, set] = {k: set() for k in contrib_keys}
+    exp_ok, _tc, _st = searcher._prepare(ok_ast, need_stats=False)
     for part in searcher._fanout("term_pair_rows", ok_ast, contrib_keys,
-                                 keys3, {}):
+                                 keys3, exp_ok):
         for k, vs in part.items():
             rows[k] |= vs
     scored: dict[str, int] = {}

@@ -156,15 +156,11 @@ def _feature_fields(defn: dict, cfg) -> list[
     return out
 
 
-def _build_model(searcher, request: dict, defn: dict, mq: dict):
-    """The Catwalk model: per feature, per value tuple — numerators[] +
-    denominator (``Catwalk.java:88-215``).  Returns (features,
-    model: one ``{value_tuple → (nums tuple, den)}`` dict per feature,
-    numerator_sets, modelCounts)."""
-    from .request import (_expand_field_keys, composite_parts_of,
-                          filter_to_ast)
-    gather = str(_req_key(defn, "gatherField", "catwalk definition"))
-    feats = _feature_fields(defn, searcher.cfg)
+def _validate_model_query(defn: dict, mq: dict) -> tuple[int, int]:
+    """Cheap DTO validation, shared by COLD builds and CACHE hits —
+    accept/reject must never depend on cache state (numeratorCount is
+    not part of the model-cache key, so a hit would otherwise skip the
+    check a cold request fails).  Returns (numeratorCount, topN)."""
     filters = mq.get("modelFilters")
     if not isinstance(filters, (list, tuple)) or not filters:
         raise ValueError("modelQuery requires a non-empty modelFilters "
@@ -175,6 +171,20 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
     top_n = int(mq.get("desiredNumberOfResults") or 0)
     if top_n < 1:  # CatwalkModelQuery.java:108
         raise ValueError("Number of results must be at least 1")
+    return nc, top_n
+
+
+def _build_model(searcher, request: dict, defn: dict, mq: dict):
+    """The Catwalk model: per feature, per value tuple — numerators[] +
+    denominator (``Catwalk.java:88-215``).  Returns (features,
+    model: one ``{value_tuple → (nums tuple, den)}`` dict per feature,
+    numerator_sets, modelCounts)."""
+    from .request import (_expand_field_keys, composite_parts_of,
+                          filter_to_ast)
+    gather = str(_req_key(defn, "gatherField", "catwalk definition"))
+    feats = _feature_fields(defn, searcher.cfg)
+    nc, top_n = _validate_model_query(defn, mq)
+    filters = mq.get("modelFilters")
     base = _ok_clauses(request, mq.get("timeRange"), searcher.cfg)
     gather_keys = _expand_field_keys(searcher, gather)
 
@@ -182,8 +192,12 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
 
     def _counts(ast: Node | None, keys: list[str]) -> dict[str, int]:
         ast = _ALIVE if ast is None else ast
+        # expansion nodes in the gate (composite parts-prefix values,
+        # wildcards) resolve BEFORE the fan-out — an empty expansions
+        # dict silently evaluates them to match-nothing
+        exp, _tc, _st = searcher._prepare(ast, need_stats=False)
         tot = {k: 0 for k in keys}
-        for part in searcher._fanout("term_match_counts", ast, keys, {}):
+        for part in searcher._fanout("term_match_counts", ast, keys, exp):
             for k, c in part.items():
                 tot[k] += c
         return tot
@@ -191,8 +205,10 @@ def _build_model(searcher, request: dict, defn: dict, mq: dict):
     def _pair_counts(ast: Node | None, k1: list[str],
                      k2: list[str]) -> np.ndarray:
         ast = _ALIVE if ast is None else ast
+        exp, _tc, _st = searcher._prepare(ast, need_stats=False)
         tot = np.zeros((len(k1), len(k2)), np.int64)
-        for part in searcher._fanout("term_pair_counts", ast, k1, k2, {}):
+        for part in searcher._fanout("term_pair_counts", ast, k1, k2,
+                                     exp):
             tot += part
         return tot
 
@@ -349,6 +365,9 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
         cache = searcher._strut_models = {}
     models = []
     for ms in scalars_q:
+        # validate the DTO regardless of cache state (the cache key does
+        # not cover numeratorCount)
+        _validate_model_query(defn, ms.get("catwalkModelQuery") or {})
         # key includes the caller's authz scope (a model built under one
         # ACL gate must never answer a differently-scoped caller) and
         # the searcher's mutation epoch (remove_docs invalidates —
@@ -384,10 +403,14 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
     # candidates: gatherField terms active under constraint ∧ timeRange;
     # stats = (count, max_ts, doc_at_max) per key from ONE fan-out
     gather_keys = _expand_field_keys(searcher, gather)
+    # resolve the gate's expansion nodes ONCE (the gate is constant for
+    # this request) — readers look expansions up by key, and an empty
+    # dict silently turns them into match-nothing
+    gate_exp, _tc, _st = searcher._prepare(gate, need_stats=False)
     stats: dict[str, tuple[int, int, int]] = {k: (0, -1, -1)
                                               for k in gather_keys}
     for part in searcher._fanout("term_match_stats", gate, gather_keys,
-                                 {}):
+                                 gate_exp):
         for k, (c, t, d) in part.items():
             c0, t0_, d0 = stats[k]
             stats[k] = (c0 + c, *max((t0_, d0), (t, d)))
@@ -404,7 +427,10 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
     if combo_fields:
         import pandas as pd
         ids = searcher.match_docs(gate)
-        gcols = [gather] + combo_fields
+        # dedupe: a feature field may BE the gather field (or repeat) —
+        # duplicated pandas columns would turn sub[col] into a frame and
+        # break the row filter and groupby below
+        gcols = list(dict.fromkeys([gather] + combo_fields))
         gat = searcher.gather(ids, columns=gcols) if len(ids) else None
         combo_df = gat.to_pandas() if gat is not None else \
             pd.DataFrame(columns=gcols)
@@ -413,15 +439,15 @@ def execute_strut(searcher, request: dict, t0: float) -> dict:
         if len(fields) == 1:
             vkeys = _expand_field_keys(searcher, fields[0])
             for part in searcher._fanout("term_pair_rows", gate, cands,
-                                         vkeys, {}):
+                                         vkeys, gate_exp):
                 for k, vs in part.items():
                     rows[k] |= {(v.split(":", 1)[1],) for v in vs}
         else:
             f1, f2 = fields
-            sub = combo_df[[gather, f1, f2]]
+            sub = combo_df[list(dict.fromkeys([gather, f1, f2]))]
             # term-composer visibility: empty/null values are never
             # indexed, so they form no combo
-            for col in (f1, f2):
+            for col in dict.fromkeys((f1, f2)):
                 sub = sub[sub[col].notna() & (sub[col] != "")]
             for conv, g in sub.groupby(gather):
                 key = f"{gather}:{conv}"

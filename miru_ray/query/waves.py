@@ -298,6 +298,17 @@ def execute_anomaly(searcher, request: dict, t0: float) -> dict:
             expansions.extend(sorted(k.split(":", 1)[1] for k in found))
         else:
             expansions.append(e)
+    if exp_values and not expansions:
+        # every REQUESTED expansion resolved to zero terms (a wildcard
+        # matching nothing): the answer is an empty waveforms map — the
+        # bare-filter fallback below is only for requests that asked for
+        # no expansion at all, never a silent degradation to
+        # unrestricted corpus-wide sums under the wrong keys
+        return _respond(request, searcher,
+                        {"waveforms": {},
+                         "resultsExhausted": _exhausted(searcher, lo)},
+                        t0, [f"anomaly field={field!r}: expansionValues "
+                             "matched no terms"])
     keys: list[str] = []
     asts: list[Node] = []
     for name in filters:
