@@ -1223,6 +1223,17 @@ def q_or_not_docs(sf_dir: str, a: str, b: str, c: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs))})
 
 
+def q_parsed_count(sf_dir: str, qstr: str) -> pa.Table:
+    """Count through the QUERY-STRING parser (not a hand-built AST) so
+    the gate witnesses parser semantics end-to-end — added for the
+    negated-group form '-(a b)' (Lucene MUST_NOT of a sub-clause),
+    which previously parsed as a positive clause."""
+    from ..query.parser import parse_query
+    s = searcher_for(sf_dir)
+    return pa.table({"n_matched": pa.array([s.count(parse_query(qstr))],
+                                           type=pa.int64())})
+
+
 def q_prefix_count(sf_dir: str, prefix: str) -> pa.Table:
     from ..query.filter import Prefix
     s = searcher_for(sf_dir)

@@ -58,6 +58,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "request_composite_filter",
     "repair_upsert_counts",
     "terms_heavy_hitters",
+    "fulltext_negated_group_count",
     # 3) stalest witnesses first (VERDICT r4 ask #4): last green in r01/r02
     #    on code that has changed since
     "events_uniques_hll",                       # r01
@@ -241,6 +242,16 @@ WHERE term IN ('spark', 'merge')
   AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY doc_id
 """.strip(), ("filter",))
+    reg("fulltext_negated_group_count",
+        lambda sf: F.q_parsed_count(sf, "spark -(merge dup)"), f"""
+{P}
+SELECT count(*)::BIGINT AS n_matched FROM (
+  SELECT doc_id FROM tf WHERE term = 'spark'
+  EXCEPT
+  SELECT doc_id FROM (
+    SELECT doc_id FROM tf WHERE term IN ('merge', 'dup')
+    GROUP BY doc_id HAVING count(DISTINCT term) = 2))
+""".strip(), ("filter", "parser"))
     reg("fulltext_prefix_count", lambda sf: F.q_prefix_count(sf, "s"), f"""
 {P}
 SELECT count(DISTINCT doc_id)::BIGINT AS n_matched FROM tf
