@@ -170,12 +170,31 @@ def _learn_centroids(ds: "ray.data.Dataset", k: int,
     return cids, C
 
 
+_CENTROID_CACHE: dict = {}
+
+
+def _centroids_for(sf_dir: str, k: int, iters: int):
+    """Centroids memoized per (embeddings fingerprint, k, iters) — the
+    three registered embed_* queries share one clustering, and each
+    learn is ≥ 2 full corpus passes (the same re-ask memo pattern as
+    dedup's _LABELS_CACHE / similarity's _BRUTE_CACHE)."""
+    from ..util import input_fingerprint
+    ck = (input_fingerprint([os.path.join(sf_dir, "embeddings.parquet")]),
+          int(k), int(iters))
+    if ck not in _CENTROID_CACHE:
+        while len(_CENTROID_CACHE) >= 4:
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+        _CENTROID_CACHE[ck] = _learn_centroids(_quantized(sf_dir), k,
+                                               iters)
+    return _CENTROID_CACHE[ck]
+
+
 def kmeans_assign(sf_dir: str, k: int = K_CLUSTERS,
                   iters: int = KM_ITERS) -> pa.Table:
     """Final (vec_id, cluster) assignment after ``iters`` Lloyd rounds
     (see :func:`_learn_centroids` for the per-round scale shape)."""
     ds = _quantized(sf_dir)
-    cids, C = _learn_centroids(ds, k, iters)
+    cids, C = _centroids_for(sf_dir, k, iters)
     c_ref = ray.put((cids, C))
 
     def final(b: pa.Table) -> pa.Table:
@@ -210,7 +229,7 @@ def cluster_sample(sf_dir: str, k: int = K_CLUSTERS,
     merged on the driver — never the corpus."""
     from ..util import md5_64
     ds = _quantized(sf_dir)
-    cids, C = _learn_centroids(ds, k, iters)
+    cids, C = _centroids_for(sf_dir, k, iters)
     c_ref = ray.put((cids, C))
 
     def sample_partial(b: pa.Table) -> pa.Table:
@@ -231,6 +250,13 @@ def cluster_sample(sf_dir: str, k: int = K_CLUSTERS,
     parts = (ds.map_batches(sample_partial, batch_format="pyarrow",
                             batch_size=8192)
              .to_pandas())  # ≤ k·n_per rows PER BATCH — partials only
+    if "h" not in parts.columns:  # empty embeddings table: Ray's empty
+        #  stream loses column names (matching _learn_centroids' empty
+        #  support)
+        import pandas as pd
+        parts = pd.DataFrame({"cluster": np.array([], np.int64),
+                              "vec_id": np.array([], np.int64),
+                              "h": np.array([], np.uint64)})
     parts["h"] = parts["h"].astype(np.uint64)
     parts = parts.sort_values(["cluster", "h", "vec_id"])
     out = parts.groupby("cluster", as_index=False).head(n_per)
@@ -284,8 +310,7 @@ def semdedup_counts(sf_dir: str, k: int = K_CLUSTERS,
     equal to the SQL oracle); the drop rule 'exists earlier same-cluster
     vector with cos ≥ tau' is order-free (a membership predicate, not an
     iteration), so it is exactly the oracle's EXISTS join."""
-    ds = _quantized(sf_dir)
-    cids, C = _learn_centroids(ds, k, iters)
+    cids, C = _centroids_for(sf_dir, k, iters)
     c_ref = ray.put((cids, C))
     emb = _embeddings(sf_dir)
 
@@ -305,8 +330,13 @@ def semdedup_counts(sf_dir: str, k: int = K_CLUSTERS,
         norms[norms == 0] = 1.0
         N = M / norms[:, None]
         sims = N @ N.T
-        # dropped[j] ⇔ ∃ i < j (vec_id order) with cos(i, j) ≥ tau
-        dropped = (np.triu(sims, k=1) >= tau).any(axis=0)
+        # dropped[j] ⇔ ∃ i < j (vec_id order) with cos(i, j) ≥ tau.
+        # Boolean i<j mask, NOT triu-zeroing: triu writes 0 into the
+        # masked cells, and with tau ≤ 0 those zeros would satisfy
+        # >= tau, marking EVERY vector (even each cluster's first)
+        # dropped — diverging from the oracle's EXISTS predicate
+        lower = np.tril(np.ones_like(sims, dtype=bool))
+        dropped = ((sims >= tau) & ~lower).any(axis=0)
         return pa.table({
             "cluster": pa.array([int(g["cluster"][0].as_py())], pa.int64()),
             "n_vecs": pa.array([len(ids)], pa.int64()),

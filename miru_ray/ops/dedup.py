@@ -106,8 +106,12 @@ def _colliding_rows(bands: "ray.data.Dataset", key_col: str,
     bands = bands.materialize()
 
     def partial_counts(t: pa.Table) -> pa.Table:
+        # select by NAME: pyarrow's key-vs-aggregate column ORDER has
+        # changed across releases (the same trap mixing.py documents) —
+        # a positional rename would silently swap keys and counts
         g = t.group_by(key_col).aggregate([(key_col, "count")])
-        return g.rename_columns([key_col, "c"])
+        return pa.table({key_col: g[key_col],
+                         "c": g[f"{key_col}_count"]})
 
     partials = bands.map_batches(partial_counts, batch_format="pyarrow",
                                  batch_size=65536)
@@ -183,19 +187,23 @@ def _expand_pairs(coll: pd.DataFrame, key_col: str) -> set[tuple[int, int]]:
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     sizes = np.diff(np.r_[starts, len(keys)])
     packed = []
-    shift = np.int64(32)  # doc ids fit 32 bits in every supported corpus
+    # pack as UNSIGNED 64-bit: doc ids fit 32 bits in every supported
+    # corpus, but an id in [2^31, 2^32) would overflow a signed int64
+    # shift (a<<32 wraps negative, >>32 sign-extends) — reachable at the
+    # design scale, and the dup derivation triples ids
+    shift = np.uint64(32)
     for s in np.unique(sizes):
         if s < 2:
             continue
         gsel = starts[sizes == s]
-        M = docs[gsel[:, None] + np.arange(s)[None, :]]
+        M = docs[gsel[:, None] + np.arange(s)[None, :]].astype(np.uint64)
         i, j = np.triu_indices(int(s), k=1)
         packed.append((M[:, i].ravel() << shift) | M[:, j].ravel())
     if not packed:
         return set()
     uniq = np.unique(np.concatenate(packed))
-    a = (uniq >> shift).tolist()
-    b = (uniq & np.int64(0xFFFFFFFF)).tolist()
+    a = (uniq >> shift).astype(np.int64).tolist()
+    b = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64).tolist()
     return set(zip(a, b))
 
 
@@ -219,7 +227,6 @@ def _exact_survivor_ds(sf_dir: str) -> "ray.data.Dataset":
                          "h2": pa.array(hi.view(np.int64)),
                          "doc_id": b["doc_id"]})
 
-    from ray.data.aggregate import Min
     # the FULL 128-bit pair is the group key: 64 bits expect birthday
     # collisions at 10^11 docs, silently merging distinct texts
     return (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
@@ -248,7 +255,12 @@ def exact_dedup(sf_dir: str, out_path: str | None = None):
     ck = input_fingerprint([os.path.join(sf_dir, "documents.parquet")])
     if ck in _EXACT_CACHE:
         return _EXACT_CACHE[ck]
-    out = surv.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    out = surv.to_pandas()
+    if "doc_id" not in out.columns:  # empty documents table: Ray's
+        #  empty groupby stream loses column names
+        import pandas as pd
+        out = pd.DataFrame({"doc_id": np.array([], np.int64)})
+    out = out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     _EXACT_CACHE[ck] = pa.Table.from_pandas(out, preserve_index=False)
     return _EXACT_CACHE[ck]
@@ -466,14 +478,12 @@ def _minhash_labels(sf_dir: str,
 
 def label_roots(ids: np.ndarray, lk: np.ndarray,
                 lv: np.ndarray) -> np.ndarray:
-    """Cluster root per id via searchsorted substitution against the
-    sorted (keys, roots) label arrays; ids absent from the labels are
-    their own root.  The ONE definition shared by cluster assignment and
-    the near-dup curation gate."""
-    if not len(lk):
-        return ids
-    pos = np.minimum(np.searchsorted(lk, ids), len(lk) - 1)
-    return np.where(lk[pos] == ids, lv[pos], ids)
+    """Cluster root per id via the shared sorted-membership idiom
+    (:func:`miru_ray.util.sorted_lookup`); ids absent from the labels
+    are their own root.  The ONE definition shared by cluster
+    assignment and the near-dup curation gate."""
+    hit, pos = sorted_lookup(lk, ids)
+    return np.where(hit, lv[pos], ids)
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.8,
@@ -637,13 +647,13 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     sizes = np.diff(np.r_[starts, len(keys)])
     packed = []
-    shift = np.int64(32)
+    shift = np.uint64(32)  # unsigned: ids in [2^31, 2^32) must not wrap
     for s in np.unique(sizes):
         if s < 2:
             continue
         gsel = starts[sizes == s]
         idx = gsel[:, None] + np.arange(s)[None, :]
-        M, Sg = docs[idx], sigs[idx]
+        M, Sg = docs[idx].astype(np.uint64), sigs[idx]
         i, j = np.triu_indices(int(s), k=1)
         keep = _hamming(Sg[:, i].ravel(), Sg[:, j].ravel()) <= max_hamming
         a, bb = M[:, i].ravel()[keep], M[:, j].ravel()[keep]
@@ -652,8 +662,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
     uniq = np.unique(np.concatenate(packed))
-    return pa.table({"a": pa.array(uniq >> shift, pa.int64()),
-                     "b": pa.array(uniq & np.int64(0xFFFFFFFF), pa.int64())})
+    return pa.table({"a": pa.array((uniq >> shift).astype(np.int64)),
+                     "b": pa.array((uniq & np.uint64(0xFFFFFFFF))
+                                   .astype(np.int64))})
 
 
 # ------------------------------ ngram jaccard ------------------------------
@@ -952,8 +963,8 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
     the 100-TB path; at τ = 0.4 it reads most of the index (the docstring
     of :func:`embedding_neardup_pairs` has the measured futility bound).
     """
-    from .similarity import _N_PLANES, _N_TABLES, _codes, _planes, _ring, \
-        _tcode, build_ann_index
+    from .similarity import (_N_PLANES, _N_TABLES, _codes, _planes,
+                             _ring, build_ann_index)
     from ..util import read_json
     idx = build_ann_index(sf_dir)
     catalog = {int(c): rels
@@ -1065,7 +1076,14 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4,
         columns=["vec_id", "embedding"]).map_batches(
         RingProber, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, 4))
-    out = pairs.to_pandas().drop_duplicates(["a", "b"]).sort_values(
+    out = pairs.to_pandas()
+    if "a" not in out.columns:  # no pair met the threshold anywhere —
+        #  Ray's all-empty block stream loses column names (same guard
+        #  as ann_lsh_query)
+        import pandas as pd
+        out = pd.DataFrame({"a": np.array([], np.int64),
+                            "b": np.array([], np.int64)})
+    out = out.drop_duplicates(["a", "b"]).sort_values(
         ["a", "b"]).reset_index(drop=True)
     # io accounting from the build catalog: ring mass vs the full index
     n_ring = len(_ring(0, max_hamming))
