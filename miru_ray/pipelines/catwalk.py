@@ -52,15 +52,24 @@ LABEL_VALUE_THRESHOLD = 150  # splits the user population (~45% labeled)
 
 def _ts_mask(t: pa.Table, t0_us: int | None, t1_us: int | None):
     """Half-open ingest window mask (t0_us, t1_us] over the ts column;
-    None bounds are unbounded."""
+    None bounds are unbounded.
+
+    NULL ts belongs to the INITIAL window (t0_us is None) and to no
+    forward window: every row must land in exactly ONE window of a
+    store's lifetime, or the merged store diverges from a full rebuild
+    (whose unwindowed scans keep NULL-ts rows).  Consumers that exclude
+    NULL ts on their own (``_feature_batch``) still filter is_valid
+    explicitly."""
     if t0_us is None and t1_us is None:
         return None
     ts = pc.cast(t["ts"], pa.int64())
     m = None
     if t0_us is not None:
-        m = pc.greater(ts, t0_us)
+        m = pc.greater(ts, t0_us)  # NULL → null → dropped (not re-counted)
     if t1_us is not None:
         hi = pc.less_equal(ts, t1_us)
+        if t0_us is None:
+            hi = pc.fill_null(hi, True)  # NULL lands in the initial window
         m = hi if m is None else pc.and_(m, hi)
     return m
 
@@ -84,7 +93,9 @@ def _labeled_users(sf_dir: str, t0_us: int | None = None,
     users = (ds.map_batches(high_value, batch_format="pyarrow",
                             batch_size=65536)
              .unique("user_id"))
-    return np.array(sorted(users), np.int64)
+    # a window with zero labeled purchases: unique() over the all-empty
+    # stream yields None, not []
+    return np.array(sorted(users or []), np.int64)
 
 
 def _feature_batch(t: pa.Table, t0_us: int | None = None,
@@ -235,12 +246,28 @@ def _store_meta_path(store_dir: str) -> str:
 
 def _events_max_ts(sf_dir: str) -> int:
     """Max event ts from Parquet row-group STATISTICS — metadata only,
-    no data scan."""
+    no data scan.  Falls back to a pruned distributed scan when a
+    writer omitted statistics or a row group's ts values are all NULL
+    (``statistics``/``.max`` is None there — max(None, datetime)
+    raises)."""
     import pyarrow.parquet as pq
-    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    md = pq.read_metadata(path)
     col = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts"]
-    hi = max(md.row_group(g).column(col).statistics.max
-             for g in range(md.num_row_groups))
+    maxes = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(col).statistics
+        if st is None or st.max is None:
+            continue
+        maxes.append(st.max)
+    if len(maxes) < md.num_row_groups or not maxes:
+        hi = (read_parquet_clean(path, columns=["ts"])
+              .to_pandas()["ts"].max())  # ts column only; skips nulls
+        if hi is None or hi != hi:
+            return 0  # every ts NULL (or zero rows): epoch floor
+        return int(pa.scalar(hi).cast(pa.timestamp("us"))
+                   .cast(pa.int64()).as_py())
+    hi = max(maxes)
     return int(pa.scalar(hi).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
 
 
@@ -354,14 +381,14 @@ def catwalk_model_incremental(sf_dir: str) -> pa.Table:
         shutil.rmtree(store, ignore_errors=True)
 
 
-_F_SQL = """
+_F_SQL = f"""
 f AS (
   SELECT DISTINCT user_id,
          event_type || '@' ||
-         CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS feature
+         CAST((epoch_us(ts) // {US_PER_HOUR}) % 24 AS VARCHAR) AS feature
   FROM events WHERE event_type <> 'purchase' AND ts IS NOT NULL),
 lab AS (SELECT DISTINCT user_id FROM events
-       WHERE event_type = 'purchase' AND value > 150),
+       WHERE event_type = 'purchase' AND value > {LABEL_VALUE_THRESHOLD}),
 model AS (
   SELECT feature,
          count(*) FILTER (user_id IN (SELECT user_id FROM lab)) AS numerator,

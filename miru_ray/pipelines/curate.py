@@ -34,7 +34,7 @@ from ray.data.aggregate import Count, Min, Sum
 
 from ..ops.dedup import _documents, label_roots
 from ..tokenize import EN_STOPWORDS, explode_tokens
-from ..util import broadcast_get, md5_64, md5_128, sorted_lookup
+from ..util import broadcast_get, md5_128, sorted_lookup
 
 MIN_TOKENS = 40
 MAX_TOKENS = 5000
@@ -142,7 +142,9 @@ def curation_summary(sf_dir: str, out_path: str | None = None):
                       Sum("tokens", alias_name="total_tokens"),
                       Sum("drop_dup", alias_name="n_dropped_dup"),
                       Sum("drop_quality", alias_name="n_dropped_quality")))
-    return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
+    if agg is None:  # empty corpus: Dataset.aggregate over zero rows
+        agg = {}     # returns None, not a zero-filled dict
+    return pa.table({k: pa.array([int(agg.get(k) or 0)], pa.int64())
                      for k in ("n_kept", "total_tokens", "n_dropped_dup",
                                "n_dropped_quality")})
 
@@ -188,7 +190,9 @@ def curation_neardup_summary(sf_dir: str) -> pa.Table:
                       Sum("drop_exact", alias_name="n_dropped_exact"),
                       Sum("drop_neardup", alias_name="n_dropped_neardup"),
                       Sum("drop_quality", alias_name="n_dropped_quality")))
-    return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
+    if agg is None:  # empty corpus: Dataset.aggregate over zero rows
+        agg = {}     # returns None, not a zero-filled dict
+    return pa.table({k: pa.array([int(agg.get(k) or 0)], pa.int64())
                      for k in ("n_kept", "total_tokens", "n_dropped_exact",
                                "n_dropped_neardup", "n_dropped_quality")})
 
@@ -351,7 +355,7 @@ def pretrain_corpus_counts(sf_dir: str,
        (the :mod:`..ops.mixing` hash-threshold rule).
     """
     from ..ops.dedup import _make_shingle_rows
-    from ..ops.mixing import RATE_MILLIONTHS, _doc_hash_m
+    from ..ops.mixing import RATE_MILLIONTHS, _keep_mask
     from ..ops.textstats import DECON_BENCH_MOD, _DECON_N, predict_lang
     from ..util import broadcast_get, md5_64_bulk
     if out_path is not None:
@@ -435,8 +439,6 @@ def pretrain_corpus_counts(sf_dir: str,
                        Min("contam", alias_name="contam"),
                        Min("pred_lang", alias_name="pred_lang")))
 
-    rate_arr = np.array(RATE_MILLIONTHS, np.int64)
-
     def gate_batch(t: pa.Table) -> pa.Table:
         import pandas as pd
         key = pd.Series(np.asarray(t["key"].to_pandas(), dtype=object))
@@ -445,10 +447,12 @@ def pretrain_corpus_counts(sf_dir: str,
         nt = t["n_tokens"].to_numpy().astype(np.int64)
         ns = t["n_stop"].to_numpy().astype(np.int64)
         contam = t["contam"].to_numpy().astype(np.int64)
-        thr = rate_arr[(md5_64(src) % np.uint64(len(rate_arr)))
-                       .astype(np.int64)]
-        keep = (_quality_mask(nt, ns) & (contam == 0)
-                & (_doc_hash_m(ids) < thr))
+        # the ONE shared keep rule (ops.mixing._keep_mask) — an inline
+        # copy of the hash-threshold lookup would silently desynchronize
+        # this composed pipeline from the mixing family's oracles if the
+        # rule ever gains a salt or new NULL handling
+        mix_keep, _thr = _keep_mask(ids, src)
+        keep = _quality_mask(nt, ns) & (contam == 0) & mix_keep
         if not keep.any():
             return pa.table({"source": pa.array([], pa.string()),
                              "lang": pa.array([], pa.string()),

@@ -26,8 +26,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..util import read_parquet_clean
-from ray.data.aggregate import Count, Mean, Sum
+from ..util import broadcast_get, read_parquet_clean, sorted_lookup
+from ray.data.aggregate import Sum
 
 
 def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
@@ -108,7 +108,6 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     n_names = np.asarray(nation["n_name"].to_pandas(), dtype=object)
     n_order = np.argsort(n_keys)  # align names with the sorted key array —
     #                               parquet row order is NOT guaranteed
-    from ..util import sorted_lookup
     hit, pos = sorted_lookup(n_keys[n_order],
                              cust["c_nationkey"].to_numpy())
     if not hit.all():
@@ -135,13 +134,13 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
 
         def __call__(self, b: pa.Table) -> pa.Table:
             cust_k = b["o_custkey"].to_numpy()
-            pos = np.searchsorted(self.ckeys, cust_k)
-            safe = np.minimum(pos, len(self.ckeys) - 1)
-            # inner-join semantics: orders whose custkey is missing from
-            # customer are DROPPED (matches the SQL oracle's JOIN — a
-            # neighbor-bucket assignment would silently misattribute)
-            hit = self.ckeys[safe] == cust_k
-            code = self.codes[safe[hit]]
+            # inner-join semantics via the shared empty-key-safe probe:
+            # orders whose custkey is missing from customer are DROPPED
+            # (matches the SQL oracle's JOIN), and a ZERO-row customer
+            # table yields an empty result instead of indexing into an
+            # empty key array
+            hit, pos = sorted_lookup(self.ckeys, cust_k)
+            code = self.codes[pos[hit]]
             cents = np.round(
                 b["o_totalprice"].to_numpy()[hit] * 100.0).astype(np.int64)
             sums = np.bincount(code, weights=cents,
@@ -159,6 +158,11 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     out = partials.groupby("n_name").aggregate(
         Sum("cents", alias_name="cents"),
         Sum("cnt", alias_name="n_orders")).to_pandas()
+    if "cents" not in out.columns:  # no order joined any customer —
+        #  Ray's all-empty stream loses column names
+        out = pd.DataFrame({"n_name": np.array([], object),
+                            "cents": np.array([], np.int64),
+                            "n_orders": np.array([], np.int64)})
     out["revenue"] = (out["cents"] / 100.0).round(2)
     out = out[["n_name", "revenue", "n_orders"]]
     out = out.sort_values("n_name").reset_index(drop=True)
@@ -299,7 +303,6 @@ def bigjoin_top_customers(sf_dir: str, k: int = 10,
 def _isin_sorted(values: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
     """Vectorized membership against a broadcast SORTED key array
     (thin view over util.sorted_lookup — the ONE probe definition)."""
-    from ..util import sorted_lookup
     return sorted_lookup(sorted_keys, values)[0]
 
 
@@ -309,7 +312,7 @@ def _semi_join_keys(ds: "ray.data.Dataset", col: str, keys_ref,
     sorted key array; per-batch distinct on ``out_cols``."""
 
     def f(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
+        keys = broadcast_get(keys_ref)  # per-worker cache, not per batch
         hit = _isin_sorted(t[col].to_numpy(), keys)
         sub = t.filter(pa.array(hit)).select(out_cols)
         return sub.group_by(out_cols).aggregate([]).select(out_cols)
@@ -337,7 +340,6 @@ def _cf_weights_shuffle(sf_dir: str, mine_ref, custkey: int,
     touched-pair set (O(orders) when one of my parts is a corpus-wide
     best-seller, the reference's MinMaxPriorityQueue case,
     ``CollaborativeFiltering.java:59-233``)."""
-    from ..util import broadcast_get
     nparts = _shuffle_partitions(
         os.path.join(sf_dir, "lineitem.parquet"),
         os.path.join(sf_dir, "orders.parquet"))
@@ -379,8 +381,22 @@ def _cf_weights_shuffle(sf_dir: str, mine_ref, custkey: int,
 
     wds = pairs.groupby("o_custkey").map_groups(wcount,
                                                 batch_format="pandas")
-    top = (wds.sort(["w", "o_custkey"], descending=[True, False])
-           .limit(max_contributors).to_pandas())
+    try:
+        top = (wds.sort(["w", "o_custkey"], descending=[True, False])
+               .limit(max_contributors).to_pandas())
+    except Exception:  # same degenerate case bigjoin_top_customers
+        #  guards: Ray's hash join cannot reconstruct the key schema
+        #  when EVERY block on one side is empty (a customer with no
+        #  parts, or an empty orders table).  Confirm by counting the
+        #  lazy side — rare error path only — instead of parsing
+        #  version-dependent exception text.
+        if li_d.count() == 0 or orders.count() == 0:
+            return pd.Series(dtype=np.int64, name="w").rename_axis(
+                "o_custkey")
+        raise
+    if top.empty or "o_custkey" not in top.columns:
+        return pd.Series(dtype=np.int64, name="w").rename_axis(
+            "o_custkey")
     return top.set_index("o_custkey")["w"].astype(np.int64)
 
 
@@ -477,8 +493,8 @@ def collaborative_filtering(sf_dir: str, custkey: int = 1,
     co_ref = ray.put((ck[corder], c_orders["o_custkey"].to_numpy()[corder]))
 
     def their_parts(t: pa.Table) -> pa.Table:
-        ok_keys, ok_cust = ray.get(co_ref)
-        parts_mine = ray.get(mine_ref)
+        ok_keys, ok_cust = broadcast_get(co_ref)
+        parts_mine = broadcast_get(mine_ref)
         hit = _isin_sorted(t["l_orderkey"].to_numpy(), ok_keys) \
             & ~_isin_sorted(t["l_partkey"].to_numpy(), parts_mine)
         sub = t.filter(pa.array(hit))
