@@ -65,13 +65,14 @@ def _documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
         raise ValueError("the dup derivation emits exactly (doc_id, "
                          f"text); cannot serve columns={columns!r}")
     ds = read_parquet_clean(path, columns=["doc_id", "text"])
-    return ds.map_batches(lambda b: _expand_batch(b, n),
-                          batch_format="pyarrow", batch_size=8192)
-
-
-def _expand_batch(b: pa.Table, n: int) -> pa.Table:
+    # capture expand_docs_dup at DRIVER scope: a runtime relative import
+    # inside the worker-side body would need miru_ray importable on the
+    # worker, breaking the arbitrary-cwd driver contract (the function
+    # object ships by value via the package's register_pickle_by_value)
     from ..fixtures import expand_docs_dup
-    return expand_docs_dup(b, n)
+    fn = expand_docs_dup
+    return ds.map_batches(lambda b: fn(b, n),
+                          batch_format="pyarrow", batch_size=8192)
 
 
 def _shingles(tokens: list[str], n: int = 3) -> set[str]:
